@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,41 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from aerial_conversion_ray.config import EngineConfig
+from aerial_conversion_ray.pipelines import spatial, sql_oracle
+
+# Correctness-scale config: rep=20 amplifies the 500-row documents
+# table into 10k pages so joins are non-trivial at sf0.01.
+CFG = EngineConfig(pages_rep=20)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (forward tile join) on sf0.001."""
+    return spatial.tile_point_join("/root/testdata/sf0.001", CFG)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geocode": lambda sf: spatial.geocode_pipeline(sf, CFG),
+        "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
+        "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
+        "tile_clip_join": lambda sf: spatial.tile_clip_join(sf, CFG),
+        # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
+        # which never flips ranks here but would fail the value hash.
+        "knn": lambda sf: spatial.knn_pipeline(sf, CFG, method="brute")
+        .select_columns(["query_id", "rank", "neighbor_id"]),
+        "knn_kring": lambda sf: spatial.knn_pipeline(sf, CFG, method="kring")
+        .select_columns(["query_id", "rank", "neighbor_id"]),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "geocode": sql_oracle.geocode_sql(CFG),
+        "cell_index": sql_oracle.cell_index_sql(CFG),
+        "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
+        "tile_clip_join": sql_oracle.tile_clip_join_sql(CFG),
+        "knn": sql_oracle.knn_sql(CFG),
+        # knn_kring: approximate scale path — rows-only check (no SQL);
+        # recall vs brute force asserted in tests/test_knn.py.
+    }

@@ -1,0 +1,208 @@
+"""Pure-numpy polygon kernels: bbox, area, point-in-polygon, rectangle
+clip, simplify.  (No GEOS in this environment — these replace the
+reference's shapely calls with vectorized equivalents.)
+
+Polygons are (N, 2) float64 arrays of exterior-ring vertices, open
+(first vertex NOT repeated at the end) unless noted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def shoelace_area(coords: np.ndarray) -> float:
+    """Unsigned polygon area (shapely ``Polygon(...).area`` analog used
+    by ``aerial_conversion/coco.py:258`` for annotation area)."""
+    c = np.asarray(coords, dtype=np.float64)
+    x, y = c[:, 0], c[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def shoelace_area_batch(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized areas for many polygons stored as one flat (M, 2)
+    coord array + int offsets (len P+1), i.e. Arrow list layout."""
+    x, y = flat[:, 0], flat[:, 1]
+    cross = x * np.roll(y, -1) - y * np.roll(x, -1)
+    # fix wrap terms at ring boundaries: the closing edge of polygon p
+    # is (last_p -> first_p), not (last_p -> first_{p+1}).
+    ends = offsets[1:] - 1
+    starts = offsets[:-1]
+    cross[ends] = x[ends] * y[starts] - y[ends] * x[starts]
+    csum = np.concatenate([[0.0], np.cumsum(cross)])
+    return 0.5 * np.abs(csum[offsets[1:]] - csum[offsets[:-1]])
+
+
+def bbox(coords: np.ndarray) -> tuple[float, float, float, float]:
+    """COCO bbox [minx, miny, w, h] of a polygon
+    (``aerial_conversion/coco.py:221-241`` semantics)."""
+    c = np.asarray(coords, dtype=np.float64)
+    minx, miny = c[:, 0].min(), c[:, 1].min()
+    maxx, maxy = c[:, 0].max(), c[:, 1].max()
+    return float(minx), float(miny), float(maxx - minx), float(maxy - miny)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: are points inside ``poly``?
+
+    Replaces shapely ``contains`` / ``intersects`` point tests (the
+    STRtree stage pairs this with a grid-bucket candidate index).
+    Boundary behavior: half-open (consistent, deterministic).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(len(poly)):
+        cond = (y1[i] > py) != (y2[i] > py)
+        if not cond.any():
+            continue
+        xint = (x2[i] - x1[i]) * (py - y1[i]) / (y2[i] - y1[i]) + x1[i]
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def clip_to_rect(
+    coords: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of a convex-or-concave polygon to an
+    axis-aligned rectangle (``gpd.clip`` analog for the per-tile clip
+    join, ``aerial_conversion/coordinates.py:170-203``).
+
+    Returns an (M, 2) array (possibly empty).
+    """
+    out = np.asarray(coords, dtype=np.float64)
+    for axis, bound, keep_ge in (
+        (0, minx, True),
+        (0, maxx, False),
+        (1, miny, True),
+        (1, maxy, False),
+    ):
+        if len(out) == 0:
+            return out.reshape(0, 2)
+        cur = out
+        prev = np.roll(cur, 1, axis=0)
+        if keep_ge:
+            cur_in = cur[:, axis] >= bound
+            prev_in = prev[:, axis] >= bound
+        else:
+            cur_in = cur[:, axis] <= bound
+            prev_in = prev[:, axis] <= bound
+        pts = []
+        for i in range(len(cur)):
+            if cur_in[i]:
+                if not prev_in[i]:
+                    pts.append(_isect(prev[i], cur[i], axis, bound))
+                pts.append(cur[i])
+            elif prev_in[i]:
+                pts.append(_isect(prev[i], cur[i], axis, bound))
+        out = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    return out
+
+
+def _isect(p: np.ndarray, q: np.ndarray, axis: int, bound: float) -> np.ndarray:
+    t = (bound - p[axis]) / (q[axis] - p[axis])
+    r = p + t * (q - p)
+    r[axis] = bound
+    return r
+
+
+def rect_clip_rect(
+    rminx: np.ndarray,
+    rminy: np.ndarray,
+    rmaxx: np.ndarray,
+    rmaxy: np.ndarray,
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized rect∩rect: returns (minx, miny, maxx, maxy, nonempty)
+    for many rectangles clipped against one rectangle — the fast path
+    for axis-aligned footprints (the synthetic corpus) so the clip
+    join never leaves numpy."""
+    cminx = np.maximum(rminx, minx)
+    cminy = np.maximum(rminy, miny)
+    cmaxx = np.minimum(rmaxx, maxx)
+    cmaxy = np.minimum(rmaxy, maxy)
+    ok = (cminx < cmaxx) & (cminy < cmaxy)
+    return cminx, cminy, cmaxx, cmaxy, ok
+
+
+def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Ramer–Douglas–Peucker simplification (shapely ``simplify``
+    analog for the regularisation dispatcher,
+    ``aerial_conversion/coco.py:416-450``).  Iterative stack, exact
+    perpendicular-distance criterion."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 3:
+        return c
+    keep = np.zeros(len(c), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(c) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = c[j] - c[i]
+        seglen = np.hypot(seg[0], seg[1])
+        pts = c[i + 1 : j]
+        if seglen == 0.0:
+            d = np.hypot(pts[:, 0] - c[i][0], pts[:, 1] - c[i][1])
+        else:
+            d = np.abs(np.cross(seg, pts - c[i])) / seglen
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return c[keep]
+
+
+def min_rotated_rect(coords: np.ndarray) -> np.ndarray:
+    """Minimum-area rotated rectangle via rotating calipers over the
+    convex hull (shapely ``minimum_rotated_rectangle`` analog,
+    dispatcher at ``aerial_conversion/coco.py:433-436``).  Returns
+    (4, 2) corners."""
+    hull = convex_hull(coords)
+    if len(hull) < 3:
+        mnx, mny, w, h = bbox(coords)
+        return np.array(
+            [[mnx, mny], [mnx + w, mny], [mnx + w, mny + h], [mnx, mny + h]]
+        )
+    best_area, best = np.inf, None
+    edges = np.roll(hull, -1, axis=0) - hull
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    for ang in angles:
+        ca, sa = np.cos(ang), np.sin(ang)
+        rot = hull @ np.array([[ca, sa], [-sa, ca]])
+        mn, mx = rot.min(axis=0), rot.max(axis=0)
+        area = float((mx[0] - mn[0]) * (mx[1] - mn[1]))
+        if area < best_area:
+            best_area = area
+            corners = np.array(
+                [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
+            )
+            best = corners @ np.array([[ca, -sa], [sa, ca]])
+    return best
+
+
+def convex_hull(coords: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain convex hull, CCW, no repeated last pt."""
+    pts = np.unique(np.asarray(coords, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort is given by np.unique on rows
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])

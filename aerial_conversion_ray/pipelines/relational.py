@@ -1,0 +1,543 @@
+"""Relational operator coverage: joins, aggregates, semi/anti joins,
+dense-ID assignment, concat+remap, windowed event aggregates.
+
+These re-express the reference's table-side operators over the
+TPC-H-ish testdata (SURVEY.md §2d/§2e/§2g):
+
+- J3/J4 equi-joins (annotations⋈images analog)   -> orders⋈customer⋈...
+- J7/J8 semi-joins (filter_annotations/images)   -> semi_join
+- J9 anti-join (balance removal)                 -> anti_join
+- A1/A5 dense-ID dictionary + concat remap       -> dense_ids / concat_remap
+- A3 grouped stats                               -> lang_stats, q1 etc.
+- SO1 sorts/top-k                                -> top_orders
+- events tumbling window (streaming-shaped)      -> events_window
+
+Design: broadcast the SMALL side of every join (region/nation/
+customer/supplier are tiny); pre-aggregate inside map_batches before
+every groupby so the shuffle moves partial rows only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.fixedpoint import to_fixed
+from ..sources.pages import read_table
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _broadcast_df(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Load a small dimension table once on the driver -> ray.put ref.
+    Stages resolve it once per actor/task, not per batch."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+    return ray.put(t.to_pandas())
+
+
+class _BroadcastMerge:
+    """Actor-pool stage: pandas hash-join each batch against one or
+    more broadcast dimension tables (the reference's pd.merge join J4,
+    ``scripts/coco2geojson.py:315-318``, minus the driver loop)."""
+
+    def __init__(self, refs_and_keys):
+        import ray
+
+        self.dims = [
+            (ray.get(ref) if not isinstance(ref, pd.DataFrame) else ref, on, how)
+            for ref, on, how in refs_and_keys
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        for dim, on, how in self.dims:
+            batch = batch.merge(dim, on=on, how=how)
+        return batch
+
+
+# --------------------------------------------------------------------------
+# aggregates
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style grouped aggregate over lineitem: the engine's
+    canonical groupby (A3 analog).  Pre-aggregation happens inside
+    Ray's hash aggregate; input is column-pruned at the read.
+
+    Aggregate semantics are FIXED-POINT (cents / 1e-4): sums are exact
+    int64, so the result is bit-identical regardless of partitioning —
+    see functions/fixedpoint.py."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us")))
+        )
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        qty = t["l_quantity"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": pa.array(to_fixed(qty, 100.0)),
+                "price_c": pa.array(to_fixed(price, 100.0)),
+                "disc_price_c": pa.array(to_fixed(price * (1.0 - disc), 10000.0)),
+                "disc_c": pa.array(to_fixed(disc, 10000.0)),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="sum_qty_c"),
+        Sum("price_c", alias_name="sum_price_c"),
+        Sum("disc_price_c", alias_name="sum_disc_price_c"),
+        Sum("disc_c", alias_name="sum_disc_c"),
+        Count(alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count_order"].to_numpy().astype(np.float64)
+        sq = t["sum_qty_c"].to_numpy() / 100.0
+        sp = t["sum_price_c"].to_numpy() / 100.0
+        sdp = t["sum_disc_price_c"].to_numpy() / 10000.0
+        sd = t["sum_disc_c"].to_numpy() / 10000.0
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(sq),
+                "sum_base_price": pa.array(sp),
+                "sum_disc_price": pa.array(sdp),
+                "avg_qty": pa.array(sq / n),
+                "avg_price": pa.array(sp / n),
+                "avg_disc": pa.array(sd / n),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+Q1_SQL = """
+select l_returnflag, l_linestatus,
+       sum(cast(floor(l_quantity * 100.0 + 0.5) as bigint)) / 100.0 as sum_qty,
+       sum(cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)) / 100.0 as sum_base_price,
+       sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) as bigint)) / 10000.0 as sum_disc_price,
+       (sum(cast(floor(l_quantity * 100.0 + 0.5) as bigint)) / 100.0) / cast(count(*) as double) as avg_qty,
+       (sum(cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)) / 100.0) / cast(count(*) as double) as avg_price,
+       (sum(cast(floor(l_discount * 10000.0 + 0.5) as bigint)) / 10000.0) / cast(count(*) as double) as avg_disc,
+       count(*) as count_order
+from lineitem
+where l_shipdate < TIMESTAMP '1998-09-01'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Multi-way broadcast join (Q5-flavoured): lineitem ⋈ supplier ⋈
+    nation ⋈ region, grouped revenue per region.  Every dimension is
+    broadcast — the fact table never shuffles for the join; only the
+    4-row final aggregate shuffles."""
+    sup = _broadcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _broadcast_df(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    reg = _broadcast_df(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    class JoinDims(_BroadcastMerge):
+        def __init__(self):
+            super().__init__([])
+            import ray
+
+            s = ray.get(sup).rename(columns={"s_suppkey": "l_suppkey"})
+            n = ray.get(nat).rename(columns={"n_nationkey": "s_nationkey"})
+            r = ray.get(reg).rename(columns={"r_regionkey": "n_regionkey"})
+            self.dim = (
+                s.merge(n, on="s_nationkey").merge(r, on="n_regionkey")
+            )[["l_suppkey", "r_name"]]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.merge(self.dim, on="l_suppkey", how="inner")
+            batch["revenue_c"] = to_fixed(
+                (batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy(),
+                10000.0,
+            )
+            # in-batch partial aggregate: shuffle partials, not rows
+            out = batch.groupby("r_name", as_index=False)["revenue_c"].sum()
+            return out
+
+    partials = ds.map_batches(JoinDims, batch_format="pandas", concurrency=2)
+    agg = partials.groupby("r_name").aggregate(Sum("revenue_c", alias_name="revenue_c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "revenue": pa.array(t["revenue_c"].to_numpy() / 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("r_name")
+
+
+REGION_REVENUE_SQL = """
+select r_name,
+       sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) as bigint)) / 10000.0 as revenue
+from lineitem
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+order by r_name
+"""
+
+
+def top_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Join + grouped revenue + global top-k (SO1 sort analog).
+    lineitem revenue per order, orders broadcast-joined for metadata,
+    top-k by (revenue desc, orderkey)."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev_c = to_fixed(
+            t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()),
+            10000.0,
+        )
+        tb = pa.table({"l_orderkey": t["l_orderkey"], "revenue_c": pa.array(rev_c)})
+        df = tb.to_pandas().groupby("l_orderkey", as_index=False)["revenue_c"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_order = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+    topk = (
+        per_order.sort(["revenue_c", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "revenue": pa.array(t["revenue_c"].to_numpy() / 10000.0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    ords = _broadcast_df(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    class AttachOrder(_BroadcastMerge):
+        def __init__(self):
+            import ray
+
+            o = ray.get(ords).rename(columns={"o_orderkey": "l_orderkey"})
+            super().__init__([(o, "l_orderkey", "inner")])
+
+    return topk.map_batches(AttachOrder, batch_format="pandas")
+
+
+def top_orders_sql(k: int = 20) -> str:
+    return f"""
+with rev as (
+  select l_orderkey,
+         sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) as bigint)) as revenue_c
+  from lineitem group by l_orderkey
+  order by revenue_c desc, l_orderkey limit {k}
+)
+select l_orderkey, revenue_c / 10000.0 as revenue, o_custkey, o_orderdate
+from rev join orders on l_orderkey = o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# semi / anti joins (J7/J8/J9 analogs)
+# --------------------------------------------------------------------------
+
+def semi_join_orders_with_lineitems(sf_dir: str) -> ray.data.Dataset:
+    """orders that have >=1 lineitem (semi-join with broadcast key set
+    — ``filter_images``, ``scripts/coco_split.py:37-40`` analog)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    keyset = ray.put(np.unique(keys["l_orderkey"].to_numpy()))
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(keyset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ok = np.isin(t["o_orderkey"].to_numpy(zero_copy_only=False), self.keys)
+            return t.filter(pa.array(ok))
+
+    return read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(Semi, batch_format="pyarrow", concurrency=2)
+
+
+SEMI_JOIN_SQL = """
+select o_orderkey, o_custkey, o_totalprice from orders
+where o_orderkey in (select l_orderkey from lineitem)
+"""
+
+
+def anti_join_customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """customers with NO orders (anti-join with broadcast removal set —
+    balance removal, ``scripts/coco_balance.py:180-194`` analog)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keyset = ray.put(np.unique(keys["o_custkey"].to_numpy()))
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(keyset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bad = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), self.keys)
+            return t.filter(pa.array(~bad))
+
+    return read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(Anti, batch_format="pyarrow", concurrency=2)
+
+
+ANTI_JOIN_SQL = """
+select c_custkey, c_name, c_mktsegment from customer
+where c_custkey not in (select o_custkey from orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# dense IDs + concat remap (A1/A5 analogs)
+# --------------------------------------------------------------------------
+
+def dense_category_ids(sf_dir: str, table: str = "part", col: str = "p_brand") -> ray.data.Dataset:
+    """Distinct values of a class column -> dense ids in
+    first-appearance order of the table's key order — factorize
+    semantics (``scripts/geojson2coco.py:216``), made deterministic by
+    ordering on min(rowkey) instead of scan order.
+
+    Two-phase: per-batch partial (value, min_key) -> small groupby ->
+    driver-side rank (category count is tiny by construction)."""
+    key = {"part": "p_partkey", "documents": "doc_id"}[table]
+    ds = read_table(sf_dir, table, columns=[key, col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(col, as_index=False)[key].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Min(key, alias_name="first_key"))
+    )
+    df = firsts.to_pandas().sort_values("first_key").reset_index(drop=True)
+    df["category_id"] = np.arange(len(df), dtype=np.int64)
+    return df[[col, "first_key", "category_id"]]
+
+
+def dense_category_ids_sql(table: str = "part", col: str = "p_brand") -> str:
+    key = {"part": "p_partkey", "documents": "doc_id"}[table]
+    return f"""
+select {col}, first_key, row_number() over (order by first_key) - 1 as category_id
+from (select {col}, min({key}) as first_key from {table} group by {col})
+"""
+
+
+def concat_remap(sf_dir: str) -> ray.data.Dataset:
+    """Concat-with-ID-remap (A5, ``batch_geojson2coco.py:366-476``
+    analog): treat each `source` shard of documents as a COCO file;
+    re-assign globally dense row ids by (shard order, doc order) via
+    per-shard counts -> prefix-sum offsets; categories (=lang) deduped
+    by name keeping first id."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    counts = ds.groupby("source").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("source").reset_index(drop=True)
+    counts["offset"] = counts["n"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(counts["source"], counts["offset"]))
+
+    import ray
+
+    off_ref = ray.put(offsets)
+
+    class Remap:
+        """Needs rank of doc within its shard: doc_ids are globally
+        ordered, so rank = count of shard docs with smaller doc_id.
+        Computed per-shard via map_groups below instead; this class
+        only applies offsets."""
+
+        def __init__(self):
+            self.offsets = ray.get(off_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values("doc_id")
+            df["shard_rank"] = np.arange(len(df), dtype=np.int64)
+            df["new_id"] = df["shard_rank"] + self.offsets[df["source"].iloc[0]]
+            return df
+
+    return ds.groupby("source").map_groups(Remap(), batch_format="pandas")
+
+
+CONCAT_REMAP_SQL = """
+with ranked as (
+  select doc_id, source, lang,
+         row_number() over (partition by source order by doc_id) - 1 as shard_rank
+  from documents
+), offs as (
+  select source, count(*) as n from documents group by source
+), cum as (
+  select source,
+         sum(n) over (order by source rows between unbounded preceding and 1 preceding) as offset
+  from offs
+)
+select r.doc_id, r.source, r.lang, r.shard_rank,
+       r.shard_rank + coalesce(c.offset, 0) as new_id
+from ranked r join cum c on r.source = c.source
+"""
+
+
+# --------------------------------------------------------------------------
+# events: tumbling window aggregate (streaming-shaped)
+# --------------------------------------------------------------------------
+
+def events_window(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the events log: per (event_type,
+    hour window) count + sum(value).  Window key computed vectorized
+    in-batch (epoch floor-div), then partial-aggregated before the
+    groupby shuffle."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64()).to_numpy()
+        win = (epoch_us // (window_s * 1_000_000)) * window_s
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "window_start_s": win,
+                "value_u": to_fixed(t["value"].to_numpy(), 1_000_000.0),
+            }
+        )
+        out = df.groupby(["event_type", "window_start_s"], as_index=False).agg(
+            n=("value_u", "size"), sum_value_u=("value_u", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_start_s"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value_u", alias_name="sum_value_u")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start_s": t["window_start_s"],
+                "n": t["n"],
+                "sum_value": pa.array(t["sum_value_u"].to_numpy() / 1_000_000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["event_type", "window_start_s"]
+    )
+
+
+EVENTS_WINDOW_SQL = """
+select event_type,
+       (epoch_us(ts) // 3600000000) * 3600 as window_start_s,
+       count(*) as n,
+       sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
+from events
+group by event_type, window_start_s
+order by event_type, window_start_s
+"""
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
+    """Session windows per user: events sorted by ts within user; a
+    >gap_s silence starts a new session.  groupby(user).map_groups
+    with vectorized cumsum — the reference has no streaming operators
+    (SURVEY.md §2 'streaming-only: N/A'); this is the engine-new
+    stream-shaped aggregate over the ordered log."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        ts = df["ts"].astype("int64").to_numpy() // 1_000_000
+        new = np.ones(len(df), dtype=np.int64)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_s
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "session_id": sid,
+                "ts_s": ts,
+                "value_u": to_fixed(df["value"].to_numpy(), 1_000_000.0),
+            }
+        )
+        g = out.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start_s=("ts_s", "min"),
+            session_end_s=("ts_s", "max"),
+            n_events=("ts_s", "size"),
+            sum_value_u=("value_u", "sum"),
+        )
+        g["sum_value"] = g["sum_value_u"] / 1_000_000.0
+        return g[
+            ["user_id", "session_id", "session_start_s", "session_end_s", "n_events", "sum_value"]
+        ]
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+with e as (
+  select user_id, epoch_us(ts) // 1000000 as ts_s, value,
+         lag(epoch_us(ts) // 1000000) over (partition by user_id order by ts, value) as prev_ts
+  from events
+), marked as (
+  select *, case when prev_ts is null or ts_s - prev_ts > 1800 then 1 else 0 end as is_new
+  from e
+), sess as (
+  select *, sum(is_new) over (partition by user_id order by ts_s, value
+                              rows between unbounded preceding and current row) - 1 as session_id
+  from marked
+)
+select user_id, session_id, min(ts_s) as session_start_s, max(ts_s) as session_end_s,
+       count(*) as n_events,
+       sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
+from sess group by user_id, session_id
+"""

@@ -1,0 +1,119 @@
+"""DuckDB oracle SQL for every SQL-expressible pipeline.
+
+Each function returns SQL computing EXACTLY the rows of the matching
+pipeline in ``pipelines/*`` — built from the same constants
+(``geocode.SQL_EXPRS``, ``geo.cells.sql_expr``,
+``geo.tiles.point_tile_sql``) so engine and oracle cannot drift.
+Column names match the engine output column-for-column (the driver's
+compare hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from ..config import EngineConfig
+from ..geo import cells
+from ..geo.tiles import point_tile_sql
+from ..geocode import SQL_EXPRS
+from ..sources.pages import pages_cte
+
+DEFAULT_CFG = EngineConfig()
+
+
+def _pages_geo(cfg: EngineConfig) -> str:
+    """CTE: pages + geocode columns (lon/lat/footprint) keyed page_id."""
+    e = {k: v.replace("doc_id", "page_id") for k, v in SQL_EXPRS.items()
+         if k in ("lon", "lat", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy")}
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        "geo as (select page_id, doc_id, url, warc_ts, text, lang, source, n_chars, "
+        f"{e['lon']} as lon, {e['lat']} as lat, "
+        f"{e['fp_minx']} as fp_minx, {e['fp_miny']} as fp_miny, "
+        f"{e['fp_maxx']} as fp_maxx, {e['fp_maxy']} as fp_maxy from pages)"
+    )
+
+
+def geocode_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return _pages_geo(cfg) + " select * from geo"
+
+
+def cell_index_sql(cfg: EngineConfig = DEFAULT_CFG, resolutions=(7, 9, 11)) -> str:
+    cols = ", ".join(
+        f"{cells.sql_expr('lon', 'lat', r)} as cell_r{r}" for r in resolutions
+    )
+    return _pages_geo(cfg) + f" select *, {cols} from geo"
+
+
+def tile_point_join_sql(cfg: EngineConfig = DEFAULT_CFG, resolutions=(7, 9, 11)) -> str:
+    cellcols = ", ".join(
+        f"{cells.sql_expr('lon', 'lat', r)} as cell_r{r}" for r in resolutions
+    )
+    tile = point_tile_sql(cfg.raster, cfg.grid, "lon", "lat")
+    return (
+        _pages_geo(cfg)
+        + f" select *, {cellcols}, {tile['tile_id']} as tile_id, "
+        f"{tile['pix_col']} as pix_col, {tile['pix_row']} as pix_row from geo"
+    )
+
+
+def tile_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Footprint-rect x tile clip join via <=2x2 candidate expansion —
+    mirrors ``FootprintTileClip`` arithmetic op-for-op."""
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    tw, th = g.tile_width, g.tile_height
+    n_tx = -(-r.ncols // tw)
+    n_ty = -(-r.nrows // th)
+    return (
+        _pages_geo(cfg) + ", "
+        "cand as (select geo.*, "
+        f"  (cast(floor((fp_minx - {c!r}) / {a!r}) as bigint) // {tw}) + dx.v as ix, "
+        f"  (cast(floor((fp_maxy - {f!r}) / {e!r}) as bigint) // {th}) + dy.v as iy, "
+        f"  (cast(floor((fp_maxx - {c!r}) / {a!r}) as bigint) // {tw}) as ix1, "
+        f"  (cast(floor((fp_miny - {f!r}) / {e!r}) as bigint) // {th}) as iy1 "
+        "  from geo, (values (0), (1)) dx(v), (values (0), (1)) dy(v)), "
+        "hit as (select *, ix * "
+        f"{tw} as col_off, iy * {th} as row_off, "
+        f"  least(ix * {tw} + {tw}, {r.ncols}) - ix * {tw} as t_w, "
+        f"  least(iy * {th} + {th}, {r.nrows}) - iy * {th} as t_h "
+        f"  from cand where ix <= ix1 and iy <= iy1 and ix >= 0 and iy >= 0 "
+        f"  and ix < {n_tx} and iy < {n_ty}), "
+        "clip as (select *, "
+        f"  greatest(fp_minx, {c!r} + {a!r} * col_off) as clip_minx, "
+        f"  greatest(fp_miny, {f!r} + {e!r} * (row_off + t_h)) as clip_miny, "
+        f"  least(fp_maxx, {c!r} + {a!r} * (col_off + t_w)) as clip_maxx, "
+        f"  least(fp_maxy, {f!r} + {e!r} * row_off) as clip_maxy "
+        "  from hit) "
+        "select page_id, doc_id, url, warc_ts, text, lang, source, n_chars, "
+        "lon, lat, fp_minx, fp_miny, fp_maxx, fp_maxy, "
+        "('tile_' || cast(col_off as varchar) || '-' || cast(row_off as varchar)) as tile_id, "
+        "clip_minx, clip_miny, clip_maxx, clip_maxy, "
+        f"cast(floor((clip_minx - ({c!r} + {a!r} * col_off)) / {a!r}) as bigint) as bbox_x, "
+        f"cast(floor((clip_maxy - ({f!r} + {e!r} * row_off)) / {e!r}) as bigint) as bbox_y, "
+        f"cast(floor((clip_maxx - ({c!r} + {a!r} * col_off)) / {a!r}) as bigint) - "
+        f"cast(floor((clip_minx - ({c!r} + {a!r} * col_off)) / {a!r}) as bigint) as bbox_w, "
+        f"cast(floor((clip_miny - ({f!r} + {e!r} * row_off)) / {e!r}) as bigint) - "
+        f"cast(floor((clip_maxy - ({f!r} + {e!r} * row_off)) / {e!r}) as bigint) as bbox_h, "
+        "(clip_maxx - clip_minx) * (clip_maxy - clip_miny) as clip_area "
+        "from clip where clip_minx < clip_maxx and clip_miny < clip_maxy"
+    )
+
+
+def knn_sql(cfg: EngineConfig = DEFAULT_CFG, query_mod: int = 10) -> str:
+    """Exact kNN oracle: cross join + haversine + row_number.
+    Haversine written with the same formula as geo.haversine."""
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt(least(greatest("
+        "pow(sin(radians(n.lat - q.lat) * 0.5), 2) + "
+        "cos(radians(q.lat)) * cos(radians(n.lat)) * "
+        "pow(sin(radians(n.lon - q.lon) * 0.5), 2), 0.0), 1.0)))"
+    )
+    return (
+        _pages_geo(cfg)
+        + f", q as (select * from geo where page_id % {query_mod} = 0), "
+        f"pairs as (select q.page_id as query_id, n.page_id as neighbor_id, "
+        f"{hav} as dist_m from q cross join geo n where n.page_id != q.page_id), "
+        "ranked as (select query_id, neighbor_id, dist_m, "
+        "row_number() over (partition by query_id order by dist_m, neighbor_id) as rank "
+        "from pairs) "
+        f"select query_id, rank, neighbor_id from ranked where rank <= {cfg.knn_k}"
+    )

@@ -1,0 +1,148 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` re-runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports throughputs +
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# pages amplification for the bench: 5k docs * 200 = 1M pages at sf0.1
+BENCH_REP = int(os.environ.get("GRAFT_BENCH_REP", "200"))
+
+
+def _consume(ds) -> int:
+    """Stream the dataset to completion without materializing (count
+    via per-batch sizes)."""
+    n = 0
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import relational, spatial, text
+
+    cfg = EngineConfig(pages_rep=BENCH_REP)
+
+    queries = {
+        "tile_point_join": lambda: _consume(spatial.tile_point_join(SF_DIR, cfg)),
+        "tile_clip_join": lambda: _consume(spatial.tile_clip_join(SF_DIR, cfg)),
+        "knn_kring": lambda: _consume(
+            spatial.knn_pipeline(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)),
+                                 query_mod=100, method="kring")
+        ),
+        "q1_pricing": lambda: _consume(relational.q1_pricing_summary(SF_DIR)),
+        "region_revenue": lambda: _consume(relational.region_revenue(SF_DIR)),
+        "events_window": lambda: _consume(relational.events_window(SF_DIR)),
+        "dedup_exact": lambda: _consume(text.dedup_exact(SF_DIR)),
+        "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
+    }
+
+    # warm the page cache: untimed read of the inputs
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    results: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        n = fn()
+        results[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    headline = results["tile_point_join"]
+    out = {
+        "metric": "tile_point_join_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": results,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_rep": BENCH_REP,
+        "tile_join_rows_per_s": round(rows["tile_point_join"] / headline)
+        if headline > 0
+        else None,
+    }
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo["tile_join_rows_per_s"]
+    tput_hi = r_hi["tile_join_rows_per_s"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "rows_per_s_lo": tput_lo,
+        "rows_per_s_hi": tput_hi,
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_benchmarks()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -1,0 +1,65 @@
+import numpy as np
+
+from aerial_conversion_ray.geo import cells
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    for res in (5, 9, 11):
+        c = cells.encode(lon, lat, res)
+        lo0, la0, lo1, la1 = cells.decode(c, res)
+        assert ((lon >= lo0) & (lon < lo1 + 1e-9)).all()
+        assert ((lat >= la0) & (lat < la1 + 1e-9)).all()
+
+
+def test_encode_edges():
+    c = cells.encode(np.array([180.0, -180.0]), np.array([90.0, -90.0]), 9)
+    n = 1 << 9
+    assert c[0] == (n // 2 - 1) * n + (n - 1)  # clamped
+    assert c[1] == 0
+
+
+def test_parent_consistency():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    c11 = cells.encode(lon, lat, 11)
+    c7 = cells.encode(lon, lat, 7)
+    assert np.array_equal(cells.parent(c11, 11, 7), c7)
+
+
+def test_kring_contains_self_and_neighbours():
+    c = cells.encode(np.array([10.0]), np.array([20.0]), 9)
+    ring = cells.kring(c, 9, k=1)
+    assert ring.shape == (1, 9)
+    assert c[0] in ring[0]
+    # all ring cells are within 1 step in (ix, iy), modulo wrap
+    n = 1 << 9
+    iy, ix = ring[0] // n, ring[0] % n
+    cy, cx = c[0] // n, c[0] % n
+    assert (np.abs(iy - cy) <= 1).all()
+    dx = np.minimum(np.abs(ix - cx), n - np.abs(ix - cx))
+    assert (dx <= 1).all()
+
+
+def test_kring_lon_wrap():
+    # cell at ix=0 must wrap to ix=n-1
+    n = 1 << 9
+    c = np.array([100 * n + 0], dtype=np.int64)
+    ring = cells.kring(c, 9, k=1)
+    assert (100 * n + (n - 1)) in ring[0]
+
+
+def test_hilbert_locality_and_bijection():
+    # bijection on a small grid
+    ix, iy = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    d = cells.hilbert_key(ix.ravel(), iy.ravel(), order=4)
+    assert len(np.unique(d)) == 256
+    assert d.min() == 0 and d.max() == 255
+    # locality: consecutive d values are adjacent cells
+    order = np.argsort(d)
+    xs, ys = ix.ravel()[order], iy.ravel()[order]
+    step = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    assert (step == 1).all()

@@ -1,0 +1,103 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aerial_conversion_ray.config import EngineConfig
+from aerial_conversion_ray.geo.haversine import haversine_m
+from aerial_conversion_ray.geocode import geocode_arrays
+from aerial_conversion_ray.pipelines import spatial
+
+CFG = EngineConfig(pages_rep=2)
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+
+
+def test_text_byte_identity_through_tile_join(sf_dir):
+    """North-rule invariant: extracted text byte-identical per url
+    through every stage."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").to_pandas()
+    out = _collect(spatial.tile_point_join(sf_dir, CFG)).to_pandas()
+    src = docs.set_index("doc_id")["text"]
+    assert len(out) == len(docs) * CFG.pages_rep
+    assert (out["text"].to_numpy() == src.loc[out["doc_id"]].to_numpy()).all()
+
+
+def test_geocode_hot_cluster_skew(sf_dir):
+    out = _collect(spatial.geocode_pipeline(sf_dir, CFG))
+    g = geocode_arrays(out["page_id"].to_numpy())
+    frac_hot = g["hot"].mean()
+    assert 0.15 < frac_hot < 0.25  # 20% by construction
+
+
+def test_tile_clip_join_covers_and_clips(sf_dir):
+    out = _collect(spatial.tile_clip_join(sf_dir, CFG)).to_pandas()
+    # every page appears at least once
+    geo = _collect(spatial.geocode_pipeline(sf_dir, CFG)).to_pandas()
+    assert set(geo["page_id"]) == set(out["page_id"])
+    # clip is inside both footprint and tile; area positive
+    assert (out["clip_minx"] >= out["fp_minx"] - 1e-12).all()
+    assert (out["clip_maxx"] <= out["fp_maxx"] + 1e-12).all()
+    assert (out["clip_area"] > 0).all()
+    assert (out["bbox_w"] >= 0).all() and (out["bbox_h"] >= 0).all()
+
+
+def test_knn_brute_matches_numpy_oracle(sf_dir):
+    cfg = EngineConfig(pages_rep=1, knn_k=3)
+    out = _collect(spatial.knn_pipeline(sf_dir, cfg, query_mod=50)).to_pandas()
+    geo = _collect(spatial.geocode_pipeline(sf_dir, cfg)).to_pandas()
+    ids = geo["page_id"].to_numpy()
+    lon, lat = geo["lon"].to_numpy(), geo["lat"].to_numpy()
+    qids = ids[ids % 50 == 0]
+    for q in qids[:10]:
+        qi = np.nonzero(ids == q)[0][0]
+        d = haversine_m(lon[qi], lat[qi], lon, lat)
+        mask = ids != q
+        order = np.lexsort((ids[mask], d[mask]))
+        want = ids[mask][order][:3].tolist()
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == want, f"query {q}"
+
+
+def test_knn_kring_high_recall_vs_brute(sf_dir):
+    cfg = EngineConfig(pages_rep=2, knn_k=5)
+    brute = _collect(spatial.knn_pipeline(sf_dir, cfg, method="brute")).to_pandas()
+    kring = _collect(spatial.knn_pipeline(sf_dir, cfg, method="kring")).to_pandas()
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    k = set(zip(kring["query_id"], kring["neighbor_id"]))
+    recall = len(b & k) / len(b)
+    assert recall > 0.97, recall
+
+
+def test_pages_rep_amplification(sf_dir):
+    ds1 = spatial.geocode_pipeline(sf_dir, EngineConfig(pages_rep=1))
+    ds3 = spatial.geocode_pipeline(sf_dir, EngineConfig(pages_rep=3))
+    n1, n3 = ds1.count(), ds3.count()
+    assert n3 == 3 * n1
+
+
+def test_point_in_own_tile(sf_dir):
+    """Join correctness: each point's lon/lat lies inside the bounds
+    of its assigned tile."""
+    cfg = CFG
+    out = _collect(spatial.tile_point_join(sf_dir, cfg)).to_pandas()
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    parts = out["tile_id"].str.extract(r"tile_(\d+)-(\d+)").astype(int)
+    coff, roff = parts[0].to_numpy(), parts[1].to_numpy()
+    minx = c + a * coff
+    maxx = c + a * np.minimum(coff + g.tile_width, r.ncols)
+    maxy = f + e * roff
+    miny = f + e * np.minimum(roff + g.tile_height, r.nrows)
+    lon, lat = out["lon"].to_numpy(), out["lat"].to_numpy()
+    # in-extent points: strictly inside; clamped edge points sit on edge tiles
+    inext = (lon >= r.x0) & (lon < r.x0 + a * r.ncols) & (lat <= r.y_max) & (
+        lat > r.y_max + e * r.nrows
+    )
+    assert (lon[inext] >= minx[inext]).all() and (lon[inext] <= maxx[inext]).all()
+    assert (lat[inext] <= maxy[inext]).all() and (lat[inext] >= miny[inext]).all()
