@@ -15,7 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from aerial_conversion_ray.config import EngineConfig
-from aerial_conversion_ray.pipelines import spatial, sql_oracle
+from aerial_conversion_ray.pipelines import relational, spatial, sql_oracle, text
 
 # Correctness-scale config: rep=20 amplifies the 500-row documents
 # table into 10k pages so joins are non-trivial at sf0.01.
@@ -29,6 +29,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # -- spatial (forward path) --
         "geocode": lambda sf: spatial.geocode_pipeline(sf, CFG),
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
@@ -39,6 +40,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "rank", "neighbor_id"]),
         "knn_kring": lambda sf: spatial.knn_pipeline(sf, CFG, method="kring")
         .select_columns(["query_id", "rank", "neighbor_id"]),
+        # -- relational (joins / aggregates / windows) --
+        "q1_pricing": relational.q1_pricing_summary,
+        "region_revenue": relational.region_revenue,
+        "top_orders": relational.top_orders,
+        "semi_join": relational.semi_join_orders_with_lineitems,
+        "anti_join": relational.anti_join_customers_without_orders,
+        "dense_ids": relational.dense_category_ids,
+        "concat_remap": relational.concat_remap,
+        "events_window": relational.events_window,
+        "events_sessionize": relational.events_sessionize,
+        # -- text / dedup --
+        "token_stats": text.token_stats,
+        "lang_stats": text.lang_stats,
+        "dedup_exact": text.dedup_exact,
+        "jaccard_pairs": text.jaccard_pairs,
+        "minhash_lsh": text.minhash_lsh_pairs,
+        "simhash": text.simhash_fingerprints,
+        "rolling_fingerprint": text.rolling_fingerprint,
+        "langid": text.langid_scores,
     }
 
 
@@ -51,4 +71,20 @@ def oracle_sql() -> dict[str, str]:
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring: approximate scale path — rows-only check (no SQL);
         # recall vs brute force asserted in tests/test_knn.py.
+        "q1_pricing": relational.Q1_SQL,
+        "region_revenue": relational.REGION_REVENUE_SQL,
+        "top_orders": relational.top_orders_sql(),
+        "semi_join": relational.SEMI_JOIN_SQL,
+        "anti_join": relational.ANTI_JOIN_SQL,
+        "dense_ids": relational.dense_category_ids_sql(),
+        "concat_remap": relational.CONCAT_REMAP_SQL,
+        "events_window": relational.EVENTS_WINDOW_SQL,
+        "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
+        "token_stats": text.TOKEN_STATS_SQL,
+        "lang_stats": text.LANG_STATS_SQL,
+        "dedup_exact": text.DEDUP_EXACT_SQL,
+        "jaccard_pairs": text.jaccard_pairs_sql(),
+        # minhash_lsh / simhash / rolling_fingerprint / langid:
+        # non-SQL-expressible (hash-family / model state) — rows-only;
+        # determinism + recall asserted in tests/test_text.py.
     }

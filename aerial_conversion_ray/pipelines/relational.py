@@ -264,7 +264,7 @@ def top_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             o = ray.get(ords).rename(columns={"o_orderkey": "l_orderkey"})
             super().__init__([(o, "l_orderkey", "inner")])
 
-    return topk.map_batches(AttachOrder, batch_format="pandas")
+    return topk.map_batches(AttachOrder, batch_format="pandas", concurrency=1)
 
 
 def top_orders_sql(k: int = 20) -> str:
@@ -312,13 +312,21 @@ where o_orderkey in (select l_orderkey from lineitem)
 """
 
 
+ANTI_PRICE = 150000.0
+
+
 def anti_join_customers_without_orders(sf_dir: str) -> ray.data.Dataset:
-    """customers with NO orders (anti-join with broadcast removal set —
-    balance removal, ``scripts/coco_balance.py:180-194`` analog)."""
+    """customers with NO high-value order (anti-join with broadcast
+    removal set — balance removal, ``scripts/coco_balance.py:180-194``
+    analog).  The price predicate keeps the removal set sparse so the
+    anti-join is non-degenerate on the dense synthetic keys."""
     import pyarrow.parquet as pq
     import ray
 
-    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    keys = keys.filter(pc.greater(keys["o_totalprice"], ANTI_PRICE))
     keyset = ray.put(np.unique(keys["o_custkey"].to_numpy()))
 
     class Anti:
@@ -334,9 +342,9 @@ def anti_join_customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(Anti, batch_format="pyarrow", concurrency=2)
 
 
-ANTI_JOIN_SQL = """
+ANTI_JOIN_SQL = f"""
 select c_custkey, c_name, c_mktsegment from customer
-where c_custkey not in (select o_custkey from orders)
+where c_custkey not in (select o_custkey from orders where o_totalprice > {ANTI_PRICE!r})
 """
 
 
@@ -389,26 +397,15 @@ def concat_remap(sf_dir: str) -> ray.data.Dataset:
     counts["offset"] = counts["n"].cumsum().shift(1, fill_value=0)
     offsets = dict(zip(counts["source"], counts["offset"]))
 
-    import ray
+    # offsets table is tiny (one row per shard): capture it in the
+    # map_groups closure directly — Ray ships it once per task.
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        df["shard_rank"] = np.arange(len(df), dtype=np.int64)
+        df["new_id"] = df["shard_rank"] + int(offsets[df["source"].iloc[0]])
+        return df
 
-    off_ref = ray.put(offsets)
-
-    class Remap:
-        """Needs rank of doc within its shard: doc_ids are globally
-        ordered, so rank = count of shard docs with smaller doc_id.
-        Computed per-shard via map_groups below instead; this class
-        only applies offsets."""
-
-        def __init__(self):
-            self.offsets = ray.get(off_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values("doc_id")
-            df["shard_rank"] = np.arange(len(df), dtype=np.int64)
-            df["new_id"] = df["shard_rank"] + self.offsets[df["source"].iloc[0]]
-            return df
-
-    return ds.groupby("source").map_groups(Remap(), batch_format="pandas")
+    return ds.groupby("source").map_groups(remap, batch_format="pandas")
 
 
 CONCAT_REMAP_SQL = """
@@ -423,8 +420,8 @@ with ranked as (
          sum(n) over (order by source rows between unbounded preceding and 1 preceding) as offset
   from offs
 )
-select r.doc_id, r.source, r.lang, r.shard_rank,
-       r.shard_rank + coalesce(c.offset, 0) as new_id
+select r.doc_id, r.source, r.lang, cast(r.shard_rank as bigint) as shard_rank,
+       cast(r.shard_rank + coalesce(c.offset, 0) as bigint) as new_id
 from ranked r join cum c on r.source = c.source
 """
 
@@ -495,7 +492,8 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def sess(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
+        # (ts, value) tie-break matches the SQL window ordering exactly
+        df = df.sort_values(["ts", "value"], kind="mergesort")
         ts = df["ts"].astype("int64").to_numpy() // 1_000_000
         new = np.ones(len(df), dtype=np.int64)
         new[1:] = (ts[1:] - ts[:-1]) > gap_s
@@ -525,18 +523,19 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
 
 EVENTS_SESSIONIZE_SQL = """
 with e as (
-  select user_id, epoch_us(ts) // 1000000 as ts_s, value,
+  select user_id, ts, epoch_us(ts) // 1000000 as ts_s, value,
          lag(epoch_us(ts) // 1000000) over (partition by user_id order by ts, value) as prev_ts
   from events
 ), marked as (
   select *, case when prev_ts is null or ts_s - prev_ts > 1800 then 1 else 0 end as is_new
   from e
 ), sess as (
-  select *, sum(is_new) over (partition by user_id order by ts_s, value
+  select *, sum(is_new) over (partition by user_id order by ts, value
                               rows between unbounded preceding and current row) - 1 as session_id
   from marked
 )
-select user_id, session_id, min(ts_s) as session_start_s, max(ts_s) as session_end_s,
+select user_id, cast(session_id as bigint) as session_id,
+       min(ts_s) as session_start_s, max(ts_s) as session_end_s,
        count(*) as n_events,
        sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
 from sess group by user_id, session_id

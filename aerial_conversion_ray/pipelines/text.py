@@ -102,7 +102,7 @@ def lang_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 LANG_STATS_SQL = """
-select lang, source, count(*) as n_docs, sum(n_chars) as sum_chars
+select lang, source, count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars
 from documents group by lang, source order by lang, source
 """
 
@@ -179,18 +179,29 @@ from documents group by text
 # word-set Jaccard similar pairs (SQL-mirrored)
 # --------------------------------------------------------------------------
 
+N_PAIR_BUCKETS = 64
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """All document pairs (a < b) with word-SET Jaccard >= threshold.
 
-    Engine: per-batch token explode -> global (token -> doc) inverted
-    list via groupby -> co-occurrence counting per token group ->
-    exact |A∩B| -> filter.  The candidate space is bounded by shared
-    tokens (synthetic vocab is small, so this is the dense path; the
-    sparse path is MinHash-LSH below)."""
+    Engine: per-batch token explode (each doc is one input row, so
+    per-doc distinct-token sizes are exact per batch) -> inverted list
+    per token via one groupby -> pair expansion per token group,
+    hash-bucketed on (a, b) -> ONE coarse bucket shuffle -> vectorized
+    pandas sum + score inside each bucket.
+
+    The (a, b) aggregation deliberately avoids a fine-grained Ray
+    groupby (250k groups is pathological for the sort-based aggregate);
+    a 64-bucket ``groupby(bucket).map_groups`` keeps the shuffle
+    all-to-all but the per-group combine is one vectorized pandas
+    groupby — the engine's general many-small-groups pattern."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
         n = pc.list_value_length(toks).to_numpy().astype(np.int64)
         flat = toks.flatten().to_numpy(zero_copy_only=False)
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
@@ -203,48 +214,64 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
 
     pairs_src = ds.map_batches(explode, batch_format="pyarrow")
 
+    # per-doc distinct token counts: docs never split across batches
+    # (one row in, all its tokens out in the same batch) -> exact
+    # per-batch partials; tiny table -> broadcast
+    def doc_sizes(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    sizes = pa.concat_tables(
+        list(
+            pairs_src.map_batches(doc_sizes, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+    )
+    size_map = dict(
+        zip(
+            sizes["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+            sizes["n"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+
     def pair_count(df: pd.DataFrame) -> pd.DataFrame:
         docs = np.sort(df["doc_id"].to_numpy())
         if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": [], "inter": []}).astype(
-                {"a": np.int64, "b": np.int64, "inter": np.int64}
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "bucket": pd.Series(dtype=np.int64),
+                }
             )
         ai, bi = np.triu_indices(len(docs), k=1)
+        a, b = docs[ai], docs[bi]
+        bucket = (a * np.int64(1000003) + b) % N_PAIR_BUCKETS
+        return pd.DataFrame({"a": a, "b": b, "bucket": bucket})
+
+    def bucket_sum_score(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).size()
+        na = g["a"].map(size_map).to_numpy(dtype=np.float64)
+        nb = g["b"].map(size_map).to_numpy(dtype=np.float64)
+        inter = g["size"].to_numpy(dtype=np.int64)
+        jac = inter / (na + nb - inter)
+        out = g[jac >= threshold]
         return pd.DataFrame(
-            {"a": docs[ai], "b": docs[bi], "inter": np.ones(len(ai), dtype=np.int64)}
+            {
+                "a": out["a"].to_numpy(),
+                "b": out["b"].to_numpy(),
+                "inter": out["size"].to_numpy(dtype=np.int64),
+            }
         )
 
-    from ray.data.aggregate import Sum
-
-    inter = (
+    return (
         pairs_src.groupby("token")
         .map_groups(pair_count, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Sum("inter", alias_name="inter"))
+        .groupby("bucket")
+        .map_groups(bucket_sum_score, batch_format="pandas")
     )
-
-    sizes = (
-        pairs_src.groupby("doc_id").count().to_pandas()
-    )  # doc_id, count() -> distinct token count
-    size_map = dict(zip(sizes["doc_id"], sizes["count()"]))
-
-    import ray
-
-    sizes_ref = ray.put(size_map)
-
-    class Score:
-        def __init__(self):
-            self.sizes = ray.get(sizes_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            na = df["a"].map(self.sizes).to_numpy(dtype=np.float64)
-            nb = df["b"].map(self.sizes).to_numpy(dtype=np.float64)
-            inter = df["inter"].to_numpy(dtype=np.float64)
-            jac = inter / (na + nb - inter)
-            df = df.assign(jaccard=jac)
-            return df[df["jaccard"] >= threshold][["a", "b", "inter"]]
-
-    return inter.map_batches(Score, batch_format="pandas", concurrency=2)
 
 
 def jaccard_pairs_sql(threshold: float = 0.5) -> str:
