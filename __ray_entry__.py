@@ -15,7 +15,13 @@ from collections.abc import Callable
 from typing import Any
 
 from aerial_conversion_ray.config import EngineConfig
-from aerial_conversion_ray.pipelines import relational, spatial, sql_oracle, text
+from aerial_conversion_ray.pipelines import (
+    embeddings,
+    relational,
+    spatial,
+    sql_oracle,
+    text,
+)
 
 # Correctness-scale config: rep=20 amplifies the 500-row documents
 # table into 10k pages so joins are non-trivial at sf0.01.
@@ -59,6 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": text.simhash_fingerprints,
         "rolling_fingerprint": text.rolling_fingerprint,
         "langid": text.langid_scores,
+        # -- similarity search / embeddings --
+        "ann_brute": embeddings.ann_brute,
+        "ann_lsh": embeddings.ann_lsh,
+        "embed_dup": embeddings.embed_dup,
+        "label_centroids": embeddings.label_centroids,
     }
 
 
@@ -87,4 +98,9 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh / simhash / rolling_fingerprint / langid:
         # non-SQL-expressible (hash-family / model state) — rows-only;
         # determinism + recall asserted in tests/test_text.py.
+        "ann_brute": embeddings.ann_brute_sql(),
+        "embed_dup": embeddings.embed_dup_sql(),
+        "label_centroids": embeddings.label_centroids_sql(),
+        # ann_lsh: approximate scale path — rows-only; recall vs
+        # ann_brute asserted in tests/test_embeddings.py.
     }

@@ -1,0 +1,349 @@
+"""Similarity search + embedding near-dup over the embeddings table.
+
+Engine-new operators for the 100 TB training-data path (build brief):
+
+- ``ann_brute``      exact cosine top-k: per-batch numpy matmul against
+                     a broadcast (ray.put once) normalized index matrix
+                     — the oracle-checked baseline.
+- ``ann_lsh``        random-hyperplane LSH buckets -> candidate union ->
+                     exact refine (the scale path; recall tested vs
+                     brute in tests/test_embeddings.py).
+- ``embed_dup``      embedding-cosine near-dup pairs (a < b, sim >= t).
+
+Float parity with the DuckDB oracle: similarities are compared through
+a fixed-point key ``sim_e9 = floor(sim * 1e9 + 0.5)`` computed from a
+float64 cosine in BOTH engines, so summation-order ulp noise can never
+flip a rank or a threshold test (same trick as functions/fixedpoint.py
+for money columns).
+
+At 10^12-row scale the broadcast index matrix becomes per-cell IVF
+shards (partition vectors by coarse LSH bucket, shuffle queries to
+their probe buckets); ``ann_lsh`` is the single-node expression of
+that plan — the bucket id IS the partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..sources.pages import read_table
+
+DIM = 64
+K = 10
+QUERY_MOD = 10
+SIM_SCALE = 1_000_000_000.0
+
+# LSH family: H tables x B hyperplane bits, fixed seed (deterministic)
+LSH_TABLES = 8
+LSH_BITS = 4
+LSH_SEED = 777
+
+
+def _matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id int64[n], row-normalized float64 matrix [n, DIM]) from
+    the Arrow list<float> column — zero-copy flatten + reshape."""
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def load_index(sf_dir: str):
+    """Driver-side load + ray.put of the normalized index (the SMALL
+    broadcast side: 8 B x DIM per row)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _matrix(tbl)
+    return ray.put({"ids": ids, "mat": mat})
+
+
+def _sim_e9(sim: np.ndarray) -> np.ndarray:
+    return np.floor(sim * SIM_SCALE + 0.5).astype(np.int64)
+
+
+def _topk_table(qids, nids, sim_e9, k: int) -> pa.Table:
+    order = np.lexsort((nids, -sim_e9, qids))
+    qs, ns, ss = qids[order], nids[order], sim_e9[order]
+    new_grp = np.empty(len(qs), dtype=bool)
+    if len(qs) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim_e9": pa.array([], pa.int64()),
+            }
+        )
+    new_grp[0] = True
+    new_grp[1:] = qs[1:] != qs[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(qs)), 0))
+    rank = np.arange(len(qs)) - grp_start + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(qs[keep]),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "neighbor_id": pa.array(ns[keep]),
+            "sim_e9": pa.array(ss[keep]),
+        }
+    )
+
+
+class BruteCosine:
+    """Actor-pool stage: exact cosine top-k per query batch.  The
+    broadcast index resolves ONCE per actor in __init__; per batch is
+    one float64 matmul + lexsort top-k."""
+
+    def __init__(self, index_ref, k: int = K):
+        import ray
+
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+        self.ids = idx["ids"]
+        self.mat = idx["mat"]
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids, qmat = _matrix(t)
+        sims = qmat @ self.mat.T  # (nq, n)
+        sims[qids[:, None] == self.ids[None, :]] = -np.inf  # exclude self
+        k = min(self.k, sims.shape[1] - 1)
+        part = np.argpartition(-sims, k, axis=1)[:, : k + 1]
+        rows = np.repeat(np.arange(len(qids)), part.shape[1])
+        cols = part.ravel()
+        sv = sims[rows, cols]
+        fin = np.isfinite(sv)
+        return _topk_table(
+            qids[rows[fin]], self.ids[cols[fin]], _sim_e9(sv[fin]), self.k
+        )
+
+
+class LshCosine:
+    """Scale-path ANN: candidates = union over LSH tables of vectors
+    sharing the query's bucket; exact cosine refine on the candidate
+    set.  Hyperplanes + bucket assignment built once per actor."""
+
+    def __init__(self, index_ref, k: int = K):
+        import ray
+
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+        self.ids = idx["ids"]
+        self.mat = idx["mat"]
+        self.k = k
+        rng = np.random.default_rng(LSH_SEED)
+        self.planes = rng.standard_normal((LSH_TABLES, LSH_BITS, self.mat.shape[1]))
+        self.buckets = self._bucketize(self.mat)  # (n, LSH_TABLES)
+        # per table: sort index rows by bucket for searchsorted ranges
+        self.order = np.argsort(self.buckets, axis=0, kind="stable")
+        self.sorted_buckets = np.take_along_axis(self.buckets, self.order, axis=0)
+
+    def _bucketize(self, mat: np.ndarray) -> np.ndarray:
+        bits = (np.einsum("tbd,nd->ntb", self.planes, mat) > 0).astype(np.int64)
+        return (bits << np.arange(LSH_BITS, dtype=np.int64)[None, None, :]).sum(axis=2)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids, qmat = _matrix(t)
+        qbuckets = self._bucketize(qmat)  # (nq, T)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand_parts = []
+            for tb in range(LSH_TABLES):
+                col = self.sorted_buckets[:, tb]
+                lo = np.searchsorted(col, qbuckets[qi, tb], side="left")
+                hi = np.searchsorted(col, qbuckets[qi, tb], side="right")
+                cand_parts.append(self.order[lo:hi, tb])
+            cand = np.unique(np.concatenate(cand_parts))
+            cand = cand[self.ids[cand] != qids[qi]]
+            if len(cand) == 0:
+                continue
+            sims = self.mat[cand] @ qmat[qi]
+            out_q.append(np.full(len(cand), qids[qi], dtype=np.int64))
+            out_n.append(self.ids[cand])
+            out_s.append(_sim_e9(sims))
+        if not out_q:
+            return _topk_table(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), self.k
+            )
+        return _topk_table(
+            np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s), self.k
+        )
+
+
+def _pool_size() -> int:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(8, ncpu // 2))
+
+
+def _query_ds(sf_dir: str, query_mod: int) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v % query_mod == 0))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def ann_brute(sf_dir: str, k: int = K, query_mod: int = QUERY_MOD) -> ray.data.Dataset:
+    """Exact cosine top-k for every vec_id % query_mod == 0 query."""
+    ref = load_index(sf_dir)
+    return _query_ds(sf_dir, query_mod).map_batches(
+        BruteCosine,
+        fn_constructor_kwargs={"index_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool_size(),
+    )
+
+
+def ann_lsh(sf_dir: str, k: int = K, query_mod: int = QUERY_MOD) -> ray.data.Dataset:
+    """LSH-bucketed approximate cosine top-k (recall vs brute tested)."""
+    ref = load_index(sf_dir)
+    return _query_ds(sf_dir, query_mod).map_batches(
+        LshCosine,
+        fn_constructor_kwargs={"index_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool_size(),
+    )
+
+
+def ann_brute_sql(k: int = K, query_mod: int = QUERY_MOD) -> str:
+    return f"""
+with q as (
+  select vec_id as qid, cast(embedding as double[]) as emb
+  from embeddings where vec_id % {query_mod} = 0
+), sims as (
+  select q.qid as query_id, e.vec_id as neighbor_id,
+         cast(floor(list_cosine_similarity(q.emb, cast(e.embedding as double[]))
+                    * 1000000000.0 + 0.5) as bigint) as sim_e9
+  from q join embeddings e on e.vec_id != q.qid
+), ranked as (
+  select query_id, neighbor_id, sim_e9,
+         row_number() over (partition by query_id
+                            order by sim_e9 desc, neighbor_id) as rank
+  from sims
+)
+select query_id, cast(rank as bigint) as rank, neighbor_id, sim_e9
+from ranked where rank <= {k}
+"""
+
+
+DUP_THRESHOLD_E9 = 350_000_000  # cosine >= 0.35 (synthetic corpus: max pair sim ~0.51)
+
+
+class DupPairs:
+    """Embedding-cosine near-dup: per batch of left rows, all pairs
+    (a < b) with sim_e9 >= threshold against the broadcast matrix."""
+
+    def __init__(self, index_ref, threshold_e9: int = DUP_THRESHOLD_E9):
+        import ray
+
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+        self.ids = idx["ids"]
+        self.mat = idx["mat"]
+        self.thr = threshold_e9
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids, qmat = _matrix(t)
+        sims = _sim_e9(qmat @ self.mat.T)
+        hit = (sims >= self.thr) & (qids[:, None] < self.ids[None, :])
+        r, c = np.nonzero(hit)
+        return pa.table(
+            {
+                "a": pa.array(qids[r]),
+                "b": pa.array(self.ids[c]),
+                "sim_e9": pa.array(sims[r, c]),
+            }
+        )
+
+
+def embed_dup(sf_dir: str, threshold_e9: int = DUP_THRESHOLD_E9) -> ray.data.Dataset:
+    """All embedding pairs with cosine >= 0.95 (near-dup candidates)."""
+    ref = load_index(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        DupPairs,
+        fn_constructor_kwargs={"index_ref": ref, "threshold_e9": threshold_e9},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=_pool_size(),
+    )
+
+
+def embed_dup_sql(threshold_e9: int = DUP_THRESHOLD_E9) -> str:
+    return f"""
+select a.vec_id as a, b.vec_id as b,
+       cast(floor(list_cosine_similarity(cast(a.embedding as double[]),
+                                         cast(b.embedding as double[]))
+                  * 1000000000.0 + 0.5) as bigint) as sim_e9
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where cast(floor(list_cosine_similarity(cast(a.embedding as double[]),
+                                        cast(b.embedding as double[]))
+                 * 1000000000.0 + 0.5) as bigint) >= {threshold_e9}
+"""
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label centroid + count over embeddings: the vectorized
+    grouped-mean (IVF coarse-quantizer training step, expressed as
+    in-batch partial sums -> tiny groupby -> finish)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(t.num_rows, -1)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        # round each ELEMENT to fixed point before summing: the int
+        # partials are batching-invariant (exact associative sums)
+        mat_fp = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+        sums = np.zeros((len(u), mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, mat_fp)
+        cnt = np.bincount(inv).astype(np.int64)
+        cols = {"label": pa.array(u), "n": pa.array(cnt)}
+        for d in range(mat.shape[1]):
+            cols[f"s{d}"] = pa.array(sums[:, d])
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"s{d}", alias_name=f"s{d}") for d in range(DIM)
+    ]
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("label").aggregate(*aggs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(np.float64)
+        cols = {"label": t["label"].cast(pa.int64()), "n": t["n"]}
+        for d in range(DIM):
+            cols[f"c{d}"] = pa.array(t[f"s{d}"].to_numpy() / 1_000_000.0 / n)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("label")
+
+
+def label_centroids_sql() -> str:
+    dims = ",\n       ".join(
+        f"sum(cast(floor(cast(embedding[{d + 1}] as double) * 1000000.0 + 0.5) as bigint))"
+        f" / 1000000.0 / count(*) as c{d}"
+        for d in range(DIM)
+    )
+    return f"""
+select cast(label as bigint) as label, count(*) as n,
+       {dims}
+from embeddings group by label order by label
+"""

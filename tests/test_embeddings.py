@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-vs-LSH recall, determinism, dup
+symmetry, centroid math."""
+
+import numpy as np
+import pytest
+
+from aerial_conversion_ray.pipelines import embeddings
+
+
+@pytest.fixture(scope="module")
+def brute(sf_dir):
+    return embeddings.ann_brute(sf_dir).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def lsh(sf_dir):
+    return embeddings.ann_lsh(sf_dir).to_pandas()
+
+
+def test_brute_shape(brute):
+    # every query gets exactly K neighbors, ranks 1..K
+    per_q = brute.groupby("query_id")["rank"].agg(["min", "max", "size"])
+    assert (per_q["min"] == 1).all()
+    assert (per_q["max"] == embeddings.K).all()
+    assert (per_q["size"] == embeddings.K).all()
+    # no self matches
+    assert (brute["query_id"] != brute["neighbor_id"]).all()
+
+
+def test_lsh_recall(brute, lsh):
+    """LSH top-k recall vs exact must clear 0.6 on the synthetic
+    corpus (random unit-ish vectors are the LSH worst case; the gate
+    guards against regressions, not state-of-the-art recall)."""
+    bk = {(q, n) for q, n in zip(brute["query_id"], brute["neighbor_id"])}
+    lk = {(q, n) for q, n in zip(lsh["query_id"], lsh["neighbor_id"])}
+    recall = len(bk & lk) / len(bk)
+    assert recall >= 0.6, f"recall {recall:.3f}"
+
+
+def test_lsh_deterministic(sf_dir, lsh):
+    again = embeddings.ann_lsh(sf_dir).to_pandas()
+    a = lsh.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_embed_dup_ordering(sf_dir):
+    dup = embeddings.embed_dup(sf_dir).to_pandas()
+    assert (dup["a"] < dup["b"]).all()
+    assert (dup["sim_e9"] >= embeddings.DUP_THRESHOLD_E9).all()
+
+
+def test_label_centroids_match_numpy(sf_dir):
+    import pyarrow.parquet as pq
+
+    got = embeddings.label_centroids(sf_dir).to_pandas()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids, mat = embeddings._matrix(tbl)  # normalized — recompute raw
+    col = tbl["embedding"].combine_chunks()
+    raw = (
+        col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ).reshape(len(ids), -1)
+    labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fp = np.floor(raw * 1_000_000.0 + 0.5).astype(np.int64)
+    for lab in np.unique(labels):
+        sel = labels == lab
+        want = fp[sel].sum(axis=0) / 1_000_000.0 / sel.sum()
+        row = got[got["label"] == lab]
+        have = row[[f"c{d}" for d in range(embeddings.DIM)]].to_numpy()[0]
+        np.testing.assert_allclose(have, want, rtol=0, atol=1e-12)
