@@ -21,6 +21,7 @@ from aerial_conversion_ray.pipelines import (
     spatial,
     sql_oracle,
     text,
+    vectorize,
 )
 
 # Correctness-scale config: rep=20 amplifies the 500-row documents
@@ -70,6 +71,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": embeddings.ann_lsh,
         "embed_dup": embeddings.embed_dup,
         "label_centroids": embeddings.label_centroids,
+        # -- reverse path (coco2geojson analog) --
+        "spatialize": lambda sf: vectorize.spatialize(sf, CFG),
+        "marginal_flags": lambda sf: vectorize.marginal_flags(sf, CFG),
+        "zone_envelope": lambda sf: vectorize.zone_envelope(sf, CFG),
+        "zone_merge": lambda sf: vectorize.zone_merge(sf, CFG),
+        "regularise": lambda sf: vectorize.regularise(sf, CFG),
     }
 
 
@@ -103,4 +110,10 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": embeddings.label_centroids_sql(),
         # ann_lsh: approximate scale path — rows-only; recall vs
         # ann_brute asserted in tests/test_embeddings.py.
+        "spatialize": vectorize.spatialize_sql(CFG),
+        "marginal_flags": vectorize.marginal_flags_sql(CFG),
+        "zone_envelope": vectorize.zone_envelope_sql(CFG),
+        # zone_merge (rect-union sweep) / regularise (geometry
+        # kernels): not SQL-expressible — rows-only; exact numpy
+        # oracles in tests/test_vectorize.py.
     }

@@ -189,6 +189,132 @@ def min_rotated_rect(coords: np.ndarray) -> np.ndarray:
     return best
 
 
+def dominant_angle(coords: np.ndarray) -> float:
+    """Length-weighted circular mean of edge directions folded into
+    [0, 90): the polygon's dominant grid orientation.  Used by
+    :func:`orthogonalise` (reference semantics source:
+    ``orthogonalise/orthogonalise.py:181-354`` — re-derived from the
+    public JOSM orthogonalise idea, NOT copied; the vendored original
+    is GPLv3)."""
+    c = np.asarray(coords, dtype=np.float64)
+    edges = np.roll(c, -1, axis=0) - c
+    lens = np.hypot(edges[:, 0], edges[:, 1])
+    ang = np.arctan2(edges[:, 1], edges[:, 0])  # (-pi, pi]
+    # fold into 90-degree symmetry class and take the weighted circular
+    # mean on the 4x-angle circle (so 0 and 90 degrees coincide)
+    s = np.sum(lens * np.sin(4.0 * ang))
+    co = np.sum(lens * np.cos(4.0 * ang))
+    return float(np.mod(np.arctan2(s, co) / 4.0, np.pi / 2.0))
+
+
+def orthogonalise(
+    coords: np.ndarray, max_angle_change_deg: float = 15.0
+) -> np.ndarray:
+    """Snap a building-like polygon's edges to 0/90 degrees relative
+    to its dominant orientation (JOSM-style orthogonalisation,
+    re-derived; dispatcher semantics of
+    ``aerial_conversion/coco.py:416-450``).
+
+    Algorithm: rotate by -theta (dominant angle); classify each edge H
+    or V by |dx| vs |dy|; edges deviating more than
+    ``max_angle_change_deg`` from their axis leave the polygon
+    unchanged (bail out, like the reference's skew tolerance); merge
+    consecutive same-axis edges; new vertices are the intersections of
+    consecutive snapped axis lines (H: y = length-weighted mean of
+    endpoints, V: x = ...); rotate back.  Deterministic, pure numpy.
+    Returns the original ring if orthogonalisation is not applicable
+    (degenerate or over-tolerance).
+    """
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 3:
+        return c
+    theta = dominant_angle(c)
+    ca, sa = np.cos(-theta), np.sin(-theta)
+    rot = c @ np.array([[ca, sa], [-sa, ca]])
+    edges = np.roll(rot, -1, axis=0) - rot
+    lens = np.hypot(edges[:, 0], edges[:, 1])
+    if np.any(lens == 0.0):
+        return c
+    ang = np.degrees(np.arctan2(edges[:, 1], edges[:, 0]))
+    dev_h = np.minimum(np.abs(np.mod(ang, 180.0)), np.abs(180.0 - np.mod(ang, 180.0)))
+    dev_v = np.abs(90.0 - np.mod(ang, 180.0))
+    is_h = dev_h <= dev_v
+    dev = np.where(is_h, dev_h, dev_v)
+    if np.any(dev > max_angle_change_deg):
+        return c
+    # merge consecutive edges of the same axis class into runs
+    n = len(rot)
+    runs: list[tuple[bool, list[int]]] = []
+    for i in range(n):
+        if runs and runs[-1][0] == is_h[i]:
+            runs[-1][1].append(i)
+        else:
+            runs.append((bool(is_h[i]), [i]))
+    if len(runs) > 1 and runs[0][0] == runs[-1][0]:  # wraparound merge
+        runs[0] = (runs[0][0], runs[-1][1] + runs[0][1])
+        runs.pop()
+    if len(runs) < 4:
+        return c  # cannot form a closed orthogonal ring
+    # snapped coordinate of each run: length-weighted mean of the
+    # constant axis over the run's edges
+    levels = []
+    for horiz, idxs in runs:
+        w = lens[idxs]
+        if horiz:  # horizontal edge: constant y
+            vals = 0.5 * (rot[idxs, 1] + np.roll(rot, -1, axis=0)[idxs, 1])
+        else:  # vertical: constant x
+            vals = 0.5 * (rot[idxs, 0] + np.roll(rot, -1, axis=0)[idxs, 0])
+        levels.append(float(np.average(vals, weights=w)))
+    # vertices = intersections of consecutive run lines
+    m = len(runs)
+    out = np.empty((m, 2), dtype=np.float64)
+    for j in range(m):
+        horiz_a, _ = runs[j - 1]
+        la, lb = levels[j - 1], levels[j]
+        # consecutive runs always alternate axis after merging
+        if horiz_a:  # prev horizontal (y = la), current vertical (x = lb)
+            out[j] = (lb, la)
+        else:
+            out[j] = (la, lb)
+    ca2, sa2 = np.cos(theta), np.sin(theta)
+    return out @ np.array([[ca2, sa2], [-sa2, ca2]])
+
+
+def rect_union_area(rects: np.ndarray) -> float:
+    """Exact union area of axis-aligned rectangles [(minx, miny, maxx,
+    maxy), ...] via x-coordinate compression + per-strip y-interval
+    sweep.  The zone-merge aggregate kernel (``unary_union`` analog,
+    ``scripts/coco2geojson.py:104-156``) for the rectangular-footprint
+    corpus — associative by construction, so per-cell partial rect
+    LISTS union safely into the per-zone final (two-level plan,
+    SURVEY.md §2e A2)."""
+    r = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    r = r[(r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])]
+    if len(r) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([r[:, 0], r[:, 2]]))
+    total = 0.0
+    for i in range(len(xs) - 1):
+        x0, x1 = xs[i], xs[i + 1]
+        sel = (r[:, 0] <= x0) & (r[:, 2] >= x1)
+        if not sel.any():
+            continue
+        ys = r[sel][:, [1, 3]]
+        order = np.argsort(ys[:, 0], kind="mergesort")
+        ys = ys[order]
+        covered = 0.0
+        cur_lo, cur_hi = ys[0, 0], ys[0, 1]
+        for lo, hi in ys[1:]:
+            if lo > cur_hi:
+                covered += cur_hi - cur_lo
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        covered += cur_hi - cur_lo
+        total += covered * (x1 - x0)
+    return float(total)
+
+
 def convex_hull(coords: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain convex hull, CCW, no repeated last pt."""
     pts = np.unique(np.asarray(coords, dtype=np.float64), axis=0)

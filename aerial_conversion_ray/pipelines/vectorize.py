@@ -1,0 +1,360 @@
+"""Reverse path: pixel -> spatial, zone merge, regularise.
+
+Ray-Data-first re-expression of the reference's ``coco2geojson``
+pipeline (``scripts/coco2geojson.py:188-363``): annotations (the
+forward clip-join output) are lifted back to spatial coordinates via
+the tile affine transform (``coordinates.py:91-112`` pixel->spatial,
+including its floor-quantization loss), merged per zone with a
+TWO-LEVEL union (per-(zone, tile) partial union -> per-zone final
+combine; tiles are disjoint at offset=0 so the final combine is an
+exact integer sum — the associative-partial shape of SURVEY.md §2e
+A2), and regularised (simplify / min-rotated-rect / orthogonalise,
+``aerial_conversion/coco.py:416-450`` dispatcher semantics).
+
+Oracle story:
+- ``spatialize``     SQL-mirrored (pure affine floor arithmetic);
+- ``zone_envelope``  SQL-mirrored (groupby min/max/sum fixed-point);
+- ``marginal_flags`` SQL-mirrored (M15 bbox-vs-margin predicate);
+- ``zone_merge``     rows-only (rect-union sweep is not SQL); exact
+                     oracle in tests/test_vectorize.py vs brute numpy;
+- ``regularise``     rows-only; kernel unit tests vs numpy oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import EngineConfig
+from ..geo.polygon import (
+    douglas_peucker,
+    min_rotated_rect,
+    orthogonalise,
+    rect_union_area,
+    shoelace_area,
+)
+from . import spatial
+from .sql_oracle import tile_clip_join_sql
+
+DEFAULT_CFG = EngineConfig()
+
+AREA_SCALE = 1_000_000_000.0  # 1e-9 deg^2 fixed point
+MARGIN_PCT = 20.0  # marginal if bbox within margin% of tile size (M15)
+
+
+# --------------------------------------------------------------------------
+# spatialize (pixel -> spatial, M6/M7 analog, oracle-checked)
+# --------------------------------------------------------------------------
+
+class Spatialize:
+    """Append the spatial rect of the QUANTIZED pixel bbox: the
+    round-trip image of the footprint after pixel snapping.  Pixel
+    (col, row) covers [tx + a*col, tx + a*(col+1)) x (ty + e*(row+1),
+    ty + e*row] — the reconstruction spans whole pixels, mirroring the
+    reference's pixel_segmentation_to_spatial_rio semantics."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.raster = cfg.raster
+        self.grid = cfg.grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a, _, c, _, e, f = self.raster.transform
+        tw = self.grid.tile_width
+        th = self.grid.tile_height
+        # tile origin from the clip rect (clip_minx lies inside the tile)
+        gx = np.floor((t["clip_minx"].to_numpy() - c) / a).astype(np.int64)
+        gy = np.floor((t["clip_maxy"].to_numpy() - f) / e).astype(np.int64)
+        coff = (gx // tw) * tw
+        roff = (gy // th) * th
+        tx = c + a * coff.astype(np.float64)
+        ty = f + e * roff.astype(np.float64)
+        px0 = t["bbox_x"].to_numpy()
+        py0 = t["bbox_y"].to_numpy()
+        pw = t["bbox_w"].to_numpy()
+        ph = t["bbox_h"].to_numpy()
+        sminx = tx + a * px0.astype(np.float64)
+        smaxy = ty + e * py0.astype(np.float64)
+        smaxx = tx + a * (px0 + pw + 1).astype(np.float64)
+        sminy = ty + e * (py0 + ph + 1).astype(np.float64)
+        for name, arr in (
+            ("ann_minx", sminx),
+            ("ann_miny", sminy),
+            ("ann_maxx", smaxx),
+            ("ann_maxy", smaxy),
+        ):
+            # snap to 1e-9 fixed point: numpy and DuckDB associate the
+            # affine chain differently by 1 ulp; coordinates are
+            # 0.05-degree-granular so the snap is far from any boundary
+            t = t.append_column(
+                name, pa.array(np.floor(arr * 1e9 + 0.5) / 1e9)
+            )
+        return t
+
+
+def spatialize(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Forward clip join -> pixel-quantized spatial annotation rects.
+    ``text`` rides through untouched (byte-identity invariant)."""
+    ds = spatial.tile_clip_join(sf_dir, cfg)
+    return ds.map_batches(
+        Spatialize(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+def spatialize_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    tw, th = g.tile_width, g.tile_height
+    base = tile_clip_join_sql(cfg)
+    return (
+        f"with clipjoin as ({base}), sp as (select *, "
+        f"((cast(floor((clip_minx - {c!r}) / {a!r}) as bigint) // {tw}) * {tw}) as _coff, "
+        f"((cast(floor((clip_maxy - {f!r}) / {e!r}) as bigint) // {th}) * {th}) as _roff "
+        "from clipjoin) "
+        "select * exclude (_coff, _roff), "
+        f"floor((({c!r} + {a!r} * _coff) + {a!r} * bbox_x) * 1e9 + 0.5) / 1e9 as ann_minx, "
+        f"floor((({f!r} + {e!r} * _roff) + {e!r} * (bbox_y + bbox_h + 1)) * 1e9 + 0.5) / 1e9 as ann_miny, "
+        f"floor((({c!r} + {a!r} * _coff) + {a!r} * (bbox_x + bbox_w + 1)) * 1e9 + 0.5) / 1e9 as ann_maxx, "
+        f"floor((({f!r} + {e!r} * _roff) + {e!r} * bbox_y) * 1e9 + 0.5) / 1e9 as ann_maxy "
+        "from sp"
+    )
+
+
+# --------------------------------------------------------------------------
+# marginal flag (M15, oracle-checked)
+# --------------------------------------------------------------------------
+
+def marginal_flags(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Annotation bbox within MARGIN_PCT of the tile size -> marginal
+    (the reference's merge-strategy router, ``coco.py:347-368``)."""
+    tw = cfg.grid.tile_width
+    th = cfg.grid.tile_height
+    wlim = tw * (100.0 - MARGIN_PCT) / 100.0
+    hlim = th * (100.0 - MARGIN_PCT) / 100.0
+
+    def flag(t: pa.Table) -> pa.Table:
+        w = t["bbox_w"].to_numpy().astype(np.float64)
+        h = t["bbox_h"].to_numpy().astype(np.float64)
+        marginal = (w >= wlim) | (h >= hlim)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "tile_id": t["tile_id"],
+                "bbox_w": t["bbox_w"],
+                "bbox_h": t["bbox_h"],
+                "marginal": pa.array(marginal),
+            }
+        )
+
+    ds = spatial.tile_clip_join(sf_dir, cfg)
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def marginal_flags_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    wlim = tw * (100.0 - MARGIN_PCT) / 100.0
+    hlim = th * (100.0 - MARGIN_PCT) / 100.0
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}) "
+        "select page_id, tile_id, bbox_w, bbox_h, "
+        f"(cast(bbox_w as double) >= {wlim!r} or cast(bbox_h as double) >= {hlim!r}) as marginal "
+        "from clipjoin"
+    )
+
+
+# --------------------------------------------------------------------------
+# zone merge (A2 two-level union; envelope is the SQL-checked face)
+# --------------------------------------------------------------------------
+
+def zone_envelope(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Per-zone (lang) envelope of all clipped annotation rects +
+    count + exact fixed-point area sum: the oracle-checkable shadow of
+    the zone merge (same groupby shape, associative aggregates)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = spatial.tile_clip_join(sf_dir, cfg)
+
+    def prep(t: pa.Table) -> pa.Table:
+        area = (
+            (t["clip_maxx"].to_numpy() - t["clip_minx"].to_numpy())
+            * (t["clip_maxy"].to_numpy() - t["clip_miny"].to_numpy())
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "clip_minx": t["clip_minx"],
+                "clip_miny": t["clip_miny"],
+                "clip_maxx": t["clip_maxx"],
+                "clip_maxy": t["clip_maxy"],
+                "area_e9": pa.array(
+                    np.floor(area * AREA_SCALE + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_ann"),
+            Min("clip_minx", alias_name="env_minx"),
+            Min("clip_miny", alias_name="env_miny"),
+            Max("clip_maxx", alias_name="env_maxx"),
+            Max("clip_maxy", alias_name="env_maxy"),
+            Sum("area_e9", alias_name="sum_area_e9"),
+        )
+        .sort("lang")
+    )
+
+
+def zone_envelope_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}) "
+        "select lang, count(*) as n_ann, "
+        "min(clip_minx) as env_minx, min(clip_miny) as env_miny, "
+        "max(clip_maxx) as env_maxx, max(clip_maxy) as env_maxy, "
+        "cast(sum(cast(floor((clip_maxx - clip_minx) * (clip_maxy - clip_miny) "
+        "* 1000000000.0 + 0.5) as bigint)) as bigint) as sum_area_e9 "
+        "from clipjoin group by lang order by lang"
+    )
+
+
+def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Two-level zone union: per-(lang, tile) exact rect-union area
+    (partial, local sweep inside map_groups), then per-lang integer
+    sum (tiles are disjoint at offset=0, so summing per-tile union
+    areas IS the zone union area — no geometry crosses a tile after
+    the clip).  The 100 TB shape: first level keys on (zone ⊕ cell) so
+    the heavy sweep shuffles once on a compound key; the final combine
+    moves one row per (zone, tile)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = spatial.tile_clip_join(sf_dir, cfg)
+    ds = ds.select_columns(
+        ["lang", "tile_id", "clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]
+    )
+
+    def tile_union(df: pd.DataFrame) -> pd.DataFrame:
+        rects = df[["clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]].to_numpy()
+        area = rect_union_area(rects)
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "tile_id": [df["tile_id"].iloc[0]],
+                "union_area_e9": np.array(
+                    [np.floor(area * AREA_SCALE + 0.5)], dtype=np.int64
+                ),
+                "n_rects": np.array([len(df)], dtype=np.int64),
+            }
+        )
+
+    partials = ds.groupby(["lang", "tile_id"]).map_groups(
+        tile_union, batch_format="pandas"
+    )
+    return (
+        partials.groupby("lang")
+        .aggregate(
+            Sum("union_area_e9", alias_name="union_area_e9"),
+            Sum("n_rects", alias_name="n_rects"),
+            Count(alias_name="n_tiles"),
+        )
+        .sort("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# regularise (M13/M14/M22 dispatcher; rows-only + kernel unit tests)
+# --------------------------------------------------------------------------
+
+def _synth_polygon(page_id: int, lon: float, lat: float) -> np.ndarray:
+    """Deterministic building-ish test polygon per page: a rectangle
+    rotated by a page-derived angle with per-vertex jitter — exercises
+    simplify + orthogonalise exactly like reference fixtures."""
+    rng = np.random.default_rng(page_id)
+    w = 0.02 + 0.03 * rng.random()
+    h = 0.02 + 0.03 * rng.random()
+    ang = rng.random() * np.pi / 2
+    base = np.array(
+        [[-w, -h], [w, -h], [w, h], [-w, h]], dtype=np.float64
+    )
+    # densify edges (2 midpoints per edge) then jitter slightly
+    dense = []
+    for i in range(4):
+        p, q = base[i], base[(i + 1) % 4]
+        for tfrac in (0.0, 1 / 3, 2 / 3):
+            dense.append(p + tfrac * (q - p))
+    dense = np.asarray(dense)
+    dense += rng.normal(0.0, 0.0004, dense.shape)
+    ca, sa = np.cos(ang), np.sin(ang)
+    rot = dense @ np.array([[ca, sa], [-sa, ca]])
+    rot[:, 0] += lon
+    rot[:, 1] += lat
+    return rot
+
+
+class Regularise:
+    """Per-row polygon regularisation dispatcher (``polygon_prep``,
+    ``aerial_conversion/coco.py:416-450``): minimum-rotated-rect wins
+    over (simplify then orthogonalise).  Per-row Python over numpy
+    kernels (geometry is irreducibly per-ring); batched in one actor
+    task per block."""
+
+    def __init__(
+        self,
+        simplify_tolerance: float = 0.0005,
+        minimum_rotated_rectangle: bool = False,
+        orthogonalisation: bool = True,
+    ):
+        self.tol = simplify_tolerance
+        self.mrr = minimum_rotated_rectangle
+        self.ortho = orthogonalisation
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pids = t["page_id"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        n_in, n_out = [], []
+        a_in, a_out = [], []
+        for i in range(len(pids)):
+            poly = _synth_polygon(int(pids[i]), lon[i], lat[i])
+            n_in.append(len(poly))
+            a_in.append(shoelace_area(poly))
+            if self.mrr:
+                out = min_rotated_rect(poly)
+            else:
+                out = poly
+                if self.tol > 0:
+                    closed = np.vstack([out, out[:1]])
+                    out = douglas_peucker(closed, self.tol)[:-1]
+                if self.ortho:
+                    out = orthogonalise(out)
+            n_out.append(len(out))
+            a_out.append(shoelace_area(out))
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "n_vertices_in": pa.array(np.array(n_in, dtype=np.int64)),
+                "n_vertices_out": pa.array(np.array(n_out, dtype=np.int64)),
+                "area_in_e9": pa.array(
+                    np.floor(np.array(a_in) * AREA_SCALE + 0.5).astype(np.int64)
+                ),
+                "area_out_e9": pa.array(
+                    np.floor(np.array(a_out) * AREA_SCALE + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+
+def regularise(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, **kwargs) -> ray.data.Dataset:
+    """Geocode -> synthetic per-page polygon -> regularisation stats."""
+    ds = spatial.geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "lon", "lat"]
+    )
+    return ds.map_batches(
+        Regularise,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
