@@ -16,6 +16,7 @@ from typing import Any
 
 from aerial_conversion_ray.config import EngineConfig
 from aerial_conversion_ray.pipelines import (
+    coco,
     embeddings,
     relational,
     spatial,
@@ -32,6 +33,28 @@ CFG = EngineConfig(pages_rep=20)
 def entry() -> Any:
     """Flagship pipeline (forward tile join) on sf0.001."""
     return spatial.tile_point_join("/root/testdata/sf0.001", CFG)
+
+
+def _lineage_write(sf_dir: str) -> Any:
+    """Resumable partitioned write of the flagship join (fresh temp
+    dir per call -> deterministic manifests; resume semantics are
+    exercised in tests/test_lineage.py)."""
+    import tempfile
+
+    from aerial_conversion_ray.state.lineage import resumable_write
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_lineage_")
+    ds = spatial.tile_point_join(sf_dir, CFG)
+    return resumable_write(ds, out_dir, part_col="tile_id", key_col="page_id")
+
+
+LINEAGE_SQL = """
+with tpj as ({tpj})
+select tile_id as part, cast(count(*) as bigint) as n_rows,
+       bit_xor(page_id * 1000003 + 7) as fingerprint,
+       'written' as status
+from tpj group by tile_id
+"""
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -77,6 +100,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_envelope": lambda sf: vectorize.zone_envelope(sf, CFG),
         "zone_merge": lambda sf: vectorize.zone_merge(sf, CFG),
         "regularise": lambda sf: vectorize.regularise(sf, CFG),
+        # -- COCO assembly (dense IDs / validator / split / balance) --
+        "coco_images": lambda sf: coco.coco_images(sf, CFG),
+        "coco_categories": lambda sf: coco.coco_categories(sf, CFG),
+        "coco_annotations": lambda sf: coco.coco_annotations(sf, CFG),
+        "coco_validate": lambda sf: coco.coco_validate(sf, CFG),
+        "coco_split": lambda sf: coco.coco_split(sf, CFG),
+        "class_stats": lambda sf: coco.class_stats(sf, CFG),
+        "balance_removal": lambda sf: coco.balance_removal(sf, CFG),
+        # -- lineage / checkpoint-resume --
+        "lineage_write": _lineage_write,
     }
 
 
@@ -116,4 +149,14 @@ def oracle_sql() -> dict[str, str]:
         # zone_merge (rect-union sweep) / regularise (geometry
         # kernels): not SQL-expressible — rows-only; exact numpy
         # oracles in tests/test_vectorize.py.
+        "coco_images": coco.coco_images_sql(CFG),
+        "coco_categories": coco.coco_categories_sql(CFG),
+        "coco_annotations": coco.coco_annotations_sql(CFG),
+        "coco_validate": coco.coco_validate_sql(CFG),
+        "coco_split": coco.coco_split_sql(CFG),
+        "class_stats": coco.class_stats_sql(CFG),
+        "balance_removal": coco.balance_removal_sql(CFG),
+        "lineage_write": LINEAGE_SQL.format(
+            tpj=sql_oracle.tile_point_join_sql(CFG)
+        ),
     }

@@ -1,0 +1,373 @@
+"""COCO-side assembly: images / categories / annotations tables with
+deterministic dense IDs, validator, split, balance.
+
+Re-expresses the reference's COCO output semantics over the pages
+corpus (SURVEY.md §2e A1/A5, §2d J7/J8/J9, §2b M23):
+
+- images:      one per occupied tile; ``image_id`` dense in the
+               reference's column-major tile order (``itertools.
+               product(cols, rows)``, ``aerial_conversion/tiles.py:52``)
+               = (col_off, row_off) lexicographic.
+- categories:  dense ``category_id`` in first-appearance order made
+               deterministic as min(page_id) per lang
+               (``factorize`` analog, ``scripts/geojson2coco.py:216``).
+- annotations: dense ``annot_id`` by (image_id, page_id) global order
+               via per-image counts -> prefix-sum offsets (the A5
+               concat-remap primitive, ``batch_geojson2coco.py:366-476``).
+- validate:    M23 (``COCO_validator.py:7-79``): per-rule violation
+               counts incl. FK integrity via broadcast key sets.
+- split:       deterministic image split + annotation semi-join
+               (``scripts/coco_split.py`` with seeded-hash determinism).
+- balance:     dominant-class sample-down (``scripts/coco_balance.py:
+               45-164``) with a deterministic keep-first-median rule
+               replacing the unseeded ``random.sample``.
+
+All queries here are SQL-mirrored (dense IDs are pure window
+functions over deterministic sort keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import EngineConfig
+from . import spatial
+from .sql_oracle import tile_clip_join_sql
+
+DEFAULT_CFG = EngineConfig()
+
+TEST_MOD = 5  # image_id % TEST_MOD == 0 -> test split
+
+
+def _tile_table(cfg: EngineConfig) -> str:
+    """SQL CTE fragment: occupied tiles with dense image ids."""
+    r, g = cfg.raster, cfg.grid
+    tw, th = g.tile_width, g.tile_height
+    return (
+        "tiles as (select tile_id, "
+        "cast(split_part(split_part(tile_id, '_', 2), '-', 1) as bigint) as col_off, "
+        "cast(split_part(split_part(tile_id, '_', 2), '-', 2) as bigint) as row_off, "
+        "count(*) as n_ann from clipjoin group by tile_id), "
+        "images as (select tile_id, col_off, row_off, "
+        f"least(col_off + {tw}, {r.ncols}) - col_off as width, "
+        f"least(row_off + {th}, {r.nrows}) - row_off as height, n_ann, "
+        "row_number() over (order by col_off, row_off) - 1 as image_id from tiles)"
+    )
+
+
+def _parse_tile_ids(tile_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``tile_{col}-{row}`` -> (col_off, row_off)."""
+    stripped = np.char.partition(tile_id.astype("U32"), "_")[:, 2]
+    parts = np.char.partition(stripped, "-")
+    return parts[:, 0].astype(np.int64), parts[:, 2].astype(np.int64)
+
+
+def _images_df(sf_dir: str, cfg: EngineConfig) -> pd.DataFrame:
+    """Occupied-tile image table (SMALL: bounded by the tile grid, 120
+    tiles at the default raster) — per-tile counts via one groupby,
+    dense ids assigned on the driver in (col_off, row_off) order."""
+    from ray.data.aggregate import Count
+
+    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(["tile_id"])
+    counts = ds.groupby("tile_id").aggregate(Count(alias_name="n_ann")).to_pandas()
+    coff, roff = _parse_tile_ids(counts["tile_id"].to_numpy())
+    counts["col_off"] = coff
+    counts["row_off"] = roff
+    counts = counts.sort_values(["col_off", "row_off"], kind="mergesort").reset_index(
+        drop=True
+    )
+    counts["image_id"] = np.arange(len(counts), dtype=np.int64)
+    r, g = cfg.raster, cfg.grid
+    counts["width"] = np.minimum(counts["col_off"] + g.tile_width, r.ncols) - counts["col_off"]
+    counts["height"] = np.minimum(counts["row_off"] + g.tile_height, r.nrows) - counts["row_off"]
+    return counts[
+        ["tile_id", "col_off", "row_off", "width", "height", "n_ann", "image_id"]
+    ]
+
+
+def coco_images(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFrame:
+    return _images_df(sf_dir, cfg)
+
+
+def coco_images_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}), {_tile_table(cfg)} "
+        "select tile_id, col_off, row_off, width, height, n_ann, image_id from images"
+    )
+
+
+def coco_categories(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFrame:
+    """lang -> dense category_id by min(page_id) first appearance."""
+    from ray.data.aggregate import Min
+
+    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(["lang", "page_id"])
+    firsts = (
+        ds.groupby("lang").aggregate(Min("page_id", alias_name="first_page")).to_pandas()
+    )
+    firsts = firsts.sort_values("first_page", kind="mergesort").reset_index(drop=True)
+    firsts["category_id"] = np.arange(len(firsts), dtype=np.int64)
+    return firsts[["lang", "first_page", "category_id"]]
+
+
+def coco_categories_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}) "
+        "select lang, first_page, "
+        "row_number() over (order by first_page) - 1 as category_id "
+        "from (select lang, min(page_id) as first_page from clipjoin group by lang)"
+    )
+
+
+def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Annotation table with dense IDs: image_id / category_id via
+    broadcast maps (built once, read per actor), annot_id via
+    per-image counts -> prefix-sum offsets + in-group rank (streaming
+    dense-ID assignment — no global sort materialization)."""
+    import ray
+
+    images = _images_df(sf_dir, cfg)
+    cats = coco_categories(sf_dir, cfg)
+    img_map = dict(zip(images["tile_id"], images["image_id"]))
+    # prefix-sum offsets in image_id order
+    images = images.sort_values("image_id", kind="mergesort")
+    offsets = dict(
+        zip(
+            images["image_id"],
+            np.concatenate([[0], np.cumsum(images["n_ann"].to_numpy())[:-1]]).astype(
+                np.int64
+            ),
+        )
+    )
+    cat_map = dict(zip(cats["lang"], cats["category_id"]))
+    img_ref = ray.put(img_map)
+    off_ref = ray.put(offsets)
+    cat_ref = ray.put(cat_map)
+
+    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(
+        ["page_id", "tile_id", "lang", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
+    )
+
+    # task-based (no actor pool): the broadcast maps resolve from the
+    # local object store per task; chaining actor pools here would
+    # reserve every CPU of a small session (see verify-skill gotcha)
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        img = ray.get(img_ref)
+        cat = ray.get(cat_ref)
+        df["image_id"] = df["tile_id"].map(img).astype(np.int64)
+        df["category_id"] = df["lang"].map(cat).astype(np.int64)
+        return df
+
+    ds = ds.map_batches(attach, batch_format="pandas")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        # one group per image_id: rank by page_id + global offset
+        df = df.sort_values("page_id", kind="mergesort").reset_index(drop=True)
+        off = offsets[int(df["image_id"].iloc[0])]
+        df["annot_id"] = off + np.arange(len(df), dtype=np.int64)
+        df["area"] = (df["bbox_w"] * df["bbox_h"]).astype(np.int64)
+        df["iscrowd"] = np.zeros(len(df), dtype=np.int64)
+        return df[
+            [
+                "annot_id",
+                "image_id",
+                "category_id",
+                "page_id",
+                "bbox_x",
+                "bbox_y",
+                "bbox_w",
+                "bbox_h",
+                "area",
+                "iscrowd",
+            ]
+        ]
+
+    return ds.groupby("image_id").map_groups(assign, batch_format="pandas")
+
+
+def coco_annotations_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}), {_tile_table(cfg)}, "
+        "cats as (select lang, row_number() over (order by first_page) - 1 as category_id "
+        " from (select lang, min(page_id) as first_page from clipjoin group by lang)) "
+        "select row_number() over (order by i.image_id, c.page_id) - 1 as annot_id, "
+        "i.image_id, k.category_id, c.page_id, "
+        "c.bbox_x, c.bbox_y, c.bbox_w, c.bbox_h, "
+        "cast(c.bbox_w * c.bbox_h as bigint) as area, cast(0 as bigint) as iscrowd "
+        "from clipjoin c join images i using (tile_id) join cats k using (lang)"
+    )
+
+
+def coco_validate(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFrame:
+    """M23 validator as vectorized per-batch checks + broadcast-FK
+    anti-joins; returns one row per rule with its violation count."""
+    import ray
+
+    images = _images_df(sf_dir, cfg)
+    cats = coco_categories(sf_dir, cfg)
+    img_ids = ray.put(set(images["image_id"].tolist()))
+    cat_ids = ray.put(set(cats["category_id"].tolist()))
+
+    anns = coco_annotations(sf_dir, cfg)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        img = ray.get(img_ids)
+        cat = ray.get(cat_ids)
+        bad_bbox = int(((df["bbox_w"] < 0) | (df["bbox_h"] < 0)).sum())
+        bad_area = int((df["area"] != df["bbox_w"] * df["bbox_h"]).sum())
+        bad_crowd = int((~df["iscrowd"].isin([0, 1])).sum())
+        bad_img_fk = int((~df["image_id"].isin(list(img))).sum())
+        bad_cat_fk = int((~df["category_id"].isin(list(cat))).sum())
+        return pd.DataFrame(
+            {
+                "rule": [
+                    "bbox_nonneg",
+                    "area_eq_wh",
+                    "iscrowd_01",
+                    "image_fk",
+                    "category_fk",
+                ],
+                "n_violations": np.array(
+                    [bad_bbox, bad_area, bad_crowd, bad_img_fk, bad_cat_fk],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    partials = anns.map_batches(check, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return (
+        partials.groupby("rule")
+        .aggregate(Sum("n_violations", alias_name="n_violations"))
+        .sort("rule")
+    )
+
+
+def coco_validate_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    ann = coco_annotations_sql(cfg)
+    return (
+        f"with ann as ({ann}) "
+        "select rule, n_violations from (values "
+        "('area_eq_wh', (select cast(count(*) filter (area != bbox_w * bbox_h) as bigint) from ann)), "
+        "('bbox_nonneg', (select cast(count(*) filter (bbox_w < 0 or bbox_h < 0) as bigint) from ann)), "
+        "('category_fk', cast(0 as bigint)), "
+        "('image_fk', cast(0 as bigint)), "
+        "('iscrowd_01', (select cast(count(*) filter (iscrowd not in (0, 1)) as bigint) from ann))"
+        ") v(rule, n_violations) order by rule"
+    )
+
+
+def coco_split(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Deterministic train/test image split (image_id % TEST_MOD) with
+    the annotation semi-join (J7): every annotation tagged by its
+    image's split."""
+    anns = coco_annotations(sf_dir, cfg)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["split"] = np.where(
+            df["image_id"] % TEST_MOD == 0, "test", "train"
+        )
+        return df[["annot_id", "image_id", "category_id", "split"]]
+
+    return anns.map_batches(tag, batch_format="pandas")
+
+
+def coco_split_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with ann as ({coco_annotations_sql(cfg)}) "
+        "select annot_id, image_id, category_id, "
+        f"case when image_id % {TEST_MOD} = 0 then 'test' else 'train' end as split "
+        "from ann"
+    )
+
+
+def class_stats(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """A3 grouped stats: per category, annotation count + distinct
+    image count (nunique via distinct-pair partial then count)."""
+    from ray.data.aggregate import Count, Sum
+
+    anns = coco_annotations(sf_dir, cfg).select_columns(["category_id", "image_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["category_id", "image_id"], as_index=False).size()
+        return g.rename(columns={"size": "n_ann"})
+
+    pairs = (
+        anns.map_batches(partial, batch_format="pandas")
+        .groupby(["category_id", "image_id"])
+        .aggregate(Sum("n_ann", alias_name="n_ann"))
+    )
+    return (
+        pairs.groupby("category_id")
+        .aggregate(
+            Sum("n_ann", alias_name="n_annotations"),
+            Count(alias_name="n_images"),
+        )
+        .sort("category_id")
+    )
+
+
+def class_stats_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with ann as ({coco_annotations_sql(cfg)}) "
+        "select category_id, cast(count(*) as bigint) as n_annotations, "
+        "cast(count(distinct image_id) as bigint) as n_images "
+        "from ann group by category_id order by category_id"
+    )
+
+
+def balance_removal(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFrame:
+    """A4 class-balance: sample the DOMINANT category (most
+    annotations) down to the median category total by removing its
+    heaviest images first (greedy largest-first; ties by image_id).
+    Deterministic replacement for the reference's unseeded
+    ``random.sample`` (``coco_balance.py:157``)."""
+    from ray.data.aggregate import Count
+
+    stats = class_stats(sf_dir, cfg).to_pandas()
+    if len(stats) == 0:
+        return pd.DataFrame({"image_id": pd.Series(dtype=np.int64)})
+    stats = stats.sort_values(
+        ["n_annotations", "category_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    dominant = int(stats["category_id"].iloc[-1])
+    total = int(stats["n_annotations"].iloc[-1])
+    target = int(np.floor(np.median(stats["n_annotations"].to_numpy())))
+
+    anns = coco_annotations(sf_dir, cfg).select_columns(["category_id", "image_id"])
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["category_id"] == dominant][["image_id"]]
+
+    imgs = (
+        anns.map_batches(filt, batch_format="pandas")
+        .groupby("image_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "image_id"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    cum_before = np.concatenate([[0], np.cumsum(imgs["n"].to_numpy())[:-1]])
+    remove = imgs["image_id"].to_numpy(np.int64)[total - cum_before > target]
+    return pd.DataFrame({"image_id": remove})
+
+
+def balance_removal_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return (
+        f"with ann as ({coco_annotations_sql(cfg)}), "
+        "stats as (select category_id, count(*) as n_ann from ann group by category_id), "
+        "dominant as (select category_id, n_ann as total from stats "
+        " order by n_ann asc, category_id asc limit 1 offset (select count(*) - 1 from stats)), "
+        "tgt as (select cast(floor(median(n_ann)) as bigint) as g from stats), "
+        "dom_imgs as (select image_id, count(*) as n from ann "
+        " where category_id = (select category_id from dominant) group by image_id), "
+        "ranked as (select image_id, n, "
+        " coalesce(sum(n) over (order by n desc, image_id "
+        "   rows between unbounded preceding and 1 preceding), 0) as cum_before "
+        " from dom_imgs) "
+        "select image_id from ranked "
+        "where (select total from dominant) - cum_before > (select g from tgt)"
+    )

@@ -1,0 +1,57 @@
+"""COCO assembly invariants: dense IDs, validator, split, balance."""
+
+import numpy as np
+
+from aerial_conversion_ray.config import EngineConfig
+from aerial_conversion_ray.pipelines import coco
+
+CFG = EngineConfig(pages_rep=4)
+
+
+def test_image_ids_dense_column_major(sf_dir):
+    imgs = coco.coco_images(sf_dir, CFG)
+    assert (imgs["image_id"].to_numpy() == np.arange(len(imgs))).all()
+    # column-major (col_off, row_off) lexicographic order
+    key = list(zip(imgs["col_off"], imgs["row_off"]))
+    assert key == sorted(key)
+
+
+def test_annotation_ids_dense(sf_dir):
+    anns = coco.coco_annotations(sf_dir, CFG).to_pandas()
+    ids = np.sort(anns["annot_id"].to_numpy())
+    assert (ids == np.arange(len(anns))).all()
+    # dense ids follow (image_id, page_id) order
+    ordered = anns.sort_values("annot_id")
+    key = list(zip(ordered["image_id"], ordered["page_id"]))
+    assert key == sorted(key)
+
+
+def test_validator_clean(sf_dir):
+    v = coco.coco_validate(sf_dir, CFG).to_pandas()
+    assert set(v["rule"]) == {
+        "bbox_nonneg",
+        "area_eq_wh",
+        "iscrowd_01",
+        "image_fk",
+        "category_fk",
+    }
+    assert (v["n_violations"] == 0).all()
+
+
+def test_split_covers_all(sf_dir):
+    sp = coco.coco_split(sf_dir, CFG).to_pandas()
+    assert set(sp["split"]) <= {"train", "test"}
+    test_imgs = sp.loc[sp["split"] == "test", "image_id"].unique()
+    assert (test_imgs % coco.TEST_MOD == 0).all()
+
+
+def test_balance_reaches_target(sf_dir):
+    stats = coco.class_stats(sf_dir, CFG).to_pandas()
+    removal = set(coco.balance_removal(sf_dir, CFG)["image_id"])
+    anns = coco.coco_annotations(sf_dir, CFG).to_pandas()
+    dominant = stats.sort_values(["n_annotations", "category_id"])["category_id"].iloc[-1]
+    target = int(np.floor(np.median(stats["n_annotations"])))
+    kept = anns[
+        (anns["category_id"] == dominant) & (~anns["image_id"].isin(removal))
+    ]
+    assert len(kept) <= target
