@@ -18,6 +18,7 @@ from aerial_conversion_ray.config import EngineConfig
 from aerial_conversion_ray.pipelines import (
     coco,
     embeddings,
+    multimodal,
     relational,
     spatial,
     sql_oracle,
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode": lambda sf: spatial.geocode_pipeline(sf, CFG),
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
+        "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
         "tile_clip_join": lambda sf: spatial.tile_clip_join(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
@@ -110,6 +112,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_removal": lambda sf: coco.balance_removal(sf, CFG),
         # -- lineage / checkpoint-resume --
         "lineage_write": _lineage_write,
+        # -- multimodal (binary payload plumbing; codec stubbed) --
+        "media_meta": lambda sf: multimodal.media_meta(sf, CFG),
+        "media_decode": lambda sf: multimodal.decode_stub(sf, CFG),
+        "frame_sample": lambda sf: multimodal.frame_sample(sf, CFG),
+        "media_embed": lambda sf: multimodal.media_embed_stub(sf, CFG),
     }
 
 
@@ -118,6 +125,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode": sql_oracle.geocode_sql(CFG),
         "cell_index": sql_oracle.cell_index_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
+        # salted-shuffle plan: same semantics, same oracle
+        "tile_point_join_shuffle": sql_oracle.tile_point_join_sql(CFG),
         "tile_clip_join": sql_oracle.tile_clip_join_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring: approximate scale path — rows-only check (no SQL);
@@ -159,4 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "lineage_write": LINEAGE_SQL.format(
             tpj=sql_oracle.tile_point_join_sql(CFG)
         ),
+        "media_meta": multimodal.media_meta_sql(CFG),
+        # media_decode / frame_sample / media_embed: deterministic
+        # codec stubs — rows-only; numpy oracles in tests/test_multimodal.py.
     }

@@ -1,0 +1,214 @@
+"""Multimodal (image/audio/video-shaped) stages over opaque binary
+columns.
+
+The pages corpus carries ``html: binary`` (the Common-Crawl-style
+payload, BASELINE.json ``input_hint``); this module treats it as the
+opaque media column and implements the Ray-side plumbing a 100 TB
+multimodal pipeline needs — schema, small-batch actor stages, 1->N
+frame expansion, typed metadata — with the codec step STUBBED
+deterministically (no image/audio libraries exist in this container;
+the stub is clearly marked and swap-in ready).
+
+- ``media_meta``    typed metadata per blob (dims / frame count are
+                    pure functions of byte length -> SQL-mirrored).
+- ``decode_stub``   DETERMINISTIC FAKE DECODE: byte statistics stand
+                    in for pixel decoding (rows-only; numpy-checked in
+                    tests).  A real deployment replaces ``_decode``
+                    with PIL/ffmpeg inside the same actor signature.
+- ``frame_sample``  1->N expansion: every ``FRAME_STRIDE``-th
+                    256-byte block becomes a "frame" row with a
+                    deterministic content hash (flat-map shape, small
+                    batch_size for wide payloads).
+- ``media_embed_stub`` fake feature vector per blob (batched "model
+                    inference" signature: weights built once per
+                    actor in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import EngineConfig
+from ..sources.pages import pages_dataset
+
+DEFAULT_CFG = EngineConfig()
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+EMBED_DIM = 16
+
+# media batches are deliberately small: batch_size x blob_size x
+# concurrency must fit a worker heap (SURVEY.md §4 memory pressure)
+MEDIA_BATCH = 1024
+
+
+def _pages_html(sf_dir: str, cfg: EngineConfig) -> ray.data.Dataset:
+    return pages_dataset(
+        sf_dir, rep=cfg.pages_rep, with_html=True, columns=["page_id", "html"]
+    )
+
+
+def media_meta(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Typed media metadata: dims and frame count as pure functions of
+    blob length (SQL-mirrored; the real-codec version would read the
+    container header instead)."""
+
+    def meta(t: pa.Table) -> pa.Table:
+        blen = pc.binary_length(t["html"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "byte_len": pa.array(blen),
+                "img_w": pa.array(64 + blen % 192),
+                "img_h": pa.array(64 + (blen // 7) % 192),
+                "n_frames": pa.array(blen // FRAME_BYTES + 1),
+            }
+        )
+
+    return _pages_html(sf_dir, cfg).map_batches(
+        meta, batch_format="pyarrow", batch_size=MEDIA_BATCH
+    )
+
+
+def media_meta_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        "h as (select page_id, cast(octet_length(encode("
+        "'<html><head><title>' || cast(doc_id as varchar) || "
+        "'</title></head><body>' || text || '</body></html>'"
+        ")) as bigint) as byte_len from pages) "
+        "select page_id, byte_len, 64 + byte_len % 192 as img_w, "
+        "64 + (byte_len // 7) % 192 as img_h, "
+        f"byte_len // {FRAME_BYTES} + 1 as n_frames from h"
+    )
+
+
+class DecodeStub:
+    """STUB: deterministic fake decoder.  Real codecs (PIL / ffmpeg)
+    are not in this container; this actor keeps the production
+    signature — heavy init in ``__init__``, per-batch numpy work in
+    ``__call__`` — and derives "pixel" statistics from the raw bytes
+    so outputs are deterministic and testable."""
+
+    def __init__(self):
+        # real version: load codec / model here, once per actor
+        self.table = np.arange(256, dtype=np.float64)
+
+    def _decode(self, buf: np.ndarray) -> dict:
+        # STUB for: pixels = Image.open(BytesIO(buf)) ...
+        return {
+            "mean_byte": float(self.table[buf].mean()) if len(buf) else 0.0,
+            "max_byte": int(buf.max()) if len(buf) else 0,
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["html"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.to_pylist()
+        means = np.empty(len(bufs), dtype=np.float64)
+        maxs = np.empty(len(bufs), dtype=np.int64)
+        for i, b in enumerate(bufs):
+            d = self._decode(np.frombuffer(b, dtype=np.uint8))
+            means[i] = d["mean_byte"]
+            maxs[i] = d["max_byte"]
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "mean_byte": pa.array(means),
+                "max_byte": pa.array(maxs),
+            }
+        )
+
+
+def decode_stub(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    return _pages_html(sf_dir, cfg).map_batches(
+        DecodeStub,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=2,
+    )
+
+
+def frame_sample(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """1->N frame expansion: every FRAME_STRIDE-th FRAME_BYTES block
+    of the blob becomes a frame row with an FNV-1a content hash
+    (video frame-sampling plumbing; the real version decodes actual
+    frames inside the same expansion shape)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        col = t["html"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.to_pylist()
+        pids = t["page_id"].to_numpy(zero_copy_only=False)
+        out_pid, out_idx, out_hash = [], [], []
+        for pid, b in zip(pids, bufs):
+            n_blocks = len(b) // FRAME_BYTES + 1
+            for fi in range(0, n_blocks, FRAME_STRIDE):
+                chunk = np.frombuffer(
+                    b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES], dtype=np.uint8
+                )
+                h = np.uint64(14695981039346656037)
+                with np.errstate(over="ignore"):
+                    for byte in chunk.astype(np.uint64):
+                        h = (h ^ byte) * np.uint64(1099511628211)
+                out_pid.append(pid)
+                out_idx.append(fi)
+                out_hash.append(np.int64(h.astype(np.int64)))
+        return pa.table(
+            {
+                "page_id": pa.array(np.array(out_pid, dtype=np.int64)),
+                "frame_idx": pa.array(np.array(out_idx, dtype=np.int64)),
+                "frame_hash": pa.array(np.array(out_hash, dtype=np.int64)),
+            }
+        )
+
+    return _pages_html(sf_dir, cfg).map_batches(
+        expand, batch_format="pyarrow", batch_size=MEDIA_BATCH
+    )
+
+
+class MediaEmbedStub:
+    """STUB batched "model inference": a fixed random projection of
+    byte histograms stands in for a vision encoder.  Weights built
+    ONCE per actor (the model-load pattern); per batch one matmul."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        rng = np.random.default_rng(4242)
+        self.w = rng.standard_normal((256, dim))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["html"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.to_pylist()
+        hist = np.zeros((len(bufs), 256), dtype=np.float64)
+        for i, b in enumerate(bufs):
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if len(arr):
+                hist[i] = np.bincount(arr, minlength=256) / len(arr)
+        emb = hist @ self.w
+        # scalar columns (e0..e15) rather than list<float>: the
+        # driver's value-hash canonicalization sorts rows by every
+        # column, and list columns are unhashable there.  Production
+        # schema note: a real encoder would emit list<float32> like
+        # the embeddings table.
+        cols = {"page_id": t["page_id"]}
+        for d in range(emb.shape[1]):
+            cols[f"e{d}"] = pa.array(emb[:, d])
+        return pa.table(cols)
+
+
+def media_embed_stub(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    return _pages_html(sf_dir, cfg).map_batches(
+        MediaEmbedStub,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=2,
+    )

@@ -234,6 +234,76 @@ def tile_clip_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dat
     )
 
 
+def tile_point_join_shuffle(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    hot_factor: float = 4.0,
+) -> ray.data.Dataset:
+    """The LARGE-LARGE physical plan for the tile join: partition
+    pages by (coarse cell, salt) and run the join per partition —
+    byte-identical output to :func:`tile_point_join` (same oracle),
+    different execution shape.
+
+    Skew handling (north rule "explicit skew handling"):
+    1. cheap pre-pass: per-cell_r7 counts over a column-pruned
+       re-geocode (ids only — no text/html moves);
+    2. cells with count > hot_factor x mean are HOT: their rows get
+       ``salt = page_id % salt_buckets``, splitting the hot group into
+       ``salt_buckets`` shuffle partitions; cold cells keep salt 0;
+    3. ``groupby(cell_r7, salt)`` shuffle -> per-group vectorized
+       tile assignment; salt is dropped on emit (unsalt).
+
+    At 10^12 rows this is the plan that replaces the broadcast-side
+    join when the tile table stops fitting in the object store
+    (SURVEY.md §7 step 7); cell_r7 doubles as the write partition key.
+    """
+    import ray
+
+    from ray.data.aggregate import Count
+
+    # -- skew pre-pass: ids only (prune at the read; nothing wide moves)
+    ids_only = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+
+    def cell_of(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        cell = cells.encode(g["lon"], g["lat"], 7)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell_r7": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        ids_only.map_batches(cell_of, batch_format="pyarrow")
+        .groupby("cell_r7")
+        .aggregate(Count(alias_name="parts"), ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mean_n = counts["n"].mean() if len(counts) else 0.0
+    hot = set(counts.loc[counts["n"] > hot_factor * mean_n, "cell_r7"].tolist())
+    hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
+
+    ds = cell_index_pipeline(sf_dir, cfg)
+
+    def salt(t: pa.Table) -> pa.Table:
+        hot_cells = ray.get(hot_ref)
+        cell = t["cell_r7"].to_numpy()
+        pid = t["page_id"].to_numpy(zero_copy_only=False)
+        s = np.where(
+            np.isin(cell, hot_cells), pid % cfg.salt_buckets, 0
+        ).astype(np.int64)
+        return t.append_column("salt", pa.array(s))
+
+    assigner = PointTileAssign(cfg)
+
+    def join_group(t: pa.Table) -> pa.Table:
+        out = assigner(t)
+        return out.drop_columns(["salt"])
+
+    return (
+        ds.map_batches(salt, batch_format="pyarrow", batch_size=cfg.batch_size)
+        .groupby(["cell_r7", "salt"])
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
 def _topk_pairs(
     qids: np.ndarray,
     nids: np.ndarray,

@@ -101,3 +101,27 @@ def test_point_in_own_tile(sf_dir):
     )
     assert (lon[inext] >= minx[inext]).all() and (lon[inext] <= maxx[inext]).all()
     assert (lat[inext] <= maxy[inext]).all() and (lat[inext] >= miny[inext]).all()
+
+
+def test_shuffle_join_matches_broadcast(sf_dir):
+    """Salted-shuffle physical plan produces byte-identical rows to
+    the broadcast plan (north rule: same join output either path)."""
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import spatial
+
+    cfg = EngineConfig(pages_rep=4)
+    a = (
+        spatial.tile_point_join(sf_dir, cfg)
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        spatial.tile_point_join_shuffle(sf_dir, cfg)
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == sorted(a.columns) or set(a.columns) == set(b.columns)
+    b = b[a.columns]
+    assert a.equals(b)
