@@ -220,31 +220,58 @@ def zone_envelope_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def pixel_union_count(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray,
+    width: int, height: int,
+) -> int:
+    """Union pixel count of inclusive integer rects [x0..x1]x[y0..y1]
+    inside a width x height grid, via a 2D difference array + 2D
+    cumsum (O(n + W*H) — independent of overlap, so a 200k-rect hot
+    tile costs the same as a sparse one).  The rasterize-union kernel:
+    pixel-space union IS the reference's mask semantics
+    (``geojson2coco`` rasterizes annotations to per-tile masks)."""
+    diff = np.zeros((height + 2, width + 2), dtype=np.int32)
+    np.add.at(diff, (y0, x0), 1)
+    np.add.at(diff, (y1 + 1, x0), -1)
+    np.add.at(diff, (y0, x1 + 1), -1)
+    np.add.at(diff, (y1 + 1, x1 + 1), 1)
+    cover = diff.cumsum(axis=0).cumsum(axis=1)
+    return int((cover > 0).sum())
+
+
 def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
-    """Two-level zone union: per-(lang, tile) exact rect-union area
-    (partial, local sweep inside map_groups), then per-lang integer
-    sum (tiles are disjoint at offset=0, so summing per-tile union
-    areas IS the zone union area — no geometry crosses a tile after
-    the clip).  The 100 TB shape: first level keys on (zone ⊕ cell) so
-    the heavy sweep shuffles once on a compound key; the final combine
-    moves one row per (zone, tile)."""
+    """Two-level zone union in PIXEL space: per-(lang, tile) union
+    pixel count (difference-array paint inside map_groups — O(rects +
+    tile_px) even for the Zipf hot tile), then per-lang integer sum
+    (tiles are disjoint at offset=0, so no geometry crosses a tile
+    after the clip and the sum is the exact zone union).  Exact-area
+    x-sweep (:func:`rect_union_area`) remains the small-group kernel;
+    the paint is the skew-proof scale path (an x-sweep on the 20%-hot
+    tile is O(strips x rects) ~ 8e10 — measured pathological)."""
     from ray.data.aggregate import Count, Sum
+
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    # exact pixel area in 1e-9 deg^2 (cell x cell, fixed-point)
+    px_area_e9 = int(
+        np.floor(cfg.raster.cell * cfg.raster.cell * AREA_SCALE + 0.5)
+    )
 
     ds = spatial.tile_clip_join(sf_dir, cfg)
     ds = ds.select_columns(
-        ["lang", "tile_id", "clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]
+        ["lang", "tile_id", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
     )
 
     def tile_union(df: pd.DataFrame) -> pd.DataFrame:
-        rects = df[["clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]].to_numpy()
-        area = rect_union_area(rects)
+        x0 = df["bbox_x"].to_numpy(np.int64)
+        y0 = df["bbox_y"].to_numpy(np.int64)
+        x1 = x0 + df["bbox_w"].to_numpy(np.int64)
+        y1 = y0 + df["bbox_h"].to_numpy(np.int64)
+        union_px = pixel_union_count(x0, y0, x1, y1, tw, th)
         return pd.DataFrame(
             {
                 "lang": [df["lang"].iloc[0]],
                 "tile_id": [df["tile_id"].iloc[0]],
-                "union_area_e9": np.array(
-                    [np.floor(area * AREA_SCALE + 0.5)], dtype=np.int64
-                ),
+                "union_px": np.array([union_px], dtype=np.int64),
                 "n_rects": np.array([len(df)], dtype=np.int64),
             }
         )
@@ -252,15 +279,23 @@ def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset
     partials = ds.groupby(["lang", "tile_id"]).map_groups(
         tile_union, batch_format="pandas"
     )
-    return (
+
+    agg = (
         partials.groupby("lang")
         .aggregate(
-            Sum("union_area_e9", alias_name="union_area_e9"),
+            Sum("union_px", alias_name="union_px"),
             Sum("n_rects", alias_name="n_rects"),
             Count(alias_name="n_tiles"),
         )
         .sort("lang")
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "union_area_e9", pa.array(t["union_px"].to_numpy() * px_area_e9)
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

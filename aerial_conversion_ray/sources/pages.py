@@ -91,6 +91,24 @@ class _Amplify:
         return pa.table(cols)
 
 
+def _fanout_blocks() -> int:
+    """Input block target: the documents table is ONE small parquet
+    file (= one Ray block); without a fan-out the whole amplified
+    pipeline would execute as a single serial task chain.  4 blocks
+    per CPU keeps every core busy with small scheduling overhead.  At
+    real 100 TB scale the input is thousands of row-groups and Ray's
+    default block sizing applies — this knob only matters for the
+    single-file test corpus."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(8, min(256, int(ray.cluster_resources().get("CPU", 8)) * 4))
+    except Exception:  # noqa: BLE001
+        pass
+    return 32
+
+
 def pages_dataset(
     sf_dir: str,
     rep: int = 1,
@@ -99,6 +117,7 @@ def pages_dataset(
 ) -> ray.data.Dataset:
     """The pages corpus as a streaming Dataset (zero-copy Arrow)."""
     ds = read_table(sf_dir, "documents")
+    ds = ds.repartition(_fanout_blocks())
     ds = ds.map_batches(
         _Amplify(rep, with_html), batch_format="pyarrow", batch_size=8192
     )

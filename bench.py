@@ -21,19 +21,49 @@ import subprocess
 import sys
 import time
 
+# --- environment mitigation (sandbox VM) ---------------------------------
+# This VM's page-fault path can degrade to ~300us/4KB page (hypervisor
+# ballooning), making every FRESH allocation ~100x slow while warm pages
+# run at full speed.  Mitigate: (a) glibc keeps the heap (no munmap/trim
+# churn -> pages fault once), applied via re-exec so the allocator sees
+# the env at startup and Ray workers inherit it; (b) transparent
+# hugepages for heap+shm (plasma object store) -> 512x fewer faults.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+}
+if os.environ.get("GRAFT_MALLOC_TUNED") != "1":
+    env = dict(os.environ, GRAFT_MALLOC_TUNED="1", **_MALLOC_ENV)
+    os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
+for _thp, _val in (
+    ("/sys/kernel/mm/transparent_hugepage/enabled", "always"),
+    ("/sys/kernel/mm/transparent_hugepage/shmem_enabled", "force"),
+):
+    try:
+        with open(_thp, "w") as _f:
+            _f.write(_val)
+    except OSError:
+        pass  # not privileged / not present: best effort
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # pages amplification for the bench: 5k docs * 200 = 1M pages at sf0.1
 BENCH_REP = int(os.environ.get("GRAFT_BENCH_REP", "200"))
+# --scaling amplification: large enough that compute dominates fixed
+# startup overhead at BOTH parallelism levels (the scaling criterion
+# measures throughput ratio, which a 5-second job cannot evidence)
+SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "2000"))
+SCALING_ONLY = os.environ.get("GRAFT_SCALING_ONLY") == "1"
 
 
 def _consume(ds) -> int:
-    """Stream the dataset to completion without materializing (count
-    via per-batch sizes)."""
-    n = 0
-    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        n += batch.num_rows
-    return n
+    """Execute the pipeline to completion ON THE CLUSTER and return
+    the row count.  (iter_batches would pull every block to the
+    driver and measure driver bandwidth instead of pipeline
+    throughput; count() leaves blocks in the object store.)"""
+    if hasattr(ds, "count"):
+        return int(ds.count())
+    return len(ds)  # pandas results (driver-side small tables)
 
 
 def run_benchmarks() -> dict:
@@ -53,13 +83,47 @@ def run_benchmarks() -> dict:
     ctx.enable_progress_bars = False
 
     from aerial_conversion_ray.config import EngineConfig
-    from aerial_conversion_ray.pipelines import relational, spatial, text
+    from aerial_conversion_ray.pipelines import (
+        embeddings,
+        multimodal,
+        relational,
+        spatial,
+        text,
+        vectorize,
+    )
 
     cfg = EngineConfig(pages_rep=BENCH_REP)
 
+    if SCALING_ONLY:
+        # headline pipeline only.  Warm-up at FULL size: the first run
+        # faults every heap/object-store page (catastrophically slow
+        # when the sandbox VM's balloon degrades fault service to
+        # ~16 MB/s); the timed run then touches only warm pages and
+        # measures compute, which is what the scaling ratio compares.
+        _consume(spatial.tile_point_join(SF_DIR, cfg))
+        t0 = time.perf_counter()
+        n = _consume(spatial.tile_point_join(SF_DIR, cfg))
+        sec = time.perf_counter() - t0
+        return {
+            "metric": "tile_point_join_sec",
+            "value": round(sec, 3),
+            "unit": "sec",
+            "queries": {"tile_point_join": round(sec, 3)},
+            "rows": {"tile_point_join": n},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "pages_rep": BENCH_REP,
+            "tile_join_rows_per_s": round(n / sec) if sec > 0 else None,
+        }
+
     queries = {
         "tile_point_join": lambda: _consume(spatial.tile_point_join(SF_DIR, cfg)),
+        "tile_point_join_shuffle": lambda: _consume(
+            spatial.tile_point_join_shuffle(SF_DIR, cfg)
+        ),
         "tile_clip_join": lambda: _consume(spatial.tile_clip_join(SF_DIR, cfg)),
+        "spatialize": lambda: _consume(vectorize.spatialize(SF_DIR, cfg)),
+        "zone_merge": lambda: _consume(vectorize.zone_merge(SF_DIR, cfg)),
         "knn_kring": lambda: _consume(
             spatial.knn_pipeline(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)),
                                  query_mod=100, method="kring")
@@ -68,14 +132,23 @@ def run_benchmarks() -> dict:
         "region_revenue": lambda: _consume(relational.region_revenue(SF_DIR)),
         "events_window": lambda: _consume(relational.events_window(SF_DIR)),
         "dedup_exact": lambda: _consume(text.dedup_exact(SF_DIR)),
+        "minhash_lsh": lambda: _consume(text.minhash_lsh_pairs(SF_DIR)),
         "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
+        "ann_brute": lambda: _consume(embeddings.ann_brute(SF_DIR)),
+        "media_meta": lambda: _consume(
+            multimodal.media_meta(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
     }
 
-    # warm the page cache: untimed read of the inputs
+    # warm-up (untimed): page cache + FULL Ray worker pool + imports —
+    # a full-scale pipeline run so every worker process exists and has
+    # imported numpy/pyarrow before the first timed query (lazy worker
+    # start otherwise lands entirely on that query)
     import pyarrow.parquet as pq
 
-    for t in ("documents", "lineitem", "events"):
+    for t in ("documents", "lineitem", "events", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
+    _consume(spatial.tile_point_join(SF_DIR, cfg))
 
     results: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -104,7 +177,12 @@ def run_benchmarks() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SCALING_ONLY="1",
+            GRAFT_BENCH_REP=str(SCALING_REP),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

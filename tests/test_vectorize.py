@@ -139,26 +139,45 @@ def test_roundtrip_text_byte_identity(sf_dir):
     assert all(t == want[d] for d, t in zip(got["doc_id"], got["text"]))
 
 
-def test_zone_merge_matches_brute_union(sf_dir):
-    """Two-level (per-tile partial -> per-zone sum) union area equals
-    the single-shot union of ALL the zone's clipped rects."""
+def test_pixel_union_count_matches_mask_paint():
+    """Difference-array union kernel vs an independent boolean-mask
+    paint oracle on random inclusive rects."""
+    rng = np.random.default_rng(11)
+    W = H = 60
+    x0 = rng.integers(0, W - 1, 200)
+    y0 = rng.integers(0, H - 1, 200)
+    x1 = np.minimum(x0 + rng.integers(0, 9, 200), W - 1)
+    y1 = np.minimum(y0 + rng.integers(0, 9, 200), H - 1)
+    mask = np.zeros((H, W), dtype=bool)
+    for a, b, c, d in zip(x0, y0, x1, y1):
+        mask[b : d + 1, a : c + 1] = True
+    assert (
+        vectorize.pixel_union_count(x0, y0, x1, y1, W, H) == int(mask.sum())
+    )
+
+
+def test_zone_merge_matches_brute_paint(sf_dir):
+    """Two-level (per-tile partial -> per-zone sum) pixel union equals
+    an independent per-zone mask paint over all (tile, bbox) rows."""
     clip = (
         vectorize.spatial.tile_clip_join(sf_dir, CFG)
-        .select_columns(
-            ["lang", "clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]
-        )
+        .select_columns(["lang", "tile_id", "bbox_x", "bbox_y", "bbox_w", "bbox_h"])
         .to_pandas()
     )
     got = vectorize.zone_merge(sf_dir, CFG).to_pandas()
+    tw, th = CFG.grid.tile_width, CFG.grid.tile_height
     for lang, grp in clip.groupby("lang"):
-        want = rect_union_area(
-            grp[["clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]].to_numpy()
-        )
-        have = int(got.loc[got["lang"] == lang, "union_area_e9"].iloc[0])
-        # per-tile rounding: each tile partial rounds once (<= n_tiles
-        # half-ulps of 1e-9)
-        n_tiles = int(got.loc[got["lang"] == lang, "n_tiles"].iloc[0])
-        assert abs(have - want * 1e9) <= n_tiles
+        want = 0
+        for _, tile_grp in grp.groupby("tile_id"):
+            mask = np.zeros((th + 1, tw + 1), dtype=bool)
+            for _, r in tile_grp.iterrows():
+                mask[
+                    r["bbox_y"] : r["bbox_y"] + r["bbox_h"] + 1,
+                    r["bbox_x"] : r["bbox_x"] + r["bbox_w"] + 1,
+                ] = True
+            want += int(mask.sum())
+        have = int(got.loc[got["lang"] == lang, "union_px"].iloc[0])
+        assert have == want
 
 
 def test_zone_envelope_consistent_with_merge(sf_dir):
@@ -166,10 +185,12 @@ def test_zone_envelope_consistent_with_merge(sf_dir):
     mrg = vectorize.zone_merge(sf_dir, CFG).to_pandas()
     m = env.merge(mrg, on="lang")
     assert (m["n_ann"] == m["n_rects"]).all()
-    # union area <= sum of areas; union <= envelope box area
-    box = (m["env_maxx"] - m["env_minx"]) * (m["env_maxy"] - m["env_miny"])
-    assert (m["union_area_e9"] <= m["sum_area_e9"]).all()
-    assert (m["union_area_e9"] / 1e9 <= box + 1e-9).all()
+    # envelope box sanity: the pixel union fits inside the envelope
+    box_px = (
+        np.ceil((m["env_maxx"] - m["env_minx"]) / CFG.raster.cell + 1)
+        * np.ceil((m["env_maxy"] - m["env_miny"]) / CFG.raster.cell + 1)
+    )
+    assert (m["union_px"] <= box_px).all()
 
 
 def test_regularise_stats(sf_dir):
