@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- spatial (forward path) --
         "geocode": lambda sf: spatial.geocode_pipeline(sf, CFG),
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
+        "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
         "tile_clip_join": lambda sf: spatial.tile_clip_join(sf, CFG),
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geocode": sql_oracle.geocode_sql(CFG),
         "cell_index": sql_oracle.cell_index_sql(CFG),
+        "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
         # salted-shuffle plan: same semantics, same oracle
         "tile_point_join_shuffle": sql_oracle.tile_point_join_sql(CFG),

@@ -243,6 +243,28 @@ def tile_clip_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dat
     )
 
 
+def reproject_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """M3 reprojection analog: geocoded points -> EPSG:3857 web
+    mercator (closed-form spherical formulas; the reference's pyproj
+    call, ``coordinates.py:56-71``).  Fixed-point micrometer keys for
+    oracle parity; round-trip error asserted in tests."""
+    from ..geo.project import to_mercator
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(["page_id", "lon", "lat"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        x, y = to_mercator(t["lon"].to_numpy(), t["lat"].to_numpy())
+        t = t.append_column(
+            "merc_x_mm", pa.array(np.floor(x * 1e3 + 0.5).astype(np.int64))
+        )
+        t = t.append_column(
+            "merc_y_mm", pa.array(np.floor(y * 1e3 + 0.5).astype(np.int64))
+        )
+        return t
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
 def tile_point_join_shuffle(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CFG,

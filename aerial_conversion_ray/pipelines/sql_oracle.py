@@ -98,6 +98,19 @@ def tile_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..geo.project import mercator_sql
+
+    m = mercator_sql("lon", "lat")
+    return (
+        _pages_geo(cfg)
+        + " select page_id, lon, lat, "
+        f"cast(floor({m['merc_x']} * 1e3 + 0.5) as bigint) as merc_x_mm, "
+        f"cast(floor({m['merc_y']} * 1e3 + 0.5) as bigint) as merc_y_mm "
+        "from geo"
+    )
+
+
 def knn_sql(cfg: EngineConfig = DEFAULT_CFG, query_mod: int = 10) -> str:
     """Exact kNN oracle: cross join + haversine + row_number.
     Haversine written with the same formula as geo.haversine."""

@@ -32,81 +32,74 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-class _Amplify:
-    """Stateless batch fn: one document row -> ``rep`` page rows.
+def _build_pages(
+    t: pa.Table, docs: pa.Table, rep: int, with_html: bool
+) -> pa.Table:
+    """Range batch (column ``id`` = page_id) -> page rows.
 
-    Vectorized: np.repeat on an index array + arithmetic; string url
-    built with pyarrow concat kernels (no Python per-row loop).
+    ``page_id = doc_id * rep + k`` with doc_ids dense 0..n-1, so the
+    range value decodes as ``doc_idx = id // rep, k = id % rep`` — one
+    ``take`` against the broadcast documents table, then vectorized
+    url/ts synthesis (Arrow concat kernels, no Python per-row loop).
     """
-
-    def __init__(self, rep: int, with_html: bool):
-        self.rep = rep
-        self.with_html = with_html
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        rep = self.rep
-        n = t.num_rows
-        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
-        if rep == 1:
-            page_id = doc_id
-            k = np.zeros(n, dtype=np.int64)
-            base = t
-        else:
-            idx = np.repeat(np.arange(n, dtype=np.int64), rep)
-            k = np.tile(np.arange(rep, dtype=np.int64), n)
-            page_id = doc_id[idx] * rep + k
-            base = t.take(pa.array(idx))
-        url = pc.binary_join_element_wise(
-            "https://",
-            base["source"],
-            ".example/doc/",
-            pc.cast(base["doc_id"], pa.string()),
-            "/p/",
-            pa.array(k.astype("U20")),
-            "",
+    page_id = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = page_id // rep
+    k = page_id % rep
+    base = docs.take(pa.array(doc_idx))
+    url = pc.binary_join_element_wise(
+        "https://",
+        base["source"],
+        ".example/doc/",
+        pc.cast(base["doc_id"], pa.string()),
+        "/p/",
+        pc.cast(pa.array(k), pa.string()),
+        "",
+    )
+    ts = WARC_EPOCH + page_id.astype("timedelta64[s]").astype("timedelta64[us]")
+    cols = {
+        "page_id": pa.array(page_id),
+        "doc_id": base["doc_id"],
+        "url": url,
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+        "text": base["text"],
+        "lang": base["lang"],
+        "source": base["source"],
+        "n_chars": base["n_chars"],
+    }
+    if with_html:
+        cols["html"] = pc.cast(
+            pc.binary_join_element_wise(
+                "<html><head><title>",
+                pc.cast(base["doc_id"], pa.string()),
+                "</title></head><body>",
+                base["text"],
+                "</body></html>",
+                "",
+            ),
+            pa.binary(),
         )
-        ts = WARC_EPOCH + page_id.astype("timedelta64[s]").astype("timedelta64[us]")
-        cols = {
-            "page_id": pa.array(page_id),
-            "doc_id": base["doc_id"],
-            "url": url,
-            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-            "text": base["text"],
-            "lang": base["lang"],
-            "source": base["source"],
-            "n_chars": base["n_chars"],
-        }
-        if self.with_html:
-            cols["html"] = pc.cast(
-                pc.binary_join_element_wise(
-                    "<html><head><title>",
-                    pc.cast(base["doc_id"], pa.string()),
-                    "</title></head><body>",
-                    base["text"],
-                    "</body></html>",
-                    "",
-                ),
-                pa.binary(),
-            )
-        return pa.table(cols)
+    return pa.table(cols)
 
 
-def _fanout_blocks() -> int:
-    """Input block target: the documents table is ONE small parquet
-    file (= one Ray block); without a fan-out the whole amplified
-    pipeline would execute as a single serial task chain.  4 blocks
-    per CPU keeps every core busy with small scheduling overhead.  At
-    real 100 TB scale the input is thousands of row-groups and Ray's
-    default block sizing applies — this knob only matters for the
-    single-file test corpus."""
+TARGET_ROWS_PER_BLOCK = 150_000  # ~50 MB of pages at ~350 B/row
+
+
+def _fanout_blocks(n_docs: int, rep: int) -> int:
+    """Page-generator block count: ~150k pages/block (≈50 MB — small
+    enough that a block's strings stay far under Arrow's 2 GiB int32
+    offset limit), floored at 2 blocks/CPU so every core has work,
+    capped at 4096."""
+    ncpu = 8
     try:
         import ray
 
         if ray.is_initialized():
-            return max(8, min(256, int(ray.cluster_resources().get("CPU", 8)) * 4))
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         pass
-    return 32
+    total = max(1, n_docs * rep)
+    by_size = -(-total // TARGET_ROWS_PER_BLOCK)
+    return int(min(4096, max(by_size, ncpu * 2)))
 
 
 def pages_dataset(
@@ -115,12 +108,33 @@ def pages_dataset(
     with_html: bool = False,
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """The pages corpus as a streaming Dataset (zero-copy Arrow)."""
-    ds = read_table(sf_dir, "documents")
-    ds = ds.repartition(_fanout_blocks())
-    ds = ds.map_batches(
-        _Amplify(rep, with_html), batch_format="pyarrow", batch_size=8192
-    )
+    """The pages corpus as a streaming Dataset (zero-copy Arrow).
+
+    Driven by ``ray.data.range(n_docs * rep)`` with the (small)
+    documents table broadcast via ``ray.put``: range blocks are sized
+    by PAGE count, so parallelism survives amplification.  (Reading
+    the one small parquet file and amplifying in-place does not: Ray
+    bundles map tasks by INPUT bytes, so 64 fanned-out 26 KB blocks
+    re-coalesce into one task that then inflates to gigabytes —
+    measured as a single-task 54 s stage.  At real corpus scale the
+    input is thousands of row groups and this generator is replaced
+    by a plain ``read_parquet``.)
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    docs = docs.sort_by("doc_id")  # take-by-index == take-by-doc_id
+    n_docs = docs.num_rows
+    docs_ref = ray.put(docs)
+    total = n_docs * rep
+    blocks = _fanout_blocks(n_docs, rep)
+
+    def build(t: pa.Table) -> pa.Table:
+        return _build_pages(t, ray.get(docs_ref), rep, with_html)
+
+    ds = ray.data.range(total, override_num_blocks=blocks)
+    ds = ds.map_batches(build, batch_format="pyarrow", batch_size=None)
     if columns:
         ds = ds.select_columns(columns)
     return ds

@@ -63,3 +63,20 @@ def test_hilbert_locality_and_bijection():
     xs, ys = ix.ravel()[order], iy.ravel()[order]
     step = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
     assert (step == 1).all()
+
+
+def test_mercator_roundtrip():
+    import numpy as np
+
+    from aerial_conversion_ray.geo.project import from_mercator, to_mercator
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179.9, 179.9, 1000)
+    lat = rng.uniform(-84.0, 84.0, 1000)
+    x, y = to_mercator(lon, lat)
+    lon2, lat2 = from_mercator(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # known fixed point: equator/prime meridian maps to origin
+    x0, y0 = to_mercator(np.array([0.0]), np.array([0.0]))
+    assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-9
