@@ -82,7 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_ids": relational.dense_category_ids,
         "concat_remap": relational.concat_remap,
         "events_window": relational.events_window,
+        "events_hopping": relational.events_hopping_window,
         "events_sessionize": relational.events_sessionize,
+        "q6_filter_agg": relational.q6_filter_aggregate,
+        "distinct_sources": relational.distinct_sources,
         # -- text / dedup --
         "token_stats": text.token_stats,
         "lang_stats": text.lang_stats,
@@ -141,7 +144,10 @@ def oracle_sql() -> dict[str, str]:
         "dense_ids": relational.dense_category_ids_sql(),
         "concat_remap": relational.CONCAT_REMAP_SQL,
         "events_window": relational.EVENTS_WINDOW_SQL,
+        "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
+        "q6_filter_agg": relational.Q6_SQL,
+        "distinct_sources": relational.DISTINCT_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_stats": text.LANG_STATS_SQL,
         "dedup_exact": text.DEDUP_EXACT_SQL,

@@ -483,6 +483,150 @@ order by event_type, window_start_s
 """
 
 
+def q6_filter_aggregate(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6-flavoured pure filter + global aggregate: the
+    no-shuffle degenerate case (per-batch partial -> one-row final).
+    Shows the predicate/column pruning path at its fastest."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        qty = t["l_quantity"].to_numpy()
+        price = t["l_extendedprice"].to_numpy()
+        m = (
+            (ship >= np.datetime64("1996-01-01", "us"))
+            & (ship < np.datetime64("1997-01-01", "us"))
+            & (disc >= 0.05)
+            & (disc <= 0.07)
+            & (qty < 24.0)
+        )
+        rev_c = to_fixed(price[m] * disc[m], 10000.0)
+        return pa.table(
+            {
+                "revenue_c": pa.array([int(rev_c.sum())], type=pa.int64()),
+                "n": pa.array([int(m.sum())], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"), Sum("n", alias_name="n")
+    )
+    import pandas as _pd
+
+    return _pd.DataFrame(
+        {
+            "revenue": [agg["revenue_c"] / 10000.0],
+            "n_rows": [int(agg["n"])],
+        }
+    )
+
+
+Q6_SQL = """
+select sum(cast(floor(l_extendedprice * l_discount * 10000.0 + 0.5) as bigint)) / 10000.0 as revenue,
+       cast(count(*) as bigint) as n_rows
+from lineitem
+where l_shipdate >= TIMESTAMP '1996-01-01' and l_shipdate < TIMESTAMP '1997-01-01'
+  and l_discount between 0.05 and 0.07 and l_quantity < 24
+"""
+
+
+def events_hopping_window(
+    sf_dir: str, window_s: int = 3600, hop_s: int = 900
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: each event lands in
+    window_s/hop_s overlapping windows — 1->N window-key expansion
+    inside the batch, then partial-aggregate before the shuffle
+    (engine-new streaming-shaped operator; the tumbling case is
+    :func:`events_window`)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    k = window_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64()).to_numpy()
+        ts_s = epoch_us // 1_000_000
+        base = (ts_s // hop_s) * hop_s  # latest window start containing event
+        n = len(ts_s)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_s, n
+        )
+        keep = np.repeat(ts_s, k) < starts + window_s
+        etype = np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)
+        val_u = np.repeat(to_fixed(t["value"].to_numpy(), 1_000_000.0), k)
+        df = pd.DataFrame(
+            {
+                "event_type": etype[keep],
+                "window_start_s": starts[keep],
+                "value_u": val_u[keep],
+            }
+        )
+        out = df.groupby(["event_type", "window_start_s"], as_index=False).agg(
+            n=("value_u", "size"), sum_value_u=("value_u", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_start_s"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value_u", alias_name="sum_value_u")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start_s": t["window_start_s"],
+                "n": t["n"],
+                "sum_value": pa.array(t["sum_value_u"].to_numpy() / 1_000_000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["event_type", "window_start_s"]
+    )
+
+
+EVENTS_HOPPING_SQL = """
+with hops as (select unnest(range(4)) as h)
+select event_type,
+       ((epoch_us(ts) // 1000000) // 900) * 900 - h.h * 900 as window_start_s,
+       count(*) as n,
+       sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
+from events cross join hops h
+where (epoch_us(ts) // 1000000) < ((epoch_us(ts) // 1000000) // 900) * 900 - h.h * 900 + 3600
+group by event_type, window_start_s
+order by event_type, window_start_s
+"""
+
+
+def distinct_sources(sf_dir: str) -> ray.data.Dataset:
+    """Distinct operator (``ds.unique`` analog via per-batch partial
+    distinct -> groupby): distinct (source, lang) pairs."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .count()
+        .drop_columns(["count()"])
+        .sort(["source", "lang"])
+    )
+
+
+DISTINCT_SQL = """
+select distinct source, lang from documents order by source, lang
+"""
+
+
 def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     """Session windows per user: events sorted by ts within user; a
     >gap_s silence starts a new session.  groupby(user).map_groups

@@ -1,0 +1,98 @@
+"""Text/dedup operator properties: determinism, recall vs exact
+Jaccard, SimHash similarity behavior, winnowing shift behavior."""
+
+import numpy as np
+import pytest
+
+from aerial_conversion_ray.pipelines import text
+
+
+@pytest.fixture(scope="module")
+def jaccard(sf_dir):
+    df = text.jaccard_pairs(sf_dir, threshold=0.5).to_pandas()
+    return {(int(a), int(b)) for a, b in zip(df["a"], df["b"])}
+
+
+def test_minhash_deterministic(sf_dir):
+    a = text.minhash_lsh_pairs(sf_dir).to_pandas()
+    b = text.minhash_lsh_pairs(sf_dir).to_pandas()
+    ka = sorted(zip(a["a"], a["b"]))
+    kb = sorted(zip(b["a"], b["b"]))
+    assert ka == kb
+
+
+def test_minhash_pairs_verified(sf_dir):
+    """Every emitted LSH pair passed the exact shingle-Jaccard verify,
+    so each pair's true Jaccard must clear the threshold."""
+    pairs = text.minhash_lsh_pairs(sf_dir, threshold=0.5).to_pandas()
+    assert (pairs["a"] < pairs["b"]).all()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    grams = {
+        d: set(text._token_hashes(np.array([t]), 3)[0].tolist())
+        for d, t in texts.items()
+    }
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ga, gb = grams[int(a)], grams[int(b)]
+        jac = len(ga & gb) / len(ga | gb)
+        assert jac >= 0.5
+
+
+def test_simhash_close_for_near_duplicates(sf_dir, jaccard):
+    """Hamming distance of SimHash fingerprints for high-Jaccard pairs
+    is below the corpus median (the classic SimHash property)."""
+    sim = text.simhash_fingerprints(sf_dir).to_pandas()
+    fp = dict(zip(sim["doc_id"], sim["simhash"].astype(np.uint64)))
+    if not jaccard:
+        pytest.skip("no high-jaccard pairs at this sf")
+
+    def ham(x, y):
+        return bin(int(x) ^ int(y)).count("1")
+
+    dup_d = np.mean([ham(fp[a], fp[b]) for a, b in list(jaccard)[:200]])
+    rng = np.random.default_rng(0)
+    ids = sim["doc_id"].to_numpy()
+    rand_pairs = rng.choice(ids, size=(200, 2))
+    rand_d = np.mean([ham(fp[a], fp[b]) for a, b in rand_pairs if a != b])
+    assert dup_d < rand_d
+
+
+def test_rolling_fingerprint_content_defined(sf_dir):
+    """Winnowing fingerprints are content-defined: the same document
+    yields identical (fingerprint, pos) sets across runs, and distinct
+    docs overlap only via genuinely shared byte windows."""
+    a = text.rolling_fingerprint(sf_dir).to_pandas()
+    b = text.rolling_fingerprint(sf_dir).to_pandas()
+    ka = sorted(zip(a["doc_id"], a["pos"], a["fingerprint"]))
+    kb = sorted(zip(b["doc_id"], b["pos"], b["fingerprint"]))
+    assert ka == kb
+    # every doc with >= window bytes emits at least one fingerprint
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    long_docs = {
+        d for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if len(t.encode()) >= 16 * 8  # window x keep_mod: expected hit
+    }
+    covered = set(a["doc_id"])
+    assert len(long_docs - covered) / max(1, len(long_docs)) < 0.05
+
+
+def test_langid_beats_chance(sf_dir):
+    df = text.langid_scores(sf_dir).to_pandas()
+    n_langs = df["lang"].nunique()
+    acc = df["agree"].mean()
+    assert acc > 1.0 / n_langs + 0.1, f"accuracy {acc:.3f} vs {n_langs} classes"
+
+
+def test_dedup_exact_collision_safe(sf_dir):
+    """Representatives partition the corpus: n_copies sums to the doc
+    count and each representative id appears once."""
+    import pyarrow.parquet as pq
+
+    rep = text.dedup_exact(sf_dir).to_pandas()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert rep["n_copies"].sum() == n_docs
+    assert rep["doc_id"].is_unique
