@@ -6,13 +6,15 @@ build brief), expressed Ray-Data-first:
 - token stats / quality scoring (vectorized pyarrow/pandas string ops)
 - exact dedup (content hash -> hash-partitioned groupby -> min-id rep)
 - MinHash + LSH near-dup (shingle -> minhash -> band explode ->
-  band-bucket groupby -> verified Jaccard pairs)
-- SimHash fingerprints, word-set Jaccard pair mining
-- rolling-hash document fingerprinting
-- n-gram language-ID heuristic
+  band-bucket groupby -> DISTRIBUTED exact-Jaccard verify)
+- SimHash fingerprints, word-set Jaccard pair mining (df-capped)
+- rolling-hash document fingerprinting (winnowing)
+- n-gram language-ID heuristic (distributed profile training)
 
-Everything deterministic: hash functions are explicit polynomial /
-FNV-style integer arithmetic (no process-seeded ``hash()``).
+Everything deterministic: hash functions are explicit polynomial
+integer arithmetic mod 2^64 (no process-seeded ``hash()``), and every
+hot kernel is vectorized numpy over flat arrays + segment offsets —
+no per-row / per-token / per-byte Python loops anywhere.
 """
 
 from __future__ import annotations
@@ -24,11 +26,81 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.pages import read_table
+from ..util import pool_size
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 
 FNV_OFFSET = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
+
+
+# --------------------------------------------------------------------------
+# vectorized string hashing (shared kernel)
+# --------------------------------------------------------------------------
+
+def _poly_hash_segments(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit polynomial hash of each byte segment
+    ``buf[offs[i]:offs[i+1]]``, fully vectorized over the flat buffer:
+
+        h_i = len_i * OFFSET + sum_j (b_j + 31) * PRIME^pos_j   (mod 2^64)
+
+    (A positional polynomial, not FNV-1a — FNV is sequential per row;
+    this scheme vectorizes and has the same collision profile for the
+    engine's partition/dedup purposes.)  ``P^pos`` is computed with
+    exponentiation-by-squaring over the bit planes of ``pos`` — O(log
+    max_len) vectorized passes, no per-row work."""
+    lens = np.diff(offs)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    pos = np.arange(len(buf), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    with np.errstate(over="ignore"):
+        powers = np.ones(len(buf), dtype=np.uint64)
+        base = FNV_PRIME
+        e = pos.astype(np.uint64)
+        bit = np.uint64(1)
+        maxbits = int(pos.max()).bit_length() if len(pos) else 0
+        for _ in range(maxbits):
+            mask = (e & bit) != 0
+            powers[mask] *= base
+            base = base * base
+            bit <<= np.uint64(1)
+        terms = (buf.astype(np.uint64) + np.uint64(31)) * powers
+        csum = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+        out = csum[offs[1:]] - csum[offs[:-1]]
+        out += lens.astype(np.uint64) * FNV_OFFSET
+    return out
+
+
+def _string_buffer(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat utf-8 byte buffer, int64 offsets) of an Arrow string
+    array/column — zero-copy from the Arrow buffers, no per-row
+    encode."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Table):
+        raise TypeError("pass a column, not a table")
+    if pa.types.is_large_string(col.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1]
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    buf = data[offs[0] : offs[-1]]
+    return buf, offs - offs[0]
+
+
+def _hash_arrow_strings(col) -> np.ndarray:
+    """uint64 hash per string of an Arrow string array (vectorized)."""
+    buf, offs = _string_buffer(col)
+    return _poly_hash_segments(buf, offs)
+
+
+def content_hash_batch(t: pa.Table, col: str = "text") -> pa.Table:
+    h = _hash_arrow_strings(t[col])
+    return t.append_column("content_hash", pa.array(h.astype(np.int64)))
 
 
 # --------------------------------------------------------------------------
@@ -52,11 +124,12 @@ def token_stats(sf_dir: str) -> ray.data.Dataset:
         )
         csum = np.concatenate([[0], np.cumsum(is_stop)])
         n_stop = csum[offs[1:]] - csum[offs[:-1]]
-        # distinct per doc: sort (doc, token) pairs and count boundaries
+        # distinct per doc: hash tokens, sort (doc, hash) pairs, count
+        # boundaries (hashing avoids a slow object-dtype lexsort)
         doc_idx = np.repeat(np.arange(len(n)), n)
-        tok_np = flat.to_numpy(zero_copy_only=False)
-        order = np.lexsort((tok_np, doc_idx))
-        d_s, t_s = doc_idx[order], tok_np[order]
+        tok_h = _hash_arrow_strings(flat)
+        order = np.lexsort((tok_h, doc_idx))
+        d_s, t_s = doc_idx[order], tok_h[order]
         new = np.ones(len(d_s), dtype=np.int64)
         if len(d_s) > 1:
             new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
@@ -111,48 +184,6 @@ from documents group by lang, source order by lang, source
 # exact dedup (SE2 pattern: hash-partition + per-group first)
 # --------------------------------------------------------------------------
 
-def _fnv1a_bytes_vec(texts: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit FNV-1a over utf-8 bytes, vectorized over
-    the flattened byte buffer (no per-row Python hashing)."""
-    enc = np.char.encode(texts.astype("U"), "utf-8")
-    lens = np.char.str_len(enc.astype("S")).astype(np.int64)  # byte lengths
-    # fall back: lens via vectorized len of bytes objects
-    lens = np.frompyfunc(len, 1, 1)(enc).astype(np.int64)
-    buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    out = np.empty(len(texts), dtype=np.uint64)
-    # chunked loop over rows but vectorized inner via reduce on uint64 —
-    # FNV is inherently sequential per row; keep rows short path in C by
-    # using np.frompyfunc over memoryviews is still Python.  Instead use
-    # a polynomial hash which vectorizes:  h = sum(b_i * P^(L-i)) mod 2^64
-    P = np.uint64(1099511628211)
-    # compute per-byte powers via segmented cumprod trick:
-    # pos within row:
-    pos = np.arange(len(buf), dtype=np.int64) - np.repeat(offs[:-1], lens)
-    with np.errstate(over="ignore"):
-        # P^pos mod 2^64 via exponentiation by squaring on the exponent bits
-        powers = np.ones(len(buf), dtype=np.uint64)
-        base = P
-        e = pos.astype(np.uint64)
-        bit = np.uint64(1)
-        maxbits = int(pos.max()).bit_length() if len(pos) else 0
-        for _ in range(maxbits):
-            mask = (e & bit) != 0
-            powers[mask] *= base
-            base = base * base
-            bit <<= np.uint64(1)
-        terms = (buf.astype(np.uint64) + np.uint64(31)) * powers
-        csum = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
-        out = csum[offs[1:]] - csum[offs[:-1]]
-        out += lens.astype(np.uint64) * FNV_OFFSET
-    return out
-
-
-def content_hash_batch(t: pa.Table, col: str = "text") -> pa.Table:
-    h = _fnv1a_bytes_vec(t[col].to_numpy(zero_copy_only=False))
-    return t.append_column("content_hash", pa.array(h.astype(np.int64)))
-
-
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: content-hash column -> hash groupby -> per distinct
     text keep min doc_id + count.  Collision-safe: groups by the TEXT
@@ -182,12 +213,22 @@ from documents group by text
 N_PAIR_BUCKETS = 64
 
 
-def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+def jaccard_pairs(
+    sf_dir: str, threshold: float = 0.5, max_df: int | None = None
+) -> ray.data.Dataset:
     """All document pairs (a < b) with word-SET Jaccard >= threshold.
 
-    Engine: per-batch token explode (each doc is one input row, so
-    per-doc distinct-token sizes are exact per batch) -> inverted list
-    per token via one groupby -> pair expansion per token group,
+    ``max_df`` is the SCALE knob: when set, tokens with document
+    frequency > max_df are dropped EVERYWHERE (pair mining AND the
+    per-doc set sizes), i.e. Jaccard is computed over the kept-token
+    universe — a token in d docs emits d^2/2 pairs, so one
+    stopword-grade token is quadratic death at 100 TB.  The hot-token
+    set is found with a cheap ``groupby(token).count()`` pre-pass and
+    broadcast (by Zipf's law only a tiny head exceeds any sane
+    max_df).  Mirrored exactly by :func:`jaccard_pairs_sql(max_df=)`.
+
+    Engine: per-batch token explode -> [hot-token filter] -> inverted
+    list per token via one groupby -> pair expansion per token group,
     hash-bucketed on (a, b) -> ONE coarse bucket shuffle -> vectorized
     pandas sum + score inside each bucket.
 
@@ -196,6 +237,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     a 64-bucket ``groupby(bucket).map_groups`` keeps the shuffle
     all-to-all but the per-group combine is one vectorized pandas
     groupby — the engine's general many-small-groups pattern."""
+    import ray
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -214,9 +257,31 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
 
     pairs_src = ds.map_batches(explode, batch_format="pyarrow")
 
-    # per-doc distinct token counts: docs never split across batches
-    # (one row in, all its tokens out in the same batch) -> exact
-    # per-batch partials; tiny table -> broadcast
+    if max_df is not None:
+        # hot-token pre-pass: only the (tiny) head exceeding max_df is
+        # collected to the driver and broadcast as an exclusion set
+        hot_tbl = (
+            pairs_src.groupby("token")
+            .count()
+            .map_batches(
+                lambda t: t.filter(pc.greater(t["count()"], max_df)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        hot_ref = ray.put(pa.array(hot_tbl["token"].tolist(), pa.string()))
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            if len(hot) == 0:
+                return t
+            return t.filter(pc.invert(pc.is_in(t["token"], value_set=hot)))
+
+        pairs_src = pairs_src.map_batches(drop_hot, batch_format="pyarrow")
+
+    # per-doc distinct token counts: aggregate the per-batch partials by
+    # doc_id (sum) so the result is exact under ANY block/batch split,
+    # then broadcast the (small: one int per doc) map
     def doc_sizes(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         u, c = np.unique(d, return_counts=True)
@@ -229,23 +294,21 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
             )
         )
     )
-    size_map = dict(
-        zip(
-            sizes["doc_id"].to_numpy(zero_copy_only=False).tolist(),
-            sizes["n"].to_numpy(zero_copy_only=False).tolist(),
-        )
+    size_map = (
+        sizes.to_pandas().groupby("doc_id")["n"].sum()  # sum partials: split-safe
     )
 
     def pair_count(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "bucket": pd.Series(dtype=np.int64),
+            }
+        )
         docs = np.sort(df["doc_id"].to_numpy())
         if len(docs) < 2:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series(dtype=np.int64),
-                    "b": pd.Series(dtype=np.int64),
-                    "bucket": pd.Series(dtype=np.int64),
-                }
-            )
+            return empty
         ai, bi = np.triu_indices(len(docs), k=1)
         a, b = docs[ai], docs[bi]
         bucket = (a * np.int64(1000003) + b) % N_PAIR_BUCKETS
@@ -266,23 +329,47 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
             }
         )
 
-    return (
+    out = (
         pairs_src.groupby("token")
         .map_groups(pair_count, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_sum_score, batch_format="pandas")
     )
+    out = out.map_batches(
+        lambda df: _pin_schema(df, {"a": np.int64, "b": np.int64, "inter": np.int64}),
+        batch_format="pandas",
+    )
+    # zero-group edge: guarantee at least one schema-ful block
+    return out.union(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                }
+            )
+        )
+    )
 
 
-def jaccard_pairs_sql(threshold: float = 0.5) -> str:
+def jaccard_pairs_sql(threshold: float = 0.5, max_df: int | None = None) -> str:
+    kept = (
+        f"""select * from toks
+  where token in (select token from toks group by token having count(*) <= {max_df})"""
+        if max_df is not None
+        else "select * from toks"
+    )
     return f"""
 with toks as (
   select distinct doc_id, unnest(string_split(text, ' ')) as token from documents
+), kept as (
+  {kept}
 ), sizes as (
-  select doc_id, count(*) as n from toks group by doc_id
+  select doc_id, count(*) as n from kept group by doc_id
 ), inter as (
   select a.doc_id as a, b.doc_id as b, count(*) as inter
-  from toks a join toks b on a.token = b.token and a.doc_id < b.doc_id
+  from kept a join kept b on a.token = b.token and a.doc_id < b.doc_id
   group by a.doc_id, b.doc_id
 )
 select a, b, inter from inter
@@ -290,6 +377,75 @@ join sizes sa on sa.doc_id = a
 join sizes sb on sb.doc_id = b
 where cast(inter as double) / (sa.n + sb.n - inter) >= {threshold!r}
 """
+
+
+# --------------------------------------------------------------------------
+# shingle grams (shared by MinHash + verify): flat vectorized kernel
+# --------------------------------------------------------------------------
+
+def _shingle_grams_flat(
+    col, shingle: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc UNIQUE word-``shingle``-gram hashes for an Arrow string
+    column, as (flat uint64 hashes sorted by (doc, hash), int64 doc
+    offsets [ndocs+1]).  Docs shorter than ``shingle`` tokens fall back
+    to their token hashes; a doc always yields >= 1 gram.  Fully
+    vectorized: token split (Arrow), token hash (flat-buffer
+    polynomial), gram fold (``shingle`` vectorized passes), per-doc
+    dedupe (lexsort + boundary scan)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    ndocs = len(n)
+    flat_tokens = toks.flatten()
+    codes = _hash_arrow_strings(flat_tokens)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+
+    gram_doc_parts: list[np.ndarray] = []
+    gram_h_parts: list[np.ndarray] = []
+    if len(codes) >= shingle:
+        m = len(codes) - shingle + 1
+        h = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(shingle):
+                h = h * np.uint64(1000003) + codes[j : m + j]
+        within = doc_idx[:m] == doc_idx[shingle - 1 :]
+        gram_doc_parts.append(doc_idx[:m][within])
+        gram_h_parts.append(h[within])
+    # short docs (0 < n < shingle): token codes are the grams
+    short = n < shingle
+    if short.any():
+        tok_short = short[doc_idx]
+        gram_doc_parts.append(doc_idx[tok_short])
+        gram_h_parts.append(codes[tok_short])
+    # token-less docs (n == 0 can't occur with split(' '), but guard):
+    none = n == 0
+    if none.any():
+        gram_doc_parts.append(np.nonzero(none)[0].astype(np.int64))
+        gram_h_parts.append(np.zeros(int(none.sum()), dtype=np.uint64))
+
+    gd = np.concatenate(gram_doc_parts) if gram_doc_parts else np.empty(0, np.int64)
+    gh = np.concatenate(gram_h_parts) if gram_h_parts else np.empty(0, np.uint64)
+    order = np.lexsort((gh, gd))
+    gd, gh = gd[order], gh[order]
+    keep = np.ones(len(gd), dtype=bool)
+    if len(gd) > 1:
+        keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+    gd, gh = gd[keep], gh[keep]
+    offs = np.concatenate([[0], np.cumsum(np.bincount(gd, minlength=ndocs))]).astype(
+        np.int64
+    )
+    return gh, offs
+
+
+def _token_hashes(texts: np.ndarray, shingle: int) -> list[np.ndarray]:
+    """Per doc: sorted unique uint64 shingle-gram hashes (test/compat
+    wrapper over the flat vectorized kernel)."""
+    gh, offs = _shingle_grams_flat(pa.array([str(s) for s in texts]), shingle)
+    return [gh[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
 
 
 # --------------------------------------------------------------------------
@@ -302,36 +458,11 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _token_hashes(texts: np.ndarray, shingle: int) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of word ``shingle``-grams (deterministic
-    polynomial hash over token FNV codes)."""
-    out = []
-    for s in texts:
-        toks = s.split(" ")
-        codes = np.array(
-            [_poly_hash_str(t) for t in toks], dtype=np.uint64
-        )
-        if len(codes) < shingle:
-            out.append(codes if len(codes) else np.zeros(1, dtype=np.uint64))
-            continue
-        h = np.zeros(len(codes) - shingle + 1, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for j in range(shingle):
-                h = h * np.uint64(1000003) + codes[j : len(codes) - shingle + 1 + j]
-        out.append(np.unique(h))
-    return out
-
-
-def _poly_hash_str(s: str) -> int:
-    h = 1469598103934665603
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 class MinHasher:
     """Actor stage: minhash signatures.  Hash family parameters are
-    built ONCE in __init__ (a_i, b_i for h_i(x) = (a x + b) mod p)."""
+    built ONCE in __init__ (a_i, b_i for h_i(x) = (a x + b) mod p);
+    per batch: flat shingle grams + one segmented min (reduceat) per
+    hash function — no per-doc Python."""
 
     def __init__(self, shingle: int = 3):
         rng = np.random.default_rng(12345)  # fixed seed: deterministic family
@@ -339,24 +470,23 @@ class MinHasher:
         self.b = rng.integers(0, (1 << 61) - 1, N_HASHES, dtype=np.uint64)
         self.shingle = shingle
 
-    def signature(self, grams: np.ndarray) -> np.ndarray:
-        x = grams % MERSENNE
-        with np.errstate(over="ignore"):
-            hx = (x[None, :] * self.a[:, None] + self.b[:, None]) % MERSENNE
-        return hx.min(axis=1)
-
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_numpy(zero_copy_only=False)
-        grams = _token_hashes(texts, self.shingle)
-        sigs = np.stack([self.signature(g) for g in grams])  # (n, N_HASHES)
-        # band hashes: fold ROWS_PER_BAND rows per band
-        band_vals = sigs.reshape(len(texts), N_BANDS, ROWS_PER_BAND)
+        gh, offs = _shingle_grams_flat(t["text"], self.shingle)
+        ndocs = t.num_rows
+        x = gh % MERSENNE
+        sigs = np.empty((N_HASHES, ndocs), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            bh = np.zeros((len(texts), N_BANDS), dtype=np.uint64)
+            for i in range(N_HASHES):
+                hx = (x * self.a[i] + self.b[i]) % MERSENNE
+                sigs[i] = np.minimum.reduceat(hx, offs[:-1])
+        # band hashes: fold ROWS_PER_BAND rows per band
+        band_vals = sigs.T.reshape(ndocs, N_BANDS, ROWS_PER_BAND)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((ndocs, N_BANDS), dtype=np.uint64)
             for j in range(ROWS_PER_BAND):
                 bh = bh * np.uint64(1000003) + band_vals[:, :, j]
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), N_BANDS)
-        band_id = np.tile(np.arange(N_BANDS, dtype=np.int64), len(texts))
+        band_id = np.tile(np.arange(N_BANDS, dtype=np.int64), ndocs)
         return pa.table(
             {
                 "doc_id": pa.array(doc),
@@ -366,16 +496,42 @@ class MinHasher:
         )
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> ray.data.Dataset:
-    """Near-dup candidate pairs via MinHash-LSH, verified by true
-    shingle-set Jaccard >= threshold.  Output (a, b) with a < b.
+def _pin_schema(df: pd.DataFrame, cols: dict) -> pd.DataFrame:
+    """Normalize empty pandas blocks: a map_groups over ZERO groups
+    emits schema-less empty blocks, which would drop the columns from
+    ``to_pandas()`` on an empty result."""
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return df[list(cols)]
 
-    Pipeline: minhash signatures (actor pool) -> explode to
-    (band_id, band_hash, doc_id) -> groupby band bucket -> pairs ->
-    distinct -> verify with a broadcast shingle-set lookup."""
+
+def _empty_pairs() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> ray.data.Dataset:
+    """Near-dup pairs via MinHash-LSH, verified by true shingle-set
+    Jaccard >= threshold.  Output (a, b) with a < b.
+
+    Pipeline: minhash signatures (actor pool, sized to leave CPUs for
+    the read tasks) -> explode to (band_id, band_hash, doc_id) ->
+    groupby band bucket -> candidate pairs -> distinct -> DISTRIBUTED
+    verify: the (small) candidate pair list routes each candidate
+    doc's shingle grams to its pairs (flat_map fan-out), then ONE
+    coarse bucket groupby computes exact Jaccard per pair vectorized.
+    The driver only ever holds the candidate pairs (the LSH-bounded
+    small side) — never the corpus."""
+    import ray
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2,
-                           fn_constructor_kwargs={"shingle": shingle})
+    bands = ds.map_batches(
+        MinHasher,
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+        fn_constructor_kwargs={"shingle": shingle},
+    )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         docs = np.unique(df["doc_id"].to_numpy())
@@ -390,34 +546,111 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> 
         .groupby(["a", "b"])
         .count()
         .drop_columns(["count()"])
+        .to_pandas()
     )
+    if len(cand) == 0:
+        return _empty_pairs()
 
-    # broadcast shingle sets for verification (small side at test scale;
-    # at 100 TB this becomes a shuffle join on doc_id — documented)
-    import pyarrow.parquet as pq
-    import ray
+    # routing table: doc -> list of (pair_id, side), CSR layout, sorted
+    # by doc for searchsorted lookup inside tasks; broadcast once
+    pa_ = cand["a"].to_numpy(dtype=np.int64)
+    pb_ = cand["b"].to_numpy(dtype=np.int64)
+    npairs = len(pa_)
+    pids = np.concatenate([np.arange(npairs, dtype=np.int64)] * 2)
+    sides = np.concatenate(
+        [np.zeros(npairs, dtype=np.int64), np.ones(npairs, dtype=np.int64)]
+    )
+    dkeys = np.concatenate([pa_, pb_])
+    order = np.argsort(dkeys, kind="stable")
+    dkeys, pids, sides = dkeys[order], pids[order], sides[order]
+    docs_u, starts = np.unique(dkeys, return_index=True)
+    route = {
+        "docs": docs_u,
+        "offs": np.concatenate([starts, [len(dkeys)]]).astype(np.int64),
+        "pids": pids,
+        "sides": sides,
+        "a": pa_,
+        "b": pb_,
+    }
+    route_ref = ray.put(route)
 
-    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = docs_tbl["text"].to_numpy(zero_copy_only=False)
-    ids = docs_tbl["doc_id"].to_numpy(zero_copy_only=False)
-    grams = _token_hashes(texts, shingle)
-    gram_map = {int(i): g for i, g in zip(ids, grams)}
-    gram_ref = ray.put(gram_map)
+    def route_grams(t: pa.Table) -> pa.Table:
+        rt = ray.get(route_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rt["docs"], doc_ids)
+        keep = (pos < len(rt["docs"])) & (rt["docs"][np.minimum(pos, len(rt["docs"]) - 1)] == doc_ids)
+        if not keep.any():
+            return pa.table(
+                {
+                    "pair_id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        sub = t.filter(pa.array(keep))
+        pos = pos[keep]
+        gh, goffs = _shingle_grams_flat(sub["text"], shingle)
+        gcnt = np.diff(goffs)
+        # route entries per kept doc
+        r0, r1 = rt["offs"][pos], rt["offs"][pos + 1]
+        rcnt = r1 - r0
+        # (doc, pair) expansion: one row per route entry per doc
+        dp = np.repeat(np.arange(len(pos)), rcnt)  # local doc idx per (doc,pair)
+        ent = np.repeat(r0 - np.concatenate([[0], np.cumsum(rcnt)[:-1]]), rcnt) + np.arange(
+            int(rcnt.sum())
+        )
+        e_pid, e_side = rt["pids"][ent], rt["sides"][ent]
+        # per (doc,pair): repeat that doc's grams
+        counts = gcnt[dp]
+        total = int(counts.sum())
+        out_pid = np.repeat(e_pid, counts)
+        out_side = np.repeat(e_side, counts)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        out_gram = gh[np.repeat(goffs[dp], counts) + within]
+        return pa.table(
+            {
+                "pair_id": pa.array(out_pid),
+                "side": pa.array(out_side),
+                "gram": pa.array(out_gram.astype(np.int64)),
+                "bucket": pa.array(out_pid % N_PAIR_BUCKETS),
+            }
+        )
 
-    class Verify:
-        def __init__(self):
-            self.grams = ray.get(gram_ref)
+    routed = ds.map_batches(route_grams, batch_format="pyarrow")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep = []
-            for a, b in zip(df["a"], df["b"]):
-                ga, gb = self.grams[int(a)], self.grams[int(b)]
-                inter = len(np.intersect1d(ga, gb, assume_unique=True))
-                jac = inter / (len(ga) + len(gb) - inter)
-                keep.append(jac >= threshold)
-            return df[np.array(keep, dtype=bool)] if len(df) else df
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rtl = ray.get(route_ref)
+        pid = df["pair_id"].to_numpy()
+        gram = df["gram"].to_numpy()
+        side = df["side"].to_numpy()
+        u, inv = np.unique(pid, return_inverse=True)
+        na = np.bincount(inv[side == 0], minlength=len(u))
+        nb = np.bincount(inv[side == 1], minlength=len(u))
+        # intersection: (pair, gram) seen on both sides == seen twice
+        # (grams are unique per side by construction)
+        o = np.lexsort((gram, inv))
+        pi, gi = inv[o], gram[o]
+        dup = np.zeros(len(pi), dtype=bool)
+        if len(pi) > 1:
+            dup[1:] = (pi[1:] == pi[:-1]) & (gi[1:] == gi[:-1])
+        inter = np.bincount(pi[dup], minlength=len(u))
+        denom = na + nb - inter
+        jac = inter / np.maximum(denom, 1)
+        ok = (jac >= threshold) & (na > 0) & (nb > 0)
+        return pd.DataFrame({"a": rtl["a"][u[ok]], "b": rtl["b"][u[ok]]})
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return (
+        routed.groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+        .map_batches(
+            lambda df: _pin_schema(df, {"a": np.int64, "b": np.int64}),
+            batch_format="pandas",
+        )
+        .union(_empty_pairs())
+    )
 
 
 # --------------------------------------------------------------------------
@@ -425,16 +658,22 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> 
 # --------------------------------------------------------------------------
 
 def simhash_batch(t: pa.Table) -> pa.Table:
-    """64-bit SimHash over word tokens (token FNV codes, +/- votes)."""
-    texts = t["text"].to_numpy(zero_copy_only=False)
-    out = np.empty(len(texts), dtype=np.uint64)
+    """64-bit SimHash over word tokens (token hashes, +/- bit votes),
+    vectorized: flat token hash array -> 64-column bit matrix -> one
+    segmented sum per doc (prefix-sum difference)."""
+    toks = pc.split_pattern(t["text"], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    codes = _hash_arrow_strings(toks.flatten())
     bits = np.arange(64, dtype=np.uint64)
-    for i, s in enumerate(texts):
-        codes = np.array([_poly_hash_str(tok) for tok in s.split(" ")], dtype=np.uint64)
-        votes = (((codes[:, None] >> bits[None, :]) & np.uint64(1)) * 2 - 1).sum(axis=0)
-        out[i] = np.uint64(0) if len(codes) == 0 else np.sum(
-            (votes > 0).astype(np.uint64) << bits
-        )
+    bitmat = ((codes[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+    csum = np.concatenate([np.zeros((1, 64), np.int64), np.cumsum(bitmat, axis=0)])
+    offs = np.concatenate([[0], np.cumsum(n)])
+    ones = csum[offs[1:]] - csum[offs[:-1]]  # (ndocs, 64)
+    votes = 2 * ones - n[:, None]
+    out = ((votes > 0).astype(np.uint64) << bits[None, :]).sum(axis=1)
+    out[n == 0] = np.uint64(0)
     return pa.table(
         {"doc_id": t["doc_id"], "simhash": pa.array(out.astype(np.int64))}
     )
@@ -447,40 +686,25 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 def rolling_fingerprint(sf_dir: str, window: int = 16, keep_mod: int = 8) -> ray.data.Dataset:
     """Winnowing-style document fingerprints: rolling polynomial hash
-    over bytes, keep hashes == 0 mod keep_mod (content-defined)."""
+    over bytes (mod 2^64), keep hashes == 0 mod keep_mod
+    (content-defined).  Vectorized over the whole batch's flat byte
+    buffer with the modular-inverse prefix trick:
+
+        H(j) = sum_{i<w} b[j+i] * B^(w-1-i)
+             = B^(w-1+j) * (S[j+w] - S[j]),  S[m] = sum_{i<m} b[i] * B^(-i)
+
+    B = 257 is odd, hence invertible mod 2^64 — the identity is exact
+    in uint64 wraparound arithmetic and yields bit-identical hashes to
+    the sequential rolling update."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    B = np.uint64(257)
+    BINV = np.uint64(pow(257, -1, 1 << 64))
 
     def fp(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_numpy(zero_copy_only=False)
+        buf, offs = _string_buffer(t["text"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_id, out_h, out_pos = [], [], []
-        B = np.uint64(257)
-        with np.errstate(over="ignore"):
-            Bw = B ** np.uint64(window - 1)
-            for i, s in enumerate(texts):
-                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(b) < window:
-                    continue
-                # vectorized rolling hash via cumulative polynomial trick
-                n = len(b) - window + 1
-                powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-                h = np.convolve(b, powers[::-1], mode="valid") if False else None
-                # convolve over uint64 loses mod semantics; do the O(n)
-                # sliding update in numpy via cumsum of differences:
-                hs = np.empty(n, dtype=np.uint64)
-                cur = np.uint64(0)
-                for j in range(window):
-                    cur = cur * B + b[j]
-                hs[0] = cur
-                for j in range(1, n):
-                    cur = (cur - b[j - 1] * Bw) * B + b[j + window - 1]
-                    hs[j] = cur
-                sel = (hs % np.uint64(keep_mod)) == 0
-                pos = np.nonzero(sel)[0]
-                out_id.append(np.full(len(pos), ids[i], dtype=np.int64))
-                out_h.append(hs[sel].astype(np.int64))
-                out_pos.append(pos.astype(np.int64))
-        if not out_id:
+        nb = len(buf)
+        if nb < window:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -488,65 +712,164 @@ def rolling_fingerprint(sf_dir: str, window: int = 16, keep_mod: int = 8) -> ray
                     "pos": pa.array([], pa.int64()),
                 }
             )
+        with np.errstate(over="ignore"):
+            # binv_pow[i] = B^-i ; bpow[j] = B^(w-1+j)   (mod 2^64)
+            binv_pow = np.empty(nb, dtype=np.uint64)
+            binv_pow[0] = np.uint64(1)
+            if nb > 1:
+                np.cumprod(np.full(nb - 1, BINV, dtype=np.uint64), out=binv_pow[1:])
+            s = np.concatenate(
+                [[np.uint64(0)], np.cumsum(buf.astype(np.uint64) * binv_pow, dtype=np.uint64)]
+            )
+            m = nb - window + 1
+            bpow = np.empty(m, dtype=np.uint64)
+            bpow[0] = B ** np.uint64(window - 1)
+            if m > 1:
+                np.cumprod(np.full(m - 1, B, dtype=np.uint64), out=bpow[1:])
+                bpow[1:] *= bpow[0]
+            hs = bpow * (s[window:] - s[:-window])
+        # window must stay inside one doc
+        lens = np.diff(offs)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        inside = doc_of[:m] == doc_of[window - 1 :]
+        sel = inside & ((hs % np.uint64(keep_mod)) == 0)
+        j = np.nonzero(sel)[0]
+        d = doc_of[j]
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_id)),
-                "fingerprint": pa.array(np.concatenate(out_h)),
-                "pos": pa.array(np.concatenate(out_pos)),
+                "doc_id": pa.array(ids[d]),
+                "fingerprint": pa.array(hs[j].astype(np.int64)),
+                "pos": pa.array((j - offs[d]).astype(np.int64)),
             }
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
-def langid_scores(sf_dir: str) -> ray.data.Dataset:
-    """Heuristic n-gram language ID: score each doc against per-lang
-    character-trigram profiles learned from the corpus itself (first
-    pass: profile per labeled lang; second: score).  Returns doc_id,
-    lang (label), lang_pred, agree flag."""
-    import pyarrow.parquet as pq
-    import ray
+# --------------------------------------------------------------------------
+# language ID (distributed profile training + vectorized scoring)
+# --------------------------------------------------------------------------
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
-    texts = tbl["text"].to_numpy(zero_copy_only=False)
-    langs = tbl["lang"].to_numpy(zero_copy_only=False)
-    profiles: dict[str, dict] = {}
-    for lang in np.unique(langs):
-        sub = texts[langs == lang][:200]
-        counts: dict[str, int] = {}
-        for s in sub:
-            for j in range(len(s) - 2):
-                tri = s[j : j + 3]
-                counts[tri] = counts.get(tri, 0) + 1
-        top = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:300])
-        profiles[str(lang)] = top
-    prof_ref = ray.put(profiles)
+LANGID_SAMPLE_MOD = 2  # train on doc_id % MOD == 0 (bounded sample)
+LANGID_TOP = 300
 
-    class Score:
-        def __init__(self):
-            self.profiles = ray.get(prof_ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            texts = t["text"].to_numpy(zero_copy_only=False)
-            preds = []
-            for s in texts:
-                tris = [s[j : j + 3] for j in range(len(s) - 2)]
-                best, best_score = "", -1.0
-                for lang, prof in sorted(self.profiles.items()):
-                    sc = sum(prof.get(tr, 0) for tr in tris) / max(1, len(tris))
-                    if sc > best_score:
-                        best, best_score = lang, sc
-                preds.append(best)
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "lang": t["lang"],
-                    "lang_pred": pa.array(preds),
-                    "agree": pa.array(
-                        [p == l for p, l in zip(preds, t["lang"].to_pylist())]
-                    ),
-                }
-            )
+def _tri_keys_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 char-trigram keys, int64 per-doc counts) for an
+    Arrow string column — vectorized via a padded codepoint matrix
+    (key = c0<<42 | c1<<21 | c2; codepoints < 2^21)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = col.to_numpy(zero_copy_only=False)
+    U = np.asarray(texts, dtype="U")
+    nlen = pc.utf8_length(col).to_numpy().astype(np.int64)
+    ndocs = len(nlen)
+    width = U.dtype.itemsize // 4
+    if ndocs == 0 or width < 3:
+        return np.empty(0, np.uint64), np.zeros(ndocs, np.int64)
+    mat = np.frombuffer(U.tobytes(), dtype=np.uint32).reshape(ndocs, width)
+    key = (
+        (mat[:, :-2].astype(np.uint64) << np.uint64(42))
+        | (mat[:, 1:-1].astype(np.uint64) << np.uint64(21))
+        | mat[:, 2:].astype(np.uint64)
+    )
+    ntris = np.maximum(nlen - 2, 0)
+    valid = np.arange(width - 2)[None, :] < ntris[:, None]
+    return key[valid], ntris
+
+
+def _train_profiles(sf_dir: str) -> dict:
+    """Per-lang top-N trigram profiles from a deterministic bounded
+    sample (doc_id % LANGID_SAMPLE_MOD == 0), trained DISTRIBUTED:
+    per-batch (lang, tri, cnt) partials -> groupby sum -> small
+    driver-side top-N per lang.  Nothing corpus-sized ever reaches the
+    driver — only the aggregated (lang, trigram) counts."""
+    from ray.data.aggregate import Sum
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % LANGID_SAMPLE_MOD == 0))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tri": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        keys, ntris = _tri_keys_flat(sub["text"])
+        langs = sub["lang"].to_numpy(zero_copy_only=False)
+        lang_u, lang_inv = np.unique(langs, return_inverse=True)
+        lang_of_tri = np.repeat(lang_inv, ntris)
+        # sort by (lang, key) and count runs
+        o = np.lexsort((keys, lang_of_tri))
+        ls, ks = lang_of_tri[o], keys[o]
+        new = np.ones(len(ls), dtype=bool)
+        if len(ls) > 1:
+            new[1:] = (ls[1:] != ls[:-1]) | (ks[1:] != ks[:-1])
+        idx = np.nonzero(new)[0]
+        cnt = np.diff(np.concatenate([idx, [len(ls)]]))
+        return pa.table(
+            {
+                "lang": pa.array(lang_u[ls[idx]]),
+                "tri": pa.array(ks[idx].astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "tri"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    profiles: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for lang, g in agg.groupby("lang"):
+        top = g.sort_values(["cnt", "tri"], ascending=[False, True]).head(LANGID_TOP)
+        keys = top["tri"].to_numpy(dtype=np.int64).astype(np.uint64)
+        cnts = top["cnt"].to_numpy(dtype=np.int64)
+        o = np.argsort(keys)
+        profiles[str(lang)] = (keys[o], cnts[o])
+    return profiles
+
+
+def langid_scores(sf_dir: str) -> ray.data.Dataset:
+    """Heuristic n-gram language ID: score each doc against per-lang
+    character-trigram profiles (distributed training pass, then a
+    task-based vectorized scoring pass).  Returns doc_id, lang
+    (label), lang_pred, agree flag."""
+    import ray
+
+    profiles = _train_profiles(sf_dir)
+    lang_names = sorted(profiles)
+    prof_ref = ray.put([profiles[k] for k in lang_names])
+
+    def score(t: pa.Table) -> pa.Table:
+        profs = ray.get(prof_ref)
+        keys, ntris = _tri_keys_flat(t["text"])
+        offs = np.concatenate([[0], np.cumsum(ntris)])
+        scores = np.zeros((len(lang_names), t.num_rows), dtype=np.float64)
+        for li, (pk, pcnt) in enumerate(profs):
+            idx = np.searchsorted(pk, keys)
+            idx_c = np.minimum(idx, len(pk) - 1) if len(pk) else idx
+            hit = (idx < len(pk)) & (pk[idx_c] == keys) if len(pk) else np.zeros(len(keys), bool)
+            vals = np.zeros(len(keys), dtype=np.float64)
+            vals[hit] = pcnt[idx_c[hit]]
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            scores[li] = (csum[offs[1:]] - csum[offs[:-1]]) / np.maximum(ntris, 1)
+        best = np.argmax(scores, axis=0)  # ties -> first (sorted lang order)
+        preds = np.asarray(lang_names, dtype=object)[best]
+        labels = t["lang"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(preds.astype(str)),
+                "agree": pa.array(preds == labels),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -10,7 +10,29 @@ from aerial_conversion_ray.pipelines import text
 @pytest.fixture(scope="module")
 def jaccard(sf_dir):
     df = text.jaccard_pairs(sf_dir, threshold=0.5).to_pandas()
+    if len(df) == 0:  # empty Ray datasets lose their columns in to_pandas
+        return set()
     return {(int(a), int(b)) for a, b in zip(df["a"], df["b"])}
+
+
+def test_jaccard_max_df_matches_sql(sf_dir):
+    """The df-capped path (hot-token broadcast filter + kept-universe
+    sizes) must equal the mirrored SQL exactly."""
+    import duckdb
+
+    got = text.jaccard_pairs(sf_dir, threshold=0.5, max_df=400).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(text.jaccard_pairs_sql(threshold=0.5, max_df=400)).df()
+    ga = sorted(zip(got["a"], got["b"], got["inter"])) if len(got) else []
+    ea = sorted(zip(exp["a"], exp["b"], exp["inter"]))
+    assert ga == ea
+    # and the cap actually bites at this sf (hot tokens exist)
+    uncapped = text.jaccard_pairs(sf_dir, threshold=0.5).to_pandas()
+    assert len(got) < len(uncapped)
 
 
 def test_minhash_deterministic(sf_dir):
