@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from aerial_conversion_ray.config import EngineConfig
+from aerial_conversion_ray.config import EngineConfig, TileGridSpec
 from aerial_conversion_ray.pipelines import (
     coco,
     embeddings,
@@ -29,6 +29,14 @@ from aerial_conversion_ray.pipelines import (
 # Correctness-scale config: rep=20 amplifies the 500-row documents
 # table into 10k pages so joins are non-trivial at sf0.01.
 CFG = EngineConfig(pages_rep=20)
+
+# Overlap-grid config: the reference's default tiling workflow —
+# tile size in MAP UNITS (30 deg -> 600 px at 0.05 deg/px) with 10%
+# overlap padding (aerial_conversion/tiles.py:40-81 quirks).
+OVERLAP_CFG = EngineConfig(
+    grid=TileGridSpec(tile_width=30, tile_height=30, map_units=True, offset=10.0),
+    pages_rep=20,
+)
 
 
 def entry() -> Any:
@@ -67,6 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
         "tile_clip_join": lambda sf: spatial.tile_clip_join(sf, CFG),
+        "tile_clip_join_overlap": lambda sf: spatial.tile_clip_join_overlap(
+            sf, OVERLAP_CFG
+        ),
+        "polygon_clip_join": lambda sf: spatial.polygon_clip_join(sf, CFG),
+        "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
         "knn": lambda sf: spatial.knn_pipeline(sf, CFG, method="brute")
@@ -91,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": text.lang_stats,
         "dedup_exact": text.dedup_exact,
         "jaccard_pairs": text.jaccard_pairs,
+        "jaccard_capped": lambda sf: text.jaccard_pairs(sf, max_df=400),
         "minhash_lsh": text.minhash_lsh_pairs,
         "simhash": text.simhash_fingerprints,
         "rolling_fingerprint": text.rolling_fingerprint,
@@ -98,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search / embeddings --
         "ann_brute": embeddings.ann_brute,
         "ann_lsh": embeddings.ann_lsh,
+        # shuffle-partitioned ANN (no broadcast index): rows-only,
+        # recall vs ann_brute asserted in tests/test_embeddings.py
+        "ann_ivf": embeddings.ann_ivf,
         "embed_dup": embeddings.embed_dup,
         "label_centroids": embeddings.label_centroids,
         # -- reverse path (coco2geojson analog) --
@@ -105,11 +122,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marginal_flags": lambda sf: vectorize.marginal_flags(sf, CFG),
         "zone_envelope": lambda sf: vectorize.zone_envelope(sf, CFG),
         "zone_merge": lambda sf: vectorize.zone_merge(sf, CFG),
+        # marginal-aware merge routing (coco2geojson.py:41-101 analog):
+        # rows-only; exact numpy oracle in tests/test_new_ops.py
+        "zone_merge_routed": lambda sf: vectorize.zone_merge_routed(sf, CFG),
         "regularise": lambda sf: vectorize.regularise(sf, CFG),
         # -- COCO assembly (dense IDs / validator / split / balance) --
         "coco_images": lambda sf: coco.coco_images(sf, CFG),
         "coco_categories": lambda sf: coco.coco_categories(sf, CFG),
         "coco_annotations": lambda sf: coco.coco_annotations(sf, CFG),
+        "coco_roundtrip": lambda sf: coco.coco_roundtrip(sf, CFG),
         "coco_validate": lambda sf: coco.coco_validate(sf, CFG),
         "coco_split": lambda sf: coco.coco_split(sf, CFG),
         "class_stats": lambda sf: coco.class_stats(sf, CFG),
@@ -133,9 +154,12 @@ def oracle_sql() -> dict[str, str]:
         # salted-shuffle plan: same semantics, same oracle
         "tile_point_join_shuffle": sql_oracle.tile_point_join_sql(CFG),
         "tile_clip_join": sql_oracle.tile_clip_join_sql(CFG),
+        "tile_clip_join_overlap": sql_oracle.tile_clip_join_overlap_sql(OVERLAP_CFG),
+        "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
+        "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring: approximate scale path — rows-only check (no SQL);
-        # recall vs brute force asserted in tests/test_knn.py.
+        # recall vs brute force asserted in tests/test_spatial_pipelines.py.
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),
@@ -152,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": text.LANG_STATS_SQL,
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
+        "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
         # minhash_lsh / simhash / rolling_fingerprint / langid:
         # non-SQL-expressible (hash-family / model state) — rows-only;
         # determinism + recall asserted in tests/test_text.py.
@@ -169,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "coco_images": coco.coco_images_sql(CFG),
         "coco_categories": coco.coco_categories_sql(CFG),
         "coco_annotations": coco.coco_annotations_sql(CFG),
+        "coco_roundtrip": coco.coco_annotations_sql(CFG),
         "coco_validate": coco.coco_validate_sql(CFG),
         "coco_split": coco.coco_split_sql(CFG),
         "class_stats": coco.class_stats_sql(CFG),

@@ -25,9 +25,11 @@ def shoelace_area_batch(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     x, y = flat[:, 0], flat[:, 1]
     cross = x * np.roll(y, -1) - y * np.roll(x, -1)
     # fix wrap terms at ring boundaries: the closing edge of polygon p
-    # is (last_p -> first_p), not (last_p -> first_{p+1}).
-    ends = offsets[1:] - 1
-    starts = offsets[:-1]
+    # is (last_p -> first_p), not (last_p -> first_{p+1}); EMPTY rings
+    # must not touch the previous ring's closing term.
+    valid = offsets[1:] > offsets[:-1]
+    ends = offsets[1:][valid] - 1
+    starts = offsets[:-1][valid]
     cross[ends] = x[ends] * y[starts] - y[ends] * x[starts]
     csum = np.concatenate([[0.0], np.cumsum(cross)])
     return 0.5 * np.abs(csum[offsets[1:]] - csum[offsets[:-1]])
@@ -129,6 +131,81 @@ def rect_clip_rect(
     cmaxy = np.minimum(rmaxy, maxy)
     ok = (cminx < cmaxx) & (cminy < cmaxy)
     return cminx, cminy, cmaxx, cmaxy, ok
+
+
+def clip_rings_to_rects(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    rminx: np.ndarray,
+    rminy: np.ndarray,
+    rmaxx: np.ndarray,
+    rmaxy: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BATCHED Sutherland–Hodgman: clip MANY polygon rings, each to its
+    OWN axis-aligned rectangle, fully vectorized (no per-ring Python).
+
+    ``flat`` is (total_vertices, 2) float64, ``offsets`` (n_rings+1)
+    int64 — Arrow list layout, rings open (no repeated last vertex).
+    ``r*`` are per-ring rect bounds.  Returns (flat', offsets') in the
+    same layout; clipped-away rings become empty (offsets'[i] ==
+    offsets'[i+1]).
+
+    Per half-plane pass: the ring-local predecessor index is pure
+    index arithmetic (prev = j-1, ring starts wrap to ring ends), each
+    edge emits 0-2 points (crossing intersection first, then the
+    inside vertex), and emit positions come from one exclusive cumsum
+    — the same flat+offsets segmented-kernel idiom as the text/hash
+    stages.  Semantically identical to :func:`clip_to_rect` per ring
+    (asserted in tests).
+    """
+    V = np.asarray(flat, dtype=np.float64)
+    offs = np.asarray(offsets, dtype=np.int64)
+    for axis, bounds, keep_ge in (
+        (0, rminx, True),
+        (0, rmaxx, False),
+        (1, rminy, True),
+        (1, rmaxy, False),
+    ):
+        n = len(offs) - 1
+        total = len(V)
+        if total == 0:
+            break
+        counts = offs[1:] - offs[:-1]
+        ring_of = np.repeat(np.arange(n), counts)
+        bound_v = np.asarray(bounds, dtype=np.float64)[ring_of]
+        prev_idx = np.arange(total) - 1
+        nonempty = counts > 0
+        prev_idx[offs[:-1][nonempty]] = offs[1:][nonempty] - 1
+        cur = V
+        prev = V[prev_idx]
+        if keep_ge:
+            cur_in = cur[:, axis] >= bound_v
+            prev_in = prev[:, axis] >= bound_v
+        else:
+            cur_in = cur[:, axis] <= bound_v
+            prev_in = prev[:, axis] <= bound_v
+        cross = cur_in != prev_in
+        n_out = cur_in.astype(np.int64) + cross.astype(np.int64)
+        start = np.concatenate([[0], np.cumsum(n_out)[:-1]])
+        m = int(n_out.sum())
+        out = np.empty((m, 2), dtype=np.float64)
+        # crossing intersection point goes first
+        if cross.any():
+            ci = np.nonzero(cross)[0]
+            p, q = prev[ci], cur[ci]
+            b = bound_v[ci]
+            t = (b - p[:, axis]) / (q[:, axis] - p[:, axis])
+            pt = p + t[:, None] * (q - p)
+            pt[:, axis] = b
+            out[start[ci]] = pt
+        # inside current vertex next
+        if cur_in.any():
+            vi = np.nonzero(cur_in)[0]
+            out[start[vi] + cross[vi]] = cur[vi]
+        per_ring = np.bincount(ring_of, weights=n_out, minlength=n).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(per_ring)])
+        V = out
+    return V, offs
 
 
 def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:

@@ -121,26 +121,58 @@ def coco_categories_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+RANK_BUCKET = 4096  # page_ids per annot-id rank bucket (see below)
+
+
+def _bucket_offsets(sf_dir: str, cfg: EngineConfig, images: pd.DataFrame) -> dict:
+    """Global annot-id offset per (image_id, page_id // RANK_BUCKET).
+
+    Skew guard: grouping by image_id alone puts ~20% of the corpus in
+    the hot tile's single group (the synthetic Zipf cell).  Bucketing
+    by fixed page_id ranges splits every image's annotations into
+    groups of <= RANK_BUCKET rows while keeping the global (image,
+    page) order: offsets are one cumsum over the aggregated (image,
+    bucket) counts in that order.  Buckets are pure arithmetic on
+    page_id, so the result is independent of block/batch boundaries."""
+    from ray.data.aggregate import Sum
+
+    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(["tile_id", "page_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bucket=df["page_id"] // RANK_BUCKET)
+        g = df.groupby(["tile_id", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(part, batch_format="pandas")
+        .groupby(["tile_id", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.merge(images[["tile_id", "image_id"]], on="tile_id")
+    counts = counts.sort_values(["image_id", "bucket"], kind="mergesort").reset_index(
+        drop=True
+    )
+    offs = np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]).astype(np.int64)
+    return dict(
+        zip(zip(counts["image_id"].tolist(), counts["bucket"].tolist()), offs.tolist())
+    )
+
+
 def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """Annotation table with dense IDs: image_id / category_id via
-    broadcast maps (built once, read per actor), annot_id via
-    per-image counts -> prefix-sum offsets + in-group rank (streaming
-    dense-ID assignment — no global sort materialization)."""
+    broadcast maps (built once, read per task), annot_id via
+    (image, page-bucket) counts -> one global prefix sum -> in-group
+    rank.  Streaming dense-ID assignment with NO global sort and NO
+    fat group: the groupby key is (image_id, bucket), so the hot tile
+    never forms a single 20%-of-data group (cf. the zone_merge
+    skew-proof paint)."""
     import ray
 
     images = _images_df(sf_dir, cfg)
     cats = coco_categories(sf_dir, cfg)
     img_map = dict(zip(images["tile_id"], images["image_id"]))
-    # prefix-sum offsets in image_id order
-    images = images.sort_values("image_id", kind="mergesort")
-    offsets = dict(
-        zip(
-            images["image_id"],
-            np.concatenate([[0], np.cumsum(images["n_ann"].to_numpy())[:-1]]).astype(
-                np.int64
-            ),
-        )
-    )
+    offsets = _bucket_offsets(sf_dir, cfg, images)
     cat_map = dict(zip(cats["lang"], cats["category_id"]))
     img_ref = ray.put(img_map)
     off_ref = ray.put(offsets)
@@ -158,14 +190,17 @@ def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
         cat = ray.get(cat_ref)
         df["image_id"] = df["tile_id"].map(img).astype(np.int64)
         df["category_id"] = df["lang"].map(cat).astype(np.int64)
+        df["bucket"] = (df["page_id"] // RANK_BUCKET).astype(np.int64)
         return df
 
     ds = ds.map_batches(attach, batch_format="pandas")
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        # one group per image_id: rank by page_id + global offset
+        # one group per (image_id, bucket): rank by page_id + offset
         df = df.sort_values("page_id", kind="mergesort").reset_index(drop=True)
-        off = offsets[int(df["image_id"].iloc[0])]
+        off = ray.get(off_ref)[
+            (int(df["image_id"].iloc[0]), int(df["bucket"].iloc[0]))
+        ]
         df["annot_id"] = off + np.arange(len(df), dtype=np.int64)
         df["area"] = (df["bbox_w"] * df["bbox_h"]).astype(np.int64)
         df["iscrowd"] = np.zeros(len(df), dtype=np.int64)
@@ -184,7 +219,7 @@ def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
             ]
         ]
 
-    return ds.groupby("image_id").map_groups(assign, batch_format="pandas")
+    return ds.groupby(["image_id", "bucket"]).map_groups(assign, batch_format="pandas")
 
 
 def coco_annotations_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
@@ -198,6 +233,118 @@ def coco_annotations_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "cast(c.bbox_w * c.bbox_h as bigint) as area, cast(0 as bigint) as iscrowd "
         "from clipjoin c join images i using (tile_id) join cats k using (lang)"
     )
+
+
+def to_coco_json(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, path: str | None = None) -> str:
+    """Driver-side COCO JSON collector (S4, the reference's primary
+    artifact: ``aerial_conversion/coco.py:32-57`` writer shape,
+    validated keys per ``COCO_validator.py:58``).  images/categories
+    are grid-bounded small tables; annotations STREAM to the file via
+    ``iter_batches`` (never materialized as one Python list of dicts).
+    Returns the path written."""
+    import json
+    import tempfile
+
+    images = _images_df(sf_dir, cfg)
+    cats = coco_categories(sf_dir, cfg)
+    anns = coco_annotations(sf_dir, cfg)
+    if path is None:
+        path = tempfile.mkstemp(prefix="coco_", suffix=".json")[1]
+
+    with open(path, "w") as fh:
+        fh.write('{"type": "instances", "licenses": [{"id": 0, "name": ""}], ')
+        fh.write('"info": {"description": "aerial_conversion_ray export"}, ')
+        fh.write('"images": ')
+        img_recs = [
+            {
+                "license": 0,
+                "file_name": f"{r.tile_id}.png",
+                "height": int(r.height),
+                "width": int(r.width),
+                "id": int(r.image_id),
+            }
+            for r in images.itertuples()
+        ]
+        json.dump(img_recs, fh)
+        fh.write(', "categories": ')
+        cat_recs = [
+            {"supercategory": "lang", "id": int(r.category_id), "name": str(r.lang)}
+            for r in cats.itertuples()
+        ]
+        json.dump(cat_recs, fh)
+        fh.write(', "annotations": [')
+        first = True
+        for b in anns.iter_batches(batch_size=8192, batch_format="pandas"):
+            for r in b.itertuples():
+                x, y, w, h = int(r.bbox_x), int(r.bbox_y), int(r.bbox_w), int(r.bbox_h)
+                rec = {
+                    "segmentation": [x, y, x + w, y, x + w, y + h, x, y + h],
+                    "area": int(r.area),
+                    "iscrowd": int(r.iscrowd),
+                    "image_id": int(r.image_id),
+                    "bbox": [x, y, w, h],
+                    "category_id": int(r.category_id),
+                    "id": int(r.annot_id),
+                    "page_id": int(r.page_id),
+                }
+                fh.write(("" if first else ", ") + json.dumps(rec))
+                first = False
+        fh.write("]}")
+    return path
+
+
+def read_coco_json(path: str) -> dict[str, pa.Table]:
+    """COCO JSON reader (S3, ``aerial_conversion/coco.py:314-327``):
+    one nested document -> three columnar Arrow tables matching the
+    engine's native schemas."""
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    images = pa.table(
+        {
+            "tile_id": pa.array([i["file_name"].removesuffix(".png") for i in doc["images"]]),
+            "width": pa.array([int(i["width"]) for i in doc["images"]], pa.int64()),
+            "height": pa.array([int(i["height"]) for i in doc["images"]], pa.int64()),
+            "image_id": pa.array([int(i["id"]) for i in doc["images"]], pa.int64()),
+        }
+    )
+    cats = pa.table(
+        {
+            "lang": pa.array([c["name"] for c in doc["categories"]]),
+            "category_id": pa.array([int(c["id"]) for c in doc["categories"]], pa.int64()),
+        }
+    )
+    a = doc["annotations"]
+    anns = pa.table(
+        {
+            "annot_id": pa.array([int(r["id"]) for r in a], pa.int64()),
+            "image_id": pa.array([int(r["image_id"]) for r in a], pa.int64()),
+            "category_id": pa.array([int(r["category_id"]) for r in a], pa.int64()),
+            "page_id": pa.array([int(r["page_id"]) for r in a], pa.int64()),
+            "bbox_x": pa.array([int(r["bbox"][0]) for r in a], pa.int64()),
+            "bbox_y": pa.array([int(r["bbox"][1]) for r in a], pa.int64()),
+            "bbox_w": pa.array([int(r["bbox"][2]) for r in a], pa.int64()),
+            "bbox_h": pa.array([int(r["bbox"][3]) for r in a], pa.int64()),
+            "area": pa.array([int(r["area"]) for r in a], pa.int64()),
+            "iscrowd": pa.array([int(r["iscrowd"]) for r in a], pa.int64()),
+        }
+    )
+    return {"images": images, "categories": cats, "annotations": anns}
+
+
+def coco_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pa.Table:
+    """Emit the COCO JSON document and read it back: the returned
+    annotations table must equal ``coco_annotations`` exactly (the
+    reference's write->read round trip, gated against the same SQL
+    oracle)."""
+    import os
+
+    path = to_coco_json(sf_dir, cfg)
+    try:
+        return read_coco_json(path)["annotations"]
+    finally:
+        os.unlink(path)
 
 
 def coco_validate(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFrame:

@@ -16,10 +16,11 @@ float64 cosine in BOTH engines, so summation-order ulp noise can never
 flip a rank or a threshold test (same trick as functions/fixedpoint.py
 for money columns).
 
-At 10^12-row scale the broadcast index matrix becomes per-cell IVF
-shards (partition vectors by coarse LSH bucket, shuffle queries to
-their probe buckets); ``ann_lsh`` is the single-node expression of
-that plan — the bucket id IS the partition key.
+At 10^12-row scale the broadcast index matrix is replaced by
+``ann_ivf``: vectors partitioned into coarse LSH-bucket shards, the
+queries shuffled to their probe buckets, one groupby co-locating each
+shard with its probers — no task ever holds more than one shard.
+``ann_lsh`` remains the broadcast-index single-node variant.
 """
 
 from __future__ import annotations
@@ -116,9 +117,15 @@ class BruteCosine:
         sims = qmat @ self.mat.T  # (nq, n)
         sims[qids[:, None] == self.ids[None, :]] = -np.inf  # exclude self
         k = min(self.k, sims.shape[1] - 1)
-        part = np.argpartition(-sims, k, axis=1)[:, : k + 1]
-        rows = np.repeat(np.arange(len(qids)), part.shape[1])
-        cols = part.ravel()
+        # preselect every candidate that could tie the k-th FIXED-POINT
+        # value: sim_e9 quantizes at 1e-9, so any neighbor within 2e-9
+        # of the k-th raw similarity may round to a tying sim_e9 —
+        # admitting them all lets _topk_table's (sim_e9 desc,
+        # neighbor_id asc) rank reproduce the oracle's row_number order
+        # deterministically (a bare top-(k+1) argpartition can admit a
+        # different neighbor than SQL's lowest-id tie-break).
+        kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
+        rows, cols = np.nonzero(sims >= (kth - 2e-9)[:, None])
         sv = sims[rows, cols]
         fin = np.isfinite(sv)
         return _topk_table(
@@ -216,6 +223,151 @@ def ann_lsh(sf_dir: str, k: int = K, query_mod: int = QUERY_MOD) -> ray.data.Dat
         batch_size=1024,
         concurrency=_pool_size(),
     )
+
+
+IVF_TABLES = 4        # index replication factor (standard LSH tradeoff)
+IVF_BITS = 4          # 2^4 = 16 shards per table
+IVF_SEED = 4242
+
+
+def _ivf_planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(IVF_SEED).standard_normal(
+        (IVF_TABLES, IVF_BITS, dim)
+    )
+
+
+def _ivf_buckets(mat: np.ndarray) -> np.ndarray:
+    """Per-table shard key with the table id folded in: (n, T) int64
+    ``table * 2^B + bucket`` — globally unique shuffle keys."""
+    planes = _ivf_planes(mat.shape[1])
+    bits = (np.einsum("tbd,nd->tnb", planes, mat) > 0).astype(np.int64)
+    bucket = (bits << np.arange(IVF_BITS, dtype=np.int64)[None, None, :]).sum(axis=2)
+    return (np.arange(IVF_TABLES, dtype=np.int64)[:, None] << IVF_BITS) | bucket
+
+
+def ann_ivf(
+    sf_dir: str, k: int = K, query_mod: int = QUERY_MOD
+) -> ray.data.Dataset:
+    """SHUFFLE-partitioned ANN — the 10^12-row plan with NO broadcast
+    index matrix (the module-docstring promise, delivered):
+
+    1. index vectors are bucketed into IVF_TABLES independent
+       random-hyperplane tables of IVF_BITS bits each (the standard
+       multi-table LSH recall/replication tradeoff: index replicated
+       T times, each shard = n / 2^B vectors); the (table, bucket)
+       key IS the partition key;
+    2. queries fan out per table to their own bucket plus every
+       single-bit-flip bucket (deterministic multi-probe) — Hamming-1
+       shards hold the near neighbors on the far side of one
+       hyperplane;
+    3. ONE ``groupby(bucket)`` co-locates each shard with the queries
+       probing it; per group a single vectorized matmul emits local
+       top-k candidates;
+    4. a final 64-bucket groupby merges per-query candidates
+       (dedupe + fixed-point lexsort top-k).
+
+    Approximate (recall vs ``ann_brute`` asserted in tests, ~0.9 on
+    the random-vector worst case); memory per task is one SHARD, not
+    the whole index."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag_index(t: pa.Table) -> pa.Table:
+        ids, mat = _matrix(t)
+        keys = _ivf_buckets(mat)  # (T, n)
+        n = len(ids)
+        rep = pa.array(np.tile(np.arange(n), IVF_TABLES))
+        rep_t = t.take(rep)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.reshape(-1)),
+                "side": pa.array(np.zeros(n * IVF_TABLES, dtype=np.int64)),
+                "vec_id": rep_t["vec_id"],
+                "embedding": rep_t["embedding"],
+            }
+        )
+
+    def tag_queries(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(v % query_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], sub["embedding"].type),
+                }
+            )
+        ids, mat = _matrix(sub)
+        keys = _ivf_buckets(mat)  # (T, n)
+        # probes per table: exact bucket + each single-bit flip
+        probes = [keys] + [keys ^ (1 << b) for b in range(IVF_BITS)]
+        bucket = np.concatenate([p.reshape(-1) for p in probes])
+        nprobe = len(probes) * IVF_TABLES
+        rep = pa.array(np.tile(np.arange(sub.num_rows), nprobe))
+        rep_t = sub.take(rep)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "side": pa.array(np.ones(len(bucket), dtype=np.int64)),
+                "vec_id": rep_t["vec_id"],
+                "embedding": rep_t["embedding"],
+            }
+        )
+
+    tagged = ds.map_batches(tag_index, batch_format="pyarrow").union(
+        ds.map_batches(tag_queries, batch_format="pyarrow")
+    )
+
+    def shard_topk(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy()
+        idx_t = t.filter(pa.array(side == 0))
+        q_t = t.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim_e9": pa.array([], pa.int64()),
+                "qbucket": pa.array([], pa.int64()),
+            }
+        )
+        if idx_t.num_rows == 0 or q_t.num_rows == 0:
+            return empty
+        iids, imat = _matrix(idx_t.select(["vec_id", "embedding"]))
+        qids, qmat = _matrix(q_t.select(["vec_id", "embedding"]))
+        sims = qmat @ imat.T
+        sims[qids[:, None] == iids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = part.ravel()
+        sv = sims[rows, cols]
+        fin = np.isfinite(sv)
+        qq, nn = qids[rows[fin]], iids[cols[fin]]
+        return pa.table(
+            {
+                "query_id": pa.array(qq),
+                "neighbor_id": pa.array(nn),
+                "sim_e9": pa.array(_sim_e9(sv[fin])),
+                "qbucket": pa.array(qq % 64),
+            }
+        )
+
+    cands = tagged.groupby("bucket").map_groups(shard_topk, batch_format="pyarrow")
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["query_id"].to_numpy(np.int64)
+        n = df["neighbor_id"].to_numpy(np.int64)
+        s = df["sim_e9"].to_numpy(np.int64)
+        # dedupe (query, neighbor) found via multiple probes
+        o = np.lexsort((n, q))
+        q, n, s = q[o], n[o], s[o]
+        keep = np.ones(len(q), dtype=bool)
+        if len(q) > 1:
+            keep[1:] = (q[1:] != q[:-1]) | (n[1:] != n[:-1])
+        return _topk_table(q[keep], n[keep], s[keep], k).to_pandas()
+
+    return cands.groupby("qbucket").map_groups(merge_topk, batch_format="pandas")
 
 
 def ann_brute_sql(k: int = K, query_mod: int = QUERY_MOD) -> str:

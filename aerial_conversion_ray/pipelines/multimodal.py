@@ -33,6 +33,7 @@ import ray.data
 
 from ..config import EngineConfig
 from ..sources.pages import pages_dataset
+from ..util import pool_size
 
 DEFAULT_CFG = EngineConfig()
 
@@ -99,24 +100,20 @@ class DecodeStub:
         # real version: load codec / model here, once per actor
         self.table = np.arange(256, dtype=np.float64)
 
-    def _decode(self, buf: np.ndarray) -> dict:
-        # STUB for: pixels = Image.open(BytesIO(buf)) ...
-        return {
-            "mean_byte": float(self.table[buf].mean()) if len(buf) else 0.0,
-            "max_byte": int(buf.max()) if len(buf) else 0,
-        }
-
     def __call__(self, t: pa.Table) -> pa.Table:
-        col = t["html"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        bufs = col.to_pylist()
-        means = np.empty(len(bufs), dtype=np.float64)
-        maxs = np.empty(len(bufs), dtype=np.int64)
-        for i, b in enumerate(bufs):
-            d = self._decode(np.frombuffer(b, dtype=np.uint8))
-            means[i] = d["mean_byte"]
-            maxs[i] = d["max_byte"]
+        # STUB for: pixels = Image.open(BytesIO(buf)) ... — byte
+        # statistics over the batch's FLAT buffer (zero-copy Arrow,
+        # segmented integer cumsum + reduceat; no per-blob Python).
+        from .text import _string_buffer
+
+        buf, offs = _string_buffer(t["html"])
+        lens = np.diff(offs)  # html wrapper bytes -> every blob nonempty
+        csum = np.concatenate([[0], np.cumsum(buf, dtype=np.int64)])
+        sums = csum[offs[1:]] - csum[offs[:-1]]
+        # integer byte sums are exact in float64, so sums/lens equals
+        # numpy's buf.mean() bit-for-bit (the test oracle)
+        means = sums / lens
+        maxs = np.maximum.reduceat(buf, offs[:-1]).astype(np.int64)
         return pa.table(
             {
                 "page_id": t["page_id"],
@@ -131,41 +128,45 @@ def decode_stub(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Datase
         DecodeStub,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH,
-        concurrency=2,
+        concurrency=pool_size(),
     )
 
 
 def frame_sample(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """1->N frame expansion: every FRAME_STRIDE-th FRAME_BYTES block
-    of the blob becomes a frame row with an FNV-1a content hash
-    (video frame-sampling plumbing; the real version decodes actual
-    frames inside the same expansion shape)."""
+    of the blob becomes a frame row with a deterministic polynomial
+    content hash (video frame-sampling plumbing; the real version
+    decodes actual frames inside the same expansion shape)."""
 
     def expand(t: pa.Table) -> pa.Table:
-        col = t["html"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        bufs = col.to_pylist()
+        from .text import _poly_hash_segments, _string_buffer
+
+        buf, offs = _string_buffer(t["html"])
         pids = t["page_id"].to_numpy(zero_copy_only=False)
-        out_pid, out_idx, out_hash = [], [], []
-        for pid, b in zip(pids, bufs):
-            n_blocks = len(b) // FRAME_BYTES + 1
-            for fi in range(0, n_blocks, FRAME_STRIDE):
-                chunk = np.frombuffer(
-                    b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES], dtype=np.uint8
-                )
-                h = np.uint64(14695981039346656037)
-                with np.errstate(over="ignore"):
-                    for byte in chunk.astype(np.uint64):
-                        h = (h ^ byte) * np.uint64(1099511628211)
-                out_pid.append(pid)
-                out_idx.append(fi)
-                out_hash.append(np.int64(h.astype(np.int64)))
+        lens = np.diff(offs)
+        n_blocks = lens // FRAME_BYTES + 1
+        q = -(-n_blocks // FRAME_STRIDE)  # frames per blob (ceil)
+        total = int(q.sum())
+        blob = np.repeat(np.arange(len(pids)), q)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(q)[:-1]]), q
+        )
+        fi = within * FRAME_STRIDE
+        starts = offs[:-1][blob] + fi * FRAME_BYTES
+        ends = np.minimum(starts + FRAME_BYTES, offs[1:][blob])
+        # gather the (non-adjacent) frame byte ranges into one flat
+        # buffer, then one segmented polynomial hash — no per-frame
+        # Python, no per-byte loop
+        seg_len = ends - starts
+        g_offs = np.concatenate([[0], np.cumsum(seg_len)])
+        pos = np.arange(int(seg_len.sum())) - np.repeat(g_offs[:-1], seg_len)
+        gathered = buf[np.repeat(starts, seg_len) + pos]
+        hashes = _poly_hash_segments(gathered, g_offs)
         return pa.table(
             {
-                "page_id": pa.array(np.array(out_pid, dtype=np.int64)),
-                "frame_idx": pa.array(np.array(out_idx, dtype=np.int64)),
-                "frame_hash": pa.array(np.array(out_hash, dtype=np.int64)),
+                "page_id": pa.array(pids[blob]),
+                "frame_idx": pa.array(fi.astype(np.int64)),
+                "frame_hash": pa.array(hashes.astype(np.int64)),
             }
         )
 
@@ -184,15 +185,15 @@ class MediaEmbedStub:
         self.w = rng.standard_normal((256, dim))
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        col = t["html"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        bufs = col.to_pylist()
-        hist = np.zeros((len(bufs), 256), dtype=np.float64)
-        for i, b in enumerate(bufs):
-            arr = np.frombuffer(b, dtype=np.uint8)
-            if len(arr):
-                hist[i] = np.bincount(arr, minlength=256) / len(arr)
+        from .text import _string_buffer
+
+        buf, offs = _string_buffer(t["html"])
+        lens = np.diff(offs)
+        n = len(lens)
+        blob = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # per-blob byte histogram in ONE bincount over (blob, byte) keys
+        flat = np.bincount(blob * 256 + buf, minlength=n * 256)
+        hist = flat.reshape(n, 256).astype(np.float64) / np.maximum(lens, 1)[:, None]
         emb = hist @ self.w
         # scalar columns (e0..e15) rather than list<float>: the
         # driver's value-hash canonicalization sorts rows by every
@@ -210,5 +211,5 @@ def media_embed_stub(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
         MediaEmbedStub,
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH,
-        concurrency=2,
+        concurrency=pool_size(),
     )

@@ -28,6 +28,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.fixedpoint import to_fixed
 from ..sources.pages import read_table
+from ..util import pool_size
 
 
 # --------------------------------------------------------------------------
@@ -191,7 +192,7 @@ def region_revenue(sf_dir: str) -> ray.data.Dataset:
             out = batch.groupby("r_name", as_index=False)["revenue_c"].sum()
             return out
 
-    partials = ds.map_batches(JoinDims, batch_format="pandas", concurrency=2)
+    partials = ds.map_batches(JoinDims, batch_format="pandas", concurrency=pool_size())
     agg = partials.groupby("r_name").aggregate(Sum("revenue_c", alias_name="revenue_c"))
 
     def finish(t: pa.Table) -> pa.Table:

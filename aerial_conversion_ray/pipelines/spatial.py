@@ -208,6 +208,165 @@ def _clip_schema_empty(t: pa.Table) -> pa.Table:
     return out
 
 
+class FootprintTileClipOverlap:
+    """Clip join against the OVERLAPPING tile grid — the reference's
+    signature tiling with ``offset`` padding and map-units conversion
+    (``aerial_conversion/tiles.py:40-81`` quirks, reproduced by
+    ``geo/tiles.py:grid_windows``; exercised by the reference's
+    default workflow, ``scripts/geojson2coco.py:195``).
+
+    Each footprint rect joins to EVERY padded window it intersects.
+    Candidates are corner-key arithmetic (corner stride = unpadded
+    tile size) over a bounded ring: padding extends a window at most
+    ``ceil((TILE_W + off_w) / tw)`` corners left/up, so the ring size
+    is a config constant — vectorized masked passes, NO shuffle, no
+    spatial index.  SQL mirror: ``sql_oracle.tile_clip_join_overlap_sql``.
+    """
+
+    def __init__(self, cfg: EngineConfig):
+        self.raster = cfg.raster
+        g = cfg.grid
+        tw, th = g.tile_width, g.tile_height
+        if g.map_units:
+            if self.raster.transform[1] != 0 or self.raster.transform[3] != 0:
+                raise ValueError("map_units requires an axis-aligned transform")
+            cell_x = self.raster.transform[0]
+            tw = int(tw / cell_x + 0.5)
+            th = int(th / cell_x + 0.5)  # reference uses cell_x for BOTH axes
+        self.tw, self.th = tw, th
+        self.off_w = int(tw * g.offset / 100)
+        self.off_h = int(th * g.offset / 100)
+        self.TILE_W = min(tw + self.off_w * 2, self.raster.ncols)
+        self.TILE_H = min(th + self.off_h * 2, self.raster.nrows)
+        # ring: how many corner strides a padded window can reach back
+        self.dmax_x = -(-(self.TILE_W + self.off_w) // tw)
+        self.dmax_y = -(-(self.TILE_H + self.off_h) // th)
+
+    def _window(self, cc: np.ndarray, rc: np.ndarray):
+        """grid_windows arithmetic for candidate corners (vectorized)."""
+        r = self.raster
+        w = np.where(
+            cc == 0,
+            min(self.TILE_W + self.off_w, r.ncols),
+            min(self.TILE_W + self.off_w * 2, r.ncols),
+        )
+        h = np.where(
+            rc == 0,
+            min(self.TILE_H + self.off_h, r.nrows),
+            min(self.TILE_H + self.off_h * 2, r.nrows),
+        )
+        col_off = np.maximum(0, cc - self.off_w)
+        row_off = np.maximum(0, rc - self.off_h)
+        w = np.minimum(col_off + w, r.ncols) - col_off
+        h = np.minimum(row_off + h, r.nrows) - row_off
+        return col_off, row_off, w, h
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        r = self.raster
+        a, _, c, _, e, f = r.transform
+        tw, th = self.tw, self.th
+        n_tx = -(-r.ncols // tw)
+        n_ty = -(-r.nrows // th)
+
+        minx = t["fp_minx"].to_numpy()
+        miny = t["fp_miny"].to_numpy()
+        maxx = t["fp_maxx"].to_numpy()
+        maxy = t["fp_maxy"].to_numpy()
+        k0 = np.floor((minx - c) / a).astype(np.int64) // tw
+        j0 = np.floor((maxy - f) / e).astype(np.int64) // th
+
+        parts = []
+        for dx in range(-self.dmax_x, 2):
+            for dy in range(-self.dmax_y, 2):
+                kx = k0 + dx
+                ky = j0 + dy
+                m = (kx >= 0) & (ky >= 0) & (kx < n_tx) & (ky < n_ty)
+                if not m.any():
+                    continue
+                idx = np.nonzero(m)[0]
+                cc = kx[m] * tw
+                rc = ky[m] * th
+                col_off, row_off, w, h = self._window(cc, rc)
+                tminx = c + a * col_off.astype(np.float64)
+                tmaxx = c + a * (col_off + w).astype(np.float64)
+                tmaxy = f + e * row_off.astype(np.float64)
+                tminy = f + e * (row_off + h).astype(np.float64)
+                cminx = np.maximum(minx[idx], tminx)
+                cminy = np.maximum(miny[idx], tminy)
+                cmaxx = np.minimum(maxx[idx], tmaxx)
+                cmaxy = np.minimum(maxy[idx], tmaxy)
+                ok = (cminx < cmaxx) & (cminy < cmaxy)
+                if not ok.any():
+                    continue
+                parts.append(
+                    (
+                        idx[ok],
+                        col_off[ok],
+                        row_off[ok],
+                        w[ok],
+                        h[ok],
+                        cminx[ok],
+                        cminy[ok],
+                        cmaxx[ok],
+                        cmaxy[ok],
+                    )
+                )
+        if not parts:
+            return _overlap_schema_empty(t)
+        idx, coff, roff, w, h, cminx, cminy, cmaxx, cmaxy = (
+            np.concatenate([p[i] for p in parts]) for i in range(9)
+        )
+        tx = c + a * coff.astype(np.float64)
+        ty = f + e * roff.astype(np.float64)
+        px0 = np.floor((cminx - tx) / a).astype(np.int64)
+        px1 = np.floor((cmaxx - tx) / a).astype(np.int64)
+        py0 = np.floor((cmaxy - ty) / e).astype(np.int64)
+        py1 = np.floor((cminy - ty) / e).astype(np.int64)
+        out = t.take(pa.array(idx))
+        for name, arr in (
+            ("tile_id", _tile_id_arrow(coff, roff)),
+            ("col_off", coff),
+            ("row_off", roff),
+            ("tile_w", w),
+            ("tile_h", h),
+            ("clip_minx", cminx),
+            ("clip_miny", cminy),
+            ("clip_maxx", cmaxx),
+            ("clip_maxy", cmaxy),
+            ("bbox_x", px0),
+            ("bbox_y", py0),
+            ("bbox_w", px1 - px0),
+            ("bbox_h", py1 - py0),
+            ("clip_area", (cmaxx - cminx) * (cmaxy - cminy)),
+        ):
+            out = out.append_column(
+                name, arr if isinstance(arr, pa.Array) else pa.array(arr)
+            )
+        return out
+
+
+def _overlap_schema_empty(t: pa.Table) -> pa.Table:
+    out = t.slice(0, 0)
+    for name, typ in (
+        ("tile_id", pa.string()),
+        ("col_off", pa.int64()),
+        ("row_off", pa.int64()),
+        ("tile_w", pa.int64()),
+        ("tile_h", pa.int64()),
+        ("clip_minx", pa.float64()),
+        ("clip_miny", pa.float64()),
+        ("clip_maxx", pa.float64()),
+        ("clip_maxy", pa.float64()),
+        ("bbox_x", pa.int64()),
+        ("bbox_y", pa.int64()),
+        ("bbox_w", pa.int64()),
+        ("bbox_h", pa.int64()),
+        ("clip_area", pa.float64()),
+    ):
+        out = out.append_column(name, pa.array([], type=typ))
+    return out
+
+
 # --------------------------------------------------------------------------
 # pipelines
 # --------------------------------------------------------------------------
@@ -240,6 +399,173 @@ def tile_clip_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dat
     ds = geocode_pipeline(sf_dir, cfg)
     return ds.map_batches(
         FootprintTileClip(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+AREA_SCALE = 1_000_000_000.0
+
+
+class PolygonTileClip:
+    """TRUE-polygon clip join (non-rect footprints): each page's
+    deterministic triangle footprint — right isoceles, legs on the
+    footprint rect's min edges, side s = min(w, h) — is clipped to
+    every intersecting tile with the BATCHED Sutherland–Hodgman kernel
+    (``geo/polygon.py:clip_rings_to_rects``).  This is the reference's
+    arbitrary-polygon ``gpd.clip`` + explode semantics
+    (``aerial_conversion/coordinates.py:170-203``) without the
+    axis-aligned-rect shortcut; candidates stay key arithmetic, the
+    clip itself is flat-rings + offsets vectorized numpy (no per-ring
+    Python).  Output: (page_id, tile_id, n_clip_vertices,
+    clip_area_e9), rows with positive clipped area only.  SQL mirror:
+    closed-form rect∩triangle area by half-plane inclusion-exclusion
+    (``sql_oracle.polygon_clip_join_sql``)."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.raster = cfg.raster
+        self.grid = cfg.grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..geo.polygon import clip_rings_to_rects, shoelace_area_batch
+
+        r, g = self.raster, self.grid
+        a, _, c, _, e, f = r.transform
+        tw, th = g.tile_width, g.tile_height
+        n_tx = -(-r.ncols // tw)
+        n_ty = -(-r.nrows // th)
+
+        x0 = t["fp_minx"].to_numpy()
+        y0 = t["fp_miny"].to_numpy()
+        s = np.minimum(
+            t["fp_maxx"].to_numpy() - x0, t["fp_maxy"].to_numpy() - y0
+        )
+        x1 = x0 + s
+        y1 = y0 + s
+
+        # candidate tiles of the triangle bbox (<= 2x2, key arithmetic)
+        c0 = np.floor((x0 - c) / a).astype(np.int64)
+        c1 = np.floor((x1 - c) / a).astype(np.int64)
+        r0 = np.floor((y1 - f) / e).astype(np.int64)
+        r1 = np.floor((y0 - f) / e).astype(np.int64)
+        ix0, ix1 = c0 // tw, c1 // tw
+        iy0, iy1 = r0 // th, r1 // th
+        idx_p, co_p, ro_p = [], [], []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                ix = ix0 + dx
+                iy = iy0 + dy
+                m = (ix <= ix1) & (iy <= iy1) & (ix >= 0) & (iy >= 0)
+                m &= (ix < n_tx) & (iy < n_ty)
+                if m.any():
+                    idx_p.append(np.nonzero(m)[0])
+                    co_p.append(ix[m] * tw)
+                    ro_p.append(iy[m] * th)
+        if not idx_p:
+            return _poly_clip_empty()
+        idx = np.concatenate(idx_p)
+        coff = np.concatenate(co_p)
+        roff = np.concatenate(ro_p)
+        t_w = np.minimum(coff + tw, r.ncols) - coff
+        t_h = np.minimum(roff + th, r.nrows) - roff
+        tminx = c + a * coff.astype(np.float64)
+        tmaxx = c + a * (coff + t_w).astype(np.float64)
+        tmaxy = f + e * roff.astype(np.float64)
+        tminy = f + e * (roff + t_h).astype(np.float64)
+
+        # rings: one triangle per candidate pair, flat layout
+        n = len(idx)
+        verts = np.empty((n, 3, 2), dtype=np.float64)
+        verts[:, 0, 0] = x0[idx]
+        verts[:, 0, 1] = y0[idx]
+        verts[:, 1, 0] = x1[idx]
+        verts[:, 1, 1] = y0[idx]
+        verts[:, 2, 0] = x0[idx]
+        verts[:, 2, 1] = y1[idx]
+        offs = np.arange(n + 1, dtype=np.int64) * 3
+        V, O = clip_rings_to_rects(
+            verts.reshape(-1, 2), offs, tminx, tminy, tmaxx, tmaxy
+        )
+        areas = shoelace_area_batch(V, O)
+        area_e9 = np.floor(areas * AREA_SCALE + 0.5).astype(np.int64)
+        nvert = (O[1:] - O[:-1]).astype(np.int64)
+        keep = area_e9 > 0
+        pid = t["page_id"].to_numpy(zero_copy_only=False)[idx]
+        return pa.table(
+            {
+                "page_id": pa.array(pid[keep]),
+                "tile_id": _tile_id_arrow(coff[keep], roff[keep]),
+                "n_clip_vertices": pa.array(nvert[keep]),
+                "clip_area_e9": pa.array(area_e9[keep]),
+            }
+        )
+
+
+def _poly_clip_empty() -> pa.Table:
+    return pa.table(
+        {
+            "page_id": pa.array([], pa.int64()),
+            "tile_id": pa.array([], pa.string()),
+            "n_clip_vertices": pa.array([], pa.int64()),
+            "clip_area_e9": pa.array([], pa.int64()),
+        }
+    )
+
+
+def polygon_clip_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Triangle footprint x tile clip join via batched Sutherland–
+    Hodgman (the non-rect polygon path)."""
+    ds = geocode_pipeline(sf_dir, cfg)
+    return ds.map_batches(
+        PolygonTileClip(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+def tile_clip_join_overlap(sf_dir: str, cfg: EngineConfig) -> ray.data.Dataset:
+    """Footprint-vs-OVERLAPPING-tile clip join (offset/map_units grid,
+    the reference's default tiling workflow)."""
+    ds = geocode_pipeline(sf_dir, cfg)
+    return ds.map_batches(
+        FootprintTileClipOverlap(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+
+
+def wkb_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Geometry-typed output (S5/GeoJSON-writer analog): footprint
+    rects travel as a WKB ``binary`` column (``geo/wkb.py``, the
+    GeoParquet convention, readable by DuckDB-spatial/GeoPandas) and
+    are decoded back in the next stage — bounds round-trip exactly
+    because WKB preserves float64 bits.  Oracle: the decoded bounds
+    equal the geocode footprint directly."""
+    from ..geo.wkb import decode_rects, encode_rects
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy"]
+    )
+
+    def enc(t: pa.Table) -> pa.Table:
+        wkb = encode_rects(
+            t["fp_minx"].to_numpy(),
+            t["fp_miny"].to_numpy(),
+            t["fp_maxx"].to_numpy(),
+            t["fp_maxy"].to_numpy(),
+        )
+        return pa.table(
+            {"page_id": t["page_id"], "geometry_wkb": pa.array(wkb, pa.binary())}
+        )
+
+    def dec(t: pa.Table) -> pa.Table:
+        minx, miny, maxx, maxy = decode_rects(t["geometry_wkb"].to_pylist())
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "fp_minx": pa.array(minx),
+                "fp_miny": pa.array(miny),
+                "fp_maxx": pa.array(maxx),
+                "fp_maxy": pa.array(maxy),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=cfg.batch_size).map_batches(
+        dec, batch_format="pyarrow", batch_size=cfg.batch_size
     )
 
 
@@ -281,12 +607,21 @@ def tile_point_join_shuffle(
     2. cells with count > hot_factor x mean are HOT: their rows get
        ``salt = page_id % salt_buckets``, splitting the hot group into
        ``salt_buckets`` shuffle partitions; cold cells keep salt 0;
-    3. ``groupby(cell_r7, salt)`` shuffle -> per-group vectorized
-       tile assignment; salt is dropped on emit (unsalt).
+    3. ``groupby(hilbert_key, salt)`` shuffle — the HILBERT key of
+       cell_r7 (north rule "Hilbert-curve cell keys"): bijective per
+       cell, so partitioning is unchanged, but partition ORDER is
+       space-filling — spatially-adjacent cells co-locate, which is
+       the write-layout/locality property the plan exists for;
+    4. per-group vectorized tile assignment; salt/key dropped on emit.
 
-    At 10^12 rows this is the plan that replaces the broadcast-side
-    join when the tile table stops fitting in the object store
-    (SURVEY.md §7 step 7); cell_r7 doubles as the write partition key.
+    The shuffle is NARROW: only (page_id, lon/lat, fp, cells, salt)
+    move through the exchange; the wide payload (text/url/...) is a
+    pure function of page_id + the broadcast documents table and is
+    reconstructed AFTER the join, byte-identical ("never let html
+    enter a groupby", SURVEY.md §7).  At 10^12 rows this is the plan
+    that replaces the broadcast-side join when the tile table stops
+    fitting in the object store (SURVEY.md §7 step 7); the Hilbert
+    key doubles as the write partition key.
     """
     import ray
 
@@ -311,7 +646,23 @@ def tile_point_join_shuffle(
     hot = set(counts.loc[counts["n"] > hot_factor * mean_n, "cell_r7"].tolist())
     hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
 
-    ds = cell_index_pipeline(sf_dir, cfg)
+    # NARROW shuffle: only (page_id, geo/cell keys) move through the
+    # groupby — never the wide text/url payload (SURVEY's "never let
+    # html enter a groupby").  The payload columns are pure functions
+    # of page_id + the broadcast documents table, so they are
+    # reconstructed AFTER the join, byte-identical by construction.
+    import pyarrow.parquet as pq
+
+    from ..sources.pages import _build_pages
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    docs_ref = ray.put(docs)
+    rep = cfg.pages_rep
+
+    narrow = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+    ds = narrow.map_batches(
+        geocode_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+    ).map_batches(cell_encode_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
 
     def salt(t: pa.Table) -> pa.Table:
         hot_cells = ray.get(hot_ref)
@@ -320,18 +671,37 @@ def tile_point_join_shuffle(
         s = np.where(
             np.isin(cell, hot_cells), pid % cfg.salt_buckets, 0
         ).astype(np.int64)
-        return t.append_column("salt", pa.array(s))
+        t = t.append_column("salt", pa.array(s))
+        # Hilbert-ordered partition key: spatially-adjacent cells get
+        # adjacent keys, so range-partitioned shuffle outputs (and any
+        # downstream write layout) are spatially clustered — the
+        # north-rule "Hilbert-curve cell keys" requirement.  Bijective
+        # per cell, so the (key, salt) partitioning is exactly the
+        # (cell, salt) partitioning.
+        return hilbert_batch(t, res=7)
 
     assigner = PointTileAssign(cfg)
 
     def join_group(t: pa.Table) -> pa.Table:
         out = assigner(t)
-        return out.drop_columns(["salt"])
+        return out.drop_columns(["salt", "hilbert_key"])
+
+    def attach_payload(t: pa.Table) -> pa.Table:
+        # rebuild url/warc_ts/text/lang/... from the broadcast docs
+        # table (the pages generator is a pure function of page_id)
+        pages = _build_pages(
+            pa.table({"id": t["page_id"]}), ray.get(docs_ref), rep, False
+        )
+        for name in t.column_names:
+            if name != "page_id":
+                pages = pages.append_column(name, t[name])
+        return pages
 
     return (
         ds.map_batches(salt, batch_format="pyarrow", batch_size=cfg.batch_size)
-        .groupby(["cell_r7", "salt"])
+        .groupby(["hilbert_key", "salt"])
         .map_groups(join_group, batch_format="pyarrow")
+        .map_batches(attach_payload, batch_format="pyarrow", batch_size=cfg.batch_size)
     )
 
 

@@ -98,6 +98,131 @@ def tile_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def tile_clip_join_overlap_sql(cfg: EngineConfig) -> str:
+    """Overlap-grid clip join oracle: the tile windows are generated
+    in SQL from the corner ranges with grid_windows' EXACT arithmetic
+    (map-units rounding, offset padding, cc==0 edge quirk, raster
+    clamp — ``aerial_conversion/tiles.py:40-81``), cross-joined to the
+    footprints on strict rect intersection.  Mirrors
+    ``FootprintTileClipOverlap`` op-for-op."""
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    tw, th = g.tile_width, g.tile_height
+    if g.map_units:
+        tw = int(tw / a + 0.5)
+        th = int(th / a + 0.5)
+    off_w = int(tw * g.offset / 100)
+    off_h = int(th * g.offset / 100)
+    TILE_W = min(tw + off_w * 2, r.ncols)
+    TILE_H = min(th + off_h * 2, r.nrows)
+    w_edge = min(TILE_W + off_w, r.ncols)
+    w_mid = min(TILE_W + off_w * 2, r.ncols)
+    h_edge = min(TILE_H + off_h, r.nrows)
+    h_mid = min(TILE_H + off_h * 2, r.nrows)
+    return (
+        _pages_geo(cfg) + ", "
+        "corners as (select cx.cc, ry.rc from "
+        f"(select unnest(range(0, {r.ncols}, {tw})) as cc) cx, "
+        f"(select unnest(range(0, {r.nrows}, {th})) as rc) ry), "
+        "tiles as (select cc, rc, "
+        f"greatest(0, cc - {off_w}) as col_off, "
+        f"greatest(0, rc - {off_h}) as row_off, "
+        f"least(greatest(0, cc - {off_w}) + (case when cc = 0 then {w_edge} else {w_mid} end), {r.ncols})"
+        f" - greatest(0, cc - {off_w}) as tile_w, "
+        f"least(greatest(0, rc - {off_h}) + (case when rc = 0 then {h_edge} else {h_mid} end), {r.nrows})"
+        f" - greatest(0, rc - {off_h}) as tile_h from corners), "
+        "bounds as (select *, "
+        f"{c!r} + {a!r} * col_off as tminx, "
+        f"{c!r} + {a!r} * (col_off + tile_w) as tmaxx, "
+        f"{f!r} + {e!r} * row_off as tmaxy, "
+        f"{f!r} + {e!r} * (row_off + tile_h) as tminy from tiles), "
+        "clip as (select geo.*, b.col_off, b.row_off, b.tile_w, b.tile_h, "
+        "greatest(fp_minx, b.tminx) as clip_minx, "
+        "greatest(fp_miny, b.tminy) as clip_miny, "
+        "least(fp_maxx, b.tmaxx) as clip_maxx, "
+        "least(fp_maxy, b.tmaxy) as clip_maxy "
+        "from geo, bounds b "
+        "where greatest(fp_minx, b.tminx) < least(fp_maxx, b.tmaxx) "
+        "and greatest(fp_miny, b.tminy) < least(fp_maxy, b.tmaxy)) "
+        "select page_id, doc_id, url, warc_ts, text, lang, source, n_chars, "
+        "lon, lat, fp_minx, fp_miny, fp_maxx, fp_maxy, "
+        "('tile_' || cast(col_off as varchar) || '-' || cast(row_off as varchar)) as tile_id, "
+        "col_off, row_off, tile_w, tile_h, "
+        "clip_minx, clip_miny, clip_maxx, clip_maxy, "
+        f"cast(floor((clip_minx - ({c!r} + {a!r} * col_off)) / {a!r}) as bigint) as bbox_x, "
+        f"cast(floor((clip_maxy - ({f!r} + {e!r} * row_off)) / {e!r}) as bigint) as bbox_y, "
+        f"cast(floor((clip_maxx - ({c!r} + {a!r} * col_off)) / {a!r}) as bigint) - "
+        f"cast(floor((clip_minx - ({c!r} + {a!r} * col_off)) / {a!r}) as bigint) as bbox_w, "
+        f"cast(floor((clip_miny - ({f!r} + {e!r} * row_off)) / {e!r}) as bigint) - "
+        f"cast(floor((clip_maxy - ({f!r} + {e!r} * row_off)) / {e!r}) as bigint) as bbox_h, "
+        "(clip_maxx - clip_minx) * (clip_maxy - clip_miny) as clip_area "
+        "from clip"
+    )
+
+
+def polygon_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Triangle-footprint clip join oracle.  The clipped area of the
+    right triangle {x >= x0, y >= y0, (x-x0)+(y-y0) <= s} against an
+    axis rect is closed-form: clamp the rect by the two legs, then
+    subtract the half-plane overshoot by corner inclusion-exclusion
+    g(p,q) = max(0, p+q-s)^2 / 2 — exactly the area the engine's
+    Sutherland–Hodgman ring integrates (shoelace), compared through
+    the 1e-9 fixed-point key.  n_clip_vertices is the piecewise vertex
+    count of the clipped convex region: 3 + (#corner cuts that add an
+    edge) — derived below from which g-terms are active and whether
+    the hypotenuse enters the rect interior."""
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    tw, th = g.tile_width, g.tile_height
+    n_tx = -(-r.ncols // tw)
+    n_ty = -(-r.nrows // th)
+    return (
+        _pages_geo(cfg) + ", "
+        "tri as (select *, least(fp_maxx - fp_minx, fp_maxy - fp_miny) as s "
+        "from geo), "
+        "cand as (select tri.*, "
+        f"  ((cast(floor((fp_minx - {c!r}) / {a!r}) as bigint) // {tw}) + dx.v) * {tw} as col_off, "
+        f"  ((cast(floor(((fp_miny + s) - {f!r}) / {e!r}) as bigint) // {th}) + dy.v) * {th} as row_off "
+        "  from tri, (values (0), (1)) dx(v), (values (0), (1)) dy(v)), "
+        "ok as (select * from cand where col_off >= 0 and row_off >= 0 "
+        f"  and col_off < {n_tx * tw} and row_off < {n_ty * th} "
+        f"  and col_off <= (cast(floor(((fp_minx + s) - {c!r}) / {a!r}) as bigint) // {tw}) * {tw} "
+        f"  and row_off <= (cast(floor((fp_miny - {f!r}) / {e!r}) as bigint) // {th}) * {th}), "
+        "bounds as (select *, "
+        f"{c!r} + {a!r} * col_off as tminx, "
+        f"{c!r} + {a!r} * least(col_off + {tw}, {r.ncols}) as tmaxx, "
+        f"{f!r} + {e!r} * row_off as tmaxy, "
+        f"{f!r} + {e!r} * least(row_off + {th}, {r.nrows}) as tminy "
+        "from ok), "
+        "ab as (select *, "
+        "greatest(tminx, fp_minx) - fp_minx as a0, tmaxx - fp_minx as a1, "
+        "greatest(tminy, fp_miny) - fp_miny as b0, tmaxy - fp_miny as b1 "
+        "from bounds), "
+        "area as (select *, "
+        "case when a1 > a0 and b1 > b0 then "
+        "  (a1 - a0) * (b1 - b0) "
+        "  - (pow(greatest(0, a1 + b1 - s), 2) - pow(greatest(0, a0 + b1 - s), 2) "
+        "     - pow(greatest(0, a1 + b0 - s), 2) + pow(greatest(0, a0 + b0 - s), 2)) / 2 "
+        "else 0.0 end as clip_area from ab) "
+        "select page_id, "
+        "('tile_' || cast(col_off as varchar) || '-' || cast(row_off as varchar)) as tile_id, "
+        "cast(case when a1 + b1 <= s then 4 "  # hypotenuse misses: full rect
+        "      when a0 + b1 < s and a1 + b0 < s then 5 "  # only C11 cut off
+        "      when a0 + b1 >= s and a1 + b0 >= s then 3 "  # only C00 side left
+        "      else 4 end as bigint) as n_clip_vertices, "
+        "cast(floor(clip_area * 1000000000.0 + 0.5) as bigint) as clip_area_e9 "
+        "from area where cast(floor(clip_area * 1000000000.0 + 0.5) as bigint) > 0"
+    )
+
+
+def wkb_roundtrip_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """WKB encode->decode is the identity on the footprint bounds."""
+    return (
+        _pages_geo(cfg)
+        + " select page_id, fp_minx, fp_miny, fp_maxx, fp_maxy from geo"
+    )
+
+
 def reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     from ..geo.project import mercator_sql
 

@@ -73,14 +73,14 @@ def _poly_hash_segments(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
 
 
 def _string_buffer(col) -> tuple[np.ndarray, np.ndarray]:
-    """(flat utf-8 byte buffer, int64 offsets) of an Arrow string
+    """(flat byte buffer, int64 offsets) of an Arrow string OR binary
     array/column — zero-copy from the Arrow buffers, no per-row
     encode."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.Table):
         raise TypeError("pass a column, not a table")
-    if pa.types.is_large_string(col.type):
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
         odt = np.int64
     else:
         odt = np.int32

@@ -36,6 +36,7 @@ from ..geo.polygon import (
     shoelace_area,
 )
 from . import spatial
+from ..util import pool_size
 from .sql_oracle import tile_clip_join_sql
 
 DEFAULT_CFG = EngineConfig()
@@ -264,8 +265,13 @@ def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset
     def tile_union(df: pd.DataFrame) -> pd.DataFrame:
         x0 = df["bbox_x"].to_numpy(np.int64)
         y0 = df["bbox_y"].to_numpy(np.int64)
-        x1 = x0 + df["bbox_w"].to_numpy(np.int64)
-        y1 = y0 + df["bbox_h"].to_numpy(np.int64)
+        # clamp the painted extent to the tile's own pixel domain
+        # [0, tw) x [0, th): a clip rect ending exactly on the tile's
+        # right/bottom edge yields px1 == tile_width, a world pixel
+        # owned by the NEIGHBOUR tile — painting it here would double
+        # count it in the per-lang sum across tiles.
+        x1 = np.minimum(x0 + df["bbox_w"].to_numpy(np.int64), tw - 1)
+        y1 = np.minimum(y0 + df["bbox_h"].to_numpy(np.int64), th - 1)
         union_px = pixel_union_count(x0, y0, x1, y1, tw, th)
         return pd.DataFrame(
             {
@@ -296,6 +302,71 @@ def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zone_merge_routed(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """MARGINAL-AWARE merge routing (``scripts/coco2geojson.py:41-101``,
+    flag use at :79): annotations flagged ``marginal`` (bbox close to
+    the tile size — i.e. likely cut at a tile boundary) are DISSOLVED
+    into the zone union (the reference's overlay-union path), while
+    non-marginal annotations stay individual features (appended
+    as-is).  Per lang: the marginal subset's pixel union (same
+    skew-proof paint as :func:`zone_merge`), the non-marginal subset's
+    individual pixel-area sum, and the feature count
+    (non-marginal rows + one dissolved blob per tile with marginals).
+
+    Rows-only (pixel union is not SQL); exact numpy oracle in
+    tests/test_vectorize.py."""
+    from ray.data.aggregate import Sum
+
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    wlim = tw * (100.0 - MARGIN_PCT) / 100.0
+    hlim = th * (100.0 - MARGIN_PCT) / 100.0
+
+    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(
+        ["lang", "tile_id", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
+    )
+
+    def tile_route(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["bbox_w"].to_numpy(np.int64)
+        h = df["bbox_h"].to_numpy(np.int64)
+        marginal = (w.astype(np.float64) >= wlim) | (h.astype(np.float64) >= hlim)
+        x0 = df["bbox_x"].to_numpy(np.int64)
+        y0 = df["bbox_y"].to_numpy(np.int64)
+        x1 = np.minimum(x0 + w, tw - 1)
+        y1 = np.minimum(y0 + h, th - 1)
+        mx = marginal
+        merged_px = (
+            pixel_union_count(x0[mx], y0[mx], x1[mx], y1[mx], tw, th) if mx.any() else 0
+        )
+        # non-marginal: kept as separate features, areas summed raw
+        # (clamped to the tile domain, same ownership rule as the union)
+        nm = ~marginal
+        nm_px = int(((x1 - x0 + 1) * (y1 - y0 + 1))[nm].sum())
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "merged_px": np.array([merged_px], dtype=np.int64),
+                "individual_px": np.array([nm_px], dtype=np.int64),
+                "n_features": np.array(
+                    [int(nm.sum()) + (1 if mx.any() else 0)], dtype=np.int64
+                ),
+                "n_marginal": np.array([int(mx.sum())], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.groupby(["lang", "tile_id"])
+        .map_groups(tile_route, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("merged_px", alias_name="merged_px"),
+            Sum("individual_px", alias_name="individual_px"),
+            Sum("n_features", alias_name="n_features"),
+            Sum("n_marginal", alias_name="n_marginal"),
+        )
+        .sort("lang")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -391,5 +462,5 @@ def regularise(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, **kwargs) -> ray.da
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=pool_size(),
     )

@@ -32,18 +32,40 @@ _MALLOC_ENV = {
     "MALLOC_MMAP_THRESHOLD_": "1073741824",
     "MALLOC_TRIM_THRESHOLD_": "-1",
 }
-if os.environ.get("GRAFT_MALLOC_TUNED") != "1":
-    env = dict(os.environ, GRAFT_MALLOC_TUNED="1", **_MALLOC_ENV)
-    os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
-for _thp, _val in (
-    ("/sys/kernel/mm/transparent_hugepage/enabled", "always"),
-    ("/sys/kernel/mm/transparent_hugepage/shmem_enabled", "force"),
-):
-    try:
-        with open(_thp, "w") as _f:
-            _f.write(_val)
-    except OSError:
-        pass  # not privileged / not present: best effort
+
+
+def _tune_environment() -> None:
+    """Apply the mitigations; called ONLY under ``__main__`` so that
+    importing bench.py never re-execs the host process or mutates
+    kernel settings.  THP settings are restored to their previous
+    values at exit."""
+    import atexit
+
+    if os.environ.get("GRAFT_MALLOC_TUNED") != "1":
+        env = dict(os.environ, GRAFT_MALLOC_TUNED="1", **_MALLOC_ENV)
+        os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
+
+    def _restore(path: str, value: str) -> None:
+        try:
+            with open(path, "w") as f:
+                f.write(value)
+        except OSError:
+            pass
+
+    for _thp, _val in (
+        ("/sys/kernel/mm/transparent_hugepage/enabled", "always"),
+        ("/sys/kernel/mm/transparent_hugepage/shmem_enabled", "force"),
+    ):
+        try:
+            with open(_thp) as _f:
+                cur = _f.read()
+            prev = cur[cur.index("[") + 1 : cur.index("]")] if "[" in cur else cur.strip()
+            with open(_thp, "w") as _f:
+                _f.write(_val)
+            if prev != _val:
+                atexit.register(_restore, _thp, prev)
+        except (OSError, ValueError):
+            pass  # not privileged / not present: best effort
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -253,6 +275,7 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    _tune_environment()
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -37,6 +37,20 @@ def test_lsh_recall(brute, lsh):
     assert recall >= 0.6, f"recall {recall:.3f}"
 
 
+def test_ivf_recall_and_shape(brute, sf_dir):
+    """Shuffle-partitioned ANN (no broadcast index): recall vs exact
+    must clear 0.6; output shape is per-query ranked top-k."""
+    ivf = embeddings.ann_ivf(sf_dir).to_pandas()
+    bk = {(q, n) for q, n in zip(brute["query_id"], brute["neighbor_id"])}
+    ik = {(q, n) for q, n in zip(ivf["query_id"], ivf["neighbor_id"])}
+    recall = len(bk & ik) / len(bk)
+    assert recall >= 0.6, f"recall {recall:.3f}"
+    per_q = ivf.groupby("query_id")["rank"].agg(["min", "size"])
+    assert (per_q["min"] == 1).all()
+    assert (per_q["size"] <= embeddings.K).all()
+    assert (ivf["query_id"] != ivf["neighbor_id"]).all()
+
+
 def test_lsh_deterministic(sf_dir, lsh):
     again = embeddings.ann_lsh(sf_dir).to_pandas()
     a = lsh.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -169,11 +169,13 @@ def test_zone_merge_matches_brute_paint(sf_dir):
     for lang, grp in clip.groupby("lang"):
         want = 0
         for _, tile_grp in grp.groupby("tile_id"):
-            mask = np.zeros((th + 1, tw + 1), dtype=bool)
+            # tile-domain mask: boundary pixels (index == tile size)
+            # belong to the neighbour tile and are painted there
+            mask = np.zeros((th, tw), dtype=bool)
             for _, r in tile_grp.iterrows():
                 mask[
-                    r["bbox_y"] : r["bbox_y"] + r["bbox_h"] + 1,
-                    r["bbox_x"] : r["bbox_x"] + r["bbox_w"] + 1,
+                    r["bbox_y"] : min(r["bbox_y"] + r["bbox_h"] + 1, th),
+                    r["bbox_x"] : min(r["bbox_x"] + r["bbox_w"] + 1, tw),
                 ] = True
             want += int(mask.sum())
         have = int(got.loc[got["lang"] == lang, "union_px"].iloc[0])
