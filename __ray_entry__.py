@@ -177,9 +177,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
-        # minhash_lsh / simhash / rolling_fingerprint / langid:
-        # non-SQL-expressible (hash-family / model state) — rows-only;
-        # determinism + recall asserted in tests/test_text.py.
+        # minhash_lsh (band-sampled candidate family) / langid (model
+        # state): non-SQL-expressible — rows-only; determinism + recall
+        # asserted in tests/test_text.py.
+        "simhash": text.SIMHASH_SQL,
+        "rolling_fingerprint": text.rolling_fingerprint_sql(),
         "ann_brute": embeddings.ann_brute_sql(),
         "embed_dup": embeddings.embed_dup_sql(),
         "label_centroids": embeddings.label_centroids_sql(),
@@ -188,9 +190,10 @@ def oracle_sql() -> dict[str, str]:
         "spatialize": vectorize.spatialize_sql(CFG),
         "marginal_flags": vectorize.marginal_flags_sql(CFG),
         "zone_envelope": vectorize.zone_envelope_sql(CFG),
-        # zone_merge (rect-union sweep) / regularise (geometry
-        # kernels): not SQL-expressible — rows-only; exact numpy
-        # oracles in tests/test_vectorize.py.
+        "zone_merge": vectorize.zone_merge_sql(CFG),
+        # zone_merge_routed (pixel-union routing) / regularise
+        # (geometry kernels): rows-only; exact numpy oracles in
+        # tests/test_vectorize.py + tests/test_new_ops.py.
         "coco_images": coco.coco_images_sql(CFG),
         "coco_categories": coco.coco_categories_sql(CFG),
         "coco_annotations": coco.coco_annotations_sql(CFG),

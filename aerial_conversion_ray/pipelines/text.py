@@ -684,6 +684,70 @@ def simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
 
+# The engine's token hash is a positional polynomial mod 2^64
+# (``_poly_hash_segments``) — SQL-expressible with a Horner fold over
+# the token's characters in REVERSE order (codepoint == byte: the
+# corpus is ASCII, asserted by ``strlen(text) == length(text)`` in
+# tests).  DuckDB hugeint carries the mod-2^64 arithmetic exactly.
+_TOKEN_HASH_SQL = """
+    (cast(length(tok) as hugeint) * 14695981039346656037
+     + coalesce(list_reduce(
+         list_transform(generate_series(length(tok), 1, -1),
+                        i -> cast(unicode(tok[i]) + 31 as hugeint)),
+         (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+       ), 0)
+    ) % 18446744073709551616
+"""
+
+_U63 = "9223372036854775808"
+_U64 = "18446744073709551616"
+
+SIMHASH_SQL = f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+),
+h as (select doc_id, {_TOKEN_HASH_SQL} as th from toks),
+votes as (
+  select doc_id, b,
+    case when sum(case when ((th >> b) & 1) = 1 then 1 else -1 end) > 0
+         then (1::hugeint << b) else 0::hugeint end as contrib
+  from h cross join (select unnest(generate_series(0, 63)) as b) bits
+  group by doc_id, b
+),
+fp as (select doc_id, sum(contrib) as v from votes group by doc_id)
+select doc_id,
+  cast(case when v >= {_U63}::hugeint then v - {_U64}::hugeint
+       else v end as bigint) as simhash
+from fp
+"""
+
+
+def rolling_fingerprint_sql(window: int = 16, keep_mod: int = 8) -> str:
+    """Sequential Horner restatement of the engine's modular-inverse
+    prefix rolling hash — bit-identical mod 2^64 (hugeint fold)."""
+    return f"""
+with pos as (
+  select doc_id, text,
+         unnest(generate_series(1, length(text) - {window - 1})) as j
+  from documents where length(text) >= {window}
+),
+hh as (
+  select doc_id, j,
+    list_reduce(
+      list_transform(generate_series(j, j + {window - 1}),
+                     i -> cast(unicode(text[i]) as hugeint)),
+      (acc, x) -> (acc * 257 + x) % {_U64}
+    ) as h
+  from pos
+)
+select doc_id,
+  cast(case when h >= {_U63}::hugeint then h - {_U64}::hugeint
+       else h end as bigint) as fingerprint,
+  cast(j - 1 as bigint) as pos
+from hh where h % {keep_mod} = 0
+"""
+
+
 def rolling_fingerprint(sf_dir: str, window: int = 16, keep_mod: int = 8) -> ray.data.Dataset:
     """Winnowing-style document fingerprints: rolling polynomial hash
     over bytes (mod 2^64), keep hashes == 0 mod keep_mod

@@ -304,6 +304,41 @@ def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def zone_merge_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Pixel-explode restatement of the union paint: every clipped
+    rect unnests into its (clamped) inclusive pixel range, DISTINCT
+    pixels per (lang, tile) are the tile union, then the per-lang sum.
+    Tractable as an oracle because the synthetic footprints are a few
+    pixels each; the engine's difference-array paint is the scale
+    kernel for the same set semantics."""
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    px_area_e9 = int(
+        np.floor(cfg.raster.cell * cfg.raster.cell * AREA_SCALE + 0.5)
+    )
+    return f"""
+with clip as ({tile_clip_join_sql(cfg)}),
+xs as (
+  select lang, tile_id, bbox_y, bbox_h,
+         unnest(generate_series(bbox_x, least(bbox_x + bbox_w, {tw} - 1))) as x
+  from clip
+),
+ys as (
+  select lang, tile_id, x,
+         unnest(generate_series(bbox_y, least(bbox_y + bbox_h, {th} - 1))) as y
+  from xs
+),
+px as (select distinct lang, tile_id, x, y from ys),
+tl as (select lang, tile_id, count(*) as union_px from px group by lang, tile_id),
+rc as (select lang, tile_id, count(*) as n_rects from clip group by lang, tile_id)
+select tl.lang,
+  cast(sum(union_px) as bigint) as union_px,
+  cast(sum(n_rects) as bigint) as n_rects,
+  count(*) as n_tiles,
+  cast(sum(union_px) * {px_area_e9} as bigint) as union_area_e9
+from tl join rc using (lang, tile_id) group by tl.lang
+"""
+
+
 def zone_merge_routed(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """MARGINAL-AWARE merge routing (``scripts/coco2geojson.py:41-101``,
     flag use at :79): annotations flagged ``marginal`` (bbox close to

@@ -118,3 +118,40 @@ def test_dedup_exact_collision_safe(sf_dir):
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     assert rep["n_copies"].sum() == n_docs
     assert rep["doc_id"].is_unique
+
+
+def test_simhash_and_rolling_match_sql(sf_dir):
+    """The simhash / rolling-fingerprint oracles restate the numpy
+    kernels as DuckDB hugeint Horner folds — must match bit-for-bit.
+    Depends on the corpus being ASCII (codepoint == byte), asserted."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    assert con.execute(
+        "select count(*) from documents where strlen(text) <> length(text)"
+    ).fetchone()[0] == 0
+
+    got = (
+        text.simhash_fingerprints(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = con.execute(text.SIMHASH_SQL + " order by doc_id").df()
+    assert list(got["simhash"]) == list(exp["simhash"])
+
+    got = (
+        text.rolling_fingerprint(sf_dir)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        text.rolling_fingerprint_sql() + " order by doc_id, pos"
+    ).df()
+    assert list(got["fingerprint"]) == list(exp["fingerprint"])
+    assert list(got["pos"]) == list(exp["pos"])
