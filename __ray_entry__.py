@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "polygon_clip_join": lambda sf: spatial.polygon_clip_join(sf, CFG),
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
+        "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
         "knn": lambda sf: spatial.knn_pipeline(sf, CFG, method="brute")
@@ -133,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coco_roundtrip": lambda sf: coco.coco_roundtrip(sf, CFG),
         "coco_validate": lambda sf: coco.coco_validate(sf, CFG),
         "coco_split": lambda sf: coco.coco_split(sf, CFG),
+        "stratified_split": lambda sf: coco.stratified_split(sf, CFG),
+        "singleton_drop": lambda sf: coco.drop_small_classes(sf, CFG),
         "class_stats": lambda sf: coco.class_stats(sf, CFG),
         "balance_removal": lambda sf: coco.balance_removal(sf, CFG),
         # -- lineage / checkpoint-resume --
@@ -157,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_clip_join_overlap": sql_oracle.tile_clip_join_overlap_sql(OVERLAP_CFG),
         "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
+        "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring: approximate scale path — rows-only check (no SQL);
         # recall vs brute force asserted in tests/test_spatial_pipelines.py.
@@ -200,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "coco_roundtrip": coco.coco_annotations_sql(CFG),
         "coco_validate": coco.coco_validate_sql(CFG),
         "coco_split": coco.coco_split_sql(CFG),
+        "stratified_split": coco.stratified_split_sql(CFG),
+        "singleton_drop": coco.drop_small_classes_sql(CFG),
         "class_stats": coco.class_stats_sql(CFG),
         "balance_removal": coco.balance_removal_sql(CFG),
         "lineage_write": LINEAGE_SQL.format(

@@ -518,3 +518,144 @@ def balance_removal_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "select image_id from ranked "
         "where (select total from dominant) - cum_before > (select g from tgt)"
     )
+
+
+# --------------------------------------------------------------------------
+# A6 small/singleton-class drop + SO3 exact-quota stratified split
+# --------------------------------------------------------------------------
+
+DROP_MIN_COUNT = 60   # gated query threshold (bites at sf0.01)
+STRAT_TEST_DEN = 5    # test quota = class_count // DEN (exact per class)
+
+
+def drop_small_classes(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, min_count: int = DROP_MIN_COUNT
+) -> ray.data.Dataset:
+    """A6: drop annotations of FINE classes (lang, source) with fewer
+    than ``min_count`` members — ``min_count=2`` is the reference's
+    singleton-class drop before stratification (a 1-member class
+    cannot be split).  Two passes, both streaming: a narrow pre-counted
+    groupby finds the small classes (result is tiny — one row per
+    class), the keep-set broadcasts via ``ray.put`` and the corpus is
+    filtered in a task-based map_batches (no second shuffle)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(
+        ["page_id", "tile_id", "lang", "source"]
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.select(["lang", "source"]).group_by(["lang", "source"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "source", "n"])
+
+    counts = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    big = counts[counts["n"] >= min_count]
+    keep = frozenset(big["lang"] + "\x00" + big["source"])
+    keep_ref = _ray.put(keep)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["lang"] + "\x00" + df["source"]).isin(_ray.get(keep_ref))
+        return df[ok.to_numpy()]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+def drop_small_classes_sql(
+    cfg: EngineConfig = DEFAULT_CFG, min_count: int = DROP_MIN_COUNT
+) -> str:
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}), "
+        "big as (select lang, source from clipjoin group by lang, source "
+        f" having count(*) >= {min_count}) "
+        "select c.page_id, c.tile_id, c.lang, c.source "
+        "from clipjoin c join big using (lang, source)"
+    )
+
+
+def stratified_split(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, test_den: int = STRAT_TEST_DEN
+) -> ray.data.Dataset:
+    """SO3 TRUE stratified split: per category an EXACT test quota of
+    ``class_count // test_den`` annotations (the reference's
+    stratified COCO split semantics; the mod-split in
+    :func:`coco_split` only approximates per-class proportions).
+
+    Rank-within-class uses the same skew-proof two-level prefix sum as
+    :func:`coco_annotations`: per-(category, annot-id-bucket) counts
+    aggregate to a tiny driver table, one cumsum per class gives each
+    bucket its global in-class offset, and the per-row rank is the
+    offset plus the in-bucket position — no global sort, no fat
+    group (buckets bound every group at RANK_BUCKET rows)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    anns = coco_annotations(sf_dir, cfg).select_columns(["annot_id", "category_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bucket=df["annot_id"] // RANK_BUCKET)
+        g = df.groupby(["category_id", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (
+        anns.map_batches(part, batch_format="pandas")
+        .groupby(["category_id", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["category_id", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = counts["n"].to_numpy(np.int64)
+    cum = np.cumsum(n) - n
+    first = counts["category_id"].ne(counts["category_id"].shift()).to_numpy()
+    class_start = np.maximum.accumulate(np.where(first, cum, 0))
+    offs = dict(
+        zip(
+            zip(counts["category_id"].tolist(), counts["bucket"].tolist()),
+            (cum - class_start).tolist(),
+        )
+    )
+    totals = counts.groupby("category_id")["n"].sum()
+    quota = {int(c): int(t) // test_den for c, t in totals.items()}
+    off_ref = _ray.put((offs, quota))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        offs_, quota_ = _ray.get(off_ref)
+        df = df.sort_values("annot_id", kind="mergesort").reset_index(drop=True)
+        cat = int(df["category_id"].iloc[0])
+        off = offs_[(cat, int(df["annot_id"].iloc[0]) // RANK_BUCKET)]
+        rank = off + np.arange(len(df), dtype=np.int64)
+        df["split"] = np.where(rank < quota_[cat], "test", "train")
+        return df[["annot_id", "category_id", "split"]]
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["annot_id"] // RANK_BUCKET).astype(np.int64)
+        return df
+
+    return (
+        anns.map_batches(bucketed, batch_format="pandas")
+        .groupby(["category_id", "bucket"])
+        .map_groups(tag, batch_format="pandas")
+    )
+
+
+def stratified_split_sql(
+    cfg: EngineConfig = DEFAULT_CFG, test_den: int = STRAT_TEST_DEN
+) -> str:
+    return (
+        f"with ann as ({coco_annotations_sql(cfg)}), "
+        "ranked as (select annot_id, category_id, "
+        " row_number() over (partition by category_id order by annot_id) - 1 as rank, "
+        " count(*) over (partition by category_id) as total from ann) "
+        f"select annot_id, category_id, "
+        f"case when rank < total // {test_den} then 'test' else 'train' end as split "
+        "from ranked"
+    )

@@ -528,6 +528,38 @@ def tile_clip_join_overlap(sf_dir: str, cfg: EngineConfig) -> ray.data.Dataset:
     )
 
 
+def tiles_intersecting(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """J2 intersects SEMI-join, distinct-gated: the set of tiles that
+    intersect at least one footprint, with the hit count (the
+    reference's tile-selection step — ``geojson2coco`` only emits
+    tiles whose window intersects an annotation).  The clip join
+    already co-locates hits per tile, so the distinct is a pre-counted
+    groupby on the narrow tile_id column — no wide rows shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = tile_clip_join(sf_dir, cfg).select_columns(["tile_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by("tile_id").aggregate([([], "count_all")])
+        return g.rename_columns(["tile_id", "n_hits"])
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(Sum("n_hits", alias_name="n_hits"))
+    )
+
+
+def tiles_intersecting_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from .sql_oracle import tile_clip_join_sql
+
+    return (
+        f"with clip as ({tile_clip_join_sql(cfg)}) "
+        "select tile_id, cast(count(*) as bigint) as n_hits "
+        "from clip group by tile_id"
+    )
+
+
 def wkb_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """Geometry-typed output (S5/GeoJSON-writer analog): footprint
     rects travel as a WKB ``binary`` column (``geo/wkb.py``, the

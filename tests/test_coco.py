@@ -55,3 +55,26 @@ def test_balance_reaches_target(sf_dir):
         (anns["category_id"] == dominant) & (~anns["image_id"].isin(removal))
     ]
     assert len(kept) <= target
+
+
+def test_stratified_split_exact_quota(sf_dir):
+    """Every class gets EXACTLY count // DEN test annotations, and the
+    test rows are the lowest-ranked annot_ids of each class."""
+    sp = coco.stratified_split(sf_dir, CFG).to_pandas()
+    for cat, g in sp.groupby("category_id"):
+        n_test = int((g["split"] == "test").sum())
+        assert n_test == len(g) // coco.STRAT_TEST_DEN
+        g = g.sort_values("annot_id")
+        assert (g["split"].to_numpy()[:n_test] == "test").all()
+
+
+def test_drop_small_classes_threshold(sf_dir):
+    """Kept classes all have >= min_count members; dropped ones fewer;
+    min_count=1 is the identity (nothing to drop)."""
+    mc = 10
+    kept = coco.drop_small_classes(sf_dir, CFG, min_count=mc).to_pandas()
+    sizes = kept.groupby(["lang", "source"]).size()
+    assert (sizes >= mc).all()
+    from aerial_conversion_ray.pipelines import spatial
+    full = spatial.tile_clip_join(sf_dir, CFG).count()
+    assert coco.drop_small_classes(sf_dir, CFG, min_count=1).count() == full
