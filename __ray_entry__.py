@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "polygon_clip_join": lambda sf: spatial.polygon_clip_join(sf, CFG),
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
+        "wkt_roundtrip": lambda sf: spatial.wkt_roundtrip(sf, CFG),
+        "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
         "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
@@ -120,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": embeddings.label_centroids,
         # -- reverse path (coco2geojson analog) --
         "spatialize": lambda sf: vectorize.spatialize(sf, CFG),
+        "segmentation_spatialize": lambda sf: vectorize.segmentation_spatialize(
+            sf, CFG
+        ),
         "marginal_flags": lambda sf: vectorize.marginal_flags(sf, CFG),
         "zone_envelope": lambda sf: vectorize.zone_envelope(sf, CFG),
         "zone_merge": lambda sf: vectorize.zone_merge(sf, CFG),
@@ -160,6 +165,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_clip_join_overlap": sql_oracle.tile_clip_join_overlap_sql(OVERLAP_CFG),
         "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
+        "wkt_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
+        "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring: approximate scale path — rows-only check (no SQL);
@@ -192,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh: approximate scale path — rows-only; recall vs
         # ann_brute asserted in tests/test_embeddings.py.
         "spatialize": vectorize.spatialize_sql(CFG),
+        "segmentation_spatialize": vectorize.segmentation_spatialize_sql(CFG),
         "marginal_flags": vectorize.marginal_flags_sql(CFG),
         "zone_envelope": vectorize.zone_envelope_sql(CFG),
         "zone_merge": vectorize.zone_merge_sql(CFG),

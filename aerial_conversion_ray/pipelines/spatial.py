@@ -601,6 +601,79 @@ def wkb_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Data
     )
 
 
+def wkt_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """M1 ``wkt_parser`` analog as a gated op: footprint rects encode
+    to WKT POLYGON strings (%.17g — float64 bit round-trip) and parse
+    back with one vectorized regex extract.  Oracle: identity on the
+    geocode footprint bounds."""
+    from ..geo.wkt import encode_rects_wkt, parse_rects_wkt
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy"]
+    )
+
+    def enc(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "page_id": df["page_id"],
+                "wkt": encode_rects_wkt(
+                    df["fp_minx"].to_numpy(),
+                    df["fp_miny"].to_numpy(),
+                    df["fp_maxx"].to_numpy(),
+                    df["fp_maxy"].to_numpy(),
+                ).to_numpy(),
+            }
+        )
+
+    def dec(df):
+        import pandas as pd
+
+        r = parse_rects_wkt(df["wkt"])
+        return pd.DataFrame(
+            {
+                "page_id": df["page_id"],
+                "fp_minx": r["minx"],
+                "fp_miny": r["miny"],
+                "fp_maxx": r["maxx"],
+                "fp_maxy": r["maxy"],
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pandas", batch_size=cfg.batch_size).map_batches(
+        dec, batch_format="pandas", batch_size=cfg.batch_size
+    )
+
+
+GEOJSON_PART_PAGES = 2048  # pages per GeoJSON partition file
+
+
+def geojson_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """S5 GeoJSON writer + S1 reader round trip: footprints write as a
+    partitioned FeatureCollection dataset (one atomic file per
+    page-range partition — resumable, reader-parallel) and read back
+    to the exact geocode bounds (%.17g float64 round trip)."""
+    import tempfile
+
+    from ..sources.geojson import read_geojson, write_geojson
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_geojson_")
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "lang", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        part = t["page_id"].to_numpy(zero_copy_only=False) // GEOJSON_PART_PAGES
+        return t.append_column("part_key", pa.array(part.astype(np.int64)))
+
+    manifest = write_geojson(
+        ds.map_batches(bucket, batch_format="pyarrow"), out_dir, "part_key"
+    )
+    manifest.materialize()  # barrier: all partitions committed
+    return read_geojson(out_dir)
+
+
 def reproject_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """M3 reprojection analog: geocoded points -> EPSG:3857 web
     mercator (closed-form spherical formulas; the reference's pyproj

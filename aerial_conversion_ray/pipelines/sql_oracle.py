@@ -216,10 +216,20 @@ def polygon_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
 
 
 def wkb_roundtrip_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
-    """WKB encode->decode is the identity on the footprint bounds."""
+    """WKB (or WKT) encode->decode is the identity on the footprint
+    bounds."""
     return (
         _pages_geo(cfg)
         + " select page_id, fp_minx, fp_miny, fp_maxx, fp_maxy from geo"
+    )
+
+
+def geojson_roundtrip_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """GeoJSON write->read is the identity on footprint bounds +
+    feature properties."""
+    return (
+        _pages_geo(cfg)
+        + " select page_id, lang, fp_minx, fp_miny, fp_maxx, fp_maxy from geo"
     )
 
 

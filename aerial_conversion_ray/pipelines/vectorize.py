@@ -123,6 +123,108 @@ def spatialize_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
 
 
 # --------------------------------------------------------------------------
+# segmentation list-polygon lift (M6 full analog, oracle-checked)
+# --------------------------------------------------------------------------
+
+class SegmentationSpatialize:
+    """M6 with a GENUINE list polygon (not the rect lift): each
+    annotation's segmentation is a 5-vertex pentagon in pixel space
+    (the quantized clip rect plus a half-pixel roof apex), carried as
+    an Arrow ``list<double>`` column of flattened ``[x0,y0,x1,y1,...]``
+    pairs — the reference's segmentation layout
+    (``coordinates.py pixel_segmentation_to_spatial``) — then lifted
+    px->spatial through the tile affine and EXPLODED one row per
+    vertex in 1e-9 fixed point."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.raster = cfg.raster
+        self.grid = cfg.grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a, _, c, _, e, f = self.raster.transform
+        tw, th = self.grid.tile_width, self.grid.tile_height
+        gx = np.floor((t["clip_minx"].to_numpy() - c) / a).astype(np.int64)
+        gy = np.floor((t["clip_maxy"].to_numpy() - f) / e).astype(np.int64)
+        tx = c + a * ((gx // tw) * tw).astype(np.float64)
+        ty = f + e * ((gy // th) * th).astype(np.float64)
+        x0 = t["bbox_x"].to_numpy().astype(np.float64)
+        y0 = t["bbox_y"].to_numpy().astype(np.float64)
+        x1 = x0 + t["bbox_w"].to_numpy() + 1.0
+        y1 = y0 + t["bbox_h"].to_numpy() + 1.0
+        n = len(x0)
+        # pentagon ring (pixel space): BL, BR, TR, roof apex, TL
+        px = np.stack([x0, x1, x1, x0 + (x1 - x0) / 2.0, x0], axis=1)
+        py = np.stack([y1, y1, y0, y0 - 0.5, y0], axis=1)
+        # the list<double> segmentation column ([x,y,...] flattened)
+        seg_flat = np.empty((n, 10), dtype=np.float64)
+        seg_flat[:, 0::2] = px
+        seg_flat[:, 1::2] = py
+        seg = pa.FixedSizeListArray.from_arrays(
+            pa.array(seg_flat.reshape(-1)), 10
+        )
+        # lift every LIST vertex through the affine (consume the list
+        # column's flat buffer zero-copy), then explode
+        flat = np.asarray(seg.values).reshape(n, 10)
+        sx = tx[:, None] + a * flat[:, 0::2]
+        sy = ty[:, None] + e * flat[:, 1::2]
+        sx_e9 = np.floor(sx * 1e9 + 0.5).astype(np.int64).reshape(-1)
+        sy_e9 = np.floor(sy * 1e9 + 0.5).astype(np.int64).reshape(-1)
+        return pa.table(
+            {
+                "page_id": pa.array(
+                    np.repeat(t["page_id"].to_numpy(zero_copy_only=False), 5)
+                ),
+                "tile_id": pa.array(
+                    np.asarray(t["tile_id"].to_pylist()).repeat(5)
+                ),
+                "vertex_idx": pa.array(np.tile(np.arange(5, dtype=np.int64), n)),
+                "sx_e9": pa.array(sx_e9),
+                "sy_e9": pa.array(sy_e9),
+            }
+        )
+
+
+def segmentation_spatialize(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    ds = spatial.tile_clip_join(sf_dir, cfg)
+    return ds.map_batches(
+        SegmentationSpatialize(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+
+def segmentation_spatialize_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    tw, th = g.tile_width, g.tile_height
+    base = tile_clip_join_sql(cfg)
+    return (
+        f"with clipjoin as ({base}), sp as (select *, "
+        f"({c!r} + {a!r} * ((cast(floor((clip_minx - {c!r}) / {a!r}) as bigint) // {tw}) * {tw})) as _tx, "
+        f"({f!r} + {e!r} * ((cast(floor((clip_maxy - {f!r}) / {e!r}) as bigint) // {th}) * {th})) as _ty "
+        "from clipjoin), "
+        "verts as (select sp.*, v.i, "
+        "case v.i when 0 then cast(bbox_x as double) "
+        " when 1 then bbox_x + bbox_w + 1.0 "
+        " when 2 then bbox_x + bbox_w + 1.0 "
+        " when 3 then bbox_x + (bbox_w + 1.0) / 2.0 "
+        " else cast(bbox_x as double) end as px, "
+        "case v.i when 0 then bbox_y + bbox_h + 1.0 "
+        " when 1 then bbox_y + bbox_h + 1.0 "
+        " when 2 then cast(bbox_y as double) "
+        " when 3 then bbox_y - 0.5 "
+        " else cast(bbox_y as double) end as py "
+        "from sp, (values (0), (1), (2), (3), (4)) v(i)) "
+        "select page_id, tile_id, cast(i as bigint) as vertex_idx, "
+        f"cast(floor((_tx + {a!r} * px) * 1e9 + 0.5) as bigint) as sx_e9, "
+        f"cast(floor((_ty + {e!r} * py) * 1e9 + 0.5) as bigint) as sy_e9 "
+        "from verts"
+    )
+
+
+# --------------------------------------------------------------------------
 # marginal flag (M15, oracle-checked)
 # --------------------------------------------------------------------------
 
