@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.pages import read_table
-from ..util import pool_size
+
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 
@@ -455,14 +455,18 @@ def _token_hashes(texts: np.ndarray, shingle: int) -> list[np.ndarray]:
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
+N_BAND_BUCKETS = 64  # coarse shuffle key over the (band, hash) space
 MERSENNE = np.uint64((1 << 61) - 1)
 
 
 class MinHasher:
-    """Actor stage: minhash signatures.  Hash family parameters are
-    built ONCE in __init__ (a_i, b_i for h_i(x) = (a x + b) mod p);
-    per batch: flat shingle grams + one segmented min (reduceat) per
-    hash function — no per-doc Python."""
+    """Minhash signature kernel.  Runs as a PLAIN TASK stage: the hash
+    family (a_i, b_i for h_i(x) = (a x + b) mod p) is a fixed-seed rng
+    draw — microseconds, so per-task construction is free and the
+    stage avoids actor-pool spin-up entirely (the actor-pool pattern
+    is for EXPENSIVE setup; cf. the broadcast-index stages).  Per
+    batch: flat shingle grams + one segmented min (reduceat) per hash
+    function — no per-doc Python."""
 
     def __init__(self, shingle: int = 3):
         rng = np.random.default_rng(12345)  # fixed seed: deterministic family
@@ -487,11 +491,20 @@ class MinHasher:
                 bh = bh * np.uint64(1000003) + band_vals[:, :, j]
         doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), N_BANDS)
         band_id = np.tile(np.arange(N_BANDS, dtype=np.int64), ndocs)
+        flat_bh = bh.reshape(-1)
+        # coarse shuffle key: many (band, hash) buckets per group, so
+        # the downstream map_groups runs ~N_BAND_BUCKETS vectorized
+        # calls instead of one pandas call per band bucket
+        bucket = (
+            (flat_bh * np.uint64(1000003) + band_id.astype(np.uint64))
+            % np.uint64(N_BAND_BUCKETS)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(doc),
                 "band_id": pa.array(band_id),
-                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+                "band_hash": pa.array(flat_bh.astype(np.int64)),
+                "bucket": pa.array(bucket),
             }
         )
 
@@ -526,30 +539,51 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> 
     import ray
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = ds.map_batches(
-        MinHasher,
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-        fn_constructor_kwargs={"shingle": shingle},
-    )
+    hasher = MinHasher(shingle=shingle)
+    bands = ds.map_batches(hasher, batch_format="pyarrow")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(df["doc_id"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
-        ai, bi = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"a": docs[ai], "b": docs[bi]})
+        """One call per COARSE bucket: vectorized run detection over
+        the lexsorted (band_id, band_hash, doc_id) rows; only runs
+        with >= 2 docs (the rare near-dup collisions) expand pairs."""
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+        bid = df["band_id"].to_numpy(np.int64)
+        bh = df["band_hash"].to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        o = np.lexsort((did, bh, bid))
+        bid, bh, did = bid[o], bh[o], did[o]
+        keep = np.ones(len(bid), dtype=bool)  # drop dup (band,hash,doc)
+        keep[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1]) | (did[1:] != did[:-1])
+        bid, bh, did = bid[keep], bh[keep], did[keep]
+        new = np.ones(len(bid), dtype=bool)
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(bid))
+        fat = np.nonzero(ends - starts >= 2)[0]
+        if len(fat) == 0:
+            return empty
+        out_a, out_b = [], []
+        for ri in fat:
+            s, e = starts[ri], ends[ri]
+            ai, bi = np.triu_indices(e - s, k=1)
+            out_a.append(did[s + ai])
+            out_b.append(did[s + bi])
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
     cand = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .drop_columns(["count()"])
         .to_pandas()
     )
     if len(cand) == 0:
         return _empty_pairs()
+    # distinct on the driver: the candidate list IS the LSH-bounded
+    # small side (pairs, not corpus)
+    cand = cand.drop_duplicates(["a", "b"]).reset_index(drop=True)
 
     # routing table: doc -> list of (pair_id, side), CSR layout, sorted
     # by doc for searchsorted lookup inside tasks; broadcast once
