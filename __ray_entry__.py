@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.events_window,
         "events_hopping": relational.events_hopping_window,
         "events_sessionize": relational.events_sessionize,
+        "events_asof": relational.events_asof,
+        "events_range_join": relational.events_range_join,
         "q6_filter_agg": relational.q6_filter_aggregate,
         "distinct_sources": relational.distinct_sources,
         # -- text / dedup --
@@ -181,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": relational.EVENTS_WINDOW_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
+        "events_asof": relational.events_asof_sql(),
+        "events_range_join": relational.events_range_join_sql(),
         "q6_filter_agg": relational.Q6_SQL,
         "distinct_sources": relational.DISTINCT_SQL,
         "token_stats": text.TOKEN_STATS_SQL,

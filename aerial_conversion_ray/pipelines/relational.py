@@ -685,3 +685,217 @@ select user_id, cast(session_id as bigint) as session_id,
        sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
 from sess group by user_id, session_id
 """
+
+
+# --------------------------------------------------------------------------
+# as-of join + banded range join (custom operators Ray Data lacks)
+# --------------------------------------------------------------------------
+
+ASOF_BUCKETS = 64        # coarse shuffle key over user space
+RANGE_WINDOW_S = 21600   # range-join half-window (6 h)
+
+
+def events_asof(
+    sf_dir: str, trigger: str = "click", target: str = "purchase"
+) -> ray.data.Dataset:
+    """AS-OF JOIN: each ``target`` event joins the SAME USER's latest
+    ``trigger`` event at or before its timestamp (ties: max trigger
+    event_id).  Ray Data has no asof join; this is the union-merge
+    plan: both sides tagged into one narrow stream, one groupby on a
+    coarse user bucket co-locates each user's rows, and the per-bucket
+    kernel is a single lexsort + forward-fill (np.maximum.accumulate)
+    — NO per-user loop, so a bucket with a million users costs one
+    vectorized pass.  Partitioning assumption: a user's rows fit one
+    group (the per-user stream is small; users per bucket are bounded
+    by the bucket count chosen per cluster size)."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.or_(pc.equal(et, trigger), pc.equal(et, target))
+        t = t.filter(keep)
+        side = pc.if_else(
+            pc.equal(t["event_type"], trigger),
+            pa.scalar(0, pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "side": side,
+                "bucket": pa.array((uid % ASOF_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        side = df["side"].to_numpy(np.int64)
+        o = np.lexsort((eid, side, ts, uid))
+        uid, ts, eid, side = uid[o], ts[o], eid[o], side[o]
+        # forward-fill the last trigger row index; triggers sort BEFORE
+        # targets at equal (user, ts) so "at or before" includes ties
+        idx = np.where(side == 0, np.arange(len(uid)), -1)
+        last = np.maximum.accumulate(idx)
+        tgt = np.nonzero(side == 1)[0]
+        ok = tgt[(last[tgt] >= 0)]
+        ok = ok[uid[last[ok]] == uid[ok]]
+        tr = last[ok]
+        return pd.DataFrame(
+            {
+                "event_id": eid[ok],
+                "user_id": uid[ok],
+                "trigger_id": eid[tr],
+                "lag_us": ts[ok] - ts[tr],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def events_asof_sql(trigger: str = "click", target: str = "purchase") -> str:
+    return f"""
+with pairs as (
+  select p.event_id, p.user_id, t.event_id as trigger_id,
+         epoch_us(p.ts) - epoch_us(t.ts) as lag_us
+  from events p
+  join events t on t.user_id = p.user_id and t.ts <= p.ts
+  where t.event_type = '{trigger}' and p.event_type = '{target}'
+)
+select event_id, user_id, trigger_id, cast(lag_us as bigint) as lag_us
+from pairs
+qualify row_number() over (partition by event_id
+                           order by lag_us asc, trigger_id desc) = 1
+"""
+
+
+def events_range_join(
+    sf_dir: str, left: str = "view", right: str = "error",
+    window_s: int = RANGE_WINDOW_S,
+) -> ray.data.Dataset:
+    """BANDED RANGE JOIN: pairs of same-user (``left``, ``right``)
+    events within +/- ``window_s``.  The inequality join becomes an
+    equi-join by TIME BANDING (band = ts // window): the left side
+    replicates into its band and both neighbours, the right side maps
+    to its own band once, so every qualifying pair meets in EXACTLY
+    one (user, band) group (the right event's band) — no dedupe pass.
+    Groups are co-located by one coarse-bucket groupby and expanded
+    vectorized per in-group run."""
+    band_us = window_s * 1_000_000
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.or_(pc.equal(et, left), pc.equal(et, right))
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        is_l = pc.equal(t["event_type"], left).to_numpy(zero_copy_only=False)
+        band = ts // band_us
+        # left rows -> 3 bands; right rows -> 1 band
+        rep = np.where(is_l, 3, 1)
+        ruid = np.repeat(uid, rep)
+        rts = np.repeat(ts, rep)
+        reid = np.repeat(eid, rep)
+        rside = np.repeat((~is_l).astype(np.int64), rep)
+        base = np.repeat(band, rep)
+        # vectorized band offsets: position within each row's
+        # replication run (0..rep-1), shifted to -1/0/+1 for left rows
+        cum = np.cumsum(rep)
+        pos = np.arange(int(cum[-1]) if len(cum) else 0) - np.repeat(cum - rep, rep)
+        off = np.where(np.repeat(is_l, rep), pos - 1, 0)
+        rband = base + off
+        key = ruid * np.int64(1000003) + rband
+        return pa.table(
+            {
+                "user_id": pa.array(ruid),
+                "band": pa.array(rband),
+                "ts_us": pa.array(rts),
+                "event_id": pa.array(reid),
+                "side": pa.array(rside),
+                "bucket": pa.array(
+                    (key % np.int64(ASOF_BUCKETS) + ASOF_BUCKETS)
+                    % np.int64(ASOF_BUCKETS)
+                ),
+            }
+        )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "dt_us": pd.Series(dtype=np.int64),
+            }
+        )
+        uid = df["user_id"].to_numpy(np.int64)
+        band = df["band"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        side = df["side"].to_numpy(np.int64)
+        o = np.lexsort((eid, side, band, uid))
+        uid, band, ts, eid, side = uid[o], band[o], ts[o], eid[o], side[o]
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (band[1:] != band[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(uid))
+        out = []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            nl = int((sd == 0).sum())
+            nr = len(sd) - nl
+            if nl == 0 or nr == 0:
+                continue
+            # pairs: only those where the RIGHT row's own band is this
+            # group's band (always true: right rows map to one band)
+            li = np.arange(s, s + nl)
+            ri = np.arange(s + nl, e)
+            ai = np.repeat(li, nr)
+            bi = np.tile(ri, nl)
+            dt = ts[bi] - ts[ai]
+            ok = np.abs(dt) <= band_us
+            if ok.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": eid[ai[ok]],
+                            "b": eid[bi[ok]],
+                            "user_id": uid[ai[ok]],
+                            "dt_us": dt[ok],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pandas")
+    )
+
+
+def events_range_join_sql(
+    left: str = "view", right: str = "error", window_s: int = RANGE_WINDOW_S
+) -> str:
+    return f"""
+select v.event_id as a, e.event_id as b, v.user_id,
+       cast(epoch_us(e.ts) - epoch_us(v.ts) as bigint) as dt_us
+from events v
+join events e on v.user_id = e.user_id
+where v.event_type = '{left}' and e.event_type = '{right}'
+  and abs(epoch_us(e.ts) - epoch_us(v.ts)) <= {window_s * 1_000_000}
+"""

@@ -1,0 +1,59 @@
+"""As-of join + banded range join: DuckDB parity at sf0.001 plus
+semantic spot checks (latest-prior trigger, inclusive window edges)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from aerial_conversion_ray.pipelines import relational
+
+
+def _duck_events(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_events_asof_matches_oracle(sf_dir):
+    got = _canon(relational.events_asof(sf_dir).to_pandas())
+    want = _canon(_duck_events(sf_dir, relational.events_asof_sql()))
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_asof_picks_latest_prior_trigger(sf_dir):
+    got = relational.events_asof(sf_dir).to_pandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("int64")
+    trig = ev[ev["event_type"] == "click"]
+    # re-derive a handful of rows independently with a per-row scan
+    for _, r in got.head(20).iterrows():
+        tgt = ev[ev["event_id"] == r["event_id"]].iloc[0]
+        cand = trig[(trig["user_id"] == r["user_id"]) & (trig["ts_us"] <= tgt["ts_us"])]
+        best = cand.sort_values(["ts_us", "event_id"]).iloc[-1]
+        assert r["trigger_id"] == best["event_id"]
+        assert r["lag_us"] == tgt["ts_us"] - best["ts_us"]
+
+
+def test_events_range_join_matches_oracle(sf_dir):
+    got = _canon(relational.events_range_join(sf_dir).to_pandas())
+    want = _canon(_duck_events(sf_dir, relational.events_range_join_sql()))
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no duplicate pairs from band replication
+    assert not got.duplicated(["a", "b"]).any()
+
+
+def test_events_range_join_window_inclusive(sf_dir):
+    got = relational.events_range_join(sf_dir).to_pandas()
+    lim = relational.RANGE_WINDOW_S * 1_000_000
+    dt = got["dt_us"].to_numpy(np.int64)
+    assert (np.abs(dt) <= lim).all()
