@@ -16,6 +16,7 @@ from typing import Any
 
 from aerial_conversion_ray.config import EngineConfig, TileGridSpec
 from aerial_conversion_ray.pipelines import (
+    cluster,
     coco,
     embeddings,
     multimodal,
@@ -110,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": text.dedup_exact,
         "jaccard_pairs": text.jaccard_pairs,
         "jaccard_capped": lambda sf: text.jaccard_pairs(sf, max_df=400),
+        "dup_clusters": cluster.dup_clusters,
+        "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
         "simhash": text.simhash_fingerprints,
         "rolling_fingerprint": text.rolling_fingerprint,
@@ -192,6 +195,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
+        "dup_clusters": cluster.dup_clusters_sql(),
+        "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model
         # state): non-SQL-expressible — rows-only; determinism + recall
         # asserted in tests/test_text.py.

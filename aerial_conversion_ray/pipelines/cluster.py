@@ -1,0 +1,250 @@
+"""Near-duplicate CLUSTERING: connected components over the similar-pair
+graph, plus the corpus-level near-dedup built on it.
+
+The pair miners (``text.jaccard_pairs`` / ``text.minhash_lsh_pairs``)
+emit edges; turning edges into DUP GROUPS (and one kept representative
+per group) needs connected components — an operator Ray Data lacks.
+Reference analog: the zone-union merge of ``coco2geojson.py`` dissolves
+touching geometries into one feature; here we dissolve similar
+documents into one cluster (same dissolve semantics, similarity graph
+instead of adjacency).
+
+Engine: iterative MIN-LABEL PROPAGATION, each iteration two coarse
+bucket groupbys over (V + 2E) narrow int64 rows:
+
+  phase 1  bucket(node)  — join each node's current label to its
+           out-edges (vectorized pandas merge inside the group) and
+           emit one candidate label per neighbour + self
+  phase 2  bucket(node)  — min over candidates -> new labels
+
+Labels are monotone non-increasing, so the sum of labels is a strict
+convergence witness; the loop stops the first iteration the sum is
+unchanged.  Iteration count is the graph diameter — near-dup clusters
+are near-cliques, so a handful in practice; DIAM_CAP guards pathology.
+
+Scale notes (100 TB): the edge set is materialized ONCE (it is the
+similar-pair set — tiny next to the corpus, bounded by the miner's
+threshold/df-cap) and re-read per iteration; labels are one int64 pair
+per document.  Per-iteration cost is 2 shuffles of V+2E rows with NO
+text payload.  When |E| is small enough to collect (often true after
+aggressive thresholds), a driver union-find + broadcast map is the
+cheaper plan — this module keeps the fully-distributed path because it
+is the one that still works when the pair graph itself outgrows one
+node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..sources.pages import read_table
+from . import text as text_pipelines
+
+N_CC_BUCKETS = 64
+DIAM_CAP = 64
+
+
+def _bucketed(node: np.ndarray) -> np.ndarray:
+    return (node % N_CC_BUCKETS).astype(np.int64)
+
+
+def _labels_table(node: np.ndarray, lbl: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "node": pa.array(node.astype(np.int64)),
+            "val": pa.array(lbl.astype(np.int64)),
+            "kind": pa.array(np.zeros(len(node), dtype=np.int64)),
+            "bucket": pa.array(_bucketed(node)),
+        }
+    )
+
+
+def connected_components(
+    edges: ray.data.Dataset, nodes: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(node, cluster_id=min node id in component) for every node.
+
+    ``edges``: columns ``a``/``b`` (undirected, any orientation);
+    ``nodes``: column ``node`` listing every vertex (isolated vertices
+    become singleton clusters).
+    """
+
+    def direct(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "node": pa.array(src),
+                "val": pa.array(dst),
+                "kind": pa.array(np.ones(len(src), dtype=np.int64)),
+                "bucket": pa.array(_bucketed(src)),
+            }
+        )
+
+    # materialized ONCE: re-read every iteration (lazy re-execution
+    # would re-run the whole pair miner per iteration)
+    directed = edges.map_batches(direct, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _labels_table(n, n)
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["kind"] == 0]
+        edg = df[df["kind"] == 1]
+        cand = pd.DataFrame(
+            {"node": lab["node"].to_numpy(np.int64), "cand": lab["val"].to_numpy(np.int64)}
+        )
+        if len(edg):
+            sent = edg.merge(
+                lab[["node", "val"]].rename(columns={"val": "lbl"}), on="node"
+            )
+            cand = pd.concat(
+                [
+                    cand,
+                    pd.DataFrame(
+                        {
+                            "node": sent["val"].to_numpy(np.int64),
+                            "cand": sent["lbl"].to_numpy(np.int64),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        cand["bucket"] = _bucketed(cand["node"].to_numpy(np.int64))
+        return cand
+
+    def minimize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["cand"].min()
+        out = pd.DataFrame(
+            {
+                "node": g["node"].to_numpy(np.int64),
+                "val": g["cand"].to_numpy(np.int64),
+            }
+        )
+        out["kind"] = np.int64(0)
+        out["bucket"] = _bucketed(out["node"].to_numpy(np.int64))
+        return out
+
+    prev_sum = None
+    for _ in range(DIAM_CAP):
+        labels = (
+            labels.union(directed)
+            .groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(minimize, batch_format="pandas")
+            # back to Arrow blocks: union() requires uniform block types
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        cur_sum = labels.sum("val")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:  # pragma: no cover - diameter beyond cap
+        raise RuntimeError(f"connected_components: no fixpoint in {DIAM_CAP} rounds")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["val"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_clusters(
+    sf_dir: str, threshold: float = 0.5, max_df: int | None = None
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for EVERY document: components of the
+    word-set-Jaccard >= ``threshold`` pair graph; singletons cluster to
+    themselves.  cluster_id = min doc_id of the component, so it is
+    also the kept representative under first-wins dedup."""
+    edges = text_pipelines.jaccard_pairs(sf_dir, threshold, max_df).select_columns(
+        ["a", "b"]
+    )
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
+    )
+    return connected_components(edges, nodes)
+
+
+def near_dedup(
+    sf_dir: str, threshold: float = 0.5, max_df: int | None = None
+) -> ray.data.Dataset:
+    """The deduped corpus face: one row per KEPT representative
+    (doc_id == cluster_id) with its cluster_size.  sum(cluster_size)
+    == corpus size; cluster_size > 1 marks collapsed dup groups."""
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": g["cluster_id"].to_numpy(np.int64),
+                "cluster_size": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        c = t["cluster_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucketed(c)))
+
+    return (
+        dup_clusters(sf_dir, threshold, max_df)
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sizes, batch_format="pandas")
+    )
+
+
+def _jaccard_edges_cte(threshold: float, max_df: int | None) -> str:
+    kept = (
+        f"""select * from toks
+  where token in (select token from toks group by token having count(*) <= {max_df})"""
+        if max_df is not None
+        else "select * from toks"
+    )
+    return f"""
+with recursive toks as (
+  select distinct doc_id, unnest(string_split(text, ' ')) as token from documents
+), kept as (
+  {kept}
+), sizes as (
+  select doc_id, count(*) as n from kept group by doc_id
+), inter as (
+  select a.doc_id as a, b.doc_id as b, count(*) as inter
+  from kept a join kept b on a.token = b.token and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+), pairs as (
+  select a, b from inter
+  join sizes sa on sa.doc_id = a
+  join sizes sb on sb.doc_id = b
+  where cast(inter as double) / (sa.n + sb.n - inter) >= {threshold!r}
+), edges as (
+  select a as src, b as dst from pairs
+  union all
+  select b as src, a as dst from pairs
+), cc(node, lbl) as (
+  select doc_id, doc_id from documents
+  union
+  select e.dst, c.lbl from cc c join edges e on e.src = c.node
+  where c.lbl < e.dst
+), lab as (
+  select node as doc_id, min(lbl) as cluster_id from cc group by node
+)"""
+
+
+def dup_clusters_sql(threshold: float = 0.5, max_df: int | None = None) -> str:
+    return _jaccard_edges_cte(threshold, max_df) + "\nselect doc_id, cluster_id from lab"
+
+
+def near_dedup_sql(threshold: float = 0.5, max_df: int | None = None) -> str:
+    return _jaccard_edges_cte(threshold, max_df) + (
+        "\nselect cluster_id as doc_id, count(*) as cluster_size from lab"
+        " group by cluster_id"
+    )

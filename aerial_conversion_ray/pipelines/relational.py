@@ -852,34 +852,34 @@ def events_range_join(
         new = np.ones(len(uid), dtype=bool)
         new[1:] = (uid[1:] != uid[:-1]) | (band[1:] != band[:-1])
         starts = np.nonzero(new)[0]
-        ends = np.append(starts[1:], len(uid))
-        out = []
-        for s, e in zip(starts, ends):
-            sd = side[s:e]
-            nl = int((sd == 0).sum())
-            nr = len(sd) - nl
-            if nl == 0 or nr == 0:
-                continue
-            # pairs: only those where the RIGHT row's own band is this
-            # group's band (always true: right rows map to one band)
-            li = np.arange(s, s + nl)
-            ri = np.arange(s + nl, e)
-            ai = np.repeat(li, nr)
-            bi = np.tile(ri, nl)
-            dt = ts[bi] - ts[ai]
-            ok = np.abs(dt) <= band_us
-            if ok.any():
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "a": eid[ai[ok]],
-                            "b": eid[bi[ok]],
-                            "user_id": uid[ai[ok]],
-                            "dt_us": dt[ok],
-                        }
-                    )
-                )
-        return pd.concat(out, ignore_index=True) if out else empty
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid)
+        nl = np.bincount(gid, weights=(side == 0)).astype(np.int64)
+        nr = tot - nl
+        # fully-vectorized per-group left×right cross product: no
+        # Python loop over (user, band) groups.  Pair k of group g maps
+        # to left row starts[g] + k // nr[g] and right row
+        # starts[g] + nl[g] + k % nr[g] (lefts sort before rights).
+        p = nl * nr
+        total = int(p.sum())
+        if total == 0:
+            return empty
+        gg = np.repeat(np.arange(len(p)), p)
+        k = np.arange(total) - np.repeat(np.cumsum(p) - p, p)
+        ai = starts[gg] + k // nr[gg]
+        bi = starts[gg] + nl[gg] + k % nr[gg]
+        dt = ts[bi] - ts[ai]
+        ok = np.abs(dt) <= band_us
+        if not ok.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "a": eid[ai[ok]],
+                "b": eid[bi[ok]],
+                "user_id": uid[ai[ok]],
+                "dt_us": dt[ok],
+            }
+        )
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
