@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_asof": relational.events_asof,
         "events_range_join": relational.events_range_join,
+        "quantiles": relational.quantiles,
+        "top_docs_per_lang": relational.top_docs_per_lang,
         "q6_filter_agg": relational.q6_filter_aggregate,
         "distinct_sources": relational.distinct_sources,
         # -- text / dedup --
@@ -188,6 +190,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
         "events_asof": relational.events_asof_sql(),
         "events_range_join": relational.events_range_join_sql(),
+        "quantiles": relational.QUANTILES_SQL,
+        "top_docs_per_lang": relational.top_docs_per_lang_sql(),
         "q6_filter_agg": relational.Q6_SQL,
         "distinct_sources": relational.DISTINCT_SQL,
         "token_stats": text.TOKEN_STATS_SQL,

@@ -899,3 +899,173 @@ join events e on v.user_id = e.user_id
 where v.event_type = '{left}' and e.event_type = '{right}'
   and abs(epoch_us(e.ts) - epoch_us(v.ts)) <= {window_s * 1_000_000}
 """
+
+
+# --------------------------------------------------------------------------
+# exact distributed quantiles (histogram refinement) + grouped top-k
+# --------------------------------------------------------------------------
+
+QUANTILE_BINS = 4096
+QUANTILE_CAND_LIMIT = 1 << 20  # max values collected for the exact tail sort
+
+
+def quantiles(
+    sf_dir: str, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> "pa.Table":
+    """Exact global quantiles of lineitem.l_extendedprice WITHOUT a
+    global sort: streaming histogram refinement.
+
+    Pass 1: min/max/count (built-in tree aggregate).  Pass 2: one
+    4096-bin histogram built per batch (np.bincount) and coarsely
+    re-aggregated (64-bucket groupby, vectorized pandas sum inside) —
+    never a fine-grained Ray groupby.  The driver cumsums the 4096
+    ints, locates each quantile's bin, and pass 3 collects ONLY the
+    values inside target bins (expected n/4096 each; a refinement loop
+    re-histograms any bin that still exceeds QUANTILE_CAND_LIMIT, so
+    driver memory is bounded even under extreme value skew).  Rank
+    semantics match DuckDB ``quantile_disc``: index floor((n-1)*p) of
+    the sorted values."""
+    col = "l_extendedprice"
+    ds = read_table(sf_dir, "lineitem", columns=[col])
+    agg = ds.aggregate(Min(col), Max(col), Count())
+    lo, hi, n = float(agg[f"min({col})"]), float(agg[f"max({col})"]), int(agg["count()"])
+    targets = {p: int(np.floor((n - 1) * p)) for p in ps}  # global 0-based rank
+    out = {}
+
+    def solve(lo: float, hi: float, base_rank: int, ranks: dict[float, int]):
+        """Quantiles whose value lies in [lo, hi], given the count of
+        values below lo (base_rank) and each p's global rank."""
+        if lo == hi:
+            for p in ranks:
+                out[p] = lo
+            return
+        width = (hi - lo) / QUANTILE_BINS
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            b = np.minimum(
+                ((v - lo) / width).astype(np.int64), QUANTILE_BINS - 1
+            )
+            cnt = np.bincount(b, minlength=QUANTILE_BINS).astype(np.int64)
+            nz = np.nonzero(cnt)[0]
+            return pa.table(
+                {
+                    "bin": pa.array(nz.astype(np.int64)),
+                    "cnt": pa.array(cnt[nz]),
+                    "bucket": pa.array(nz % np.int64(64)),
+                }
+            )
+
+        def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("bin", as_index=False)["cnt"].sum()
+            return pd.DataFrame(
+                {"bin": g["bin"].to_numpy(np.int64), "cnt": g["cnt"].to_numpy(np.int64)}
+            )
+
+        part = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_sum, batch_format="pandas")
+            .to_pandas()
+        )
+        full = np.zeros(QUANTILE_BINS, dtype=np.int64)
+        full[part["bin"].to_numpy(np.int64)] = part["cnt"].to_numpy(np.int64)
+        below = base_rank + np.concatenate([[0], np.cumsum(full)[:-1]])
+        # group the pending quantiles by the bin their rank falls in
+        by_bin: dict[int, dict[float, int]] = {}
+        for p, r in ranks.items():
+            b = int(np.searchsorted(below, r, side="right") - 1)
+            by_bin.setdefault(b, {})[p] = r
+        for b, sub in by_bin.items():
+            blo = lo + b * width
+            bhi = hi if b == QUANTILE_BINS - 1 else lo + (b + 1) * width
+            if full[b] > QUANTILE_CAND_LIMIT:
+                solve(blo, bhi, int(below[b]), sub)
+                continue
+
+            def collect(t: pa.Table, blo=blo, b=b) -> pa.Table:
+                v = t[col].to_numpy(zero_copy_only=False)
+                v = v[(v >= lo) & (v <= hi)]
+                bb = np.minimum(((v - lo) / width).astype(np.int64), QUANTILE_BINS - 1)
+                return pa.table({"v": pa.array(v[bb == b])})
+
+            vals = np.sort(
+                ds.map_batches(collect, batch_format="pyarrow")
+                .to_pandas()["v"]
+                .to_numpy()
+            )
+            for p, r in sub.items():
+                out[p] = float(vals[r - int(below[b])])
+
+    solve(lo, hi, 0, targets)
+    return pa.table(
+        {
+            "p": pa.array(list(ps), pa.float64()),
+            "value": pa.array([out[p] for p in ps], pa.float64()),
+        }
+    )
+
+
+QUANTILES_SQL = """
+select 0.5 as p, quantile_disc(l_extendedprice, 0.5) as value from lineitem
+union all
+select 0.9, quantile_disc(l_extendedprice, 0.9) from lineitem
+union all
+select 0.99, quantile_disc(l_extendedprice, 0.99) from lineitem
+"""
+
+
+TOPK_PER_GROUP_K = 3
+
+
+def top_docs_per_lang(sf_dir: str, k: int = TOPK_PER_GROUP_K) -> ray.data.Dataset:
+    """Grouped top-k WITHOUT a global sort: top ``k`` longest documents
+    per lang (ties: min doc_id).  Per-batch partial top-k first — one
+    lexsort + segment-rank scan keeps <= k rows per lang per batch —
+    so the groupby only shuffles O(k * langs * blocks) narrow rows,
+    never the corpus."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, -n, lang))
+        lang, n, d = lang[o], n[o], d[o]
+        new = np.ones(len(lang), dtype=bool)
+        new[1:] = lang[1:] != lang[:-1]
+        gid = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(lang)) - starts[gid]
+        keep = rank < k
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep]),
+                "doc_id": pa.array(d[keep]),
+                "n_chars": pa.array(n[keep]),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        df["rank"] = df.groupby("lang").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return df.astype({"rank": np.int64})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def top_docs_per_lang_sql(k: int = TOPK_PER_GROUP_K) -> str:
+    return f"""
+select lang, doc_id, n_chars, cast(rank as bigint) as rank from (
+  select lang, doc_id, n_chars,
+         row_number() over (partition by lang
+                            order by n_chars desc, doc_id) as rank
+  from documents
+) where rank <= {k}
+"""

@@ -1,0 +1,57 @@
+"""Exact distributed quantiles (histogram refinement) + grouped top-k:
+numpy-rank parity, forced-refinement path, and DuckDB parity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from aerial_conversion_ray.pipelines import relational
+
+
+def test_quantiles_match_numpy_rank(sf_dir):
+    got = relational.quantiles(sf_dir).to_pandas()
+    vals = np.sort(
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])[
+            "l_extendedprice"
+        ].to_numpy()
+    )
+    n = len(vals)
+    for _, r in got.iterrows():
+        assert r["value"] == vals[int(np.floor((n - 1) * r["p"]))]
+
+
+def test_quantiles_refinement_path(sf_dir, monkeypatch):
+    """Force the recursive re-histogram branch (bin count > limit) and
+    assert the result is unchanged."""
+    monkeypatch.setattr(relational, "QUANTILE_CAND_LIMIT", 10)
+    got = relational.quantiles(sf_dir, ps=(0.5,)).to_pandas()
+    vals = np.sort(
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])[
+            "l_extendedprice"
+        ].to_numpy()
+    )
+    assert got["value"].iloc[0] == vals[int(np.floor((len(vals) - 1) * 0.5))]
+
+
+def test_top_docs_per_lang_matches_oracle(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = (
+        relational.top_docs_per_lang(sf_dir)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        con.execute(relational.top_docs_per_lang_sql())
+        .df()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert (got.groupby("lang")["rank"].max() <= relational.TOPK_PER_GROUP_K).all()
