@@ -1069,11 +1069,19 @@ def knn_pipeline(
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    pool = max(1, min(8, ncpu // 2))
+    pool = max(1, ncpu // 2)
+    # fan the (narrow, already-filtered) query set out to one block per
+    # pool slot: the upstream generator bundles its tiny range-inputs
+    # into very few blocks, which would otherwise serialize this heavy
+    # stage on 2 tasks regardless of pool size
+    queries = queries.repartition(pool * 2)
+    # batch_size=None: one batch per repartitioned block — an explicit
+    # batch_size would re-bundle the small blocks into a single actor
+    # task and serialize the stage again
     return queries.map_batches(
         cls,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=None,
         concurrency=pool,
     )

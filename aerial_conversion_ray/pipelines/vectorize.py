@@ -388,14 +388,27 @@ def zone_merge(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset
         tile_union, batch_format="pandas"
     )
 
-    agg = (
-        partials.groupby("lang")
-        .aggregate(
-            Sum("union_px", alias_name="union_px"),
-            Sum("n_rects", alias_name="n_rects"),
-            Count(alias_name="n_tiles"),
+    # LOW-CARDINALITY final combine: one row per (lang, tile) survives
+    # the paint — bounded by the fixed grid, not the corpus — so the
+    # per-lang sum + sort runs driver-side instead of paying two more
+    # Ray all-to-alls for a 5-row result.
+    pdf = partials.to_pandas()
+    g = (
+        pdf.groupby("lang", as_index=False)
+        .agg(union_px=("union_px", "sum"), n_rects=("n_rects", "sum"),
+             n_tiles=("tile_id", "count"))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    agg = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "union_px": pa.array(g["union_px"].to_numpy(np.int64)),
+                "n_rects": pa.array(g["n_rects"].to_numpy(np.int64)),
+                "n_tiles": pa.array(g["n_tiles"].to_numpy(np.int64)),
+            }
         )
-        .sort("lang")
     )
 
     def finish(t: pa.Table) -> pa.Table:
