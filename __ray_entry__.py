@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": text.dedup_exact,
         "jaccard_pairs": text.jaccard_pairs,
         "jaccard_capped": lambda sf: text.jaccard_pairs(sf, max_df=400),
+        "quality_filter": text.quality_filter,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
+        "quality_filter": text.QUALITY_FILTER_SQL,
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model

@@ -971,3 +971,80 @@ def langid_scores(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# quality filtering (Gopher-style rule composition)
+# --------------------------------------------------------------------------
+
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 90
+QF_AVG_LO_X10 = 40   # avg token chars in [4.0, 5.2], scaled x10 integer
+QF_AVG_HI_X10 = 52
+QF_MIN_STOPWORDS = 2
+QF_MIN_DISTINCT_PCT = 35
+
+
+def quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-flavoured quality rules over the per-doc token stats,
+    one flag column per rule + the composed keep bit.  Every rule is
+    INTEGER arithmetic (ratios cross-multiplied) so the engine and the
+    SQL oracle agree bit-for-bit with no float tolerance:
+
+    - r_len      token count in [QF_MIN_TOKENS, QF_MAX_TOKENS]
+    - r_avgchar  10*(chars - (n-1)) in [40n, 52n]  (avg in [4.0, 5.2])
+    - r_stop     >= 2 stopword occurrences
+    - r_rep      100*distinct >= 35*n (repetition guard)
+
+    Composition happens on the already-reduced stats stream — the text
+    itself is read once by token_stats and never re-tokenized."""
+    stats = token_stats(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy()
+        nd = t["n_distinct_tokens"].to_numpy()
+        ns = t["n_stopwords"].to_numpy()
+        # avg_token_chars = (chars - (n-1)) / n was emitted as float;
+        # rebuild the exact integer numerator from it is unsafe — use
+        # the integer identity 10*(chars-(n-1)) vs bounds*n instead
+        chars10 = np.rint(t["avg_token_chars"].to_numpy() * n * 10).astype(np.int64)
+        r_len = (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)
+        r_avg = (chars10 >= QF_AVG_LO_X10 * n) & (chars10 <= QF_AVG_HI_X10 * n)
+        r_stop = ns >= QF_MIN_STOPWORDS
+        r_rep = 100 * nd >= QF_MIN_DISTINCT_PCT * n
+        keep = r_len & r_avg & r_stop & r_rep
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "r_len": pa.array(r_len.astype(np.int64)),
+                "r_avgchar": pa.array(r_avg.astype(np.int64)),
+                "r_stop": pa.array(r_stop.astype(np.int64)),
+                "r_rep": pa.array(r_rep.astype(np.int64)),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return stats.map_batches(flags, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = f"""
+with s as (
+  select doc_id,
+         len(string_split(text, ' ')) as n,
+         len(list_distinct(string_split(text, ' '))) as nd,
+         len(list_filter(string_split(text, ' '),
+                         x -> x in ('the','a','and','of','to'))) as ns,
+         10 * (length(text) - len(string_split(text, ' ')) + 1) as chars10
+  from documents
+)
+select doc_id,
+       cast(n >= {QF_MIN_TOKENS} and n <= {QF_MAX_TOKENS} as bigint) as r_len,
+       cast(chars10 >= {QF_AVG_LO_X10} * n and chars10 <= {QF_AVG_HI_X10} * n as bigint) as r_avgchar,
+       cast(ns >= {QF_MIN_STOPWORDS} as bigint) as r_stop,
+       cast(100 * nd >= {QF_MIN_DISTINCT_PCT} * n as bigint) as r_rep,
+       cast((n >= {QF_MIN_TOKENS} and n <= {QF_MAX_TOKENS})
+        and (chars10 >= {QF_AVG_LO_X10} * n and chars10 <= {QF_AVG_HI_X10} * n)
+        and ns >= {QF_MIN_STOPWORDS}
+        and 100 * nd >= {QF_MIN_DISTINCT_PCT} * n as bigint) as keep
+from s
+"""

@@ -2,6 +2,7 @@
 Jaccard, SimHash similarity behavior, winnowing shift behavior."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from aerial_conversion_ray.pipelines import text
@@ -155,3 +156,22 @@ def test_simhash_and_rolling_match_sql(sf_dir):
     ).df()
     assert list(got["fingerprint"]) == list(exp["fingerprint"])
     assert list(got["pos"]) == list(exp["pos"])
+
+
+def test_quality_filter_matches_oracle(sf_dir):
+    import duckdb
+
+    from aerial_conversion_ray.pipelines import text as tp
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = tp.quality_filter(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.sql(tp.QUALITY_FILTER_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # the rule set must actually split the corpus (not all-pass/all-fail)
+    assert 0 < got["keep"].mean() < 1
