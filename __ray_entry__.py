@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": text.jaccard_pairs,
         "jaccard_capped": lambda sf: text.jaccard_pairs(sf, max_df=400),
         "quality_filter": text.quality_filter,
+        "host_stats": lambda sf: text.host_stats(sf, CFG),
+        "regex_tokens": text.regex_tokens,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
@@ -201,6 +203,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
         "quality_filter": text.QUALITY_FILTER_SQL,
+        "host_stats": text.host_stats_sql(CFG),
+        "regex_tokens": text.REGEX_TOKENS_SQL,
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model

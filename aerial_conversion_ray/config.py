@@ -49,6 +49,12 @@ class EngineConfig:
     grid: TileGridSpec = field(default_factory=TileGridSpec)
     cell_res: int = 9           # primary index resolution
     pages_rep: int = 1          # pages per document (deterministic amplification)
-    batch_size: int = 65536
+    # None = one batch per block: the sources size blocks for the
+    # cluster (pages generator fan-out / parquet row groups), and an
+    # explicit batch_size here makes Ray BUNDLE the fanned-out blocks
+    # back together until it reaches that many rows (measured: 64
+    # generator blocks -> 13 tasks at batch_size=65536, 19 of 32 cores
+    # idle).  The per-batch kernels are vectorized and size-agnostic.
+    batch_size: int | None = None
     knn_k: int = 5
     salt_buckets: int = 8       # sub-buckets for hot-cell salting

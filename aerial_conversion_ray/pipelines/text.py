@@ -1048,3 +1048,123 @@ select doc_id,
         and 100 * nd >= {QF_MIN_DISTINCT_PCT} * n as bigint) as keep
 from s
 """
+
+
+# --------------------------------------------------------------------------
+# URL host extraction + per-host stats (web-corpus bookkeeping)
+# --------------------------------------------------------------------------
+
+def host_stats(sf_dir: str, cfg=None) -> ray.data.Dataset:
+    """Per-HOST corpus stats over the pages stream: host parsed from
+    the url column (vectorized Arrow split, no Python per-row), then
+    (n_pages, n_docs, sum_chars) per host.
+
+    Partial-aggregate shape: each batch reduces to its distinct
+    (host, doc_id) pairs with per-pair page/char counts, so the
+    groupby shuffles one narrow row per document per block — never a
+    page row, never text."""
+    from ..sources.pages import pages_dataset
+    from ..config import EngineConfig
+
+    cfg = cfg or EngineConfig()
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["url", "doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        # per-(doc) reduce: host is 1:1 with doc's source so grouping
+        # by doc_id alone keeps the pair
+        u, inv, cnt = np.unique(d, return_inverse=True, return_counts=True)
+        chars = np.bincount(inv, weights=nch).astype(np.int64)
+        first = np.zeros(len(u), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(d) - 1, -1, -1)
+        return pa.table(
+            {
+                "host": host.take(pa.array(first)),
+                "doc_id": pa.array(u),
+                "n_pages": pa.array(cnt.astype(np.int64)),
+                "sum_chars": pa.array(chars),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host").agg(
+            n_pages=("n_pages", "sum"),
+            n_docs=("doc_id", "nunique"),
+            sum_chars=("sum_chars", "sum"),
+        )
+        g = g.reset_index()
+        return g.astype({"n_pages": np.int64, "n_docs": np.int64, "sum_chars": np.int64})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def host_stats_sql(cfg=None) -> str:
+    from ..sources.pages import pages_cte
+    from ..config import EngineConfig
+
+    cfg = cfg or EngineConfig()
+    return f"""
+with pages as ({pages_cte(cfg.pages_rep)})
+select split_part(url, '/', 3) as host,
+       count(*) as n_pages,
+       count(distinct doc_id) as n_docs,
+       cast(sum(n_chars) as bigint) as sum_chars
+from pages group by host
+"""
+
+
+# --------------------------------------------------------------------------
+# regex token classes (BPE-ish piece counting)
+# --------------------------------------------------------------------------
+
+# both Arrow and DuckDB regex on RE2 -> identical match semantics
+RE_WORD = "[a-z]+"
+RE_CAP = "[A-Z][a-z]*"
+RE_NUM = "[0-9]+"
+RE_PUNCT = "[^A-Za-z0-9 ]"
+
+
+def regex_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token-CLASS counts with a BPE-ish piece total:
+    lowercase word runs, capitalized runs, digit runs, punctuation
+    singles — the regex-union pre-tokenization most BPE vocabularies
+    start from.  One ``pc.count_substring_regex`` kernel per class
+    (C++ RE2 over the whole column; no Python)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        total = None
+        for name, pat in (
+            ("n_words", RE_WORD),
+            ("n_caps", RE_CAP),
+            ("n_nums", RE_NUM),
+            ("n_punct", RE_PUNCT),
+        ):
+            c = pc.cast(pc.count_substring_regex(t["text"], pat), pa.int64())
+            cols[name] = c
+            total = c if total is None else pc.add(total, c)
+        cols["n_pieces"] = total
+        return pa.table(cols)
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+REGEX_TOKENS_SQL = f"""
+select doc_id,
+       len(regexp_extract_all(text, '{RE_WORD}')) as n_words,
+       len(regexp_extract_all(text, '{RE_CAP}')) as n_caps,
+       len(regexp_extract_all(text, '{RE_NUM}')) as n_nums,
+       len(regexp_extract_all(text, '{RE_PUNCT}')) as n_punct,
+       len(regexp_extract_all(text, '{RE_WORD}'))
+       + len(regexp_extract_all(text, '{RE_CAP}'))
+       + len(regexp_extract_all(text, '{RE_NUM}'))
+       + len(regexp_extract_all(text, '{RE_PUNCT}')) as n_pieces
+from documents
+"""

@@ -175,3 +175,50 @@ def test_quality_filter_matches_oracle(sf_dir):
     )
     # the rule set must actually split the corpus (not all-pass/all-fail)
     assert 0 < got["keep"].mean() < 1
+
+
+def test_host_stats_matches_oracle(sf_dir):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from aerial_conversion_ray.pipelines import text as tp
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = (
+        tp.host_stats(sf_dir, entrymod.CFG)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    want = (
+        con.sql(tp.host_stats_sql(entrymod.CFG))
+        .df()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert got["host"].str.endswith(".example").all()
+
+
+def test_regex_tokens_matches_oracle(sf_dir):
+    import duckdb
+
+    from aerial_conversion_ray.pipelines import text as tp
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = tp.regex_tokens(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.sql(tp.REGEX_TOKENS_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert (got["n_pieces"] > 0).all()
