@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": text.quality_filter,
         "host_stats": lambda sf: text.host_stats(sf, CFG),
         "regex_tokens": text.regex_tokens,
+        "sample_hash": text.sample_hash,
+        "approx_distinct_tokens": text.approx_distinct_tokens,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": text.QUALITY_FILTER_SQL,
         "host_stats": text.host_stats_sql(CFG),
         "regex_tokens": text.REGEX_TOKENS_SQL,
+        "sample_hash": text.sample_hash_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model

@@ -1168,3 +1168,124 @@ select doc_id,
        + len(regexp_extract_all(text, '{RE_PUNCT}')) as n_pieces
 from documents
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling + HyperLogLog distinct sketch
+# --------------------------------------------------------------------------
+
+SAMPLE_MULT = 2654435761          # Knuth multiplicative constant
+SAMPLE_MOD = 1 << 32
+
+
+def sample_hash(sf_dir: str, rate: float = 0.25) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample: keep doc iff
+    ``(doc_id * 2654435761) mod 2^32 < rate * 2^32``.  Integer
+    arithmetic start to finish, so the oracle reproduces the EXACT
+    sample — no RNG, no seed state, stable under any partitioning
+    (the scale requirement for resumable sampling)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    cut = int(rate * SAMPLE_MOD)
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (d * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+        return t.filter(pa.array(u < np.uint64(cut)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sample_hash_sql(rate: float = 0.25) -> str:
+    cut = int(rate * SAMPLE_MOD)
+    return f"""
+select doc_id, lang, n_chars from documents
+where (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {cut}
+"""
+
+
+HLL_P = 8                          # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+
+
+def _hll_registers(tok_hash: np.ndarray, group: np.ndarray, n_groups: int) -> np.ndarray:
+    """(n_groups, HLL_M) max-rank register matrix for uint64 token
+    hashes, vectorized: register = top HLL_P bits, rank = leading
+    zeros of the remaining bits + 1."""
+    # splitmix64 avalanche first: the polynomial hash's top bits are
+    # length-biased for short tokens, which starves registers; the
+    # finalizer makes every bit uniform (public-domain splitmix64)
+    with np.errstate(over="ignore"):
+        z = tok_hash.astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        tok_hash = z ^ (z >> np.uint64(31))
+    reg = (tok_hash >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (tok_hash << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # leading zeros of a uint64 via float64 log2 is unsafe past 2^53;
+    # use bit-length through successive shifts: rank = 64-HLL_P minus
+    # bit position of highest set bit of the top (64-HLL_P) bits
+    hi = (rest >> np.uint64(32)).astype(np.uint32)
+    lzc = np.zeros(len(rest), dtype=np.int64)
+    x = hi.astype(np.uint64)
+    # classic branchless clz on the high 32 bits (rest has its low
+    # HLL_P bits forced to 1, so rank caps correctly)
+    for shift in (16, 8, 4, 2, 1):
+        mask = x < (np.uint64(1) << np.uint64(32 - shift))
+        lzc[mask] += shift
+        x = np.where(mask, x << np.uint64(shift), x)
+    rank = lzc + 1
+    flat = group * HLL_M + reg
+    out = np.zeros(n_groups * HLL_M, dtype=np.int64)
+    np.maximum.at(out, flat, rank)
+    return out.reshape(n_groups, HLL_M)
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)       # linear counting correction
+    return float(est)
+
+
+def approx_distinct_tokens(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog distinct-token estimate per lang: each batch folds
+    its tokens into a (lang, 256-register) partial, registers merge by
+    elementwise MAX (associative, order-free — the sketch property
+    that makes this one narrow shuffle at any scale), and the estimate
+    is evaluated per lang group.  Registers travel as fixed-size
+    int64 list columns; tokens never shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        h = _hash_arrow_strings(flat)
+        u, inv = np.unique(langs, return_inverse=True)
+        grp = np.repeat(inv, n)
+        regs = _hll_registers(h, grp, len(u))
+        return pa.table(
+            {
+                "lang": pa.array(u),
+                "regs": pa.array(list(regs), pa.list_(pa.int64(), HLL_M)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lang = df["lang"].iloc[0]
+        regs = np.stack(df["regs"].to_numpy()).max(axis=0)
+        return pd.DataFrame(
+            {"lang": [lang], "est_distinct": [int(round(_hll_estimate(regs)))]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )

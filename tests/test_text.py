@@ -222,3 +222,65 @@ def test_regex_tokens_matches_oracle(sf_dir):
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
     assert (got["n_pieces"] > 0).all()
+
+
+def test_sample_hash_matches_oracle(sf_dir):
+    import duckdb
+
+    from aerial_conversion_ray.pipelines import text as tp
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = tp.sample_hash(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.sql(tp.sample_hash_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # the rate actually bites (neither empty nor full)
+    n_docs = con.sql("select count(*) from documents").fetchone()[0]
+    assert 0 < len(got) < n_docs
+
+
+def test_hll_distinct_within_error(sf_dir):
+    import duckdb
+
+    from aerial_conversion_ray.pipelines import text as tp
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = tp.approx_distinct_tokens(sf_dir).to_pandas().set_index("lang")
+    exact = con.sql(
+        "select lang, count(distinct token) as n from ("
+        "select lang, unnest(string_split(text, ' ')) as token from documents"
+        ") group by lang"
+    ).df().set_index("lang")
+    assert set(got.index) == set(exact.index)
+    for lang in exact.index:
+        e, g = exact.loc[lang, "n"], got.loc[lang, "est_distinct"]
+        assert abs(g - e) / e < 0.15, (lang, e, g)
+
+
+def test_hll_registers_merge_associative(sf_dir):
+    """Splitting the corpus into halves and max-merging registers must
+    equal the single-pass registers (the sketch's shuffle-safety)."""
+    import pyarrow.parquet as pq
+
+    from aerial_conversion_ray.pipelines import text as tp
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    toks = __import__("pyarrow").compute.split_pattern(t["text"], " ")
+    n = __import__("pyarrow").compute.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = toks.combine_chunks().flatten()
+    h = tp._hash_arrow_strings(flat)
+    grp = np.zeros(len(h), dtype=np.int64)
+    whole = tp._hll_registers(h, grp, 1)
+    mid = len(h) // 2
+    a = tp._hll_registers(h[:mid], grp[:mid], 1)
+    b = tp._hll_registers(h[mid:], grp[mid:], 1)
+    assert (np.maximum(a, b) == whole).all()
