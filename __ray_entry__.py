@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         "approx_distinct_tokens": text.approx_distinct_tokens,
+        "kmeans": embeddings.kmeans,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,

@@ -499,3 +499,109 @@ select cast(label as bigint) as label, count(*) as n,
        {dims}
 from embeddings group by label order by label
 """
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (Lloyd's, broadcast centroids + partial sums)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic seed: the k lowest-vec_id vectors (normalized).
+    At real scale this is a bounded take against the sorted id space,
+    not a corpus scan."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _matrix(t)
+    order = np.argsort(ids)[:k]
+    return mat[order].copy()
+
+
+def kmeans(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ``ray.put``, every batch computes assignments with a single
+    [batch, k] matmul and reduces to k partial rows (count, sum
+    vector); the driver folds the k x nblocks partials into new
+    centroids (empty cluster keeps its previous centroid).  No
+    shuffle at all — the only cross-task traffic is k rows per block.
+    Final pass emits (vec_id, cluster).  Iteration count is fixed and
+    the seed is deterministic (k lowest vec_ids), so the result is
+    reproducible under any partitioning up to float64 partial-sum
+    ordering (assignments are tie-free on this data; verified against
+    a single-process numpy reference in tests)."""
+    import ray
+
+    cent = _kmeans_init(sf_dir, k)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(t: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            ids, mat = _matrix(t)
+            a = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64(), mat.shape[1])),
+                }
+            )
+
+        part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(k, dtype=np.int64)
+        for cl, grp in part.groupby("cluster"):
+            cnts[cl] = grp["cnt"].sum()
+            if cnts[cl]:
+                sums[cl] = np.stack(grp["vsum"].to_numpy()).sum(axis=0)
+        nz = cnts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / cnts[nz, None]
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0.0] = 1.0
+        cent = new / norms[:, None]   # spherical k-means (cosine metric)
+
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table, cref=cref) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _matrix(t)
+        a = np.argmax(mat @ c.T, axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_reference(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Single-process numpy oracle with identical semantics (tests)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _matrix(t)
+    cent = _kmeans_init(sf_dir, k)
+    for _ in range(iters):
+        a = np.argmax(mat @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = mat[m].sum(axis=0) / m.sum()
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0.0] = 1.0
+        cent = new / norms[:, None]
+    return ids, np.argmax(mat @ cent.T, axis=1), cent

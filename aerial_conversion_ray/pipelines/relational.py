@@ -514,10 +514,21 @@ def q6_filter_aggregate(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q6-flavoured pure filter + global aggregate: the
     no-shuffle degenerate case (per-batch partial -> one-row final).
     Shows the predicate/column pruning path at its fastest."""
+    import pyarrow.dataset as pads
+
     ds = read_table(
         sf_dir,
         "lineitem",
         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        # predicate PUSHDOWN: row groups outside the shipdate year (or
+        # the discount band) are pruned by parquet statistics at the
+        # scan; the exact in-batch mask below still applies
+        filter=(
+            (pads.field("l_shipdate") >= pa.scalar(np.datetime64("1996-01-01", "us")))
+            & (pads.field("l_shipdate") < pa.scalar(np.datetime64("1997-01-01", "us")))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+        ),
     )
 
     def partial(t: pa.Table) -> pa.Table:

@@ -27,9 +27,21 @@ import ray.data
 from ..geocode import WARC_EPOCH
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Column-pruned parquet read (prune at the read, SURVEY.md §4)."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    filter=None,
+) -> ray.data.Dataset:
+    """Column-pruned parquet read (prune at the read, SURVEY.md §4).
+
+    ``filter`` (a pyarrow.dataset expression) pushes the predicate to
+    the scan: row groups whose statistics exclude it never leave
+    storage.  Callers still apply the exact in-batch mask — pushdown
+    prunes coarsely by row-group stats, it does not replace it."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/{name}.parquet", columns=columns, filter=filter
+    )
 
 
 def _build_pages(

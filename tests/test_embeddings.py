@@ -82,3 +82,17 @@ def test_label_centroids_match_numpy(sf_dir):
         row = got[got["label"] == lab]
         have = row[[f"c{d}" for d in range(embeddings.DIM)]].to_numpy()[0]
         np.testing.assert_allclose(have, want, rtol=0, atol=1e-12)
+
+
+def test_kmeans_matches_reference(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import embeddings as emb
+
+    got = emb.kmeans(sf_dir).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    ids, ref_assign, _cent = emb.kmeans_reference(sf_dir)
+    order = np.argsort(ids)
+    assert (got["vec_id"].to_numpy() == ids[order]).all()
+    assert (got["cluster"].to_numpy() == ref_assign[order]).all()
+    # clusters are non-degenerate: more than one in use
+    assert got["cluster"].nunique() > 1
