@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": relational.events_asof,
         "events_range_join": relational.events_range_join,
         "quantiles": relational.quantiles,
+        "grouped_quantiles": relational.grouped_quantiles,
         "top_docs_per_lang": relational.top_docs_per_lang,
         "q6_filter_agg": relational.q6_filter_aggregate,
         "distinct_sources": relational.distinct_sources,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": relational.events_asof_sql(),
         "events_range_join": relational.events_range_join_sql(),
         "quantiles": relational.QUANTILES_SQL,
+        "grouped_quantiles": relational.GROUPED_QUANTILES_SQL,
         "top_docs_per_lang": relational.top_docs_per_lang_sql(),
         "q6_filter_agg": relational.Q6_SQL,
         "distinct_sources": relational.DISTINCT_SQL,

@@ -107,14 +107,25 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_c", alias_name="sum_qty_c"),
-        Sum("price_c", alias_name="sum_price_c"),
-        Sum("disc_price_c", alias_name="sum_disc_price_c"),
-        Sum("disc_c", alias_name="sum_disc_c"),
-        Count(alias_name="count_order"),
-    )
+    def partial(t: pa.Table) -> pa.Table:
+        df = prep(t).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("qty_c", "sum"),
+            sum_price_c=("price_c", "sum"),
+            sum_disc_price_c=("disc_price_c", "sum"),
+            sum_disc_c=("disc_c", "sum"),
+            count_order=("qty_c", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # per-batch partial combine -> LOW-CARDINALITY driver fold: the key
+    # space is 6 (flag, status) pairs, so each block reduces to <= 6
+    # int64 rows and the final sum runs driver-side — fixed-point sums
+    # are associative, so the result is bit-identical to the shuffled
+    # plan without paying the all-to-all fixed cost for 6 groups.
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fin = pdf.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    out = ray.data.from_arrow(pa.Table.from_pandas(fin, preserve_index=False))
 
     def finish(t: pa.Table) -> pa.Table:
         n = t["count_order"].to_numpy().astype(np.float64)
@@ -457,6 +468,35 @@ from ranked r join cum c on r.source = c.source
 # events: tumbling window aggregate (streaming-shaped)
 # --------------------------------------------------------------------------
 
+def _fold_window_partials(partials: ray.data.Dataset) -> ray.data.Dataset:
+    """BOUNDED-CARDINALITY driver fold shared by the window aggregates:
+    partial rows per block are capped by event_types x windows-in-range
+    (time-bounded, not corpus-bounded) and fixed-point sums are
+    associative, so the final combine folds driver-side instead of
+    paying the all-to-all fixed cost twice (aggregate + sort) for a
+    few thousand groups.  High-cardinality keys belong on the
+    distributed groupby path (events_sessionize keeps it)."""
+    pdf = partials.to_pandas()
+    g = (
+        pdf.groupby(["event_type", "window_start_s"], as_index=False)
+        .agg(n=("n", "sum"), sum_value_u=("sum_value_u", "sum"))
+        .sort_values(["event_type", "window_start_s"])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "window_start_s": pa.array(g["window_start_s"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "sum_value": pa.array(
+                    g["sum_value_u"].to_numpy(np.int64) / 1_000_000.0
+                ),
+            }
+        )
+    )
+
+
 def events_window(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
     """Tumbling-window aggregate over the events log: per (event_type,
     hour window) count + sum(value).  Window key computed vectorized
@@ -479,24 +519,7 @@ def events_window(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["event_type", "window_start_s"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value_u", alias_name="sum_value_u")
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "window_start_s": t["window_start_s"],
-                "n": t["n"],
-                "sum_value": pa.array(t["sum_value_u"].to_numpy() / 1_000_000.0),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow").sort(
-        ["event_type", "window_start_s"]
-    )
+    return _fold_window_partials(ds.map_batches(partial, batch_format="pyarrow"))
 
 
 EVENTS_WINDOW_SQL = """
@@ -609,24 +632,7 @@ def events_hopping_window(
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["event_type", "window_start_s"]).aggregate(
-        Sum("n", alias_name="n"), Sum("sum_value_u", alias_name="sum_value_u")
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "window_start_s": t["window_start_s"],
-                "n": t["n"],
-                "sum_value": pa.array(t["sum_value_u"].to_numpy() / 1_000_000.0),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow").sort(
-        ["event_type", "window_start_s"]
-    )
+    return _fold_window_partials(ds.map_batches(partial, batch_format="pyarrow"))
 
 
 EVENTS_HOPPING_SQL = """
@@ -960,13 +966,15 @@ def quantiles(
     values inside target bins (expected n/4096 each; a refinement loop
     re-histograms any bin that still exceeds QUANTILE_CAND_LIMIT, so
     driver memory is bounded even under extreme value skew).  Rank
-    semantics match DuckDB ``quantile_disc``: index floor((n-1)*p) of
-    the sorted values."""
+    semantics match DuckDB ``quantile_disc``: 0-based index
+    max(0, ceil(p*n)-1) of the sorted values."""
     col = "l_extendedprice"
     ds = read_table(sf_dir, "lineitem", columns=[col])
     agg = ds.aggregate(Min(col), Max(col), Count())
     lo, hi, n = float(agg[f"min({col})"]), float(agg[f"max({col})"]), int(agg["count()"])
-    targets = {p: int(np.floor((n - 1) * p)) for p in ps}  # global 0-based rank
+    # DuckDB quantile_disc rank: smallest element whose cumulative
+    # count reaches ceil(p*n) -> 0-based rank max(0, ceil(p*n)-1)
+    targets = {p: max(0, int(np.ceil(p * n)) - 1) for p in ps}
     out = {}
 
     def solve(lo: float, hi: float, base_rank: int, ranks: dict[float, int]):
@@ -1105,4 +1113,59 @@ select lang, doc_id, n_chars, cast(rank as bigint) as rank from (
                             order by n_chars desc, doc_id) as rank
   from documents
 ) where rank <= {k}
+"""
+
+
+GROUPED_QUANTILE_PS = (0.5, 0.9, 0.99)
+
+
+def grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-lang quantiles of documents.n_chars WITHOUT sorting
+    rows: n_chars is a bounded integer, so each batch reduces to its
+    distinct (lang, value, count) triples (a counting-sort partial),
+    one groupby co-locates each lang's value histogram, and the
+    quantile is read off the cumulative counts.  Shuffled rows are
+    bounded by langs x distinct-values x blocks — independent of the
+    corpus row count.  Rank semantics = DuckDB quantile_disc
+    (0-based index max(0, ceil(p*n)-1))."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        lu, linv = np.unique(lang, return_inverse=True)
+        key = linv.astype(np.int64) * (1 << 32) | v.astype(np.int64)
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(lu[(ku >> 32).astype(np.int64)]),
+                "value": pa.array((ku & 0xFFFFFFFF).astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("value")["cnt"].sum().sort_index()
+        vals = g.index.to_numpy(np.int64)
+        cum = g.to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        out = {"lang": [df["lang"].iloc[0]]}
+        for p in GROUPED_QUANTILE_PS:
+            r = max(0, int(np.ceil(p * n)) - 1)
+            out[f"p{int(p * 100)}"] = [int(vals[np.searchsorted(cum, r + 1)])]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+GROUPED_QUANTILES_SQL = """
+select lang,
+       cast(quantile_disc(n_chars, 0.5) as bigint) as p50,
+       cast(quantile_disc(n_chars, 0.9) as bigint) as p90,
+       cast(quantile_disc(n_chars, 0.99) as bigint) as p99
+from documents group by lang
 """

@@ -371,23 +371,34 @@ def _overlap_schema_empty(t: pa.Table) -> pa.Table:
 # pipelines
 # --------------------------------------------------------------------------
 
-def geocode_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
-    """documents -> pages -> geocoded points + footprints."""
-    ds = pages_dataset(sf_dir, rep=cfg.pages_rep)
+def geocode_pipeline(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """documents -> pages -> geocoded points + footprints.
+
+    ``columns`` prunes the page scan itself (see pages._build_pages):
+    the join kernels are pure functions of page_id, so a caller that
+    discards the payload can skip synthesizing it entirely."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=columns)
     return ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
-def cell_index_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+def cell_index_pipeline(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, columns: list[str] | None = None
+) -> ray.data.Dataset:
     """Geocode + multi-resolution cell encode (H3/S2 analog, T3)."""
-    ds = geocode_pipeline(sf_dir, cfg)
+    ds = geocode_pipeline(sf_dir, cfg, columns=columns)
     return ds.map_batches(cell_encode_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
-def tile_point_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+def tile_point_join(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, columns: list[str] | None = None
+) -> ray.data.Dataset:
     """Flagship forward join: pages -> geocode -> cell encode -> point
     -> tile assignment.  ``text`` rides along untouched (byte-identity
-    invariant)."""
-    ds = cell_index_pipeline(sf_dir, cfg)
+    invariant).  ``columns`` prunes the page scan for payload-free
+    consumers (e.g. the scaling bench)."""
+    ds = cell_index_pipeline(sf_dir, cfg, columns=columns)
     return ds.map_batches(
         PointTileAssign(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
     )

@@ -17,7 +17,7 @@ def test_quantiles_match_numpy_rank(sf_dir):
     )
     n = len(vals)
     for _, r in got.iterrows():
-        assert r["value"] == vals[int(np.floor((n - 1) * r["p"]))]
+        assert r["value"] == vals[max(0, int(np.ceil(r["p"] * n)) - 1)]
 
 
 def test_quantiles_refinement_path(sf_dir, monkeypatch):
@@ -30,7 +30,7 @@ def test_quantiles_refinement_path(sf_dir, monkeypatch):
             "l_extendedprice"
         ].to_numpy()
     )
-    assert got["value"].iloc[0] == vals[int(np.floor((len(vals) - 1) * 0.5))]
+    assert got["value"].iloc[0] == vals[max(0, int(np.ceil(0.5 * len(vals))) - 1)]
 
 
 def test_top_docs_per_lang_matches_oracle(sf_dir):
@@ -55,3 +55,27 @@ def test_top_docs_per_lang_matches_oracle(sf_dir):
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
     assert (got.groupby("lang")["rank"].max() <= relational.TOPK_PER_GROUP_K).all()
+
+
+def test_grouped_quantiles_match_oracle(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = (
+        relational.grouped_quantiles(sf_dir)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    want = (
+        con.sql(relational.GROUPED_QUANTILES_SQL)
+        .df()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    assert (got["p50"] <= got["p90"]).all() and (got["p90"] <= got["p99"]).all()
