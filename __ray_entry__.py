@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": text.sample_hash,
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
+        "tfidf": text.tfidf_scores,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": text.host_stats_sql(CFG),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
+        "tfidf": text.TFIDF_SQL,
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model

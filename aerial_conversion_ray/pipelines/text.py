@@ -1289,3 +1289,86 @@ def approx_distinct_tokens(sf_dir: str) -> ray.data.Dataset:
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF scoring (integer-exact idf, token-keyed shuffle, no broadcast)
+# --------------------------------------------------------------------------
+
+IDF_SCALE = 1000
+
+
+def tfidf_scores(sf_dir: str) -> ray.data.Dataset:
+    """Per-document TF-IDF-style score with an INTEGER idf
+    (``N * 1000 // df``, integer division) so the engine and the SQL
+    oracle agree exactly with no float log parity risk.
+
+    Scale shape: distinct (doc, token) pairs explode once; document
+    frequency comes from ONE token-keyed groupby that also re-emits
+    its group's pairs weighted by idf (so df never broadcasts — the
+    vocabulary can exceed driver memory); per-doc sums reduce through
+    the coarse-bucket pattern.  score = sum over the doc's DISTINCT
+    tokens of idf(token)."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        order = np.lexsort((flat, doc))
+        d_s, t_s = doc[order], flat[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        return pa.table({"doc_id": pa.array(d_s[keep]), "token": pa.array(t_s[keep])})
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        # one token group: df = group size; re-emit pairs with idf
+        idf = np.int64(n_docs * IDF_SCALE) // np.int64(len(df))
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "idf": np.full(len(df), idf, dtype=np.int64),
+            }
+        )
+        out["bucket"] = out["doc_id"].to_numpy(np.int64) % N_PAIR_BUCKETS
+        return out
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["idf"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "score": g["idf"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(weight, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(doc_sum, batch_format="pandas")
+    )
+
+
+TFIDF_SQL = f"""
+with toks as (
+  select distinct doc_id, unnest(string_split(text, ' ')) as token from documents
+), n as (
+  select count(*) as n_docs from documents
+), dfreq as (
+  select token, count(*) as df from toks group by token
+)
+select t.doc_id,
+       cast(sum((n.n_docs * {IDF_SCALE}) // d.df) as bigint) as score
+from toks t, n
+join dfreq d on d.token = t.token
+group by t.doc_id
+"""

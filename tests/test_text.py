@@ -284,3 +284,22 @@ def test_hll_registers_merge_associative(sf_dir):
     a = tp._hll_registers(h[:mid], grp[:mid], 1)
     b = tp._hll_registers(h[mid:], grp[mid:], 1)
     assert (np.maximum(a, b) == whole).all()
+
+
+def test_tfidf_matches_oracle(sf_dir):
+    import duckdb
+
+    from aerial_conversion_ray.pipelines import text as tp
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = tp.tfidf_scores(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.sql(tp.TFIDF_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # rarer vocabulary -> strictly higher score than an all-stopword doc would get
+    assert got["score"].nunique() > 1
