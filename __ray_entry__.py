@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
+        "decontaminate": text.decontaminate,
+        "pack_sequences": text.pack_sequences,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
@@ -213,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "tfidf": text.TFIDF_SQL,
+        "decontaminate": text.decontaminate_sql(),
+        "pack_sequences": text.pack_sequences_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model

@@ -1372,3 +1372,204 @@ from toks t, n
 join dfreq d on d.token = t.token
 group by t.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a broadcast eval set)
+# --------------------------------------------------------------------------
+
+EVAL_MOD = 97  # deterministic held-out "benchmark" slice: doc_id % 97 == 0
+DECON_SHINGLE = 3
+
+
+def decontaminate(sf_dir: str, shingle: int = DECON_SHINGLE, eval_mod: int = EVAL_MOD) -> ray.data.Dataset:
+    """Training-set decontamination: flag every non-eval document that
+    shares >= 1 word ``shingle``-gram with the held-out eval slice
+    (``doc_id % eval_mod == 0``), the standard benchmark-leak filter in
+    web-scale training-data pipelines.
+
+    Scale shape: the eval side is a benchmark suite — small by nature
+    (thousands of documents, not the corpus), so its distinct gram
+    hashes are collected once, sorted, and BROADCAST via ``ray.put``
+    (the documented small-side pattern, same as the ANN index); the
+    100 TB training side streams through ONE task-based ``map_batches``
+    with a vectorized ``searchsorted`` membership probe — no shuffle,
+    no driver pass over the big side.  Gram hashing reuses the
+    vectorized ``_shingle_grams_flat`` kernel (uint64 polynomial over
+    flat Arrow buffers); a hash collision mislabeling a gram has
+    probability ~n_grams^2 / 2^64 — negligible, and the DuckDB oracle
+    (exact string grams) would catch it at test scale.
+
+    Mirrors the reference's filter-then-continue ethos
+    (``scripts/batch_geojson2coco.py:215-231`` keeps good rows flowing
+    past bad ones) applied to corpus hygiene."""
+    ev = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % eval_mod == 0
+        if not mask.any():
+            return pa.table({"gram": pa.array([], pa.uint64())})
+        gh, _ = _shingle_grams_flat(t["text"].filter(pa.array(mask)), shingle)
+        return pa.table({"gram": pa.array(np.unique(gh))})
+
+    # small-side collect: per-batch unique -> driver union (eval suites
+    # are bounded; this is NOT a pass over the training corpus rows)
+    parts = [
+        b["gram"].to_numpy(zero_copy_only=False)
+        for b in ev.map_batches(eval_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    eval_set = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    ev_ref = ray.put(eval_set)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ev_sorted = ray.get(ev_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % eval_mod != 0
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "contaminated": pa.array([], pa.int64()),
+                }
+            )
+        ids = ids[keep]
+        gh, offs = _shingle_grams_flat(t["text"].filter(pa.array(keep)), shingle)
+        pos = np.searchsorted(ev_sorted, gh)
+        pos[pos >= len(ev_sorted)] = max(len(ev_sorted) - 1, 0)
+        hit = (
+            (ev_sorted[pos] == gh).astype(np.int64)
+            if len(ev_sorted)
+            else np.zeros(len(gh), dtype=np.int64)
+        )
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        n_shared = csum[offs[1:]] - csum[offs[:-1]]
+        n_grams = offs[1:] - offs[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_grams": pa.array(n_grams),
+                "n_shared": pa.array(n_shared),
+                "contaminated": pa.array((n_shared > 0).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def decontaminate_sql(shingle: int = DECON_SHINGLE, eval_mod: int = EVAL_MOD) -> str:
+    # w[i:i+shingle-1] is 1-based INCLUSIVE DuckDB list slicing -> a
+    # `shingle`-token window; range(1, len(w)-shingle+2) yields
+    # len-shingle+1 window starts (testdata guarantees len >= shingle)
+    return f"""
+with tok as (select doc_id, string_split(text, ' ') as w from documents),
+g as (select distinct doc_id, array_to_string(w[i:i+{shingle - 1}], ' ') as gram
+      from tok, unnest(range(1, len(w) - {shingle - 2})) as t(i)),
+ev as (select distinct gram from g where doc_id % {eval_mod} = 0),
+scored as (select g.doc_id, count(*) as n_grams, count(ev.gram) as n_shared
+           from g left join ev using (gram) group by g.doc_id)
+select doc_id, n_grams, n_shared, cast(n_shared > 0 as bigint) as contaminated
+from scored where doc_id % {eval_mod} <> 0
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing (global token prefix sum -> fixed-length pack ids)
+# --------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512
+PACK_BUCKET = 4096  # doc_ids per prefix-sum bucket (dense ids -> balanced)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = PACK_SEQ_LEN) -> ray.data.Dataset:
+    """Assign each document its token span in a stream of fixed
+    ``seq_len``-token training sequences ("packing"): documents are
+    concatenated in doc_id order; a doc occupying stream positions
+    [tok_offset, tok_offset + n_tokens) lands in packs
+    ``pack_first = tok_offset // seq_len`` ..
+    ``pack_last = (tok_offset + n_tokens - 1) // seq_len``.
+
+    Scale shape — a distributed exact prefix sum, the same two-level
+    pattern as ``relational.concat_remap``: (1) one streaming
+    ``map_batches`` reduces each doc to (doc_id, n_tokens) — text never
+    enters the shuffle; (2) a ``groupby(bucket).sum`` over
+    ``bucket = doc_id // PACK_BUCKET`` produces one row per bucket
+    (N / 4096 rows; for corpora where even THAT table is large, the
+    same bucket trick applies recursively — one more level covers
+    10^12 docs with a 6e4-row driver table); (3) bucket offsets are
+    prefix-summed on the driver and broadcast; (4) a final
+    ``groupby(bucket).map_groups`` cumsums within each bucket in
+    doc_id order and adds its offset.  Dense doc_ids keep buckets
+    balanced — no fat group."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n),
+                "bucket": pa.array(ids // PACK_BUCKET),
+            }
+        )
+
+    narrow = ds.map_batches(counts, batch_format="pyarrow")
+
+    sums = (
+        narrow.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    tot = sums["bucket_tokens"].to_numpy(np.int64)
+    offsets = dict(
+        zip(
+            sums["bucket"].to_numpy(np.int64),
+            np.concatenate([[0], np.cumsum(tot)[:-1]]),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        n = df["n_tokens"].to_numpy(np.int64)
+        base = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        end = base + np.cumsum(n)
+        start = end - n
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "tok_offset": start,
+                "pack_first": start // seq_len,
+                "pack_last": (end - 1) // seq_len,
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def pack_sequences_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    return f"""
+with t as (select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tokens
+           from documents),
+c as (select doc_id, n_tokens,
+             cast(sum(n_tokens) over (order by doc_id
+                  rows between unbounded preceding and current row)
+                  - n_tokens as bigint) as tok_offset
+      from t)
+select doc_id, n_tokens, tok_offset,
+       tok_offset // {seq_len} as pack_first,
+       (tok_offset + n_tokens - 1) // {seq_len} as pack_last
+from c
+"""

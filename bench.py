@@ -209,6 +209,23 @@ def run_benchmarks() -> dict:
         "minhash_lsh": lambda: _consume(text.minhash_lsh_pairs(SF_DIR)),
         "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
         "ann_brute": lambda: _consume(embeddings.ann_brute(SF_DIR)),
+        "events_asof": lambda: _consume(relational.events_asof(SF_DIR)),
+        "events_range_join": lambda: _consume(relational.events_range_join(SF_DIR)),
+        "quantiles": lambda: _consume(relational.quantiles(SF_DIR)),
+        "grouped_quantiles": lambda: _consume(relational.grouped_quantiles(SF_DIR)),
+        "host_stats": lambda: _consume(text.host_stats(SF_DIR, cfg)),
+        "tfidf": lambda: _consume(text.tfidf_scores(SF_DIR)),
+        "hll_distinct": lambda: _consume(text.approx_distinct_tokens(SF_DIR)),
+        "kmeans": lambda: _consume(embeddings.kmeans(SF_DIR)),
+        "decontaminate": lambda: _consume(text.decontaminate(SF_DIR)),
+        "pack_sequences": lambda: _consume(text.pack_sequences(SF_DIR)),
+        "dup_clusters": lambda: _consume(
+            # df-capped edge mining (the scale knob; uncapped is
+            # quadratic on this duplicate-heavy synthetic corpus)
+            __import__(
+                "aerial_conversion_ray.pipelines.cluster", fromlist=["dup_clusters"]
+            ).dup_clusters(SF_DIR, max_df=400)
+        ),
         "media_meta": lambda: _consume(
             multimodal.media_meta(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),

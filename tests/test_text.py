@@ -303,3 +303,48 @@ def test_tfidf_matches_oracle(sf_dir):
     )
     # rarer vocabulary -> strictly higher score than an all-stopword doc would get
     assert got["score"].nunique() > 1
+
+
+def test_decontaminate_matches_sql(sf_dir):
+    """Hash-gram membership probe must equal the exact string-gram SQL
+    (collision-free at test scale by construction)."""
+    import duckdb
+
+    got = text.decontaminate(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(text.decontaminate_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for c in ["doc_id", "n_grams", "n_shared", "contaminated"]:
+        assert (got[c].to_numpy(np.int64) == exp[c].to_numpy(np.int64)).all(), c
+    # eval docs are excluded from the output
+    assert (got["doc_id"].to_numpy(np.int64) % text.EVAL_MOD != 0).all()
+
+
+def test_pack_sequences_contiguous(sf_dir):
+    """Packing is an exact prefix sum: offsets are contiguous in doc_id
+    order, pack ids are consistent with seq_len, and the distributed
+    two-level computation equals the window-function SQL."""
+    import duckdb
+
+    got = text.pack_sequences(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    off = got["tok_offset"].to_numpy(np.int64)
+    n = got["n_tokens"].to_numpy(np.int64)
+    assert off[0] == 0
+    assert (off[1:] == off[:-1] + n[:-1]).all()
+    assert (got["pack_first"].to_numpy(np.int64) == off // text.PACK_SEQ_LEN).all()
+    assert (
+        got["pack_last"].to_numpy(np.int64) == (off + n - 1) // text.PACK_SEQ_LEN
+    ).all()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(text.pack_sequences_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert (got[c].to_numpy(np.int64) == exp[c].to_numpy(np.int64)).all(), c
