@@ -45,6 +45,13 @@ from . import text as text_pipelines
 
 N_CC_BUCKETS = 64
 DIAM_CAP = 64
+# directed-row cap for the driver fast path (= 2x edge count).  The
+# similar-pair graph after threshold/df-cap mining is tiny next to the
+# corpus; below this cap the min-label fixpoint runs VECTORIZED on the
+# driver (numpy pointer jumping, O(log diameter) passes over flat int64
+# arrays) instead of paying one Ray all-to-all per graph-diameter step.
+# Above it, the fully-distributed loop below still works unchanged.
+SMALL_EDGE_ROWS = 20_000_000
 
 
 def _bucketed(node: np.ndarray) -> np.ndarray:
@@ -60,6 +67,43 @@ def _labels_table(node: np.ndarray, lbl: np.ndarray) -> pa.Table:
             "bucket": pa.array(_bucketed(node)),
         }
     )
+
+
+def _cc_small(directed: ray.data.Dataset, labels: ray.data.Dataset) -> ray.data.Dataset:
+    """Driver fast path for collectable pair graphs: the min-label
+    fixpoint as flat numpy passes with POINTER JUMPING (``lbl[lbl]``),
+    so convergence is O(log diameter) vector ops instead of one Ray
+    all-to-all per diameter step.  Exactly the plan the module
+    docstring promises when |E| fits one node; the distributed loop
+    below remains the unbounded-graph path."""
+    srcs, dsts, verts = [], [], []
+    for b in directed.iter_batches(batch_format="pyarrow", batch_size=None):
+        srcs.append(b["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dsts.append(b["val"].to_numpy(zero_copy_only=False).astype(np.int64))
+    for b in labels.iter_batches(batch_format="pyarrow", batch_size=None):
+        verts.append(b["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+    v = np.concatenate(verts) if verts else np.empty(0, np.int64)
+    s = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    d = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    uniq, inv = np.unique(np.concatenate([v, s, d]), return_inverse=True)
+    vi, si, di = inv[: len(v)], inv[len(v) : len(v) + len(s)], inv[len(v) + len(s) :]
+    # labels are INDICES into uniq; uniq is sorted, so the least-index
+    # fixpoint is the min-doc_id representative the SQL oracle defines
+    lbl = np.arange(len(uniq), dtype=np.int64)
+    for _ in range(64):  # 2^64-diameter cap: pointer jumping halves paths
+        new = lbl.copy()
+        if len(di):
+            np.minimum.at(new, di, lbl[si])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    else:  # pragma: no cover
+        raise RuntimeError("_cc_small: no fixpoint in 64 jump rounds")
+    out = pa.table(
+        {"doc_id": pa.array(uniq[vi]), "cluster_id": pa.array(uniq[lbl[vi]])}
+    )
+    return ray.data.from_arrow(out)
 
 
 def connected_components(
@@ -95,6 +139,9 @@ def connected_components(
         return _labels_table(n, n)
 
     labels = nodes.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    if directed.count() <= SMALL_EDGE_ROWS:
+        return _cc_small(directed, labels)
 
     def propagate(df: pd.DataFrame) -> pd.DataFrame:
         lab = df[df["kind"] == 0]

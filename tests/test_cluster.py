@@ -83,3 +83,34 @@ def test_near_dedup_partitions_corpus(sf_dir):
     assert set(got["doc_id"]) == set(clusters["cluster_id"])
     assert got["cluster_size"].sum() == len(clusters)
     assert (got["cluster_size"] >= 1).all()
+
+
+def test_distributed_loop_matches_fast_path(monkeypatch):
+    """Force the distributed min-label loop (SMALL_EDGE_ROWS=0) on the
+    same random graph and assert it equals the driver fast path."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n = 120
+    a = rng.integers(0, n, 90).astype(np.int64)
+    b = rng.integers(0, n, 90).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    def run():
+        edges = ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        return (
+            cluster.connected_components(edges, nodes)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(cluster, "SMALL_EDGE_ROWS", 0)
+    dist = run()
+    assert (fast["doc_id"].to_numpy() == dist["doc_id"].to_numpy()).all()
+    assert (fast["cluster_id"].to_numpy() == dist["cluster_id"].to_numpy()).all()
