@@ -977,21 +977,40 @@ def quantiles(
     targets = {p: max(0, int(np.ceil(p * n)) - 1) for p in ps}
     out = {}
 
-    def solve(lo: float, hi: float, base_rank: int, ranks: dict[float, int]):
+    def solve(
+        lo: float,
+        hi: float,
+        base_rank: int,
+        ranks: dict[float, int],
+        sel=None,
+    ):
         """Quantiles whose value lies in [lo, hi], given the count of
-        values below lo (base_rank) and each p's global rank."""
+        values below lo (base_rank) and each p's global rank.
+
+        ``sel(v) -> bool mask`` is this subproblem's MEMBERSHIP test.
+        The recursive pass reuses the PARENT's bin assignment (not an
+        interval re-filter): FP-recomputed bin edges can disagree with
+        floor((v-lo)/width) at the boundaries, so an interval filter
+        would count a slightly different multiset than the histogram
+        that chose the bin, shifting in-bin ranks by ±1 (ADVICE r2)."""
+        if sel is None:
+            def sel(v, lo=lo, hi=hi):  # top level: true min/max bounds
+                return (v >= lo) & (v <= hi)
         if lo == hi:
             for p in ranks:
                 out[p] = lo
             return
         width = (hi - lo) / QUANTILE_BINS
 
+        def bin_of(v: np.ndarray) -> np.ndarray:
+            return np.clip(
+                ((v - lo) / width).astype(np.int64), 0, QUANTILE_BINS - 1
+            )
+
         def hist(t: pa.Table) -> pa.Table:
             v = t[col].to_numpy(zero_copy_only=False)
-            v = v[(v >= lo) & (v <= hi)]
-            b = np.minimum(
-                ((v - lo) / width).astype(np.int64), QUANTILE_BINS - 1
-            )
+            v = v[sel(v)]
+            b = bin_of(v)
             cnt = np.bincount(b, minlength=QUANTILE_BINS).astype(np.int64)
             nz = np.nonzero(cnt)[0]
             return pa.table(
@@ -1025,15 +1044,19 @@ def quantiles(
         for b, sub in by_bin.items():
             blo = lo + b * width
             bhi = hi if b == QUANTILE_BINS - 1 else lo + (b + 1) * width
+
+            def in_bin(v: np.ndarray, b=b) -> np.ndarray:
+                # parent's membership AND parent's bin test: counts the
+                # exact multiset the histogram above counted
+                return sel(v) & (bin_of(v) == b)
+
             if full[b] > QUANTILE_CAND_LIMIT:
-                solve(blo, bhi, int(below[b]), sub)
+                solve(blo, bhi, int(below[b]), sub, sel=in_bin)
                 continue
 
-            def collect(t: pa.Table, blo=blo, b=b) -> pa.Table:
+            def collect(t: pa.Table, in_bin=in_bin) -> pa.Table:
                 v = t[col].to_numpy(zero_copy_only=False)
-                v = v[(v >= lo) & (v <= hi)]
-                bb = np.minimum(((v - lo) / width).astype(np.int64), QUANTILE_BINS - 1)
-                return pa.table({"v": pa.array(v[bb == b])})
+                return pa.table({"v": pa.array(v[in_bin(v)])})
 
             vals = np.sort(
                 ds.map_batches(collect, batch_format="pyarrow")

@@ -38,7 +38,12 @@ FNV_PRIME = np.uint64(1099511628211)
 # vectorized string hashing (shared kernel)
 # --------------------------------------------------------------------------
 
-def _poly_hash_segments(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
+def _poly_hash_segments(
+    buf: np.ndarray,
+    offs: np.ndarray,
+    prime: np.uint64 = FNV_PRIME,
+    offset: np.uint64 = FNV_OFFSET,
+) -> np.ndarray:
     """Deterministic 64-bit polynomial hash of each byte segment
     ``buf[offs[i]:offs[i+1]]``, fully vectorized over the flat buffer:
 
@@ -48,7 +53,9 @@ def _poly_hash_segments(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
     this scheme vectorizes and has the same collision profile for the
     engine's partition/dedup purposes.)  ``P^pos`` is computed with
     exponentiation-by-squaring over the bit planes of ``pos`` — O(log
-    max_len) vectorized passes, no per-row work."""
+    max_len) vectorized passes, no per-row work.  ``prime``/``offset``
+    select an independent hash family member (the 128-bit dedup key is
+    two members)."""
     lens = np.diff(offs)
     n = len(lens)
     if n == 0:
@@ -56,7 +63,7 @@ def _poly_hash_segments(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
     pos = np.arange(len(buf), dtype=np.int64) - np.repeat(offs[:-1], lens)
     with np.errstate(over="ignore"):
         powers = np.ones(len(buf), dtype=np.uint64)
-        base = FNV_PRIME
+        base = prime
         e = pos.astype(np.uint64)
         bit = np.uint64(1)
         maxbits = int(pos.max()).bit_length() if len(pos) else 0
@@ -68,7 +75,7 @@ def _poly_hash_segments(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
         terms = (buf.astype(np.uint64) + np.uint64(31)) * powers
         csum = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
         out = csum[offs[1:]] - csum[offs[:-1]]
-        out += lens.astype(np.uint64) * FNV_OFFSET
+        out += lens.astype(np.uint64) * offset
     return out
 
 
@@ -101,6 +108,24 @@ def _hash_arrow_strings(col) -> np.ndarray:
 def content_hash_batch(t: pa.Table, col: str = "text") -> pa.Table:
     h = _hash_arrow_strings(t[col])
     return t.append_column("content_hash", pa.array(h.astype(np.int64)))
+
+
+# second independent member of the polynomial family: with 10^12 docs a
+# single 64-bit hash EXPECTS birthday collisions (sqrt(2^64) ~ 4e9), so
+# the dedup key is 128 bits = two members
+PRIME_B = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+OFFSET_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _hash_pair(col) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) independent uint64 hashes per string — the engine's
+    128-bit content identity.  Monkeypatch target for collision-path
+    tests."""
+    buf, offs = _string_buffer(col)
+    return (
+        _poly_hash_segments(buf, offs),
+        _poly_hash_segments(buf, offs, prime=PRIME_B, offset=OFFSET_B),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -184,20 +209,121 @@ from documents group by lang, source order by lang, source
 # exact dedup (SE2 pattern: hash-partition + per-group first)
 # --------------------------------------------------------------------------
 
-def dedup_exact(sf_dir: str) -> ray.data.Dataset:
-    """Exact dedup: content-hash column -> hash groupby -> per distinct
-    text keep min doc_id + count.  Collision-safe: groups by the TEXT
-    within each hash group."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+N_DEDUP_BUCKETS = 64
+
+
+def dedup_exact(sf_dir: str, hash_pair_fn=None) -> ray.data.Dataset:
+    """Exact dedup: per distinct text keep min doc_id + count.
+
+    Scale shape (VERDICT r2 #2): only ``(doc_id, h1, h2, n_chars)`` —
+    32 B/row — travels through the shuffle; document TEXT never leaves
+    its scan task.  Identity is the 128-bit hash (h1, h2); at 10^12
+    docs the expected distinct-text 128-bit collision count is
+    ~n^2/2^129 ≈ 4e-16, and a definite-collision AUDIT still runs: a
+    group whose ``n_chars`` disagree provably holds distinct texts, and
+    those (expected zero) groups are resolved EXACTLY by re-reading
+    only their rows' text (broadcast key set, group by text).  Reference
+    semantics: scripts/batch_geojson2coco.py:406-426 (SE2 first-wins).
+    """
+    import ray
+
+    # closure-captured (not a module-global lookup) so test doubles
+    # reach Ray worker processes
+    hp = hash_pair_fn or _hash_pair
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        h1, h2 = hp(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h1": pa.array(h1.astype(np.int64)),
+                "h2": pa.array(h2.astype(np.int64)),
+                "n_chars": t["n_chars"],
+                "bucket": pa.array(
+                    (h1 % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    narrow = ds.map_batches(keys, batch_format="pyarrow")
+
+    # audit pass: (h1, h2) groups whose n_chars disagree are PROVEN
+    # collisions (expected none) — tiny driver result by construction
+    def disagreeing(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["h1", "h2"], as_index=False).agg(
+            lo=("n_chars", "min"), hi=("n_chars", "max")
+        )
+        bad = g[g["lo"] != g["hi"]]
+        return bad[["h1", "h2"]]
+
+    colliding = (
+        narrow.groupby("bucket")
+        .map_groups(disagreeing, batch_format="pandas")
+        .to_pandas()
+    )
 
     def rep(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["h1", "h2"], as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return g[["doc_id", "n_copies"]]
+
+    if len(colliding) == 0:
+        return narrow.groupby("bucket").map_groups(rep, batch_format="pandas")
+
+    # collision resolution (exercised by the monkeypatched-hash test):
+    # drop colliding keys from the narrow plan; re-read ONLY their rows
+    # with text and group exactly by text
+    bad_ref = ray.put(
+        set(zip(colliding["h1"].tolist(), colliding["h2"].tolist()))
+    )
+
+    def mask_bad(t: pa.Table, invert: bool) -> pa.Table:
+        bad = ray.get(bad_ref)
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        is_bad = np.fromiter(
+            ((a, b) in bad for a, b in zip(h1, h2)), bool, len(h1)
+        )  # |bad| is tiny; per-row check bounded by proven collisions
+        return t.filter(pa.array(~is_bad if invert else is_bad))
+
+    clean = (
+        narrow.map_batches(
+            lambda t: mask_bad(t, invert=True), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(rep, batch_format="pandas")
+    )
+
+    def keys_with_text(t: pa.Table) -> pa.Table:
+        h1, h2 = hp(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "h1": pa.array(h1.astype(np.int64)),
+                "h2": pa.array(h2.astype(np.int64)),
+                "bucket": pa.array(
+                    (h1 % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def rep_by_text(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("text", as_index=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
         return g[["doc_id", "n_copies"]]
 
-    return ds.groupby("content_hash").map_groups(rep, batch_format="pandas")
+    resolved = (
+        ds.map_batches(keys_with_text, batch_format="pyarrow")
+        .map_batches(lambda t: mask_bad(t, invert=False), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rep_by_text, batch_format="pandas")
+        .select_columns(["doc_id", "n_copies"])
+    )
+    return clean.union(resolved)
 
 
 DEDUP_EXACT_SQL = """
@@ -227,10 +353,15 @@ def jaccard_pairs(
     broadcast (by Zipf's law only a tiny head exceeds any sane
     max_df).  Mirrored exactly by :func:`jaccard_pairs_sql(max_df=)`.
 
-    Engine: per-batch token explode -> [hot-token filter] -> inverted
-    list per token via one groupby -> pair expansion per token group,
-    hash-bucketed on (a, b) -> ONE coarse bucket shuffle -> vectorized
-    pandas sum + score inside each bucket.
+    Engine: per-batch token explode (kept-token per-doc set sizes
+    attached IN the same batch — each document row lives in exactly
+    one input batch, so its distinct-token set is complete there; no
+    driver-held size map, VERDICT r2 #1) -> inverted list per token
+    via one groupby -> pair expansion per token group carrying
+    (na, nb), hash-bucketed on (a, b) -> ONE coarse bucket shuffle ->
+    vectorized pandas sum + score inside each bucket.  Per-doc state
+    travels THROUGH the shuffle on the pair rows; the driver holds
+    only the (Zipf-tiny) hot-token head when ``max_df`` is set.
 
     The (a, b) aggregation deliberately avoids a fine-grained Ray
     groupby (250k groups is pathological for the sort-based aggregate);
@@ -241,7 +372,8 @@ def jaccard_pairs(
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def explode(t: pa.Table) -> pa.Table:
+    def tokens_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Distinct (doc_id, token) rows of a whole-document batch."""
         toks = pc.split_pattern(t["text"], " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -253,15 +385,20 @@ def jaccard_pairs(
         keep = np.ones(len(d_s), dtype=bool)
         if len(d_s) > 1:
             keep[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
-        return pa.table({"doc_id": pa.array(d_s[keep]), "token": pa.array(t_s[keep])})
+        return d_s[keep], t_s[keep]
 
-    pairs_src = ds.map_batches(explode, batch_format="pyarrow")
-
+    hot_ref = None
     if max_df is not None:
         # hot-token pre-pass: only the (tiny) head exceeding max_df is
         # collected to the driver and broadcast as an exclusion set
+
+        def explode_only(t: pa.Table) -> pa.Table:
+            d, tok = tokens_of(t)
+            return pa.table({"doc_id": pa.array(d), "token": pa.array(tok)})
+
         hot_tbl = (
-            pairs_src.groupby("token")
+            ds.map_batches(explode_only, batch_format="pyarrow")
+            .groupby("token")
             .count()
             .map_batches(
                 lambda t: t.filter(pc.greater(t["count()"], max_df)),
@@ -271,53 +408,62 @@ def jaccard_pairs(
         )
         hot_ref = ray.put(pa.array(hot_tbl["token"].tolist(), pa.string()))
 
-        def drop_hot(t: pa.Table) -> pa.Table:
+    def explode_sized(t: pa.Table) -> pa.Table:
+        """(doc_id, token, n) over KEPT tokens: n = the doc's kept-set
+        size, exact because the doc's rows are complete in this batch
+        (documents arrive as whole rows; hot-filter applied before
+        counting so n matches the SQL oracle's ``sizes`` over kept)."""
+        d, tok = tokens_of(t)
+        if hot_ref is not None:
             hot = ray.get(hot_ref)
-            if len(hot) == 0:
-                return t
-            return t.filter(pc.invert(pc.is_in(t["token"], value_set=hot)))
-
-        pairs_src = pairs_src.map_batches(drop_hot, batch_format="pyarrow")
-
-    # per-doc distinct token counts: aggregate the per-batch partials by
-    # doc_id (sum) so the result is exact under ANY block/batch split,
-    # then broadcast the (small: one int per doc) map
-    def doc_sizes(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(hot):
+                mask = pc.invert(
+                    pc.is_in(pa.array(tok), value_set=hot)
+                ).to_numpy(zero_copy_only=False)
+                d, tok = d[mask], tok[mask]
+        # d is sorted (lexsort major key), so per-doc counts broadcast
+        # back positionally via searchsorted
         u, c = np.unique(d, return_counts=True)
-        return pa.table({"doc_id": pa.array(u), "n": pa.array(c.astype(np.int64))})
-
-    sizes = pa.concat_tables(
-        list(
-            pairs_src.map_batches(doc_sizes, batch_format="pyarrow").iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            )
+        n = c[np.searchsorted(u, d)] if len(d) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "token": pa.array(tok),
+                "n": pa.array(n.astype(np.int64)),
+            }
         )
-    )
-    size_map = (
-        sizes.to_pandas().groupby("doc_id")["n"].sum()  # sum partials: split-safe
-    )
+
+    pairs_src = ds.map_batches(explode_sized, batch_format="pyarrow")
 
     def pair_count(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "a": pd.Series(dtype=np.int64),
                 "b": pd.Series(dtype=np.int64),
+                "na": pd.Series(dtype=np.int64),
+                "nb": pd.Series(dtype=np.int64),
                 "bucket": pd.Series(dtype=np.int64),
             }
         )
-        docs = np.sort(df["doc_id"].to_numpy())
+        docs = df["doc_id"].to_numpy()
+        ns = df["n"].to_numpy(np.int64)
         if len(docs) < 2:
             return empty
+        order = np.argsort(docs)
+        docs, ns = docs[order], ns[order]
         ai, bi = np.triu_indices(len(docs), k=1)
         a, b = docs[ai], docs[bi]
         bucket = (a * np.int64(1000003) + b) % N_PAIR_BUCKETS
-        return pd.DataFrame({"a": a, "b": b, "bucket": bucket})
+        return pd.DataFrame(
+            {"a": a, "b": b, "na": ns[ai], "nb": ns[bi], "bucket": bucket}
+        )
 
     def bucket_sum_score(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], as_index=False).size()
-        na = g["a"].map(size_map).to_numpy(dtype=np.float64)
-        nb = g["b"].map(size_map).to_numpy(dtype=np.float64)
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            size=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        )
+        na = g["na"].to_numpy(dtype=np.float64)
+        nb = g["nb"].to_numpy(dtype=np.float64)
         inter = g["size"].to_numpy(dtype=np.int64)
         jac = inter / (na + nb - inter)
         out = g[jac >= threshold]

@@ -69,9 +69,12 @@ def _build_pages(
     def need(c: str) -> bool:
         return want is None or c in want
 
+    # html synthesis reads doc columns, so with_html forces the take
+    # even under a page_id-only projection (ADVICE r2: base was None
+    # and the html branch dereferenced it)
     base = (
         docs.take(pa.array(doc_idx))
-        if want is None or want - {"page_id", "warc_ts"}
+        if want is None or want - {"page_id", "warc_ts"} or with_html
         else None
     )
     cols = {}
@@ -185,14 +188,21 @@ def pages_dataset(
     # row, so the default 1 MiB floor re-coalesces the fan-out ~5x
     # (measured: 64 blocks -> 13 tasks, 19 of 32 cores idle).  Shrink
     # the floor (never grow it) so one range block stays one task.
+    # The override is PER-DATASET: the plan snapshots DataContext at
+    # read creation, so we set the global only around construction and
+    # restore it (ADVICE r2: the old permanent shrink degraded block
+    # bundling for every later pipeline in the same session).
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     per_block_bytes = max(1, (total // blocks) * 8)
-    if ctx.target_min_block_size and ctx.target_min_block_size > per_block_bytes:
-        ctx.target_min_block_size = per_block_bytes
-
-    ds = ray.data.range(total, override_num_blocks=blocks)
+    prior_floor = ctx.target_min_block_size
+    try:
+        if prior_floor and prior_floor > per_block_bytes:
+            ctx.target_min_block_size = per_block_bytes
+        ds = ray.data.range(total, override_num_blocks=blocks)
+    finally:
+        ctx.target_min_block_size = prior_floor
     ds = ds.map_batches(build, batch_format="pyarrow", batch_size=None)
     if columns:
         ds = ds.select_columns(columns)

@@ -121,6 +121,39 @@ def test_dedup_exact_collision_safe(sf_dir):
     assert rep["doc_id"].is_unique
 
 
+def test_dedup_exact_collision_resolution(sf_dir):
+    """Force 128-bit collisions (constant hash pair) and assert the
+    audit detects them via n_chars disagreement and the text-fetch
+    resolution path reproduces the exact group-by-text answer."""
+    import numpy as np
+
+    import duckdb
+
+    def degenerate(col):
+        n = len(col)
+        return np.zeros(n, np.uint64), np.zeros(n, np.uint64)
+
+    got = (
+        text.dedup_exact(sf_dir, hash_pair_fn=degenerate)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = (
+        con.execute(text.DEDUP_EXACT_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_copies"].tolist() == exp["n_copies"].tolist()
+
+
 def test_simhash_and_rolling_match_sql(sf_dir):
     """The simhash / rolling-fingerprint oracles restate the numpy
     kernels as DuckDB hugeint Horner folds — must match bit-for-bit.
