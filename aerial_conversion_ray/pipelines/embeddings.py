@@ -157,31 +157,54 @@ class LshCosine:
         return (bits << np.arange(LSH_BITS, dtype=np.int64)[None, None, :]).sum(axis=2)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Fully vectorized over the query batch: per LSH table ONE
+        searchsorted over all queries, bucket ranges expanded in bulk
+        (the KringKnn._pairs_for pattern), then a single (query, cand)
+        pair dedup + gathered per-pair dot product.  The only Python
+        loop is over the LSH_TABLES constant, never over rows."""
         qids, qmat = _matrix(t)
-        qbuckets = self._bucketize(qmat)  # (nq, T)
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(qids)):
-            cand_parts = []
-            for tb in range(LSH_TABLES):
-                col = self.sorted_buckets[:, tb]
-                lo = np.searchsorted(col, qbuckets[qi, tb], side="left")
-                hi = np.searchsorted(col, qbuckets[qi, tb], side="right")
-                cand_parts.append(self.order[lo:hi, tb])
-            cand = np.unique(np.concatenate(cand_parts))
-            cand = cand[self.ids[cand] != qids[qi]]
-            if len(cand) == 0:
-                continue
-            sims = self.mat[cand] @ qmat[qi]
-            out_q.append(np.full(len(cand), qids[qi], dtype=np.int64))
-            out_n.append(self.ids[cand])
-            out_s.append(_sim_e9(sims))
-        if not out_q:
+        nq = len(qids)
+        if nq == 0:
             return _topk_table(
                 np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), self.k
             )
-        return _topk_table(
-            np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s), self.k
-        )
+        qbuckets = self._bucketize(qmat)  # (nq, T)
+        q_parts, c_parts = [], []
+        for tb in range(LSH_TABLES):
+            col = self.sorted_buckets[:, tb]
+            lo = np.searchsorted(col, qbuckets[:, tb], side="left")
+            hi = np.searchsorted(col, qbuckets[:, tb], side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            # expand [lo[q], hi[q]) ranges: query row index repeated by
+            # its range length, positions = start + within-range offset
+            qrep = np.repeat(np.arange(nq, dtype=np.int64), cnt)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            pos = np.repeat(lo, cnt) + within
+            q_parts.append(qrep)
+            c_parts.append(self.order[pos, tb])
+        if not q_parts:
+            return _topk_table(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), self.k
+            )
+        q = np.concatenate(q_parts)
+        c = np.concatenate(c_parts)
+        # dedup (query, candidate) pairs across tables via composite key
+        n = np.int64(len(self.ids))
+        pair = np.unique(q * n + c)
+        q, c = pair // n, pair % n
+        keep = self.ids[c] != qids[q]  # exclude self
+        q, c = q[keep], c[keep]
+        if len(q) == 0:
+            return _topk_table(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), self.k
+            )
+        sims = np.einsum("ij,ij->i", qmat[q], self.mat[c])
+        return _topk_table(qids[q], self.ids[c], _sim_e9(sims), self.k)
 
 
 def _pool_size() -> int:

@@ -224,6 +224,14 @@ def dedup_exact(sf_dir: str, hash_pair_fn=None) -> ray.data.Dataset:
     those (expected zero) groups are resolved EXACTLY by re-reading
     only their rows' text (broadcast key set, group by text).  Reference
     semantics: scripts/batch_geojson2coco.py:406-426 (SE2 first-wins).
+
+    ONE pass over the corpus: the audit is computed inside the same
+    per-bucket group reduce that picks representatives, and the grouped
+    output (one narrow row per distinct text — output-sized, spillable)
+    is materialized so deciding "any collisions?" never re-runs the
+    text scan + hash.  At full scale the consumer writes this grouped
+    output to parquet anyway; only the (expected-empty) bad-key probe
+    reads it twice.
     """
     import ray
 
@@ -248,33 +256,36 @@ def dedup_exact(sf_dir: str, hash_pair_fn=None) -> ray.data.Dataset:
 
     narrow = ds.map_batches(keys, batch_format="pyarrow")
 
-    # audit pass: (h1, h2) groups whose n_chars disagree are PROVEN
-    # collisions (expected none) — tiny driver result by construction
-    def disagreeing(df: pd.DataFrame) -> pd.DataFrame:
+    # single group reduce: representative + copy count + the collision
+    # audit (n_chars min != max PROVES distinct texts share the key)
+    def rep_audit(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["h1", "h2"], as_index=False).agg(
-            lo=("n_chars", "min"), hi=("n_chars", "max")
+            doc_id=("doc_id", "min"),
+            n_copies=("doc_id", "size"),
+            lo=("n_chars", "min"),
+            hi=("n_chars", "max"),
         )
-        bad = g[g["lo"] != g["hi"]]
-        return bad[["h1", "h2"]]
+        g["bad"] = g["lo"] != g["hi"]
+        return g[["doc_id", "n_copies", "h1", "h2", "bad"]]
 
-    colliding = (
+    stats = (
         narrow.groupby("bucket")
-        .map_groups(disagreeing, batch_format="pandas")
-        .to_pandas()
+        .map_groups(rep_audit, batch_format="pandas")
+        .materialize()
+    )
+    colliding = (
+        stats.map_batches(
+            lambda t: t.filter(t["bad"]).select(["h1", "h2"]),
+            batch_format="pyarrow",
+        ).to_pandas()
     )
 
-    def rep(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["h1", "h2"], as_index=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
-        )
-        return g[["doc_id", "n_copies"]]
-
     if len(colliding) == 0:
-        return narrow.groupby("bucket").map_groups(rep, batch_format="pandas")
+        return stats.select_columns(["doc_id", "n_copies"])
 
     # collision resolution (exercised by the monkeypatched-hash test):
-    # drop colliding keys from the narrow plan; re-read ONLY their rows
-    # with text and group exactly by text
+    # drop colliding keys from the grouped result; re-read ONLY their
+    # rows with text and group exactly by text
     bad_ref = ray.put(
         set(zip(colliding["h1"].tolist(), colliding["h2"].tolist()))
     )
@@ -288,12 +299,9 @@ def dedup_exact(sf_dir: str, hash_pair_fn=None) -> ray.data.Dataset:
         )  # |bad| is tiny; per-row check bounded by proven collisions
         return t.filter(pa.array(~is_bad if invert else is_bad))
 
-    clean = (
-        narrow.map_batches(
-            lambda t: mask_bad(t, invert=True), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(rep, batch_format="pandas")
+    clean = stats.map_batches(
+        lambda t: mask_bad(t, invert=True).select(["doc_id", "n_copies"]),
+        batch_format="pyarrow",
     )
 
     def keys_with_text(t: pa.Table) -> pa.Table:
