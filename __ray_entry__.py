@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, OVERLAP_CFG
         ),
         "polygon_clip_join": lambda sf: spatial.polygon_clip_join(sf, CFG),
+        "multiring_clip_join": lambda sf: spatial.multiring_clip_join(sf, CFG),
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
         "wkt_roundtrip": lambda sf: spatial.wkt_roundtrip(sf, CFG),
         "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_clip_join": sql_oracle.tile_clip_join_sql(CFG),
         "tile_clip_join_overlap": sql_oracle.tile_clip_join_overlap_sql(OVERLAP_CFG),
         "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
+        "multiring_clip_join": sql_oracle.multiring_clip_join_sql(CFG),
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "wkt_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),

@@ -357,6 +357,20 @@ def orthogonalise(
     return out @ np.array([[ca2, sa2], [-sa2, ca2]])
 
 
+def orthogonalise_rings(
+    rings: list[np.ndarray], max_angle_change_deg: float = 15.0
+) -> list[np.ndarray]:
+    """Orthogonalise a polygon WITH interior rings: each ring —
+    exterior and every hole — is snapped independently, exactly the
+    reference's per-ring loop (``orthogonalise/orthogonalise.py:209-212``
+    builds ``rings = [exterior] + interiors`` and orthogonalises each
+    as its own polygon).  ``rings[0]`` is the exterior; order is
+    preserved.  Rings that bail (over-tolerance/degenerate) come back
+    unchanged, matching :func:`orthogonalise`'s single-ring
+    behavior."""
+    return [orthogonalise(r, max_angle_change_deg) for r in rings]
+
+
 def rect_union_area(rects: np.ndarray) -> float:
     """Exact union area of axis-aligned rectangles [(minx, miny, maxx,
     maxy), ...] via x-coordinate compression + per-strip y-interval

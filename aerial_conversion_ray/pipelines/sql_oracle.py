@@ -215,6 +215,69 @@ def polygon_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def multiring_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Multipolygon-with-holes clip join oracle.  The engine's
+    geometry is deterministic (MultiRingEncode): part 0 = footprint
+    rect with a quarter-inset hole, part 1 = disjoint east rect, so
+    the hole-aware clipped area is closed-form — rect-overlap(ext) −
+    rect-overlap(hole) — compared through the 1e-9 fixed point the
+    shoelace integration quantizes to.  Same candidate arithmetic as
+    :func:`polygon_clip_join_sql`."""
+    r, g = cfg.raster, cfg.grid
+    a, _, c, _, e, f = r.transform
+    tw, th = g.tile_width, g.tile_height
+    n_tx = -(-r.ncols // tw)
+    n_ty = -(-r.nrows // th)
+    return (
+        _pages_geo(cfg) + ", "
+        # parts with their exterior (ex/ey) and hole (hx/hy) bounds;
+        # expression order mirrors MultiRingEncode's numpy ops
+        "parts as ("
+        "  select page_id, 0 as part_idx, "
+        "    fp_minx as ex0, fp_maxx as ex1, fp_miny as ey0, fp_maxy as ey1, "
+        "    fp_minx + (fp_maxx - fp_minx) * 0.25 as hx0, "
+        "    fp_maxx - (fp_maxx - fp_minx) * 0.25 as hx1, "
+        "    fp_miny + (fp_maxy - fp_miny) * 0.25 as hy0, "
+        "    fp_maxy - (fp_maxy - fp_miny) * 0.25 as hy1 "
+        "  from geo "
+        "  union all "
+        "  select page_id, 1 as part_idx, "
+        "    fp_maxx + (fp_maxx - fp_minx) * 0.5 as ex0, "
+        "    fp_maxx + (fp_maxx - fp_minx) as ex1, "
+        "    fp_miny as ey0, fp_miny + (fp_maxy - fp_miny) * 0.5 as ey1, "
+        "    0.0 as hx0, 0.0 as hx1, 0.0 as hy0, 0.0 as hy1 "
+        "  from geo), "
+        "cand as (select parts.*, "
+        f"  ((cast(floor((ex0 - {c!r}) / {a!r}) as bigint) // {tw}) + dx.v) * {tw} as col_off, "
+        f"  ((cast(floor((ey1 - {f!r}) / {e!r}) as bigint) // {th}) + dy.v) * {th} as row_off "
+        "  from parts, (values (0), (1)) dx(v), (values (0), (1)) dy(v)), "
+        "ok as (select * from cand where col_off >= 0 and row_off >= 0 "
+        f"  and col_off < {n_tx * tw} and row_off < {n_ty * th} "
+        f"  and col_off <= (cast(floor((ex1 - {c!r}) / {a!r}) as bigint) // {tw}) * {tw} "
+        f"  and row_off <= (cast(floor((ey0 - {f!r}) / {e!r}) as bigint) // {th}) * {th}), "
+        "bounds as (select *, "
+        f"{c!r} + {a!r} * col_off as tminx, "
+        f"{c!r} + {a!r} * least(col_off + {tw}, {r.ncols}) as tmaxx, "
+        f"{f!r} + {e!r} * row_off as tmaxy, "
+        f"{f!r} + {e!r} * least(row_off + {th}, {r.nrows}) as tminy "
+        "from ok), "
+        "area as (select *, "
+        "  (case when least(tmaxx, ex1) > greatest(tminx, ex0) "
+        "        and least(tmaxy, ey1) > greatest(tminy, ey0) then "
+        "    (least(tmaxx, ex1) - greatest(tminx, ex0)) "
+        "    * (least(tmaxy, ey1) - greatest(tminy, ey0)) else 0.0 end) "
+        "  - (case when least(tmaxx, hx1) > greatest(tminx, hx0) "
+        "          and least(tmaxy, hy1) > greatest(tminy, hy0) then "
+        "    (least(tmaxx, hx1) - greatest(tminx, hx0)) "
+        "    * (least(tmaxy, hy1) - greatest(tminy, hy0)) else 0.0 end) "
+        "  as clip_area from bounds) "
+        "select page_id, cast(part_idx as bigint) as part_idx, "
+        "('tile_' || cast(col_off as varchar) || '-' || cast(row_off as varchar)) as tile_id, "
+        "cast(floor(clip_area * 1000000000.0 + 0.5) as bigint) as clip_area_e9 "
+        "from area where cast(floor(clip_area * 1000000000.0 + 0.5) as bigint) > 0"
+    )
+
+
 def wkb_roundtrip_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     """WKB (or WKT) encode->decode is the identity on the footprint
     bounds."""
