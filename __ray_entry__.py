@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from aerial_conversion_ray.config import EngineConfig, TileGridSpec
+from aerial_conversion_ray.sources import geotiff
 from aerial_conversion_ray.pipelines import (
     cluster,
     coco,
@@ -81,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "polygon_clip_join": lambda sf: spatial.polygon_clip_join(sf, CFG),
         "multiring_clip_join": lambda sf: spatial.multiring_clip_join(sf, CFG),
+        # real file-backed raster window read (S2): deterministic
+        # GeoTIFF fixture written to /tmp, windowed Datasource read
+        "raster_windows": geotiff.raster_windows,
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
         "wkt_roundtrip": lambda sf: spatial.wkt_roundtrip(sf, CFG),
         "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
@@ -183,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_clip_join_overlap": sql_oracle.tile_clip_join_overlap_sql(OVERLAP_CFG),
         "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
         "multiring_clip_join": sql_oracle.multiring_clip_join_sql(CFG),
+        "raster_windows": geotiff.RASTER_WINDOWS_SQL,
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "wkt_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),

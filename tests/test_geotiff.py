@@ -1,0 +1,89 @@
+"""Real raster window path (S2): minimal GeoTIFF write/parse +
+windowed byte-range reads + the Ray Datasource, vs the virtual-grid
+ground truth (reference: ``aerial_conversion/tiles.py:85-130``)."""
+
+import numpy as np
+import pytest
+
+from aerial_conversion_ray.config import RasterSpec, TileGridSpec
+from aerial_conversion_ray.geo.tiles import grid_windows
+from aerial_conversion_ray.sources import geotiff
+
+
+@pytest.fixture(scope="module")
+def fixture_tif(tmp_path_factory):
+    """Deterministic 93x140 uint8 raster, cell 0.5 deg, non-multiple
+    of rows_per_strip and tile size (exercises edge clipping)."""
+    path = str(tmp_path_factory.mktemp("raster") / "fix.tif")
+    h, w = 93, 140
+    arr = ((np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17) % 251).astype(
+        np.uint8
+    )
+    spec = RasterSpec(x0=10.0, y_max=55.0, cell=0.5, ncols=w, nrows=h)
+    geotiff.write_geotiff(path, arr, spec, rows_per_strip=16)
+    return path, arr, spec
+
+
+def test_info_roundtrip(fixture_tif):
+    path, arr, spec = fixture_tif
+    info = geotiff.read_info(path)
+    assert info.width == spec.ncols and info.height == spec.nrows
+    assert info.raster == spec
+    assert sum(info.strip_counts) == arr.size
+
+
+def test_window_reads_match_slices(fixture_tif):
+    path, arr, spec = fixture_tif
+    info = geotiff.read_info(path)
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        co = int(rng.integers(0, spec.ncols - 1))
+        ro = int(rng.integers(0, spec.nrows - 1))
+        w = int(rng.integers(1, spec.ncols - co + 1))
+        h = int(rng.integers(1, spec.nrows - ro + 1))
+        got = geotiff.read_window(path, info, co, ro, w, h)
+        assert np.array_equal(got, arr[ro : ro + h, co : co + w])
+
+
+def test_datasource_tiles_match_grid_windows(ray_session, fixture_tif):
+    """Tile ids, offsets and sizes from the Datasource are
+    byte-identical to grid_windows on the same spec; pixels equal the
+    array slices (done = VERDICT r2 item 6)."""
+    path, arr, spec = fixture_tif
+    grid = TileGridSpec(tile_width=40, tile_height=40)
+    ds = geotiff.read_raster_windows(path, grid, parallelism=3)
+    got = ds.to_pandas().sort_values(["col_off", "row_off"]).reset_index(drop=True)
+    exp = grid_windows(spec, grid)
+    order = np.lexsort((exp["row_off"], exp["col_off"]))
+    assert got["tile_id"].tolist() == [str(s) for s in exp["tile_id"][order]]
+    assert got["col_off"].tolist() == exp["col_off"][order].tolist()
+    assert got["width"].tolist() == exp["width"][order].tolist()
+    assert got["height"].tolist() == exp["height"][order].tolist()
+    for _, row in got.iterrows():
+        block = np.frombuffer(row["pixels"], np.uint8).reshape(
+            row["height"], row["width"]
+        )
+        sl = arr[
+            row["row_off"] : row["row_off"] + row["height"],
+            row["col_off"] : row["col_off"] + row["width"],
+        ]
+        assert np.array_equal(block, sl)
+        assert row["px_sum"] == int(sl.sum(dtype=np.int64))
+
+
+def test_datasource_overlap_grid(ray_session, fixture_tif):
+    """The offset/map-units quirk grid produces identical windows from
+    the file-backed path and the virtual path."""
+    path, arr, spec = fixture_tif
+    grid = TileGridSpec(tile_width=15.0, tile_height=15.0, map_units=True, offset=10.0)
+    ds = geotiff.read_raster_windows(path, grid, parallelism=2)
+    got = ds.to_pandas().sort_values(["col_off", "row_off"]).reset_index(drop=True)
+    exp = grid_windows(spec, grid)
+    order = np.lexsort((exp["row_off"], exp["col_off"]))
+    assert got["tile_id"].tolist() == [str(s) for s in exp["tile_id"][order]]
+    assert (
+        got[["col_off", "row_off", "width", "height"]].to_numpy().tolist()
+        == np.stack(
+            [exp[c][order] for c in ("col_off", "row_off", "width", "height")], axis=1
+        ).tolist()
+    )
