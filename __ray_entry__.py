@@ -169,7 +169,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_write": _lineage_write,
         # -- multimodal (binary payload plumbing; codec stubbed) --
         "media_meta": lambda sf: multimodal.media_meta(sf, CFG),
-        "media_decode": lambda sf: multimodal.decode_stub(sf, CFG),
+        # REAL PNG decode (first-party codec; upgraded from the stub)
+        "media_decode": lambda sf: multimodal.media_decode(sf, CFG),
+        # the byte-stats stub path stays as its own entry (audio/video
+        # codecs remain honestly stubbed)
+        "media_byte_stats": lambda sf: multimodal.decode_stub(sf, CFG),
         "frame_sample": lambda sf: multimodal.frame_sample(sf, CFG),
         "media_embed": lambda sf: multimodal.media_embed_stub(sf, CFG),
     }
@@ -258,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
             tpj=sql_oracle.tile_point_join_sql(CFG)
         ),
         "media_meta": multimodal.media_meta_sql(CFG),
-        # media_decode / frame_sample / media_embed: deterministic
+        "media_decode": multimodal.media_decode_sql(CFG),
+        # media_byte_stats / frame_sample / media_embed: deterministic
         # codec stubs — rows-only; numpy oracles in tests/test_multimodal.py.
     }

@@ -132,6 +132,113 @@ def decode_stub(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Datase
     )
 
 
+# --- REAL image decode path (first-party PNG codec, functions/png.py) ---
+
+PNG_MOD = 251
+
+
+def _png_dims(page_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return 16 + page_id % 8, 12 + page_id % 5  # (w, h)
+
+
+class PngImageSynth:
+    """page -> REAL PNG blob: deterministic grayscale image
+    ``v(i, j) = (page_id*3 + i*7 + j*13) % 251`` with page-dependent
+    dims.  Pixel synthesis is one vectorized pass over the batch's
+    flat pixel space; the per-blob ``zlib`` deflate inside
+    ``encode_png`` is the codec's inherent C-speed call (what PIL does
+    per image)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.png import encode_png
+
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w, h = _png_dims(pid)
+        npx = w * h
+        total = int(npx.sum())
+        blob = np.repeat(np.arange(len(pid)), npx)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(npx) - npx, npx
+        )
+        i = within // w[blob]
+        j = within % w[blob]
+        v = ((pid[blob] * 3 + i * 7 + j * 13) % PNG_MOD).astype(np.uint8)
+        offs = np.concatenate([[0], np.cumsum(npx)])
+        blobs = [
+            encode_png(v[offs[k] : offs[k + 1]].reshape(h[k], w[k]))
+            for k in range(len(pid))
+        ]
+        return pa.table(
+            {"page_id": t["page_id"], "png": pa.array(blobs, pa.binary())}
+        )
+
+
+class PngDecode:
+    """REAL decoder actor: parses PNG chunks, inflates IDAT, unfilters
+    scanlines (``functions/png.py``) — the swap-in the DecodeStub
+    advertised, exercised end-to-end.  Same production shape: codec
+    state in ``__init__``, per-batch work in ``__call__``, small
+    batches for wide payloads."""
+
+    def __init__(self):
+        from ..functions import png
+
+        self.decode = png.decode_png  # symbol resolved once per actor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pid = t["page_id"]
+        col = t["png"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ws, hs, sums, maxs = [], [], [], []
+        for buf in col:
+            img = self.decode(buf.as_py())
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            sums.append(int(img.sum(dtype=np.int64)))
+            maxs.append(int(img.max()))
+        return pa.table(
+            {
+                "page_id": pid,
+                "img_w": pa.array(ws, pa.int64()),
+                "img_h": pa.array(hs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64()),
+                "max_byte": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+def media_decode(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Real image decode over a binary media column: synthesize
+    genuine PNG bytes per page, decode them back with the first-party
+    codec, emit integer pixel stats (SQL-mirrored closed form —
+    upgraded from the r1/r2 rows-only stub)."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(PngImageSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        PngDecode,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def media_decode_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        "dims as (select page_id, 16 + page_id % 8 as w, 12 + page_id % 5 as h "
+        "from pages), "
+        "px as (select page_id, w, h, "
+        f"((page_id * 3 + i.v * 7 + j.v * 13) % {PNG_MOD}) as v "
+        "from dims, unnest(range(h)) i(v), unnest(range(w)) j(v)) "
+        "select page_id, w as img_w, h as img_h, "
+        "cast(sum(v) as bigint) as px_sum, cast(max(v) as bigint) as max_byte "
+        "from px group by page_id, w, h"
+    )
+
+
 def frame_sample(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """1->N frame expansion: every FRAME_STRIDE-th FRAME_BYTES block
     of the blob becomes a frame row with a deterministic polynomial
