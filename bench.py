@@ -79,7 +79,22 @@ BENCH_REP = int(os.environ.get("GRAFT_BENCH_REP", "200"))
 # Ray's fixed startup/scheduling cost, which deflated the measured
 # ratio; 4x the work puts both legs well past the fixed-cost regime
 SCALING_REP = int(os.environ.get("GRAFT_SCALING_REP", "40000"))
+# full-payload legs synthesize ~350 B/row of strings; 20M pages (~7 GB
+# of string traffic) keeps each leg in the minutes while still far
+# past fixed-cost territory
+SCALING_REP_FULL = int(os.environ.get("GRAFT_SCALING_REP_FULL", "12000"))
 SCALING_ONLY = os.environ.get("GRAFT_SCALING_ONLY") == "1"
+# timed repeats per leg (min is reported): the sandbox hypervisor's
+# memory service rate sawtooths over minutes and the first timed
+# iterations of a long leg routinely run 2-4x slow while it recovers;
+# the min must CONVERGE (round-3 observed [49.6, 27.5, 13.1] at 3
+# iters — still falling), so the default is high enough to see a
+# plateau and the full series is always reported for inspection
+SCALING_ITERS = int(os.environ.get("GRAFT_SCALING_ITERS", "6"))
+# "kernel": page_id-pruned fold (isolates compute scaling);
+# "full": every column synthesized and consumed (the pipeline's
+# honest end-to-end number on this sandbox, memory-path included)
+SCALING_MODE = os.environ.get("GRAFT_SCALING_MODE", "kernel")
 
 
 def _consume(ds) -> int:
@@ -136,15 +151,25 @@ def run_benchmarks() -> dict:
             import pyarrow as pa
             import pyarrow.compute as pc
 
-            # page_id-only projection: the join kernels are pure
-            # functions of page_id and the fold discards payload, so
-            # the scan-side column pruning (columns= pushed into the
-            # generator, exactly as on read_parquet) removes the
-            # string-synthesis memory traffic that is flat-rate
-            # hypervisor-throttled on this sandbox at BOTH CPU counts
-            # and would otherwise mask the compute-scaling ratio the
-            # criterion measures.
-            ds = spatial.tile_point_join(SF_DIR, cfg, columns=["page_id"])
+            if SCALING_MODE == "kernel":
+                # KERNEL-ONLY leg (labeled as such in the output, per
+                # round-2 advice): page_id-only projection — the join
+                # kernels are pure functions of page_id and the fold
+                # discards payload, so the scan-side column pruning
+                # (columns= pushed into the generator, exactly as on
+                # read_parquet) removes the string-synthesis memory
+                # traffic that is flat-rate hypervisor-throttled on
+                # this sandbox at BOTH CPU counts and would otherwise
+                # mask the compute-scaling ratio.
+                ds = spatial.tile_point_join(SF_DIR, cfg, columns=["page_id"])
+            else:
+                # FULL-PAYLOAD leg: every column synthesized (url,
+                # text, lang, ...) and carried through the whole join
+                # chain; the fold consumes the payload bytes so none
+                # of the string traffic can be pruned.  This is the
+                # pipeline's honest end-to-end scaling on this
+                # sandbox, hypervisor memory path included.
+                ds = spatial.tile_point_join(SF_DIR, cfg)
 
             # fold each batch to one (count, checksum) row INSIDE the
             # fused task: all join compute runs, but object-store
@@ -158,6 +183,10 @@ def run_benchmarks() -> dict:
                 chk = int(pc.sum(t["pix_col"]).as_py() or 0) + int(
                     pc.sum(t["pix_row"]).as_py() or 0
                 )
+                if "text" in t.column_names:  # consume payload bytes
+                    chk += int(
+                        pc.sum(pc.binary_length(t["text"])).as_py() or 0
+                    ) + int(pc.sum(pc.binary_length(t["url"])).as_py() or 0)
                 return pa.table({"n": [t.num_rows], "chk": [chk]})
 
             folded = ds.map_batches(fold, batch_format="pyarrow", batch_size=None)
@@ -167,12 +196,12 @@ def run_benchmarks() -> dict:
             return int(folded.to_pandas()["n"].sum())
 
         scaled()  # warm-up, untimed
-        # best-of-3: the sandbox hypervisor's memory service rate
+        # best-of-N: the sandbox hypervisor's memory service rate
         # sawtooths over minutes; min-time is the machine-capability
         # number the ratio needs (all iterations reported)
         iters = []
         n = 0
-        for _ in range(3):
+        for _ in range(SCALING_ITERS):
             t0 = time.perf_counter()
             n = scaled()
             iters.append(round(time.perf_counter() - t0, 3))
@@ -267,12 +296,21 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    """Two-leg scaling evidence (8 vs 32 CPUs, fresh processes), in
+    BOTH variants per round-2 advice: ``kernel_only`` (page_id-pruned
+    fold — isolates compute scaling from this sandbox's flat-rate
+    hypervisor memory throttle) AND ``full_payload`` (every column
+    synthesized and consumed).  Top-level value = kernel-only ratio,
+    explicitly labeled; the full-payload ratio is reported beside it,
+    whatever it shows."""
+
+    def run(ncpu: int, mode: str, rep: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SCALING_ONLY="1",
-            GRAFT_BENCH_REP=str(SCALING_REP),
+            GRAFT_SCALING_MODE=mode,
+            GRAFT_BENCH_REP=str(rep),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -285,23 +323,38 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    tput_lo = r_lo["tile_join_rows_per_s"]
-    tput_hi = r_hi["tile_join_rows_per_s"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
+
+    def leg(mode: str, rep: int) -> dict:
+        r_lo = run(lo, mode, rep)
+        r_hi = run(hi, mode, rep)
+        tput_lo = r_lo["tile_join_rows_per_s"]
+        tput_hi = r_hi["tile_join_rows_per_s"]
+        eff = (tput_hi / tput_lo) / (hi / lo)
+        return {
+            "efficiency": round(eff, 3),
+            "pages_rep": rep,
+            "sec_lo": r_lo["value"],
+            "sec_hi": r_hi["value"],
+            "rows_per_s_lo": tput_lo,
+            "rows_per_s_hi": tput_hi,
+            "iters_lo": r_lo.get("iters_sec"),
+            "iters_hi": r_hi.get("iters_sec"),
+        }
+
+    kernel = leg("kernel", SCALING_REP)
+    full = leg("full", SCALING_REP_FULL)
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": kernel["efficiency"],
+        "label": (
+            "kernel-only (page_id-pruned fold; isolates compute scaling "
+            "from the sandbox hypervisor's flat-rate memory throttle)"
+        ),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "rows_per_s_lo": tput_lo,
-        "rows_per_s_hi": tput_hi,
-        "queries_lo": r_lo["queries"],
-        "queries_hi": r_hi["queries"],
+        "kernel_only": kernel,
+        "full_payload": full,
         "sf": SF_DIR,
     }
 
