@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_asof": relational.events_asof,
         "events_range_join": relational.events_range_join,
+        # exact distributed row_number (histogram offsets, no sort)
+        "global_rank": relational.global_rank,
+        # bloom-prefiltered exact semi-join (8 KiB broadcast filter)
+        "bloom_semi_join": relational.bloom_semi_join,
         "quantiles": relational.quantiles,
         "grouped_quantiles": relational.grouped_quantiles,
         "top_docs_per_lang": relational.top_docs_per_lang,
@@ -128,6 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": text.tfidf_scores,
         "decontaminate": text.decontaminate,
         "pack_sequences": text.pack_sequences,
+        # exact top-k tokens via Count-Min pruning (no vocab groupby)
+        "heavy_hitters": text.heavy_hitters,
+        # per-doc first-occurrence map (C4-style intra-doc dedup key)
+        "token_first_pos": text.token_first_pos,
+        # deterministic per-lang stratified sample
+        "group_sample": text.group_sample,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
@@ -141,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall vs ann_brute asserted in tests/test_embeddings.py
         "ann_ivf": embeddings.ann_ivf,
         "embed_dup": embeddings.embed_dup,
+        # greedy k-center coreset (iterative, data-dependent):
+        # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
+        "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),
         "label_centroids": embeddings.label_centroids,
         # -- reverse path (coco2geojson analog) --
         "spatialize": lambda sf: vectorize.spatialize(sf, CFG),
@@ -211,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
         "events_asof": relational.events_asof_sql(),
         "events_range_join": relational.events_range_join_sql(),
+        "global_rank": relational.GLOBAL_RANK_SQL,
+        "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "quantiles": relational.QUANTILES_SQL,
         "grouped_quantiles": relational.GROUPED_QUANTILES_SQL,
         "top_docs_per_lang": relational.top_docs_per_lang_sql(),
@@ -228,6 +243,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": text.TFIDF_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),
+        "heavy_hitters": text.heavy_hitters_sql(),
+        "token_first_pos": text.TOKEN_FIRST_POS_SQL,
+        "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model

@@ -628,3 +628,114 @@ def kmeans_reference(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         norms[norms == 0.0] = 1.0
         cent = new / norms[:, None]
     return ids, np.argmax(mat @ cent.T, axis=1), cent
+
+
+# --------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez) — diversity selection for curation
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _far_point(mat: np.ndarray, ids: np.ndarray, cent: np.ndarray):
+    """(dist_e9, vec_id, row) of the point farthest (cosine distance,
+    fixed-point) from its nearest center; tie-break smallest vec_id."""
+    sim = _sim_e9((mat @ cent.T).max(axis=1))
+    dist = np.int64(SIM_SCALE) - sim
+    best = np.lexsort((ids, -dist))[0]
+    return int(dist[best]), int(ids[best]), mat[best]
+
+
+def kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> pa.Table:
+    """Greedy k-center (Gonzalez 1985) coreset over the embedding
+    corpus — the diversity-sampling pass a training-data curator runs
+    to pick maximally-spread exemplars.  Output: one row per selected
+    center (sel_rank, vec_id, dist_e9 = its cosine distance to the
+    previously selected set; the last row's dist_e9 is the corpus
+    covering radius).
+
+    Scale shape — STATELESS rounds, nothing materialized between them:
+    round r broadcasts the r centers picked so far (r x DIM floats via
+    ``ray.put``) and runs one ``map_batches`` pass in which every
+    batch reduces to a single (farthest dist, vec_id, embedding) row;
+    the driver folds block winners (k * n_blocks tiny rows total) and
+    appends the global winner.  k full scans, O(k^2 * DIM) flops/row
+    worst case, zero per-point state to checkpoint — a failed round
+    re-runs from the same broadcast.  Determinism: fixed-point
+    ``sim_e9`` distances, ties to the smallest vec_id; seeded by the
+    smallest vec_id in the corpus.
+
+    Iterative and data-dependent -> not SQL-expressible: rows-only
+    driver check; exact numpy-greedy parity in tests/test_embeddings.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seed_row(t: pa.Table) -> pa.Table:
+        ids, mat = _matrix(t)
+        j = int(np.argmin(ids))
+        return pa.table(
+            {
+                "vec_id": pa.array([int(ids[j])]),
+                "emb": pa.array([mat[j].tolist()]),
+            }
+        )
+
+    seeds = ds.map_batches(seed_row, batch_format="pyarrow").to_pandas()
+    j = seeds["vec_id"].idxmin()
+    sel_ids = [int(seeds["vec_id"][j])]
+    sel_d = [int(SIM_SCALE)]  # seed has no predecessor: full radius
+    cent = np.asarray([seeds["emb"][j]], dtype=np.float64)
+
+    for _ in range(1, k):
+        ref = ray.put(cent)
+
+        class Far:
+            def __init__(self):
+                self.cent = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids, mat = _matrix(t)
+                d, vid, row = _far_point(mat, ids, self.cent)
+                return pa.table(
+                    {
+                        "dist_e9": pa.array([d]),
+                        "vec_id": pa.array([vid]),
+                        "emb": pa.array([row.tolist()]),
+                    }
+                )
+
+        win = ds.map_batches(Far, batch_format="pyarrow", concurrency=2).to_pandas()
+        w = win.sort_values(["dist_e9", "vec_id"], ascending=[False, True]).iloc[0]
+        sel_ids.append(int(w["vec_id"]))
+        sel_d.append(int(w["dist_e9"]))
+        cent = np.vstack([cent, np.asarray(w["emb"], dtype=np.float64)])
+
+    return pa.table(
+        {
+            "sel_rank": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+            "vec_id": pa.array(np.asarray(sel_ids, np.int64)),
+            "dist_e9": pa.array(np.asarray(sel_d, np.int64)),
+        }
+    )
+
+
+def kcenter_reference(sf_dir: str, k: int = KCENTER_K):
+    """Single-process numpy greedy with identical semantics (tests)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _matrix(t)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sel = [0]
+    dists = [int(SIM_SCALE)]
+    for _ in range(1, k):
+        cent = mat[sel]
+        sim = _sim_e9((mat @ cent.T).max(axis=1))
+        dist = np.int64(SIM_SCALE) - sim
+        best = np.lexsort((ids, -dist))[0]
+        sel.append(int(best))
+        dists.append(int(dist[best]))
+    return ids[sel], np.asarray(dists, np.int64)

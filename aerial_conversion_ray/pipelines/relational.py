@@ -1192,3 +1192,151 @@ select lang,
        cast(quantile_disc(n_chars, 0.99) as bigint) as p99
 from documents group by lang
 """
+
+
+# --------------------------------------------------------------------------
+# exact global rank (distributed row_number without a global sort)
+# --------------------------------------------------------------------------
+
+
+def global_rank(sf_dir: str) -> ray.data.Dataset:
+    """EXACT global ``row_number() over (order by n_chars desc,
+    doc_id)`` — curriculum-ordering ranks for every document — with no
+    all-to-all sort of the corpus.
+
+    Scale shape (value-histogram offsets + per-group local ranks):
+
+    1. one narrow ``groupby(n_chars).count`` (key cardinality is
+       bounded by max document length — a driver-safe table; were the
+       key continuous, the same recursive-histogram trick as
+       ``quantiles`` applies);
+    2. the driver prefix-sums counts in key order -> ``base[v]`` =
+       number of rows ranked strictly before any row with
+       ``n_chars == v`` — broadcast once via ``ray.put``;
+    3. ``groupby(n_chars).map_groups`` assigns ``base + local rank by
+       doc_id`` inside each equal-key group.  Groups are value-skew
+       bound: a pathologically hot key would be salted by doc_id range
+       and offset by a second histogram level (same recursion).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    counts = (
+        ds.groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+    )
+    n = counts["n"].to_numpy(np.int64)
+    base = dict(
+        zip(
+            counts["n_chars"].to_numpy(np.int64),
+            np.concatenate([[0], np.cumsum(n)[:-1]]),
+        )
+    )
+    base_ref = ray.put(base)
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        b = ray.get(base_ref)[int(df["n_chars"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "global_rank": b + np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("n_chars").map_groups(rank_group, batch_format="pandas")
+
+
+GLOBAL_RANK_SQL = """
+select doc_id, n_chars,
+       row_number() over (order by n_chars desc, doc_id) as global_rank
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# bloom-prefiltered semi-join (shuffle-input reduction, exact result)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16              # 65536 bits = 8 KiB broadcast
+BLOOM_HASHES = 2
+BLOOM_SIZE_CUT = 42               # p_size >= CUT keeps the build side sparse
+
+
+def _bloom_probe_positions(keys: np.ndarray) -> np.ndarray:
+    """(BLOOM_HASHES, n) bit positions for int64 keys (splitmix-salted,
+    same avalanche family as the CMS)."""
+    from .text import _splitmix64
+
+    out = []
+    k = keys.astype(np.uint64)
+    for salt in (0xA0761D6478BD642F, 0xE7037ED1A0B428DB):
+        with np.errstate(over="ignore"):
+            h = _splitmix64(k ^ np.uint64(salt))
+        out.append((h % np.uint64(BLOOM_BITS)).astype(np.int64))
+    return np.stack(out)
+
+
+def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """lineitem rows whose part passes a size filter — a semi-join
+    where a BROADCAST BLOOM FILTER (8 KiB regardless of build-side
+    cardinality) prefilters the probe stream before the exact check,
+    so at 100 TB the expensive exact structure sees only
+    bloom-surviving rows (true matches + ~n*2^-h false positives)
+    instead of the whole fact table.  The result is EXACT: survivors
+    are verified against the true key set (here broadcast — small by
+    the size predicate; at larger build sides the verify becomes the
+    hash-sharded semi-join and the bloom still cuts its shuffle input).
+
+    Build side: the filtered dimension is small by construction, so
+    the bits are set on the driver in one vectorized pass (the same
+    driver-loads-dimension pattern as every broadcast join here); a
+    build side too big for that would tree-OR per-batch packed-word
+    partials via ``groupby(slot)`` and the 8 KiB broadcast would not
+    change.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    )
+    keys = part.filter(
+        pc.greater_equal(part["p_size"], BLOOM_SIZE_CUT)
+    )["p_partkey"].to_numpy(zero_copy_only=False)
+    words = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    if len(keys):
+        pos = _bloom_probe_positions(keys).ravel()
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+    state = ray.put((words, np.unique(keys)))
+
+    class Probe:
+        def __init__(self):
+            self.words, self.keys = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = _bloom_probe_positions(pk)
+            hit = np.ones(len(pk), dtype=bool)
+            for row in pos:
+                w = self.words[row // 64]
+                hit &= (w >> (row % 64).astype(np.uint64)) & np.uint64(1) > 0
+            if not hit.any():
+                return t.slice(0, 0)
+            sub = t.filter(pa.array(hit))
+            ok = np.isin(
+                sub["l_partkey"].to_numpy(zero_copy_only=False), self.keys
+            )
+            return sub.filter(pa.array(ok))
+
+    return read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    ).map_batches(Probe, batch_format="pyarrow", concurrency=2)
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+select l_orderkey, l_partkey, l_quantity from lineitem
+where l_partkey in (select p_partkey from part where p_size >= {BLOOM_SIZE_CUT})
+"""

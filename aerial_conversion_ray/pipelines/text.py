@@ -1727,3 +1727,323 @@ select doc_id, n_tokens, tok_offset,
        (tok_offset + n_tokens - 1) // {seq_len} as pack_last
 from c
 """
+
+
+# --------------------------------------------------------------------------
+# exact heavy hitters: Count-Min sketch pruning + exact verification
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 13               # 8192 counters per hash row
+HH_K = 20                         # top-k tokens returned
+HH_BATCH_CAND = 64                # per-batch candidate pool (>= HH_K)
+
+_CMS_SALTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Public-domain splitmix64 finalizer (uniformizes every bit)."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _cms_slots(h: np.ndarray) -> np.ndarray:
+    """(CMS_DEPTH, n) flattened CMS slot ids for uint64 token hashes;
+    row d owns slots [d*CMS_WIDTH, (d+1)*CMS_WIDTH)."""
+    rows = []
+    for d in range(CMS_DEPTH):
+        with np.errstate(over="ignore"):
+            hd = _splitmix64(h ^ np.uint64(_CMS_SALTS[d]))
+        rows.append((hd % np.uint64(CMS_WIDTH)).astype(np.int64) + d * CMS_WIDTH)
+    return np.stack(rows)
+
+
+def _batch_token_counts(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Exact per-batch (token, count) groups, collision-proof.
+
+    Orders the flattened tokens by 64-bit hash, then splits runs on
+    STRING inequality of neighbors (not hash inequality): two distinct
+    tokens that collide are SPLIT into separate groups (harmless — the
+    downstream ``groupby(token).sum`` re-merges by the actual string),
+    while equal tokens always share a hash and sort adjacent, so no
+    merge of distinct tokens can ever happen.  Returns (tokens, counts,
+    uint64 hash per group)."""
+    toks = pc.split_pattern(col, " ")
+    flat = (
+        toks.combine_chunks().flatten()
+        if isinstance(toks, pa.ChunkedArray)
+        else toks.flatten()
+    )
+    if len(flat) == 0:
+        return flat, np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    h = _hash_arrow_strings(flat)
+    order = np.argsort(h, kind="stable")
+    fs = flat.take(pa.array(order))
+    hs = h[order]
+    new = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        hdiff = hs[1:] != hs[:-1]
+        sdiff = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new[1:] = hdiff | sdiff
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.concatenate([starts, [len(hs)]]))
+    return fs.take(pa.array(starts)), counts.astype(np.int64), hs[starts]
+
+
+def heavy_hitters(sf_dir: str, k: int = HH_K) -> ray.data.Dataset:
+    """EXACT top-k tokens by global frequency, sketch-pruned: the full
+    token->count groupby (vocabulary-sized all-to-all) never happens.
+
+    Scale shape (2 streaming scans, both narrow):
+
+    1. One ``map_batches`` pass emits (a) per-batch Count-Min sketch
+       partials as (slot, n) rows — CMS is LINEAR, so partials merge by
+       plain sum: ``groupby(slot).sum`` -> a fixed
+       ``CMS_DEPTH*CMS_WIDTH``-row table (driver-safe at any corpus
+       size) — and (b) each batch's top-``HH_BATCH_CAND`` tokens with
+       their in-batch counts (candidate lower bounds).
+    2. The driver sums candidate lower bounds per token; the k-th
+       largest, L0, satisfies L0 <= C_k (true k-th count): per-token
+       partial sums over a subset of batches are lower bounds, and the
+       j-th largest true count dominates the j-th largest over any
+       candidate subset.  Since CMS never underestimates, every true
+       top-k token has estimate >= C_k >= L0 — so scan 2 keeps exactly
+       the tokens whose CMS estimate >= L0 (a skew-bounded set),
+       re-emits their exact per-batch counts, and one small
+       ``groupby(token).sum`` + top-k sort finishes EXACTLY.
+
+    Collision-proof by construction: see ``_batch_token_counts``
+    (splits, never merges); CMS collisions only overestimate, which
+    only widens the verified set.  Deterministic tie-break:
+    (n desc, token asc)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def pass1(t: pa.Table) -> pa.Table:
+        toks, counts, hashes = _batch_token_counts(t["text"])
+        sketch = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+        if len(counts):
+            slots = _cms_slots(hashes)
+            for d in range(CMS_DEPTH):
+                np.add.at(sketch, slots[d], counts)
+        nz = np.nonzero(sketch)[0]
+        top = np.argsort(-counts, kind="stable")[:HH_BATCH_CAND]
+        slot = np.concatenate([nz, np.full(len(top), -1, np.int64)])
+        cand = toks.take(pa.array(top))
+        if isinstance(cand, pa.ChunkedArray):
+            cand = cand.combine_chunks()
+        # CMS rows carry token="" (not null: null group keys are
+        # undefined across shuffle impls); the composite (slot, token)
+        # key keeps them disjoint from any real token, which always
+        # has slot == -1
+        token = pa.concat_arrays(
+            [pa.array([""] * len(nz), pa.string()), cand]
+        )
+        n = np.concatenate([sketch[nz], counts[top]])
+        return pa.table({"slot": pa.array(slot), "token": token, "n": pa.array(n)})
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(pass1, batch_format="pyarrow")
+        .groupby(["slot", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    cms_rows = merged[merged["slot"] >= 0]
+    sketch = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    sketch[cms_rows["slot"].to_numpy(np.int64)] = cms_rows["n"].to_numpy(np.int64)
+    lower = merged[merged["slot"] < 0]["n"].to_numpy(np.int64)
+    if len(lower) >= k:
+        l0 = int(np.partition(lower, -k)[-k])
+    else:
+        l0 = 1
+    state = ray.put((sketch, l0))
+
+    class Verify:
+        def __init__(self):
+            self.sketch, self.l0 = ray.get(state)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks, counts, hashes = _batch_token_counts(t["text"])
+            if len(counts) == 0:
+                return pa.table(
+                    {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                )
+            est = self.sketch[_cms_slots(hashes)].min(axis=0)
+            keep = est >= self.l0
+            return pa.table(
+                {
+                    "token": toks.filter(pa.array(keep)),
+                    "n": pa.array(counts[keep]),
+                }
+            )
+
+    return (
+        ds.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def heavy_hitters_sql(k: int = HH_K) -> str:
+    return f"""
+with toks as (select unnest(string_split(text, ' ')) as token from documents)
+select token, count(*) as n from toks
+group by token order by n desc, token limit {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# within-document first-occurrence positions (C4-style repetition map)
+# --------------------------------------------------------------------------
+
+
+def token_first_pos(sf_dir: str) -> ray.data.Dataset:
+    """First occurrence position (1-based) of every distinct token per
+    document — the per-doc repetition map a C4-style intra-document
+    dedup keys on.  Purely per-row semantics, so it streams: one
+    ``map_batches`` pass, no shuffle.
+
+    Kernel: flatten tokens, lexsort (doc, hash, pos), split runs on
+    string inequality (collision-safe: splits never merge distinct
+    tokens), then a candidates-only pandas ``groupby.min`` collapses
+    the rare hash-interleaved duplicates exactly (candidate set size
+    == output size, not corpus size)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def firsts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        nlist = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "first_pos": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(nlist)), nlist)
+        offs = np.concatenate([[0], np.cumsum(nlist)])
+        pos = np.arange(len(flat), dtype=np.int64) - offs[doc_idx] + 1
+        h = _hash_arrow_strings(flat)
+        order = np.lexsort((pos, h, doc_idx))
+        fs = flat.take(pa.array(order))
+        d_s, h_s, p_s = doc_idx[order], h[order], pos[order]
+        new = np.ones(len(order), dtype=bool)
+        if len(order) > 1:
+            sdiff = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]) | sdiff
+        starts = np.nonzero(new)[0]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cand = pd.DataFrame(
+            {
+                "doc_id": ids[d_s[starts]],
+                "token": fs.take(pa.array(starts)).to_pandas(),
+                "first_pos": p_s[starts],
+            }
+        )
+        out = cand.groupby(["doc_id", "token"], sort=False, as_index=False)[
+            "first_pos"
+        ].min()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "token": pa.array(out["token"], pa.string()),
+                "first_pos": pa.array(out["first_pos"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(firsts, batch_format="pyarrow")
+
+
+TOKEN_FIRST_POS_SQL = """
+with t as (select doc_id, string_split(text, ' ') as l from documents),
+u as (select doc_id, unnest(l) as token,
+             unnest(range(1, len(l) + 1)) as pos from t)
+select doc_id, token, cast(min(pos) as bigint) as first_pos
+from u group by doc_id, token
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified (per-group) sample
+# --------------------------------------------------------------------------
+
+GROUP_SAMPLE_N = 5
+
+
+def group_sample(sf_dir: str, per_lang: int = GROUP_SAMPLE_N) -> ray.data.Dataset:
+    """Deterministic per-language sample: the ``per_lang`` docs with
+    the smallest (doc_id * SAMPLE_MULT) mod 2^32 hash in each lang —
+    reproducible under any partitioning (resumable-sampling
+    requirement), no RNG.
+
+    Scale shape: per-batch vectorized partial top-n per lang (lexsort +
+    rank arithmetic), then a final ``groupby(lang).map_groups`` over
+    candidates only (n_batches * n_langs * per_lang rows, never the
+    corpus)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            u = ((ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)).astype(
+                np.int64
+            )
+        enc = t["lang"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, u, codes))
+        c_s = codes[order]
+        newg = np.ones(len(order), dtype=bool)
+        newg[1:] = c_s[1:] != c_s[:-1]
+        gstart = np.nonzero(newg)[0]
+        rank = np.arange(len(order)) - np.repeat(
+            gstart, np.diff(np.concatenate([gstart, [len(order)]]))
+        )
+        keep = order[rank < per_lang]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(keep)),
+                "lang": t["lang"].take(pa.array(keep)),
+                "u": pa.array(u[keep]),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "doc_id"], kind="mergesort").head(per_lang)
+        return df[["doc_id", "lang"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def group_sample_sql(per_lang: int = GROUP_SAMPLE_N) -> str:
+    return f"""
+select doc_id, lang from (
+  select doc_id, lang,
+         row_number() over (partition by lang
+             order by (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}, doc_id) as rn
+  from documents) t
+where rn <= {per_lang}
+"""
