@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup": cluster.near_dedup,
         "minhash_lsh": text.minhash_lsh_pairs,
         "simhash": text.simhash_fingerprints,
+        # exact hamming<=D near-dup pairs (banded pigeonhole + verify)
+        "simhash_pairs": text.simhash_pairs,
+        # exact percentile cut, histogram + streaming filter (no sort)
+        "quality_percentile_filter": text.quality_percentile_filter,
         "rolling_fingerprint": text.rolling_fingerprint,
         "langid": text.langid_scores,
         # -- similarity search / embeddings --
@@ -252,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
         # state): non-SQL-expressible — rows-only; determinism + recall
         # asserted in tests/test_text.py.
         "simhash": text.SIMHASH_SQL,
+        "simhash_pairs": text.simhash_pairs_sql(),
+        "quality_percentile_filter": text.quality_percentile_filter_sql(),
         "rolling_fingerprint": text.rolling_fingerprint_sql(),
         "ann_brute": embeddings.ann_brute_sql(),
         "embed_dup": embeddings.embed_dup_sql(),

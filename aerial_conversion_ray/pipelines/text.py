@@ -2047,3 +2047,148 @@ select doc_id, lang from (
   from documents) t
 where rn <= {per_lang}
 """
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs (banded, EXACT hamming <= D)
+# --------------------------------------------------------------------------
+
+SIMHASH_HAM_D = 3
+SIMHASH_BANDS = SIMHASH_HAM_D + 1   # pigeonhole: d<=D -> >=1 equal band
+_SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 (numpy<2 lacks
+    bitwise_count)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64
+        )
+
+
+def simhash_pairs(sf_dir: str, d: int = SIMHASH_HAM_D) -> ray.data.Dataset:
+    """ALL document pairs with SimHash Hamming distance <= ``d`` —
+    EXACTLY (not approximately): the fingerprint is split into
+    ``d + 1`` bands, and by pigeonhole any pair within distance d
+    agrees on at least one full band, so the band-bucket groupby
+    yields a guaranteed candidate superset; an exact vectorized
+    popcount verifies each candidate.  Pairs matching in several bands
+    are emitted once, shuffle-free: a pair is kept only in its FIRST
+    equal band (computable locally from the xor of the two
+    fingerprints — no distinct pass).
+
+    Scale: the corpus-wide state is one 16-byte row per doc per band;
+    bucket fan-out is bounded by true near-dup cliques (a pathological
+    clique would be df-capped like ``jaccard_pairs``).  Output
+    (a, b, hamming), a < b."""
+    assert d == SIMHASH_HAM_D, "band split is compile-time for the SQL mirror"
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bb = _SIMHASH_BAND_BITS
+    mask = np.uint64((1 << bb) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        fp = simhash_batch(t)
+        ids = fp["doc_id"].to_numpy(zero_copy_only=False)
+        sh = fp["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+        rid = np.repeat(ids, SIMHASH_BANDS)
+        rsh = np.repeat(sh, SIMHASH_BANDS)
+        key = ((rsh >> (band.astype(np.uint64) * np.uint64(bb))) & mask).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "key": pa.array(key),
+                "doc_id": pa.array(rid),
+                "simhash": pa.array(rsh.view(np.int64)),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": np.int64, "b": np.int64, "hamming": np.int64}
+        if len(df) < 2:
+            return _pin_schema(df.iloc[0:0].assign(a=0, b=0, hamming=0), cols)
+        b0 = int(df["band"].iloc[0])
+        ids = df["doc_id"].to_numpy(np.int64)
+        sh = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = sh[iu] ^ sh[ju]
+        ham = _popcount64(x)
+        keep = ham <= SIMHASH_HAM_D
+        # first-band dedup: keep only if no EARLIER band also equal
+        for earlier in range(b0):
+            seg = (x >> np.uint64(earlier * bb)) & mask
+            keep &= seg != 0
+        a = np.minimum(ids[iu], ids[ju])[keep]
+        b = np.maximum(ids[iu], ids[ju])[keep]
+        out = pd.DataFrame({"a": a, "b": b, "hamming": ham[keep]})
+        # same doc_id can appear twice only if duplicated upstream;
+        # a<b ordering already canonicalizes
+        return _pin_schema(out[out["a"] != out["b"]], cols)
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def simhash_pairs_sql(d: int = SIMHASH_HAM_D) -> str:
+    return f"""
+with fp as ({SIMHASH_SQL})
+select x.doc_id as a, y.doc_id as b,
+       cast(bit_count(xor(x.simhash, y.simhash)) as bigint) as hamming
+from fp x join fp y on x.doc_id < y.doc_id
+where bit_count(xor(x.simhash, y.simhash)) <= {d}
+"""
+
+
+# --------------------------------------------------------------------------
+# exact percentile filter (two narrow passes, no sort)
+# --------------------------------------------------------------------------
+
+QPF_P = 0.9
+
+
+def quality_percentile_filter(sf_dir: str, p: float = QPF_P) -> ray.data.Dataset:
+    """Documents at or above the corpus's EXACT p-th length percentile
+    — the "keep the long tail" curation cut, computed without sorting
+    the corpus: one narrow ``groupby(n_chars).count`` (bounded-key
+    histogram, same recursion escape as ``quantiles`` if the key were
+    continuous), a driver-side cumulative rank to find the threshold
+    (quantile_disc semantics: value at 1-based rank ceil(p*n)), and a
+    streaming filter scan."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    hist = (
+        ds.groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    rank = max(1, int(np.ceil(p * n)))
+    thr = int(hist["n_chars"].to_numpy(np.int64)[np.searchsorted(cum, rank)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_percentile_filter_sql(p: float = QPF_P) -> str:
+    return f"""
+select doc_id, lang, n_chars from documents
+where n_chars >= (select quantile_disc(n_chars, {p}) from documents)
+"""

@@ -144,3 +144,46 @@ def test_kcenter_matches_numpy_greedy(sf_dir):
     assert got["vec_id"].tolist() == list(exp_ids)
     assert got["dist_e9"].tolist() == list(exp_d)
     assert got["sel_rank"].tolist() == list(range(1, embeddings.KCENTER_K + 1))
+
+
+def test_simhash_pairs_exact_vs_bruteforce(sf_dir):
+    got = (
+        text.simhash_pairs(sf_dir)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    fps = text.simhash_fingerprints(sf_dir).to_pandas()
+    ids = fps["doc_id"].to_numpy(np.int64)
+    sh = fps["simhash"].to_numpy(np.int64).view(np.uint64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ham = text._popcount64(sh[iu] ^ sh[ju])
+    keep = ham <= text.SIMHASH_HAM_D
+    a = np.minimum(ids[iu], ids[ju])[keep]
+    b = np.maximum(ids[iu], ids[ju])[keep]
+    exp = (
+        pd.DataFrame({"a": a, "b": b, "hamming": ham[keep]})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_popcount64_matches_python(sf_dir):
+    rng = np.array(
+        [0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000, 0x5555555555555555, 12345],
+        dtype=np.uint64,
+    )
+    assert text._popcount64(rng).tolist() == [
+        bin(int(v)).count("1") for v in rng
+    ]
+
+
+def test_quality_percentile_filter_exact(sf_dir):
+    got = text.quality_percentile_filter(sf_dir).to_pandas()
+    docs = _docs(sf_dir)
+    vals = np.sort(docs["n_chars"].to_numpy(np.int64))
+    thr = vals[max(0, int(np.ceil(text.QPF_P * len(vals))) - 1)]
+    exp = docs[docs["n_chars"] >= thr]
+    assert len(got) == len(exp)
+    assert set(got["doc_id"]) == set(exp["doc_id"])
