@@ -201,9 +201,15 @@ def pages_dataset(
         if prior_floor and prior_floor > per_block_bytes:
             ctx.target_min_block_size = per_block_bytes
         ds = ray.data.range(total, override_num_blocks=blocks)
+        # the map op's input bundling is configured when map_batches
+        # is CALLED (not when the range is created), so the build op
+        # must also be wired inside the override window — restoring
+        # first re-coalesced the 8 B/row range blocks under the 1 MiB
+        # default and serialized the fan-out again (round-3 regression:
+        # host_stats 1.4 s -> 3.8 s)
+        ds = ds.map_batches(build, batch_format="pyarrow", batch_size=None)
     finally:
         ctx.target_min_block_size = prior_floor
-    ds = ds.map_batches(build, batch_format="pyarrow", batch_size=None)
     if columns:
         ds = ds.select_columns(columns)
     return ds

@@ -258,6 +258,23 @@ def run_benchmarks() -> dict:
         "media_meta": lambda: _consume(
             multimodal.media_meta(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),
+        # round-3 additions
+        "heavy_hitters": lambda: _consume(text.heavy_hitters(SF_DIR)),
+        "token_first_pos": lambda: _consume(text.token_first_pos(SF_DIR)),
+        "group_sample": lambda: _consume(text.group_sample(SF_DIR)),
+        "global_rank": lambda: _consume(relational.global_rank(SF_DIR)),
+        "bloom_semi_join": lambda: _consume(relational.bloom_semi_join(SF_DIR)),
+        "simhash_pairs": lambda: _consume(text.simhash_pairs(SF_DIR)),
+        "quality_percentile_filter": lambda: _consume(
+            text.quality_percentile_filter(SF_DIR)
+        ),
+        "kcenter_coreset": lambda: _consume(embeddings.kcenter_coreset(SF_DIR)),
+        "media_decode": lambda: _consume(
+            multimodal.media_decode(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "multiring_clip_join": lambda: _consume(
+            spatial.multiring_clip_join(SF_DIR, cfg)
+        ),
     }
 
     # warm-up (untimed): page cache + FULL Ray worker pool + imports —
