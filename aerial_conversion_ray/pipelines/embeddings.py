@@ -670,10 +670,38 @@ def kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> pa.Table:
     """
     import ray
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # normalize ONCE into a materialized narrow projection the k
+    # rounds re-scan: parquet decode + row normalization would
+    # otherwise repeat per round (measured 19 s -> ~half at sf0.1).
+    # The cache is exactly the column the rounds need (id + unit
+    # vector); the object store spills it if the table outgrows heap.
+    def normalize(t: pa.Table) -> pa.Table:
+        ids, mat = _matrix(t)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float64()), mat.shape[1]
+                ),
+            }
+        )
+
+    ds = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(normalize, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _cached(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["emb"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+        return ids, mat
 
     def seed_row(t: pa.Table) -> pa.Table:
-        ids, mat = _matrix(t)
+        ids, mat = _cached(t)
         j = int(np.argmin(ids))
         return pa.table(
             {
@@ -696,7 +724,7 @@ def kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> pa.Table:
                 self.cent = ray.get(ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                ids, mat = _matrix(t)
+                ids, mat = _cached(t)
                 d, vid, row = _far_point(mat, ids, self.cent)
                 return pa.table(
                     {
