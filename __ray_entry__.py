@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": text.simhash_pairs,
         # exact percentile cut, histogram + streaming filter (no sort)
         "quality_percentile_filter": text.quality_percentile_filter,
+        # integer-exact n-gram LM scoring shape (tfidf-pattern shuffle)
+        "bigram_score": text.bigram_score,
         "rolling_fingerprint": text.rolling_fingerprint,
         "langid": text.langid_scores,
         # -- similarity search / embeddings --
@@ -158,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
         "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),
+        # cosine-to-own-centroid outlier sweep (exact fixed-point)
+        "embed_outliers": embeddings.embed_outliers,
         "label_centroids": embeddings.label_centroids,
         # -- reverse path (coco2geojson analog) --
         "spatialize": lambda sf: vectorize.spatialize(sf, CFG),
@@ -179,6 +183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coco_validate": lambda sf: coco.coco_validate(sf, CFG),
         "coco_split": lambda sf: coco.coco_split(sf, CFG),
         "stratified_split": lambda sf: coco.stratified_split(sf, CFG),
+        # multi-label ITERATIVE stratification (Sechidis block closed
+        # form): iterative/data-dependent -> rows-only; determinism +
+        # balance-beats-hash asserted in tests/test_round3_ops.py
+        "iter_stratified_split": lambda sf: coco.iter_stratified_split(sf, CFG),
         "singleton_drop": lambda sf: coco.drop_small_classes(sf, CFG),
         "class_stats": lambda sf: coco.class_stats(sf, CFG),
         "balance_removal": lambda sf: coco.balance_removal(sf, CFG),
@@ -258,10 +266,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash": text.SIMHASH_SQL,
         "simhash_pairs": text.simhash_pairs_sql(),
         "quality_percentile_filter": text.quality_percentile_filter_sql(),
+        "bigram_score": text.BIGRAM_SCORE_SQL,
         "rolling_fingerprint": text.rolling_fingerprint_sql(),
         "ann_brute": embeddings.ann_brute_sql(),
         "embed_dup": embeddings.embed_dup_sql(),
         "label_centroids": embeddings.label_centroids_sql(),
+        "embed_outliers": embeddings.embed_outliers_sql(),
         # ann_lsh: approximate scale path — rows-only; recall vs
         # ann_brute asserted in tests/test_embeddings.py.
         "spatialize": vectorize.spatialize_sql(CFG),

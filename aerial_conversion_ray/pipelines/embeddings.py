@@ -767,3 +767,82 @@ def kcenter_reference(sf_dir: str, k: int = KCENTER_K):
         sel.append(int(best))
         dists.append(int(dist[best]))
     return ids[sel], np.asarray(dists, np.int64)
+
+
+# --------------------------------------------------------------------------
+# embedding outliers: cosine-to-own-label-centroid below threshold
+# --------------------------------------------------------------------------
+
+# sim to own centroid < 0 -> outlier (anti-correlated with its own
+# cluster; ~10% of the weakly-clustered synthetic corpus)
+OUTLIER_SIM_E9 = 0
+
+
+def embed_outliers(sf_dir: str, threshold_e9: int = OUTLIER_SIM_E9) -> ray.data.Dataset:
+    """Embedding-space outlier mining: vectors whose cosine similarity
+    to their OWN label's centroid is below the threshold — the
+    mislabeled/noise sweep a curation pipeline runs after clustering.
+
+    Two passes: the exact fixed-point grouped-mean of
+    :func:`label_centroids` (label-count-sized result), broadcast once
+    via ``ray.put``, then one streaming filter scan computing each
+    row's similarity against its gathered centroid (vectorized
+    einsum — no per-row Python).  Fixed-point ``sim_e9`` keeps the
+    DuckDB oracle hash-exact (same convention as ``ann_brute``)."""
+    import ray
+
+    cent = label_centroids(sf_dir).to_pandas()
+    labels = cent["label"].to_numpy(np.int64)
+    cmat = cent[[f"c{d}" for d in range(DIM)]].to_numpy(np.float64)
+    lut = np.zeros((int(labels.max()) + 1, DIM), dtype=np.float64)
+    lut[labels] = cmat
+    ref = ray.put(lut)
+
+    class Score:
+        def __init__(self):
+            self.lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(t.num_rows, -1)
+            )
+            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = self.lut[lab]
+            dot = np.einsum("ij,ij->i", mat, c)
+            nv = np.linalg.norm(mat, axis=1)
+            nc = np.linalg.norm(c, axis=1)
+            den = nv * nc
+            den[den == 0.0] = 1.0
+            sim = _sim_e9(dot / den)
+            keep = sim < threshold_e9
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"].filter(pa.array(keep)),
+                    "label": pa.array(lab[keep]),
+                    "sim_e9": pa.array(sim[keep]),
+                }
+            )
+
+    return read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    ).map_batches(Score, batch_format="pyarrow", concurrency=2)
+
+
+def embed_outliers_sql(threshold_e9: int = OUTLIER_SIM_E9) -> str:
+    clist = ", ".join(f"c.c{d}" for d in range(DIM))
+    return f"""
+with cent as ({label_centroids_sql()}),
+scored as (
+  select e.vec_id, cast(e.label as bigint) as label,
+         cast(floor(list_cosine_similarity(cast(e.embedding as double[]),
+              list_value({clist})) * 1000000000.0 + 0.5) as bigint) as sim_e9
+  from embeddings e join cent c on c.label = cast(e.label as bigint)
+)
+select vec_id, label, sim_e9 from scored where sim_e9 < {threshold_e9}
+"""

@@ -2192,3 +2192,101 @@ def quality_percentile_filter_sql(p: float = QPF_P) -> str:
 select doc_id, lang, n_chars from documents
 where n_chars >= (select quantile_disc(n_chars, {p}) from documents)
 """
+
+
+# --------------------------------------------------------------------------
+# bigram familiarity score (integer-exact n-gram LM scoring shape)
+# --------------------------------------------------------------------------
+
+
+def bigram_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-document BIGRAM FAMILIARITY: for every adjacent token pair
+    in a doc, add the pair's GLOBAL corpus count — the integer-exact
+    skeleton of n-gram LM quality scoring (a KenLM-style scorer swaps
+    the count for a smoothed log-prob; the data flow is identical).
+    Output (doc_id, familiarity, n_bigrams); docs with < 2 tokens have
+    no bigrams and emit no row (mirrored in the oracle).
+
+    Scale shape = the TF-IDF pattern: the global bigram table is never
+    broadcast and never collected — per-batch (bg, doc_id, k) partials
+    shuffle BY BIGRAM, each bigram group computes its total and
+    re-emits per-doc contributions k * total, and one narrow
+    ``groupby(doc_id).sum`` finishes.  Bigram strings travel the
+    shuffle (collision-free by construction; hashing would need the
+    verify dance of ``_batch_token_counts``)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        total = len(flat)
+        if total == 0:
+            return pa.table(
+                {
+                    "bg": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        offs = np.concatenate([[0], np.cumsum(n)])
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        # adjacent pairs within a doc: every position except each
+        # doc's last token
+        lead = np.ones(total, dtype=bool)
+        lead[offs[1:] - 1] = False  # doc-final positions
+        bg_all = pc.binary_join_element_wise(
+            flat.slice(0, total - 1), flat.slice(1), " "
+        )
+        sel = np.nonzero(lead[:-1])[0]
+        bg = bg_all.take(pa.array(sel))
+        d = doc_idx[sel]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"bg": bg.to_pandas(), "doc_id": ids[d]})
+        g = df.groupby(["bg", "doc_id"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "bg": pa.array(g["bg"], pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "k": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        tot = int(df["k"].sum())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "contrib": df["k"].to_numpy(np.int64) * tot,
+                "k": df["k"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bg")
+        .map_groups(contrib, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("contrib", alias_name="familiarity"),
+            Sum("k", alias_name="n_bigrams"),
+        )
+    )
+
+
+BIGRAM_SCORE_SQL = """
+with t as (select doc_id, string_split(text, ' ') as l from documents),
+g as (select doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i + 1])) as bg
+      from t where len(l) > 1),
+c as (select bg, count(*) as tot from g group by bg)
+select g.doc_id,
+       cast(sum(c.tot) as bigint) as familiarity,
+       cast(count(*) as bigint) as n_bigrams
+from g join c using (bg) group by g.doc_id
+"""

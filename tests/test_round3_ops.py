@@ -187,3 +187,105 @@ def test_quality_percentile_filter_exact(sf_dir):
     exp = docs[docs["n_chars"] >= thr]
     assert len(got) == len(exp)
     assert set(got["doc_id"]) == set(exp["doc_id"])
+
+
+def test_iter_stratified_split_balances_labels(sf_dir):
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import coco
+
+    cfg = EngineConfig()
+    got = coco.iter_stratified_split(sf_dir, cfg).to_pandas()
+    anns = (
+        coco.coco_annotations(sf_dir, cfg)
+        .select_columns(["image_id", "category_id"])
+        .to_pandas()
+        .drop_duplicates()
+    )
+    images = anns["image_id"].unique()
+    # every image assigned exactly once
+    assert sorted(got["image_id"]) == sorted(images)
+    assert set(got["split"]) <= {"test", "train"}
+
+    target = 1.0 / coco.STRAT_TEST_DEN
+    merged = anns.merge(got[["image_id", "split"]], on="image_id")
+
+    def max_dev(split_col):
+        g = merged.assign(is_test=(split_col == "test")).groupby("category_id")[
+            "is_test"
+        ]
+        frac = g.mean()
+        return float((frac - target).abs().max())
+
+    dev_iter = max_dev(merged["split"])
+    hash_split = np.where(merged["image_id"] % coco.TEST_MOD == 0, "test", "train")
+    dev_hash = max_dev(pd.Series(hash_split, index=merged.index))
+    # the iterative split must balance every label at least as well as
+    # the hash baseline (and stay within a sane absolute band)
+    assert dev_iter <= dev_hash + 1e-9, (dev_iter, dev_hash)
+    assert dev_iter < 0.15
+
+    again = coco.iter_stratified_split(sf_dir, cfg).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("image_id").reset_index(drop=True),
+        again.sort_values("image_id").reset_index(drop=True),
+    )
+
+
+def test_bigram_score_matches_pandas(sf_dir):
+    got = (
+        text.bigram_score(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir)
+    from collections import Counter
+
+    per_doc = {}
+    glob = Counter()
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        toks = txt.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bgs:
+            per_doc[did] = Counter(bgs)
+            glob.update(bgs)
+    rows = [
+        (did, sum(k * glob[bg] for bg, k in cnt.items()), sum(cnt.values()))
+        for did, cnt in per_doc.items()
+    ]
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "familiarity", "n_bigrams"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_embed_outliers_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import embeddings
+
+    got = embeddings.embed_outliers(sf_dir).to_pandas()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    lab = t["label"].to_numpy().astype(np.int64)
+    mat = (
+        t["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(ids), -1)
+    )
+    fp = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+    cents = {}
+    for j in np.unique(lab):
+        m = lab == j
+        cents[j] = fp[m].sum(axis=0) / 1_000_000.0 / m.sum()
+    c = np.stack([cents[j] for j in lab])
+    dot = np.einsum("ij,ij->i", mat, c)
+    sim = dot / (np.linalg.norm(mat, axis=1) * np.linalg.norm(c, axis=1))
+    sim_e9 = np.floor(sim * 1e9 + 0.5).astype(np.int64)
+    keep = sim_e9 < embeddings.OUTLIER_SIM_E9
+    exp = pd.DataFrame({"vec_id": ids[keep], "label": lab[keep], "sim_e9": sim_e9[keep]})
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    exp = exp.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+    assert 0 < len(got) < len(ids)
