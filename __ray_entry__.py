@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_ids": relational.dense_category_ids,
         "concat_remap": relational.concat_remap,
         "events_window": relational.events_window,
+        # rows-between moving window (completes the window family)
+        "events_moving_avg": relational.events_moving_avg,
+        # left outer join via tagged narrow union (completes joins)
+        "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof": relational.events_asof,
@@ -232,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "dense_ids": relational.dense_category_ids_sql(),
         "concat_remap": relational.CONCAT_REMAP_SQL,
         "events_window": relational.EVENTS_WINDOW_SQL,
+        "events_moving_avg": relational.events_moving_avg_sql(),
+        "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
         "events_asof": relational.events_asof_sql(),

@@ -1340,3 +1340,130 @@ BLOOM_SEMI_JOIN_SQL = f"""
 select l_orderkey, l_partkey, l_quantity from lineitem
 where l_partkey in (select p_partkey from part where p_size >= {BLOOM_SIZE_CUT})
 """
+
+
+# --------------------------------------------------------------------------
+# left outer join (all-left-rows join with aggregate right side)
+# --------------------------------------------------------------------------
+
+
+def left_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """Every order with its lineitem count + quantity sum, INCLUDING
+    orders with no lineitems (n_items = 0) — the left-outer member the
+    join family lacked (J-coverage: equi/semi/anti/asof/range were in;
+    outer completes it).
+
+    Scale shape — tagged narrow union instead of a row-level outer
+    join: lineitem reduces per batch to (key, n, sum_q) partials
+    (fact-table text/measures never shuffle raw), orders contributes
+    (key, tag=left) rows, one ``groupby(key)`` merges — every group is
+    one order's partials, so the 'unmatched left row' case is just a
+    group with no right partials.  Quantities are fixed-point cents
+    (``functions/fixedpoint``) for bit-exact parity."""
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = to_fixed(t["l_quantity"].to_numpy(zero_copy_only=False), 100.0)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(u),
+                "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_qty_c": pa.array(np.bincount(inv, weights=q).astype(np.int64)),
+                "is_left": pa.array(np.zeros(len(u), np.int64)),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "n_items": z,
+                "sum_qty_c": z,
+                "is_left": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    tagged = li.map_batches(partial, batch_format="pyarrow").union(
+        orders.map_batches(tag_left, batch_format="pyarrow")
+    )
+    merged = tagged.groupby("o_orderkey").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("is_left", alias_name="is_left"),
+    )
+    # keep only keys present on the left (a lineitem without its order
+    # would be an FK violation; the filter makes the join LEFT, not FULL)
+    return merged.filter(
+        expr="is_left > 0"
+    ).select_columns(["o_orderkey", "n_items", "sum_qty_c"])
+
+
+LEFT_OUTER_JOIN_SQL = """
+select o.o_orderkey,
+       cast(count(l.l_orderkey) as bigint) as n_items,
+       cast(coalesce(sum(cast(floor(l.l_quantity * 100.0 + 0.5) as bigint)), 0)
+            as bigint) as sum_qty_c
+from orders o left join lineitem l on l.l_orderkey = o.o_orderkey
+group by o.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# per-key moving window aggregate (rows between W preceding and current)
+# --------------------------------------------------------------------------
+
+MOVING_W = 3
+
+
+def events_moving_avg(sf_dir: str, w: int = MOVING_W) -> ray.data.Dataset:
+    """Per-user MOVING WINDOW aggregate over the event stream: for each
+    event (ordered by ts, event_id within user), the count and exact
+    fixed-point sum of the last ``w + 1`` values including its own —
+    the rows-between window frame the tumbling/hopping/session trio
+    didn't cover.
+
+    One shuffle keyed by user_id; per-group work is a sorted prefix-sum
+    difference (vectorized, no per-row Python).  Event-time skew is
+    bounded per user; a pathological power-user key would split by
+    (user, ts-range) with boundary rows exchanged — noted, not needed
+    for the synthetic key space."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        v = to_fixed(df["value"].to_numpy(), 1_000_000.0)
+        csum = np.concatenate([[0], np.cumsum(v)])
+        idx = np.arange(len(v))
+        lo = np.maximum(0, idx - w)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "n_w": (idx - lo + 1).astype(np.int64),
+                "sum_w_u": (csum[idx + 1] - csum[lo]).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+
+
+def events_moving_avg_sql(w: int = MOVING_W) -> str:
+    return f"""
+with v as (select event_id, user_id, ts,
+                  cast(floor(value * 1000000.0 + 0.5) as bigint) as value_u
+           from events)
+select event_id, user_id,
+       cast(count(*) over win as bigint) as n_w,
+       cast(sum(value_u) over win as bigint) as sum_w_u
+from v
+window win as (partition by user_id order by ts, event_id
+               rows between {w} preceding and current row)
+"""

@@ -289,3 +289,53 @@ def test_embed_outliers_matches_numpy(sf_dir):
     exp = exp.sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
     assert 0 < len(got) < len(ids)
+
+
+def test_left_outer_join_includes_empty_orders(sf_dir):
+    got = (
+        relational.left_outer_join(sf_dir)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    li["q_c"] = np.floor(li["l_quantity"] * 100.0 + 0.5).astype(np.int64)
+    agg = li.groupby("l_orderkey").agg(n_items=("q_c", "size"), sum_qty_c=("q_c", "sum"))
+    exp = (
+        orders.merge(agg, left_on="o_orderkey", right_index=True, how="left")
+        .fillna(0)
+        .astype({"n_items": np.int64, "sum_qty_c": np.int64})
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+    assert (got["n_items"] == 0).any() or len(orders) == len(agg)
+
+
+def test_events_moving_avg_matches_pandas(sf_dir):
+    got = (
+        relational.events_moving_avg(sf_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    ev["v_u"] = np.floor(ev["value"] * 1_000_000.0 + 0.5).astype(np.int64)
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        v = g["v_u"].to_numpy()
+        for i, eid in enumerate(g["event_id"]):
+            lo = max(0, i - relational.MOVING_W)
+            rows.append((eid, uid, i - lo + 1, int(v[lo : i + 1].sum())))
+    exp = (
+        pd.DataFrame(rows, columns=["event_id", "user_id", "n_w", "sum_w_u"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
