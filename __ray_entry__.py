@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # codecs remain honestly stubbed)
         "media_byte_stats": lambda sf: multimodal.decode_stub(sf, CFG),
         "frame_sample": lambda sf: multimodal.frame_sample(sf, CFG),
+        # S8: PNG + bounds -> real georeferenced GeoTIFF -> read-back
+        "png_to_geotiff": lambda sf: multimodal.png_to_geotiff(sf, CFG),
         "media_embed": lambda sf: multimodal.media_embed_stub(sf, CFG),
     }
 
@@ -303,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_meta": multimodal.media_meta_sql(CFG),
         "media_decode": multimodal.media_decode_sql(CFG),
+        "png_to_geotiff": multimodal.png_to_geotiff_sql(CFG),
         # media_byte_stats / frame_sample / media_embed: deterministic
         # codec stubs — rows-only; numpy oracles in tests/test_multimodal.py.
     }

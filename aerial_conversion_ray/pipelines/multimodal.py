@@ -320,3 +320,136 @@ def media_embed_stub(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
         batch_size=MEDIA_BATCH,
         concurrency=pool_size(),
     )
+
+
+# --------------------------------------------------------------------------
+# S8: media bytes + bounds -> georeferenced GeoTIFF on disk -> read-back
+# --------------------------------------------------------------------------
+
+GEOTIFF_MOD = 97                      # 1 page in 97 exports a file
+GEOTIFF_DIR = "/tmp/aerial_conversion_png2gtiff"
+
+
+def png_to_geotiff(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """The reference's JPEG->GeoTIFF georeferencing
+    (``scripts/jpeg2tiff.py`` semantics: image bytes + corner bounds ->
+    north-up affine -> georeferenced raster on disk), end-to-end REAL:
+    synthesize genuine PNG bytes per sampled page, decode them with the
+    first-party codec, derive the affine from the page's footprint
+    (x0 = fp_minx, y_max = fp_maxy, square cell = x-extent / width —
+    the reference's bounds-to-transform), write an actual GeoTIFF via
+    ``sources/geotiff.write_geotiff`` (atomic tmp+rename: re-runs are
+    idempotent, the resume story of ``state/lineage``), then READ THE
+    FILE BACK through ``read_info``/``read_window`` and emit pixel
+    stats + the round-tripped georeferencing in fixed point.
+
+    Per-row Python is correct here: each row IS a whole file (one
+    open/write/rename/parse per exported raster, the same shape as the
+    lineage writer); the pixel math inside stays numpy.  The export is
+    page_id-sampled (1/{mod}) so the bench writes dozens of files, not
+    millions — a production export lifts the mod and partitions the
+    output directory by tile, unchanged code."""
+    from .spatial import geocode_pipeline
+    from ..config import RasterSpec
+    from ..sources.geotiff import read_info, read_window, write_geotiff
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "fp_minx", "fp_maxx", "fp_maxy"]
+    )
+
+    class Export:
+        def __init__(self):
+            import os
+
+            from ..functions.png import decode_png, encode_png
+
+            self.enc, self.dec = encode_png, decode_png
+            os.makedirs(GEOTIFF_DIR, exist_ok=True)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import os
+
+            pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = pid % GEOTIFF_MOD == 0
+            if not keep.any():
+                return pa.table(
+                    {
+                        "page_id": pa.array([], pa.int64()),
+                        "img_w": pa.array([], pa.int64()),
+                        "img_h": pa.array([], pa.int64()),
+                        "px_sum": pa.array([], pa.int64()),
+                        "max_byte": pa.array([], pa.int64()),
+                        "x0_e9": pa.array([], pa.int64()),
+                        "ymax_e9": pa.array([], pa.int64()),
+                        "cell_e9": pa.array([], pa.int64()),
+                    }
+                )
+            sub = t.filter(pa.array(keep))
+            pids = sub["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            x0s = sub["fp_minx"].to_numpy(zero_copy_only=False)
+            x1s = sub["fp_maxx"].to_numpy(zero_copy_only=False)
+            y1s = sub["fp_maxy"].to_numpy(zero_copy_only=False)
+            ws, hs = _png_dims(pids)
+            out = {k: [] for k in (
+                "page_id", "img_w", "img_h", "px_sum", "max_byte",
+                "x0_e9", "ymax_e9", "cell_e9",
+            )}
+            for p, w, h, x0, x1, y1 in zip(pids, ws, hs, x0s, x1s, y1s):
+                i = np.arange(int(h), dtype=np.int64)[:, None]
+                j = np.arange(int(w), dtype=np.int64)[None, :]
+                img = ((int(p) * 3 + i * 7 + j * 13) % PNG_MOD).astype(np.uint8)
+                arr = self.dec(self.enc(img))          # real codec roundtrip
+                cell = (float(x1) - float(x0)) / int(w)
+                spec = RasterSpec(
+                    x0=float(x0), y_max=float(y1), cell=cell,
+                    ncols=int(w), nrows=int(h),
+                )
+                path = f"{GEOTIFF_DIR}/page_{int(p)}.tif"
+                tmp = f"{path}.{os.getpid()}"
+                write_geotiff(tmp, arr, spec, rows_per_strip=8)
+                os.replace(tmp, path)
+                info = read_info(path)                 # read the BYTES back
+                back = read_window(path, info, 0, 0, int(w), int(h))
+                out["page_id"].append(int(p))
+                out["img_w"].append(info.width)
+                out["img_h"].append(info.height)
+                out["px_sum"].append(int(back.sum(dtype=np.int64)))
+                out["max_byte"].append(int(back.max()))
+                out["x0_e9"].append(
+                    int(np.floor(info.raster.x0 * 1e9 + 0.5))
+                )
+                out["ymax_e9"].append(
+                    int(np.floor(info.raster.y_max * 1e9 + 0.5))
+                )
+                out["cell_e9"].append(
+                    int(np.floor(info.raster.cell * 1e9 + 0.5))
+                )
+            return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return ds.map_batches(
+        Export, batch_format="pyarrow", batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def png_to_geotiff_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from .sql_oracle import _pages_geo
+
+    return (
+        f"{_pages_geo(cfg)}, "
+        f"picked as (select page_id, fp_minx, fp_maxx, fp_maxy, "
+        f"16 + page_id % 8 as w, 12 + page_id % 5 as h "
+        f"from geo where page_id % {GEOTIFF_MOD} = 0), "
+        f"px as (select page_id, w, h, "
+        f"((page_id * 3 + i.v * 7 + j.v * 13) % {PNG_MOD}) as v "
+        "from picked, unnest(range(h)) i(v), unnest(range(w)) j(v)) "
+        "select px.page_id, px.w as img_w, px.h as img_h, "
+        "cast(sum(px.v) as bigint) as px_sum, "
+        "cast(max(px.v) as bigint) as max_byte, "
+        "cast(floor(p.fp_minx * 1000000000.0 + 0.5) as bigint) as x0_e9, "
+        "cast(floor(p.fp_maxy * 1000000000.0 + 0.5) as bigint) as ymax_e9, "
+        "cast(floor(((p.fp_maxx - p.fp_minx) / p.w) * 1000000000.0 + 0.5) as bigint)"
+        " as cell_e9 "
+        "from px join picked p using (page_id) "
+        "group by px.page_id, px.w, px.h, p.fp_minx, p.fp_maxy, p.fp_maxx, p.w"
+    )

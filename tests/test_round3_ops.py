@@ -339,3 +339,29 @@ def test_events_moving_avg_matches_pandas(sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_png_to_geotiff_writes_real_files(sf_dir):
+    import os
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import multimodal
+    from aerial_conversion_ray.sources.geotiff import read_info, read_window
+
+    cfg = EngineConfig()
+    got = multimodal.png_to_geotiff(sf_dir, cfg).to_pandas()
+    assert len(got) > 0
+    # the files are genuinely on disk, self-describing, and their
+    # pixels reproduce the synthesis law
+    r = got.sort_values("page_id").iloc[0]
+    path = f"{multimodal.GEOTIFF_DIR}/page_{int(r['page_id'])}.tif"
+    assert os.path.exists(path)
+    info = read_info(path)
+    assert (info.width, info.height) == (r["img_w"], r["img_h"])
+    arr = read_window(path, info, 0, 0, info.width, info.height)
+    p = int(r["page_id"])
+    i = np.arange(info.height)[:, None]
+    j = np.arange(info.width)[None, :]
+    exp = ((p * 3 + i * 7 + j * 13) % multimodal.PNG_MOD).astype(np.uint8)
+    assert (arr == exp).all()
+    assert int(arr.sum()) == r["px_sum"]
