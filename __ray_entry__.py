@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": lambda sf: multimodal.frame_sample(sf, CFG),
         # S8: PNG + bounds -> real georeferenced GeoTIFF -> read-back
         "png_to_geotiff": lambda sf: multimodal.png_to_geotiff(sf, CFG),
+        # real WAV decode (first-party RIFF/PCM16 codec)
+        "audio_decode": lambda sf: multimodal.audio_decode(sf, CFG),
+        # real frame sampling (first-party container + PNG frames)
+        "video_frames": lambda sf: multimodal.video_frames(sf, CFG),
         "media_embed": lambda sf: multimodal.media_embed_stub(sf, CFG),
     }
 
@@ -306,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": multimodal.media_meta_sql(CFG),
         "media_decode": multimodal.media_decode_sql(CFG),
         "png_to_geotiff": multimodal.png_to_geotiff_sql(CFG),
+        "audio_decode": multimodal.audio_decode_sql(CFG),
+        "video_frames": multimodal.video_frames_sql(CFG),
         # media_byte_stats / frame_sample / media_embed: deterministic
         # codec stubs — rows-only; numpy oracles in tests/test_multimodal.py.
     }

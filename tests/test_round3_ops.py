@@ -365,3 +365,66 @@ def test_png_to_geotiff_writes_real_files(sf_dir):
     exp = ((p * 3 + i * 7 + j * 13) % multimodal.PNG_MOD).astype(np.uint8)
     assert (arr == exp).all()
     assert int(arr.sum()) == r["px_sum"]
+
+
+def test_wav_codec_roundtrip():
+    from aerial_conversion_ray.functions.wav import decode_wav, encode_wav
+
+    s = (np.arange(-500, 500, 7)).astype(np.int16)
+    arr, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert (arr[:, 0] == s).all()
+    # stereo
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    arr2, _ = decode_wav(encode_wav(st))
+    assert (arr2 == st).all()
+    # garbage rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_wav(b"not a wav")
+
+
+def test_audio_decode_pipeline_exact(sf_dir):
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import multimodal
+
+    cfg = EngineConfig(pages_rep=2)
+    got = (
+        multimodal.audio_decode(sf_dir, cfg)
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    for _, r in got.head(5).iterrows():
+        p = int(r["page_id"])
+        n = multimodal.WAV_BASE + p % 64
+        t = np.arange(n, dtype=np.int64)
+        s = ((p * 5 + t * 11) % multimodal.WAV_MOD) - multimodal.WAV_MOD // 2
+        assert r["n_samples"] == n
+        assert r["sum_s"] == s.sum()
+        assert r["peak"] == np.abs(s).max()
+
+
+def test_video_frames_exact(sf_dir):
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import multimodal
+
+    cfg = EngineConfig(pages_rep=2)
+    got = (
+        multimodal.video_frames(sf_dir, cfg)
+        .to_pandas()
+        .sort_values(["page_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert (got["frame_idx"] % multimodal.VID_STRIDE == 0).all()
+    for _, r in got.head(6).iterrows():
+        p, f = int(r["page_id"]), int(r["frame_idx"])
+        w, h = 16 + p % 8, 12 + p % 5
+        i = np.arange(h)[:, None]
+        j = np.arange(w)[None, :]
+        exp = (p * 3 + f * 17 + i * 7 + j * 13) % multimodal.PNG_MOD
+        assert r["px_sum"] == exp.sum()
+        assert r["max_byte"] == exp.max()
