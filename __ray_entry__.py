@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "lang_stats": text.lang_stats,
         "dedup_exact": text.dedup_exact,
+        # same semantics through a shared mutable index (sharded
+        # actors) — the incremental-ingest mechanism
+        "streaming_dedup": text.streaming_dedup,
         "jaccard_pairs": text.jaccard_pairs,
         "jaccard_capped": lambda sf: text.jaccard_pairs(sf, max_df=400),
         "quality_filter": text.quality_filter,
@@ -258,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_stats": text.LANG_STATS_SQL,
         "dedup_exact": text.DEDUP_EXACT_SQL,
+        "streaming_dedup": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
         "quality_filter": text.QUALITY_FILTER_SQL,

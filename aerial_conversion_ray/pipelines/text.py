@@ -2290,3 +2290,56 @@ select g.doc_id,
        cast(count(*) as bigint) as n_bigrams
 from g join c using (bg) group by g.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# streaming dedup via a shared mutable index (sharded actors)
+# --------------------------------------------------------------------------
+
+DEDUP_INDEX_SHARDS = 8
+
+
+def streaming_dedup(sf_dir: str, n_shards: int = DEDUP_INDEX_SHARDS) -> ray.data.Dataset:
+    """Exact dedup through a SHARED MUTABLE INDEX (``state/dedup_index``,
+    sharded Ray actors) instead of a groupby — the incremental-ingest
+    mechanism: batches stream in, each is acknowledged only once
+    indexed, and the index answers membership at any point mid-stream
+    (what a resumable ingester needs; a groupby only answers after the
+    whole corpus is in flight).
+
+    Per-key state is (min doc_id, copy count) — both merges are
+    associative-commutative, so parallel arrival order CANNOT change
+    the final answer and the dump equals :func:`dedup_exact` (same SQL
+    oracle).  Raw actors are justified here per the build brief: a
+    shared mutable index is the case the Dataset API can't express."""
+    import ray
+
+    from ..state.dedup_index import make_index
+
+    shards = make_index(n_shards)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def route(t: pa.Table) -> pa.Table:
+        h1, h2 = _hash_pair(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = (h1 % np.uint64(n_shards)).astype(np.int64)
+        futs = []
+        for s in range(n_shards):
+            m = sh == s
+            if m.any():
+                futs.append(
+                    shards[s].ingest.remote(
+                        h1[m].astype(np.int64), h2[m].astype(np.int64), ids[m]
+                    )
+                )
+        ray.get(futs)  # ack: the batch is durable in the index
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    # drive the ingest (the count consumes the acks, nothing large
+    # returns to the driver)
+    ds.map_batches(route, batch_format="pyarrow").count()
+    tables = [t for t in ray.get([s.dump.remote() for s in shards]) if t.num_rows]
+    for s in shards:
+        ray.kill(s)
+    return ray.data.from_arrow(tables)

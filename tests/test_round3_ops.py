@@ -428,3 +428,46 @@ def test_video_frames_exact(sf_dir):
         exp = (p * 3 + f * 17 + i * 7 + j * 13) % multimodal.PNG_MOD
         assert r["px_sum"] == exp.sum()
         assert r["max_byte"] == exp.max()
+
+
+def test_streaming_dedup_matches_batch_dedup(sf_dir):
+    got = (
+        text.streaming_dedup(sf_dir)
+        .to_pandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir)
+    exp = (
+        docs.groupby("text", sort=False)
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "n_copies"]]
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_dedup_index_order_independent():
+    import ray
+
+    from aerial_conversion_ray.state.dedup_index import DedupShard
+
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(0, 50, 400)          # forced collisions
+    h2 = rng.integers(0, 3, 400)
+    ids = rng.permutation(400).astype(np.int64)
+
+    def run(order):
+        s = DedupShard.remote()
+        for lo in order:
+            sl = slice(lo, lo + 100)
+            ray.get(s.ingest.remote(h1[sl], h2[sl], ids[sl]))
+        t = ray.get(s.dump.remote())
+        ray.kill(s)
+        return t.to_pandas().sort_values(["doc_id"]).reset_index(drop=True)
+
+    a = run([0, 100, 200, 300])
+    b = run([300, 0, 200, 100])
+    pd.testing.assert_frame_equal(a, b)
+    # counts must cover every row exactly once
+    assert a["n_copies"].sum() == 400
