@@ -275,6 +275,20 @@ def run_benchmarks() -> dict:
         "multiring_clip_join": lambda: _consume(
             spatial.multiring_clip_join(SF_DIR, cfg)
         ),
+        "left_outer_join": lambda: _consume(relational.left_outer_join(SF_DIR)),
+        "events_moving_avg": lambda: _consume(relational.events_moving_avg(SF_DIR)),
+        "bigram_score": lambda: _consume(text.bigram_score(SF_DIR)),
+        "streaming_dedup": lambda: _consume(text.streaming_dedup(SF_DIR)),
+        "embed_outliers": lambda: _consume(embeddings.embed_outliers(SF_DIR)),
+        "audio_decode": lambda: _consume(
+            multimodal.audio_decode(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "video_frames": lambda: _consume(
+            multimodal.video_frames(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "png_to_geotiff": lambda: _consume(
+            multimodal.png_to_geotiff(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
     }
 
     # warm-up (untimed): page cache + FULL Ray worker pool + imports —
