@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": text.heavy_hitters,
         # per-doc first-occurrence map (C4-style intra-doc dedup key)
         "token_first_pos": text.token_first_pos,
+        # Gopher repetition rules: top-bigram multiplicity + dup trigrams
+        "ngram_repetition": text.ngram_repetition,
         # deterministic per-lang stratified sample
         "group_sample": text.group_sample,
         "dup_clusters": cluster.dup_clusters,
@@ -273,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": text.pack_sequences_sql(),
         "heavy_hitters": text.heavy_hitters_sql(),
         "token_first_pos": text.TOKEN_FIRST_POS_SQL,
+        "ngram_repetition": text.NGRAM_REPETITION_SQL,
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),

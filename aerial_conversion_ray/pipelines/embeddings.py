@@ -719,22 +719,23 @@ def kcenter_coreset(sf_dir: str, k: int = KCENTER_K) -> pa.Table:
     for _ in range(1, k):
         ref = ray.put(cent)
 
-        class Far:
-            def __init__(self):
-                self.cent = ray.get(ref)
+        # plain task fn, not an actor pool: the broadcast resolves via
+        # ray.get inside each task (zero-copy from the node's plasma
+        # store), every CPU joins the scan, and no per-round pool
+        # spin-up is paid (was concurrency=2 actors per round).
+        def far(t: pa.Table, ref=ref) -> pa.Table:
+            c = ray.get(ref)
+            ids, mat = _cached(t)
+            d, vid, row = _far_point(mat, ids, c)
+            return pa.table(
+                {
+                    "dist_e9": pa.array([d]),
+                    "vec_id": pa.array([vid]),
+                    "emb": pa.array([row.tolist()]),
+                }
+            )
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ids, mat = _cached(t)
-                d, vid, row = _far_point(mat, ids, self.cent)
-                return pa.table(
-                    {
-                        "dist_e9": pa.array([d]),
-                        "vec_id": pa.array([vid]),
-                        "emb": pa.array([row.tolist()]),
-                    }
-                )
-
-        win = ds.map_batches(Far, batch_format="pyarrow", concurrency=2).to_pandas()
+        win = ds.map_batches(far, batch_format="pyarrow").to_pandas()
         w = win.sort_values(["dist_e9", "vec_id"], ascending=[False, True]).iloc[0]
         sel_ids.append(int(w["vec_id"]))
         sel_d.append(int(w["dist_e9"]))

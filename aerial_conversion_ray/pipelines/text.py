@@ -2343,3 +2343,107 @@ def streaming_dedup(sf_dir: str, n_shards: int = DEDUP_INDEX_SHARDS) -> ray.data
     for s in shards:
         ray.kill(s)
     return ray.data.from_arrow(tables)
+
+
+# --------------------------------------------------------------------------
+# intra-document n-gram repetition signals (Gopher repetition rules)
+# --------------------------------------------------------------------------
+
+
+def ngram_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Per-document n-gram repetition signals — the Gopher quality
+    rules the reference-era curation stacks key on ("fraction of
+    characters in the most common n-gram" / "in duplicated n-grams",
+    Rae et al. 2021 §A1.1).  Emitted as EXACT integers so the driver
+    value-hash gate applies:
+
+      n_tokens       single-space token count (token_stats convention)
+      top_bigram_n   multiplicity of the doc's most frequent word
+                     bigram (0 when n_tokens < 2)
+      dup_trigram_n  trigram occurrences beyond first, i.e.
+                     total - distinct trigrams (0 when n_tokens < 3)
+
+    Purely per-row -> one streaming ``map_batches`` pass, no shuffle.
+    Kernel: one token split + flat-buffer token hash per batch, then
+    for each n a vectorized polynomial gram fold over the shared code
+    array, lexsort (doc, gram) and run-length counts; per-doc max via
+    ``np.maximum.at`` over run docs.  Gram identity is the 64-bit
+    poly hash (collision odds ~ m^2/2^64 per doc — the same contract
+    ``_shingle_grams_flat`` relies on)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _gram_runs(codes: np.ndarray, doc_idx: np.ndarray, s: int):
+        """(run_doc, run_len) for all word-s-grams, non-unique."""
+        if len(codes) < s:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        m = len(codes) - s + 1
+        h = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(s):
+                h = h * np.uint64(1000003) + codes[j : m + j]
+        within = doc_idx[:m] == doc_idx[s - 1 :]
+        gd, gh = doc_idx[:m][within], h[within]
+        order = np.lexsort((gh, gd))
+        gd, gh = gd[order], gh[order]
+        new = np.ones(len(gd), dtype=bool)
+        if len(gd) > 1:
+            new[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.concatenate([starts, [len(gd)]]))
+        return gd[starts], lens.astype(np.int64)
+
+    def rep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ndocs = len(n)
+        codes = _hash_arrow_strings(toks.flatten())
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+
+        top_big = np.zeros(ndocs, dtype=np.int64)
+        bd, bl = _gram_runs(codes, doc_idx, 2)
+        np.maximum.at(top_big, bd, bl)
+
+        td, tl = _gram_runs(codes, doc_idx, 3)
+        dup_tri = np.zeros(ndocs, dtype=np.int64)
+        np.add.at(dup_tri, td, tl - 1)
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n),
+                "top_bigram_n": pa.array(top_big),
+                "dup_trigram_n": pa.array(dup_tri),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+NGRAM_REPETITION_SQL = """
+with t as (select doc_id, string_split(text, ' ') as l from documents),
+big as (
+  select doc_id,
+         unnest(list_transform(range(1, len(l)),
+                i -> l[i] || ' ' || l[i + 1])) as g
+  from t
+),
+bigc as (select doc_id, g, count(*) as c from big group by doc_id, g),
+bigm as (select doc_id, max(c) as top_bigram_n from bigc group by doc_id),
+tri as (
+  select doc_id,
+         unnest(list_transform(range(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) as g
+  from t
+),
+tric as (select doc_id, count(*) - count(distinct g) as dup_trigram_n
+         from tri group by doc_id)
+select t.doc_id,
+       cast(len(t.l) as bigint) as n_tokens,
+       cast(coalesce(b.top_bigram_n, 0) as bigint) as top_bigram_n,
+       cast(coalesce(c.dup_trigram_n, 0) as bigint) as dup_trigram_n
+from t
+left join bigm b on t.doc_id = b.doc_id
+left join tric c on t.doc_id = c.doc_id
+"""

@@ -471,3 +471,25 @@ def test_dedup_index_order_independent():
     pd.testing.assert_frame_equal(a, b)
     # counts must cover every row exactly once
     assert a["n_copies"].sum() == 400
+
+
+def test_ngram_repetition_matches_pandas(sf_dir):
+    got = (
+        text.ngram_repetition(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir).sort_values("doc_id").reset_index(drop=True)
+    exp_rows = []
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        bigs = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        tris = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        top_big = max(pd.Series(bigs).value_counts()) if bigs else 0
+        dup_tri = len(tris) - len(set(tris))
+        exp_rows.append((r["doc_id"], len(toks), int(top_big), int(dup_tri)))
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "n_tokens", "top_bigram_n", "dup_trigram_n"]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
