@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_first_pos": text.token_first_pos,
         # Gopher repetition rules: top-bigram multiplicity + dup trigrams
         "ngram_repetition": text.ngram_repetition,
+        # integer-exact BM25 retrieval ranking vs a fixed query
+        "bm25_query": text.bm25_query,
         # deterministic per-lang stratified sample
         "group_sample": text.group_sample,
         "dup_clusters": cluster.dup_clusters,
@@ -276,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": text.heavy_hitters_sql(),
         "token_first_pos": text.TOKEN_FIRST_POS_SQL,
         "ngram_repetition": text.NGRAM_REPETITION_SQL,
+        "bm25_query": text.bm25_query_sql(),
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),

@@ -799,40 +799,40 @@ def embed_outliers(sf_dir: str, threshold_e9: int = OUTLIER_SIM_E9) -> ray.data.
     lut[labels] = cmat
     ref = ray.put(lut)
 
-    class Score:
-        def __init__(self):
-            self.lut = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            col = t["embedding"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            mat = (
-                col.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                .reshape(t.num_rows, -1)
-            )
-            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-            c = self.lut[lab]
-            dot = np.einsum("ij,ij->i", mat, c)
-            nv = np.linalg.norm(mat, axis=1)
-            nc = np.linalg.norm(c, axis=1)
-            den = nv * nc
-            den[den == 0.0] = 1.0
-            sim = _sim_e9(dot / den)
-            keep = sim < threshold_e9
-            return pa.table(
-                {
-                    "vec_id": t["vec_id"].filter(pa.array(keep)),
-                    "label": pa.array(lab[keep]),
-                    "sim_e9": pa.array(sim[keep]),
-                }
-            )
+    # plain task fn (kcenter pattern): ray.get of the broadcast inside
+    # each task is a zero-copy plasma read, every CPU joins the scan,
+    # no actor-pool spin-up or concurrency cap
+    def score(t: pa.Table, ref=ref) -> pa.Table:
+        lut = ray.get(ref)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(t.num_rows, -1)
+        )
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = lut[lab]
+        dot = np.einsum("ij,ij->i", mat, c)
+        nv = np.linalg.norm(mat, axis=1)
+        nc = np.linalg.norm(c, axis=1)
+        den = nv * nc
+        den[den == 0.0] = 1.0
+        sim = _sim_e9(dot / den)
+        keep = sim < threshold_e9
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].filter(pa.array(keep)),
+                "label": pa.array(lab[keep]),
+                "sim_e9": pa.array(sim[keep]),
+            }
+        )
 
     return read_table(
         sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
-    ).map_batches(Score, batch_format="pyarrow", concurrency=2)
+    ).map_batches(score, batch_format="pyarrow")
 
 
 def embed_outliers_sql(threshold_e9: int = OUTLIER_SIM_E9) -> str:

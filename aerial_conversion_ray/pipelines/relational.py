@@ -1347,6 +1347,9 @@ where l_partkey in (select p_partkey from part where p_size >= {BLOOM_SIZE_CUT})
 # --------------------------------------------------------------------------
 
 
+N_JOIN_BUCKETS = 64  # coarse shuffle key over the order-key space
+
+
 def left_outer_join(sf_dir: str) -> ray.data.Dataset:
     """Every order with its lineitem count + quantity sum, INCLUDING
     orders with no lineitems (n_items = 0) — the left-outer member the
@@ -1356,12 +1359,13 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
     Scale shape — tagged narrow union instead of a row-level outer
     join: lineitem reduces per batch to (key, n, sum_q) partials
     (fact-table text/measures never shuffle raw), orders contributes
-    (key, tag=left) rows, one ``groupby(key)`` merges — every group is
-    one order's partials, so the 'unmatched left row' case is just a
-    group with no right partials.  Quantities are fixed-point cents
-    (``functions/fixedpoint``) for bit-exact parity."""
-    from ray.data.aggregate import Sum
-
+    (key, tag=left) rows, and the merge shuffles by COARSE KEY BUCKET
+    (key % 64) rather than by the raw order key: same co-location
+    guarantee, but the exchange sorts a 64-value key instead of a
+    per-order one and the per-order fold is a single vectorized
+    pandas groupby inside each bucket.  The 'unmatched left row' case
+    is just a key with no right partials.  Quantities are fixed-point
+    cents (``functions/fixedpoint``) for bit-exact parity."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1371,6 +1375,7 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "o_orderkey": pa.array(u),
+                "bucket": pa.array(u % np.int64(N_JOIN_BUCKETS)),
                 "n_items": pa.array(np.bincount(inv).astype(np.int64)),
                 "sum_qty_c": pa.array(np.bincount(inv, weights=q).astype(np.int64)),
                 "is_left": pa.array(np.zeros(len(u), np.int64)),
@@ -1381,10 +1386,12 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
 
     def tag_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         z = pa.array(np.zeros(n, np.int64))
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
+                "bucket": pa.array(k % np.int64(N_JOIN_BUCKETS)),
                 "n_items": z,
                 "sum_qty_c": z,
                 "is_left": pa.array(np.ones(n, np.int64)),
@@ -1394,16 +1401,24 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
     tagged = li.map_batches(partial, batch_format="pyarrow").union(
         orders.map_batches(tag_left, batch_format="pyarrow")
     )
-    merged = tagged.groupby("o_orderkey").aggregate(
-        Sum("n_items", alias_name="n_items"),
-        Sum("sum_qty_c", alias_name="sum_qty_c"),
-        Sum("is_left", alias_name="is_left"),
-    )
-    # keep only keys present on the left (a lineitem without its order
-    # would be an FK violation; the filter makes the join LEFT, not FULL)
-    return merged.filter(
-        expr="is_left > 0"
-    ).select_columns(["o_orderkey", "n_items", "sum_qty_c"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", sort=False, as_index=False)[
+            ["n_items", "sum_qty_c", "is_left"]
+        ].sum()
+        # keep only keys present on the left (a lineitem without its
+        # order would be an FK violation; this makes the join LEFT,
+        # not FULL)
+        g = g[g["is_left"] > 0]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "n_items": g["n_items"].to_numpy(np.int64),
+                "sum_qty_c": g["sum_qty_c"].to_numpy(np.int64),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 LEFT_OUTER_JOIN_SQL = """

@@ -2209,7 +2209,12 @@ def bigram_score(sf_dir: str) -> ray.data.Dataset:
 
     Scale shape = the TF-IDF pattern: the global bigram table is never
     broadcast and never collected — per-batch (bg, doc_id, k) partials
-    shuffle BY BIGRAM, each bigram group computes its total and
+    shuffle BY BIGRAM BUCKET (hash(bg) % 64: same co-location
+    guarantee as keying on bg, but ONE vectorized UDF call per bucket
+    instead of one per distinct bigram — a per-group ``map_groups``
+    over an unbounded bigram vocabulary is exactly the tiny-task
+    explosion the coarse-bucket pattern exists for), each bucket
+    computes per-bigram totals with a pandas ``transform`` and
     re-emits per-doc contributions k * total, and one narrow
     ``groupby(doc_id).sum`` finishes.  Bigram strings travel the
     shuffle (collision-free by construction; hashing would need the
@@ -2248,33 +2253,55 @@ def bigram_score(sf_dir: str) -> ray.data.Dataset:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"bg": bg.to_pandas(), "doc_id": ids[d]})
         g = df.groupby(["bg", "doc_id"], sort=False, as_index=False).size()
+        bgh = _hash_arrow_strings(pa.array(g["bg"], pa.string()))
         return pa.table(
             {
                 "bg": pa.array(g["bg"], pa.string()),
+                "bucket": pa.array((bgh % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)),
                 "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
                 "k": pa.array(g["size"].to_numpy(np.int64)),
             }
         )
 
     def contrib(df: pd.DataFrame) -> pd.DataFrame:
-        tot = int(df["k"].sum())
+        # one bigram bucket: vectorized per-bigram totals via
+        # transform, then a partial per-doc fold WITHIN the bucket so
+        # the second shuffle carries <= n_docs rows per bucket, keyed
+        # by a coarse doc bucket (a raw groupby("doc_id").aggregate
+        # here measured ~20 s at sf0.1 — high-cardinality Sort keys
+        # are the repo-wide anti-pattern the bucket fold replaces)
+        k = df["k"].to_numpy(np.int64)
+        tot = df.groupby("bg", sort=False)["k"].transform("sum").to_numpy(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "contrib": k * tot,
+                    "k": k,
+                }
+            )
+            .groupby("doc_id", sort=False, as_index=False)[["contrib", "k"]]
+            .sum()
+        )
+        part["doc_bucket"] = part["doc_id"].to_numpy(np.int64) % N_PAIR_BUCKETS
+        return part
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False, as_index=False)[["contrib", "k"]].sum()
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
-                "contrib": df["k"].to_numpy(np.int64) * tot,
-                "k": df["k"].to_numpy(np.int64),
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "familiarity": g["contrib"].to_numpy(np.int64),
+                "n_bigrams": g["k"].to_numpy(np.int64),
             }
         )
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("bg")
+        .groupby("bucket")
         .map_groups(contrib, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("contrib", alias_name="familiarity"),
-            Sum("k", alias_name="n_bigrams"),
-        )
+        .groupby("doc_bucket")
+        .map_groups(doc_sum, batch_format="pandas")
     )
 
 
@@ -2446,4 +2473,112 @@ select t.doc_id,
 from t
 left join bigm b on t.doc_id = b.doc_id
 left join tric c on t.doc_id = c.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 query scoring (integer-exact retrieval ranking)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "table", "query")
+
+
+def bm25_query(sf_dir: str, terms: tuple = BM25_TERMS) -> ray.data.Dataset:
+    """BM25 relevance score of every document against a fixed query
+    term set — the ranking pass of a retrieval/search pipeline
+    (Robertson & Zaragoza 2009; k1=1.2, b=0.75).  All arithmetic is
+    integer so the engine and the DuckDB oracle agree bit-for-bit:
+    with idf_e3 = (N*1000)//df (the ``tfidf_scores`` trick), T = total
+    corpus tokens, dl = doc length, the per-term score is scaled by
+    10*T into
+
+        (idf_e3 * tf * 22 * T) // (10*T*tf + 3*T + 9*dl*N)
+
+    (22 = 10*(k1+1), 3 = 10*k1*(1-b), 9 = 10*k1*b; int64-safe at
+    test scale — a 10^11-doc deployment would switch the final ratio
+    to float, the gate-relevant structure is unchanged).
+
+    Scale shape: TWO streaming passes, no shuffle.  Pass 1 reduces
+    each batch to ONE partial row (doc count, token count, per-term
+    doc frequencies) and sums the tiny per-batch partials on the
+    driver — |terms|+2 ints total, the only driver state.  Pass 2
+    rescans, counts per-doc tf for each query term with a flat-buffer
+    equality + bincount (q vectorized kernels, no token explode), and
+    emits scores for matching docs.  The query side never shuffles —
+    df of a fixed term set is small by nature, the corpus-side scan
+    is embarrassingly parallel."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = tuple(terms)
+
+    def _flat(t: pa.Table):
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        return n, flat, doc_idx
+
+    def partial(t: pa.Table) -> pa.Table:
+        n, flat, doc_idx = _flat(t)
+        cols = {"n": pa.array([len(n)], pa.int64()), "tt": pa.array([int(n.sum())], pa.int64())}
+        for i, term in enumerate(terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_idx[m], minlength=len(n))
+            cols[f"df_{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum(axis=0)
+    )
+    N, T = int(stats["n"]), int(stats["tt"])
+    idf_e3 = np.array(
+        [(N * IDF_SCALE) // max(1, int(stats[f"df_{i}"])) for i in range(len(terms))],
+        dtype=np.int64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n, flat, doc_idx = _flat(t)
+        total = np.zeros(len(n), dtype=np.int64)
+        hit = np.zeros(len(n), dtype=bool)
+        for i, term in enumerate(terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_idx[m], minlength=len(n)).astype(np.int64)
+            has = tf > 0
+            hit |= has
+            num = idf_e3[i] * tf * np.int64(22) * np.int64(T)
+            den = np.int64(10) * np.int64(T) * tf + np.int64(3 * T) + np.int64(9) * n * np.int64(N)
+            total[has] += num[has] // den[has]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[hit].astype(np.int64)),
+                "bm25_e3": pa.array(total[hit]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_query_sql(terms: tuple = BM25_TERMS) -> str:
+    tlist = ", ".join(repr(s) for s in terms)
+    return f"""
+with p as (select doc_id, string_split(text, ' ') as l from documents),
+stats as (select count(*) as n, sum(len(l)) as tt from p),
+tf as (
+  select u.doc_id, u.token as term, count(*) as tf
+  from (select doc_id, unnest(l) as token from p) u
+  where u.token in ({tlist})
+  group by u.doc_id, u.token
+),
+dfreq as (select term, count(*) as df from tf group by term)
+select tf.doc_id,
+  cast(sum( (((s.n * {IDF_SCALE}) // d.df) * tf.tf * 22 * s.tt)
+        // (10 * s.tt * tf.tf + 3 * s.tt + 9 * pl.dl * s.n) ) as bigint)
+    as bm25_e3
+from tf
+join dfreq d on d.term = tf.term
+join (select doc_id, len(l) as dl from p) pl on pl.doc_id = tf.doc_id,
+stats s
+group by tf.doc_id
 """

@@ -493,3 +493,38 @@ def test_ngram_repetition_matches_pandas(sf_dir):
         exp_rows, columns=["doc_id", "n_tokens", "top_bigram_n", "dup_trigram_n"]
     )
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_bm25_query_matches_pandas(sf_dir):
+    got = (
+        text.bm25_query(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir)
+    tok = docs["text"].str.split(" ")
+    N = len(docs)
+    T = int(tok.str.len().sum())
+    dfreq = {
+        t: int(tok.map(lambda l, t=t: t in l).sum()) for t in text.BM25_TERMS
+    }
+    rows = []
+    for doc_id, toks in zip(docs["doc_id"], tok):
+        dl = len(toks)
+        s, hit = 0, False
+        for t in text.BM25_TERMS:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = (N * text.IDF_SCALE) // dfreq[t]
+            s += (idf * tf * 22 * T) // (10 * T * tf + 3 * T + 9 * dl * N)
+        if hit:
+            rows.append((doc_id, s))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "bm25_e3"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
