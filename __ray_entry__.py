@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": text.ngram_repetition,
         # integer-exact BM25 retrieval ranking vs a fixed query
         "bm25_query": text.bm25_query,
+        # multi-level aggregate / pivot over one distributed fine pass
+        "lang_rollup": text.lang_rollup,
+        "lang_pivot": text.lang_pivot,
         # deterministic per-lang stratified sample
         "group_sample": text.group_sample,
         "dup_clusters": cluster.dup_clusters,
@@ -279,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "token_first_pos": text.TOKEN_FIRST_POS_SQL,
         "ngram_repetition": text.NGRAM_REPETITION_SQL,
         "bm25_query": text.bm25_query_sql(),
+        "lang_rollup": text.LANG_ROLLUP_SQL,
+        "lang_pivot": text.lang_pivot_sql(),
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),

@@ -1483,16 +1483,23 @@ def tfidf_scores(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_id": pa.array(d_s[keep]), "token": pa.array(t_s[keep])})
 
     def weight(df: pd.DataFrame) -> pd.DataFrame:
-        # one token group: df = group size; re-emit pairs with idf
-        idf = np.int64(n_docs * IDF_SCALE) // np.int64(len(df))
-        out = pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
-                "idf": np.full(len(df), idf, dtype=np.int64),
-            }
+        # one TOKEN BUCKET (hash(token) % 64, not one group per
+        # distinct token — a per-token map_groups is one tiny task
+        # per vocabulary entry, unbounded at scale): df of every
+        # token in the bucket via transform, re-emit pairs with idf,
+        # partially folded per doc so the second shuffle carries
+        # <= n_docs rows per bucket
+        dfreq = df.groupby("token", sort=False)["doc_id"].transform("size")
+        idf = np.int64(n_docs * IDF_SCALE) // dfreq.to_numpy(np.int64)
+        part = (
+            pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64), "idf": idf}
+            )
+            .groupby("doc_id", sort=False, as_index=False)["idf"]
+            .sum()
         )
-        out["bucket"] = out["doc_id"].to_numpy(np.int64) % N_PAIR_BUCKETS
-        return out
+        part["bucket"] = part["doc_id"].to_numpy(np.int64) % N_PAIR_BUCKETS
+        return part
 
     def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("doc_id", as_index=False)["idf"].sum()
@@ -1503,9 +1510,17 @@ def tfidf_scores(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        th = _hash_arrow_strings(t["token"])
+        return t.append_column(
+            "tok_bucket",
+            pa.array((th % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)),
+        )
+
     return (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("token")
+        .map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("tok_bucket")
         .map_groups(weight, batch_format="pandas")
         .groupby("bucket")
         .map_groups(doc_sum, batch_format="pandas")
@@ -2581,4 +2596,98 @@ join dfreq d on d.term = tf.term
 join (select doc_id, len(l) as dl from p) pl on pl.doc_id = tf.doc_id,
 stats s
 group by tf.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# multi-level aggregate (ROLLUP) and pivot over (lang, source)
+# --------------------------------------------------------------------------
+
+
+def lang_rollup(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP(lang, source): per-(lang, source) doc/char totals PLUS
+    per-lang subtotals PLUS the grand total, in one result — the
+    multi-level aggregate a reporting layer derives from a single
+    grouped pass.  NULL grouping columns are encoded as the literal
+    ``'*'`` (Arrow/DuckDB null-sort parity is fiddlier than the
+    operator itself; the encoding is part of the contract).
+
+    Scale shape: ONE corpus aggregate at the finest level (the
+    ``lang_stats`` pass, output = |lang x source| rows, small by
+    nature), then the coarser levels re-aggregate those PARTIALS in a
+    single driver-side pandas fold — the corpus is read once, subtotal
+    levels cost |finest| rows, not a re-scan."""
+    fine = lang_stats(sf_dir).to_pandas()
+
+    lang = (
+        fine.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(source="*")
+    )
+    total = pd.DataFrame(
+        {
+            "lang": ["*"],
+            "source": ["*"],
+            "n_docs": [fine["n_docs"].sum()],
+            "sum_chars": [fine["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, lang, total], ignore_index=True)[
+        ["lang", "source", "n_docs", "sum_chars"]
+    ]
+    out = out.sort_values(["lang", "source"]).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    import ray
+
+    return ray.data.from_pandas(out)
+
+
+LANG_ROLLUP_SQL = """
+select coalesce(lang, '*') as lang, coalesce(source, '*') as source,
+       count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars
+from documents group by rollup(lang, source)
+order by lang, source
+"""
+
+
+PIVOT_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def lang_pivot(sf_dir: str, sources: tuple = PIVOT_SOURCES) -> ray.data.Dataset:
+    """Pivot doc counts to one row per lang with one column per
+    source (fixed column set — a pivot over an unbounded key domain
+    is schema-unstable by definition; callers list the columns).
+
+    Same scale shape as the rollup: the finest-level aggregate runs
+    distributed once, the reshape handles |lang x source| partial
+    rows only."""
+    fine = lang_stats(sf_dir).to_pandas()
+    fine = fine[fine["source"].isin(sources)]
+    wide = (
+        fine.pivot_table(
+            index="lang", columns="source", values="n_docs",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=list(sources), fill_value=0)
+        .reset_index()
+    )
+    out = pd.DataFrame({"lang": wide["lang"]})
+    for s in sources:
+        out[f"n_{s}"] = wide[s].to_numpy(np.int64)
+    out = out.sort_values("lang").reset_index(drop=True)
+    import ray
+
+    return ray.data.from_pandas(out)
+
+
+def lang_pivot_sql(sources: tuple = PIVOT_SOURCES) -> str:
+    cols = ",\n       ".join(
+        f"cast(count(*) filter (source = '{s}') as bigint) as n_{s}"
+        for s in sources
+    )
+    return f"""
+select lang,
+       {cols}
+from documents group by lang order by lang
 """

@@ -528,3 +528,26 @@ def test_bm25_query_matches_pandas(sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_lang_rollup_levels_consistent(sf_dir):
+    got = text.lang_rollup(sf_dir).to_pandas()
+    fine = got[(got["lang"] != "*") & (got["source"] != "*")]
+    lang = got[(got["lang"] != "*") & (got["source"] == "*")]
+    total = got[(got["lang"] == "*") & (got["source"] == "*")]
+    docs = _docs(sf_dir)
+    assert int(total["n_docs"].iloc[0]) == len(docs)
+    assert int(total["sum_chars"].iloc[0]) == int(docs["n_chars"].sum())
+    assert fine["n_docs"].sum() == len(docs)
+    per_lang = docs.groupby("lang").size()
+    for _, r in lang.iterrows():
+        assert r["n_docs"] == per_lang[r["lang"]]
+
+
+def test_lang_pivot_matches_crosstab(sf_dir):
+    got = text.lang_pivot(sf_dir).to_pandas().set_index("lang")
+    docs = _docs(sf_dir)
+    for s in text.PIVOT_SOURCES:
+        exp = docs[docs["source"] == s].groupby("lang").size()
+        for lang in got.index:
+            assert got.loc[lang, f"n_{s}"] == exp.get(lang, 0)
