@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": text.group_sample,
         "dup_clusters": cluster.dup_clusters,
         "near_dedup": cluster.near_dedup,
+        # degree-oriented distributed triangle counting (dup cliques)
+        "triangle_count": cluster.triangle_count,
         "minhash_lsh": text.minhash_lsh_pairs,
         "simhash": text.simhash_fingerprints,
         # exact hamming<=D near-dup pairs (banded pigeonhole + verify)
@@ -287,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),
+        "triangle_count": cluster.triangle_count_sql(),
         # minhash_lsh (band-sampled candidate family) / langid (model
         # state): non-SQL-expressible — rows-only; determinism + recall
         # asserted in tests/test_text.py.

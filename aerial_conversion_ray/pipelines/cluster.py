@@ -325,3 +325,301 @@ def near_dedup_sql(threshold: float = 0.5, max_df: int | None = DEFAULT_MAX_DF) 
         "\nselect cluster_id as doc_id, count(*) as cluster_size from lab"
         " group by cluster_id"
     )
+
+
+# --------------------------------------------------------------------------
+# distributed triangle counting over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+TRI_THRESHOLD = 0.9  # 0.8 leaves this token-soup corpus near-complete
+N_TRI_BUCKETS = 64
+
+
+def triangle_count(
+    sf_dir: str, threshold: float = TRI_THRESHOLD, max_df: int | None = DEFAULT_MAX_DF
+) -> ray.data.Dataset:
+    """Per-document triangle membership counts over the Jaccard >=
+    ``threshold`` pair graph — the graph-analytics pass (mutual
+    near-dup cliques) a curation pipeline runs to find template/boiler
+    families that pairwise similarity alone understates.  Output:
+    (doc_id, n_triangles) for every document in >= 1 triangle.
+
+    Distributed shape — the DEGREE-ORIENTED algorithm (each triangle
+    is discovered exactly once, at its minimum-degree corner; wedge
+    work is Sum(out_deg^2) = O(E^1.5), the standard bound, instead of
+    Sum(deg^2) which a hub node makes quadratic):
+
+    1. degrees: endpoint explode -> per-batch partials -> bucket fold
+       (no |V| driver state);
+    2. degree attach + orient: two bucket-joins stamp (deg, id) onto
+       each endpoint, edges orient low -> high;
+    3. wedges: per source-bucket vectorized self-merge of the oriented
+       adjacency (pandas hash join, no per-node Python);
+    4. close: wedges union the undirected edge list keyed by the
+       unordered-pair bucket; an in-bucket merge finds triangles, each
+       emitting 3 corner credits;
+    5. per-node bucket fold of credits.
+
+    Every shuffle carries int64 triples only.  Semantics source:
+    pair graph = `jaccard_pairs` (oracle-green miner); counting law
+    pinned by the SQL triangle join in ``triangle_count_sql``."""
+    edges = text_pipelines.jaccard_pairs(sf_dir, threshold, max_df).select_columns(
+        ["a", "b"]
+    )
+
+    def bucket_of(col: np.ndarray) -> np.ndarray:
+        return (col % np.int64(N_TRI_BUCKETS)).astype(np.int64)
+
+    # -- 1. degrees ---------------------------------------------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "deg": pa.array(c.astype(np.int64)),
+                "bucket": pa.array(u % np.int64(N_TRI_BUCKETS)),
+            }
+        )
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["deg"].sum()
+        out = pd.DataFrame(
+            {
+                "node": g["node"].to_numpy(np.int64),
+                "deg": g["deg"].to_numpy(np.int64),
+            }
+        )
+        out["kind"] = np.int64(1)
+        return out
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_fold, batch_format="pandas")
+    )
+
+    # -- 2. attach degrees to both endpoints (two bucket joins) -------
+    # row protocol for the joins: kind=0 edge rows carry (node=one
+    # endpoint, other=the opposite endpoint, carry=deg of the already-
+    # stamped endpoint or 0); kind=1 degree rows carry (node, carry=deg)
+
+    def edge_rows_on_a(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(a),
+                "other": pa.array(b),
+                "carry": pa.array(np.zeros(len(a), np.int64)),
+                "kind": pa.array(np.zeros(len(a), np.int64)),
+                "bucket": pa.array((a % np.int64(N_TRI_BUCKETS))),
+            }
+        )
+
+    def deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "node": n,
+                "other": np.full(len(n), -1, np.int64),
+                "carry": df["deg"].to_numpy(np.int64),
+                "kind": np.ones(len(n), np.int64),
+                "bucket": n % np.int64(N_TRI_BUCKETS),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        """Stamp deg(node) onto the bucket's edge rows; re-key the
+        result on the OTHER endpoint so the next join stamps it too."""
+        dg = df[df["kind"] == 1][["node", "carry"]].rename(
+            columns={"carry": "node_deg"}
+        )
+        ed = df[df["kind"] == 0]
+        m = ed.merge(dg, on="node")
+        other = m["other"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "node": other,                       # re-keyed
+                "other": m["node"].to_numpy(np.int64),
+                "carry": m["node_deg"].to_numpy(np.int64),
+                "kind": np.zeros(len(m), np.int64),
+                "bucket": other % np.int64(N_TRI_BUCKETS),
+            }
+        )
+
+    def finish_attach(df: pd.DataFrame) -> pd.DataFrame:
+        dg = df[df["kind"] == 1][["node", "carry"]].rename(
+            columns={"carry": "node_deg"}
+        )
+        ed = df[df["kind"] == 0]
+        m = ed.merge(dg, on="node")
+        # edge = (other -> node); carry = deg(other), node_deg = deg(node)
+        return pd.DataFrame(
+            {
+                "a": m["other"].to_numpy(np.int64),
+                "b": m["node"].to_numpy(np.int64),
+                "deg_a": m["carry"].to_numpy(np.int64),
+                "deg_b": m["node_deg"].to_numpy(np.int64),
+            }
+        )
+
+    # union() requires uniform block types -> pin Arrow after every
+    # pandas-producing stage that feeds one
+    def to_arrow(ds):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    deg_tagged = to_arrow(degrees.map_batches(deg_rows, batch_format="pandas"))
+    stamped = (
+        to_arrow(
+            edges.map_batches(edge_rows_on_a, batch_format="pyarrow")
+            .union(deg_tagged)
+            .groupby("bucket")
+            .map_groups(attach, batch_format="pandas")
+        )
+        .union(deg_tagged)
+        .groupby("bucket")
+        .map_groups(finish_attach, batch_format="pandas")
+    )
+
+    # -- 3. orient + wedges -------------------------------------------
+    def orient_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # orient low (deg, id) -> high; wedges from each source's
+        # out-neighborhood via a vectorized self-merge
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        fwd = (da < db) | ((da == db) & (a < b))
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
+        adj = pd.DataFrame({"src": src, "dst": dst})
+        w = adj.merge(adj, on="src", suffixes=("_1", "_2"))
+        w = w[w["dst_1"] < w["dst_2"]]
+        v = w["dst_1"].to_numpy(np.int64)
+        x = w["dst_2"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "v": v,
+                "w": x,
+                "center": w["src"].to_numpy(np.int64),
+                "kind": np.zeros(len(w), np.int64),
+            }
+        )
+        out["bucket"] = bucket_of(v * np.int64(1000003) + x)
+        return out
+
+    def src_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        da = df["deg_a"].to_numpy(np.int64)
+        db = df["deg_b"].to_numpy(np.int64)
+        fwd = (da < db) | ((da == db) & (a < b))
+        src = np.where(fwd, a, b)
+        out = df.copy()
+        out["bucket"] = bucket_of(src)
+        return out
+
+    wedges = to_arrow(
+        stamped.map_batches(src_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(orient_wedges, batch_format="pandas")
+    )
+
+    # -- 4. close wedges against the undirected edge list -------------
+    def edge_close_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.minimum(a, b)
+        x = np.maximum(a, b)
+        return pa.table(
+            {
+                "v": pa.array(v),
+                "w": pa.array(x),
+                "center": pa.array(np.zeros(len(v), np.int64)),
+                "kind": pa.array(np.ones(len(v), np.int64)),
+                "bucket": pa.array(bucket_of(v * np.int64(1000003) + x)),
+            }
+        )
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        wd = df[df["kind"] == 0]
+        ed = df[df["kind"] == 1][["v", "w"]]
+        tri = wd.merge(ed, on=["v", "w"])
+        if not len(tri):
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64)})
+        corners = np.concatenate(
+            [
+                tri["center"].to_numpy(np.int64),
+                tri["v"].to_numpy(np.int64),
+                tri["w"].to_numpy(np.int64),
+            ]
+        )
+        return pd.DataFrame({"node": corners})
+
+    credits = (
+        wedges.union(edges.map_batches(edge_close_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(close, batch_format="pandas")
+    )
+
+    # -- 5. per-node counts -------------------------------------------
+    def credit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].to_numpy(np.int64)
+        return pd.DataFrame({"node": n, "bucket": bucket_of(n)})
+
+    def count_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": g["node"].to_numpy(np.int64),
+                "n_triangles": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        credits.map_batches(credit_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_fold, batch_format="pandas")
+    )
+    return to_arrow(out.map_batches(
+        lambda df: df.astype({"doc_id": np.int64, "n_triangles": np.int64}),
+        batch_format="pandas",
+    )).union(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        )
+    )
+
+
+def triangle_count_sql(
+    threshold: float = TRI_THRESHOLD, max_df: int | None = DEFAULT_MAX_DF
+) -> str:
+    from .text import jaccard_pairs_sql
+
+    return f"""
+with e as (select a, b from ({jaccard_pairs_sql(threshold, max_df)})),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1
+  join e e2 on e2.a = e1.b
+  join e e3 on e3.a = e1.a and e3.b = e2.b
+),
+corners as (
+  select x as doc_id from tri
+  union all select y from tri
+  union all select z from tri
+)
+select doc_id, cast(count(*) as bigint) as n_triangles
+from corners group by doc_id
+"""

@@ -264,6 +264,11 @@ def run_benchmarks() -> dict:
         "ngram_repetition": lambda: _consume(text.ngram_repetition(SF_DIR)),
         "bm25_query": lambda: _consume(text.bm25_query(SF_DIR)),
         "lang_rollup": lambda: _consume(text.lang_rollup(SF_DIR)),
+        "triangle_count": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]
+            ).triangle_count(SF_DIR)
+        ),
         "group_sample": lambda: _consume(text.group_sample(SF_DIR)),
         "global_rank": lambda: _consume(relational.global_rank(SF_DIR)),
         "bloom_semi_join": lambda: _consume(relational.bloom_semi_join(SF_DIR)),

@@ -114,3 +114,48 @@ def test_distributed_loop_matches_fast_path(monkeypatch):
     dist = run()
     assert (fast["doc_id"].to_numpy() == dist["doc_id"].to_numpy()).all()
     assert (fast["cluster_id"].to_numpy() == dist["cluster_id"].to_numpy()).all()
+
+
+def test_triangle_count_matches_bruteforce(sf_dir):
+    """Exact parity with a driver-side numpy triangle enumeration
+    over the same mined edge set."""
+    import numpy as np
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import cluster, text
+
+    got = (
+        cluster.triangle_count(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    edges = (
+        text.jaccard_pairs(sf_dir, cluster.TRI_THRESHOLD, cluster.DEFAULT_MAX_DF)
+        .to_pandas()[["a", "b"]]
+        .drop_duplicates()
+    )
+    eset = set(map(tuple, edges.to_numpy()))
+    adj: dict = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict = {}
+    nodes = list(adj)
+    for x in nodes:
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z <= y:
+                    continue
+                for n in (x, y, z):
+                    counts[n] = counts.get(n, 0) + 1
+    exp = (
+        pd.DataFrame(
+            sorted(counts.items()), columns=["doc_id", "n_triangles"]
+        ).astype(np.int64)
+        if counts
+        else pd.DataFrame({"doc_id": [], "n_triangles": []}).astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)
