@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom-prefiltered exact semi-join (8 KiB broadcast filter)
         "bloom_semi_join": relational.bloom_semi_join,
         "quantiles": relational.quantiles,
+        # robust dispersion: exact median + median absolute deviation
+        "mad": relational.mad,
         "grouped_quantiles": relational.grouped_quantiles,
         "top_docs_per_lang": relational.top_docs_per_lang,
         "q6_filter_agg": relational.q6_filter_aggregate,
@@ -263,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": relational.GLOBAL_RANK_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "quantiles": relational.QUANTILES_SQL,
+        "mad": relational.MAD_SQL,
         "grouped_quantiles": relational.GROUPED_QUANTILES_SQL,
         "top_docs_per_lang": relational.top_docs_per_lang_sql(),
         "q6_filter_agg": relational.Q6_SQL,

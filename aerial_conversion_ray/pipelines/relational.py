@@ -970,6 +970,20 @@ def quantiles(
     max(0, ceil(p*n)-1) of the sorted values."""
     col = "l_extendedprice"
     ds = read_table(sf_dir, "lineitem", columns=[col])
+    out = _exact_quantiles(ds, col, ps)
+    return pa.table(
+        {
+            "p": pa.array(list(ps), pa.float64()),
+            "value": pa.array([out[p] for p in ps], pa.float64()),
+        }
+    )
+
+
+def _exact_quantiles(
+    ds: ray.data.Dataset, col: str, ps: tuple[float, ...]
+) -> dict[float, float]:
+    """The streaming-histogram exact-quantile solver of
+    :func:`quantiles`, over any (lazy, re-executable) dataset/column."""
     agg = ds.aggregate(Min(col), Max(col), Count())
     lo, hi, n = float(agg[f"min({col})"]), float(agg[f"max({col})"]), int(agg["count()"])
     # DuckDB quantile_disc rank: smallest element whose cumulative
@@ -1067,12 +1081,7 @@ def quantiles(
                 out[p] = float(vals[r - int(below[b])])
 
     solve(lo, hi, 0, targets)
-    return pa.table(
-        {
-            "p": pa.array(list(ps), pa.float64()),
-            "value": pa.array([out[p] for p in ps], pa.float64()),
-        }
-    )
+    return out
 
 
 QUANTILES_SQL = """
@@ -1081,6 +1090,42 @@ union all
 select 0.9, quantile_disc(l_extendedprice, 0.9) from lineitem
 union all
 select 0.99, quantile_disc(l_extendedprice, 0.99) from lineitem
+"""
+
+
+def mad(sf_dir: str) -> "pa.Table":
+    """Median absolute deviation of lineitem.l_extendedprice — the
+    robust dispersion statistic an outlier-filtering pass keys on
+    (threshold = median ± k * MAD).  Both medians are EXACT discrete
+    quantiles (quantile_disc law), computed sort-free by two runs of
+    the :func:`_exact_quantiles` streaming-histogram solver: one over
+    the raw column, one over the derived |x - median| column (a lazy
+    ``map_batches`` the second solve re-executes per pass — deviations
+    are never materialized).  float64 |x - m| is bit-identical in
+    numpy and DuckDB, so the discrete ranks select identical values."""
+    col = "l_extendedprice"
+    ds = read_table(sf_dir, "lineitem", columns=[col])
+    med = _exact_quantiles(ds, col, (0.5,))[0.5]
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dev": pa.array(np.abs(v - med))})
+
+    dev_ds = ds.map_batches(dev, batch_format="pyarrow")
+    m2 = _exact_quantiles(dev_ds, "dev", (0.5,))[0.5]
+    return pa.table(
+        {
+            "median": pa.array([med], pa.float64()),
+            "mad": pa.array([m2], pa.float64()),
+        }
+    )
+
+
+MAD_SQL = """
+with m as (select quantile_disc(l_extendedprice, 0.5) as med from lineitem)
+select (select med from m) as median,
+       (select quantile_disc(abs(l_extendedprice - (select med from m)), 0.5)
+        from lineitem) as mad
 """
 
 

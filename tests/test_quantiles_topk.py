@@ -79,3 +79,24 @@ def test_grouped_quantiles_match_oracle(sf_dir):
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
     assert (got["p50"] <= got["p90"]).all() and (got["p90"] <= got["p99"]).all()
+
+
+def test_mad_matches_numpy(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import relational
+
+    got = relational.mad(sf_dir).to_pandas()
+    v = np.sort(
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])[
+            "l_extendedprice"
+        ].to_numpy(np.float64)
+    )
+    n = len(v)
+    r = max(0, int(np.ceil(0.5 * n)) - 1)
+    med = v[r]
+    dev = np.sort(np.abs(v - med))
+    exp_mad = dev[r]
+    assert got["median"].iloc[0] == med
+    assert got["mad"].iloc[0] == exp_mad
