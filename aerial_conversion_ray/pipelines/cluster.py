@@ -363,12 +363,26 @@ def triangle_count(
     Every shuffle carries int64 triples only.  Semantics source:
     pair graph = `jaccard_pairs` (oracle-green miner); counting law
     pinned by the SQL triangle join in ``triangle_count_sql``."""
-    edges = text_pipelines.jaccard_pairs(sf_dir, threshold, max_df).select_columns(
-        ["a", "b"]
+    # materialized ONCE: three branches consume the edge list (degree
+    # fold, degree-attach rows, closing rows) and a lazy dataset would
+    # re-run the whole pair miner per branch
+    edges = (
+        text_pipelines.jaccard_pairs(sf_dir, threshold, max_df)
+        .select_columns(["a", "b"])
+        .materialize()
     )
 
     def bucket_of(col: np.ndarray) -> np.ndarray:
         return (col % np.int64(N_TRI_BUCKETS)).astype(np.int64)
+
+    # fast path (the _cc_small precedent): the mined pair graph is
+    # tiny next to the corpus; when its edge list is collectable,
+    # orient on the driver, broadcast the CSR out-adjacency + a sorted
+    # edge-key array, and run wedge-generation + closing as ONE
+    # zero-shuffle map_batches over the edge partitions.  The
+    # fully-distributed chain below stays for graphs past the cap.
+    if edges.count() <= SMALL_EDGE_ROWS // 2:
+        return _tri_small(edges, bucket_of)
 
     # -- 1. degrees ---------------------------------------------------
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -548,11 +562,21 @@ def triangle_count(
         )
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
+        # fold corner credits per node INSIDE the bucket: the final
+        # shuffle carries (node, partial count) pairs — bounded by
+        # nodes-per-bucket — instead of 3 raw rows per triangle (a
+        # 250-near-clique alone is 2.6M triangles = 7.8M credit rows)
         wd = df[df["kind"] == 0]
         ed = df[df["kind"] == 1][["v", "w"]]
         tri = wd.merge(ed, on=["v", "w"])
         if not len(tri):
-            return pd.DataFrame({"node": pd.Series(dtype=np.int64)})
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                    "bucket": pd.Series(dtype=np.int64),
+                }
+            )
         corners = np.concatenate(
             [
                 tri["center"].to_numpy(np.int64),
@@ -560,7 +584,10 @@ def triangle_count(
                 tri["w"].to_numpy(np.int64),
             ]
         )
-        return pd.DataFrame({"node": corners})
+        u, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame(
+            {"node": u, "n": c.astype(np.int64), "bucket": bucket_of(u)}
+        )
 
     credits = (
         wedges.union(edges.map_batches(edge_close_rows, batch_format="pyarrow"))
@@ -569,28 +596,165 @@ def triangle_count(
     )
 
     # -- 5. per-node counts -------------------------------------------
-    def credit_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["node"].to_numpy(np.int64)
-        return pd.DataFrame({"node": n, "bucket": bucket_of(n)})
-
     def count_fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False, as_index=False).size()
+        g = df.groupby("node", sort=False, as_index=False)["n"].sum()
         return pd.DataFrame(
             {
                 "doc_id": g["node"].to_numpy(np.int64),
-                "n_triangles": g["size"].to_numpy(np.int64),
+                "n_triangles": g["n"].to_numpy(np.int64),
             }
         )
 
-    out = (
-        credits.map_batches(credit_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(count_fold, batch_format="pandas")
-    )
+    out = credits.groupby("bucket").map_groups(count_fold, batch_format="pandas")
     return to_arrow(out.map_batches(
         lambda df: df.astype({"doc_id": np.int64, "n_triangles": np.int64}),
         batch_format="pandas",
     )).union(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        )
+    )
+
+
+def _tri_small(edges: ray.data.Dataset, bucket_of) -> ray.data.Dataset:
+    """Broadcast fast path for :func:`triangle_count`: driver-side
+    orientation (O(E) ints, bounded by the SMALL_EDGE_ROWS gate — the
+    corpus itself never lands on the driver), one streaming pass for
+    wedges + closing.  Requires node ids < 2^32 for the packed
+    unordered-pair key (asserted; beyond that the distributed chain
+    runs instead)."""
+    import ray
+
+    srcs, dsts = [], []
+    for t in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        srcs.append(t["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dsts.append(t["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    a = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    b = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    if len(a) == 0 or (a.max() >= 1 << 32 or b.max() >= 1 << 32):
+        if len(a) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_triangles": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        raise ValueError("_tri_small: node ids exceed the packed-key range")
+
+    # degrees over the undirected graph, then orient low (deg,id) -> high
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(uniq))
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    da, db = deg[ia], deg[ib]
+    fwd = (da < db) | ((da == db) & (a < b))
+    src = np.where(fwd, ia, ib)
+    dst = np.where(fwd, ib, ia)
+    # CSR out-adjacency sorted by (src, dst id)
+    order = np.lexsort((uniq[dst], src))
+    src_s, dst_s = src[order], dst[order]
+    offs = np.concatenate([[0], np.cumsum(np.bincount(src_s, minlength=len(uniq)))])
+    # composite (run, neighbor-id) keys: sorted globally because
+    # out_nbr is sorted by (src run, dst id) -> one vectorized
+    # searchsorted replaces a per-edge binary-search loop
+    comp = (src_s.astype(np.uint64) << np.uint64(32)) | uniq[dst_s].astype(
+        np.uint64
+    )
+    # sorted unordered-pair membership keys
+    lo = np.minimum(a, b).astype(np.uint64)
+    hi = np.maximum(a, b).astype(np.uint64)
+    keys = np.sort((lo << np.uint64(32)) | hi)
+    ref = ray.put(
+        (
+            uniq,
+            deg.astype(np.int64),  # UNDIRECTED degrees: the orientation law
+            offs.astype(np.int64),
+            uniq[dst_s].astype(np.int64),
+            comp,
+            keys,
+        )
+    )
+
+    def wedge_close(t: pa.Table) -> pa.Table:
+        uniq, deg, offs, out_nbr, comp, keys = ray.get(ref)
+        ea = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iu = np.searchsorted(uniq, ea)
+        iv = np.searchsorted(uniq, eb)
+        da, db = deg[iu], deg[iv]
+        fwd = (da < db) | ((da == db) & (ea < eb))
+        u_i = np.where(fwd, iu, iv)          # oriented source index
+        v_id = np.where(fwd, eb, ea)         # oriented dest id
+        # wedge partners: out-neighbors of u with id > v (each
+        # unordered out-pair generated once) — searchsorted-ranges
+        # expansion, no per-row Python
+        for_u_hi = offs[u_i + 1]
+        # first out-neighbor id > v within u's run, via ONE global
+        # searchsorted on the composite (run, id) key array
+        q = (u_i.astype(np.uint64) << np.uint64(32)) | v_id.astype(np.uint64)
+        starts = np.searchsorted(comp, q, side="right")
+        counts = for_u_hi - starts
+        counts = np.maximum(counts, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        row = np.repeat(np.arange(len(u_i)), counts)
+        pos = np.arange(total) - np.repeat(
+            np.cumsum(np.concatenate([[0], counts[:-1]])), counts
+        )
+        w_id = out_nbr[starts[row] + pos]
+        v_all = v_id[row]
+        u_all = uniq[u_i[row]]
+        closed = (
+            np.searchsorted(
+                keys,
+                (np.minimum(v_all, w_id).astype(np.uint64) << np.uint64(32))
+                | np.maximum(v_all, w_id).astype(np.uint64),
+            )
+        )
+        closed_c = np.minimum(closed, len(keys) - 1)
+        hit = keys[closed_c] == (
+            (np.minimum(v_all, w_id).astype(np.uint64) << np.uint64(32))
+            | np.maximum(v_all, w_id).astype(np.uint64)
+        )
+        corners = np.concatenate([u_all[hit], v_all[hit], w_id[hit]])
+        un, cn = np.unique(corners, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(un),
+                "n": pa.array(cn.astype(np.int64)),
+                "bucket": pa.array(bucket_of(un)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g["node"].to_numpy(np.int64),
+                "n_triangles": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        edges.map_batches(wedge_close, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return out.union(
         ray.data.from_arrow(
             pa.table(
                 {

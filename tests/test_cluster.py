@@ -159,3 +159,26 @@ def test_triangle_count_matches_bruteforce(sf_dir):
         else pd.DataFrame({"doc_id": [], "n_triangles": []}).astype(np.int64)
     )
     pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+
+
+def test_triangle_count_distributed_path_matches_fast(sf_dir, monkeypatch):
+    """The fully-distributed chain (used past the broadcast gate) and
+    the _tri_small fast path must agree exactly."""
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import cluster
+
+    fast = (
+        cluster.triangle_count(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(cluster, "SMALL_EDGE_ROWS", 0)
+    slow = (
+        cluster.triangle_count(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
