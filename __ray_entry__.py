@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact n-gram LM scoring shape (tfidf-pattern shuffle)
         "bigram_score": text.bigram_score,
         "rolling_fingerprint": text.rolling_fingerprint,
+        # cross-doc repeated-substring detection on the winnowing sample
+        "shared_fingerprints": text.shared_fingerprints,
+        # MAD-based robust length anomaly filter
+        "length_outliers": text.length_outliers,
         "langid": text.langid_scores,
         # -- similarity search / embeddings --
         "ann_brute": embeddings.ann_brute,
@@ -301,6 +305,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile_filter": text.quality_percentile_filter_sql(),
         "bigram_score": text.BIGRAM_SCORE_SQL,
         "rolling_fingerprint": text.rolling_fingerprint_sql(),
+        "shared_fingerprints": text.shared_fingerprints_sql(),
+        "length_outliers": text.length_outliers_sql(),
         "ann_brute": embeddings.ann_brute_sql(),
         "embed_dup": embeddings.embed_dup_sql(),
         "label_centroids": embeddings.label_centroids_sql(),

@@ -2691,3 +2691,117 @@ select lang,
        {cols}
 from documents group by lang order by lang
 """
+
+
+# --------------------------------------------------------------------------
+# cross-document shared fingerprints (boilerplate/template detection)
+# --------------------------------------------------------------------------
+
+
+def shared_fingerprints(sf_dir: str, window: int = 16, keep_mod: int = 8) -> ray.data.Dataset:
+    """Winnowing fingerprints that appear in >= 2 DISTINCT documents —
+    the cross-document repeated-substring detector (boilerplate /
+    template families) built on :func:`rolling_fingerprint`'s
+    content-defined hash sample.  Output: (fingerprint, n_docs,
+    n_occurrences).
+
+    Scale shape: the fingerprint stream (already a keep_mod-th of the
+    byte positions) shuffles once by fingerprint bucket; distinct-doc
+    and occurrence counts fold vectorized inside each bucket.  The
+    corpus text itself never re-shuffles."""
+    ds = rolling_fingerprint(sf_dir, window, keep_mod)
+
+    def tag(t: pa.Table) -> pa.Table:
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        bucket = (fp.view(np.uint64) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {
+                "fingerprint": t["fingerprint"],
+                "doc_id": t["doc_id"],
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fingerprint", sort=False).agg(
+            n_docs=("doc_id", "nunique"), n_occurrences=("doc_id", "size")
+        )
+        g = g[g["n_docs"] >= 2].reset_index()
+        return pd.DataFrame(
+            {
+                "fingerprint": g["fingerprint"].to_numpy(np.int64),
+                "n_docs": g["n_docs"].to_numpy(np.int64),
+                "n_occurrences": g["n_occurrences"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def shared_fingerprints_sql(window: int = 16, keep_mod: int = 8) -> str:
+    return f"""
+with rf as ({rolling_fingerprint_sql(window, keep_mod)})
+select fingerprint,
+       cast(count(distinct doc_id) as bigint) as n_docs,
+       cast(count(*) as bigint) as n_occurrences
+from rf group by fingerprint having count(distinct doc_id) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# MAD-based length outliers (robust anomaly filter)
+# --------------------------------------------------------------------------
+
+OUTLIER_MAD_K = 2
+
+
+def length_outliers(sf_dir: str, k: int = OUTLIER_MAD_K) -> ray.data.Dataset:
+    """Documents whose length deviates from the corpus median by more
+    than ``k`` median-absolute-deviations — the robust anomaly filter
+    (truncation/garbage detection) a curation pass keys on, immune to
+    the outliers it hunts (unlike mean/stddev cuts).
+
+    Both statistics are exact discrete quantiles from the sort-free
+    streaming-histogram solver (:func:`relational._exact_quantiles`);
+    the filter itself is one streaming pass.  Integer n_chars keeps
+    the comparison float-exact on both sides."""
+    from .relational import _exact_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    med = _exact_quantiles(ds, "n_chars", (0.5,))[0.5]
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"dev": pa.array(np.abs(v - med))})
+
+    mad = _exact_quantiles(
+        ds.map_batches(dev, batch_format="pyarrow"), "dev", (0.5,)
+    )[0.5]
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.abs(v - med) > k * mad
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_chars": t["n_chars"].filter(pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def length_outliers_sql(k: int = OUTLIER_MAD_K) -> str:
+    return f"""
+with m as (select quantile_disc(n_chars, 0.5) as med from documents),
+s as (select (select med from m) as med,
+             (select quantile_disc(abs(n_chars - (select med from m)), 0.5)
+              from documents) as mad)
+select doc_id, cast(n_chars as bigint) as n_chars
+from documents, s
+where abs(n_chars - s.med) > {k} * s.mad
+"""

@@ -264,6 +264,9 @@ def run_benchmarks() -> dict:
         "ngram_repetition": lambda: _consume(text.ngram_repetition(SF_DIR)),
         "bm25_query": lambda: _consume(text.bm25_query(SF_DIR)),
         "lang_rollup": lambda: _consume(text.lang_rollup(SF_DIR)),
+        "shared_fingerprints": lambda: _consume(text.shared_fingerprints(SF_DIR)),
+        "length_outliers": lambda: _consume(text.length_outliers(SF_DIR)),
+        "mad": lambda: _consume(relational.mad(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

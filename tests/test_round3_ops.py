@@ -551,3 +551,30 @@ def test_lang_pivot_matches_crosstab(sf_dir):
         exp = docs[docs["source"] == s].groupby("lang").size()
         for lang in got.index:
             assert got.loc[lang, f"n_{s}"] == exp.get(lang, 0)
+
+
+def test_shared_fingerprints_cross_doc_only(sf_dir):
+    got = text.shared_fingerprints(sf_dir).to_pandas()
+    assert (got["n_docs"] >= 2).all()
+    assert (got["n_occurrences"] >= got["n_docs"]).all()
+    # every reported fingerprint really occurs in >= 2 distinct docs
+    rf = text.rolling_fingerprint(sf_dir).to_pandas()
+    per_fp = rf.groupby("fingerprint")["doc_id"].nunique()
+    exp = per_fp[per_fp >= 2]
+    assert set(got["fingerprint"]) == set(exp.index)
+    m = got.set_index("fingerprint")["n_docs"]
+    assert (m.sort_index() == exp.sort_index()).all()
+
+
+def test_length_outliers_matches_numpy(sf_dir):
+    import numpy as np
+
+    got = text.length_outliers(sf_dir).to_pandas()
+    docs = _docs(sf_dir)
+    v = np.sort(docs["n_chars"].to_numpy(np.float64))
+    n = len(v)
+    r = max(0, int(np.ceil(0.5 * n)) - 1)
+    med = v[r]
+    mad = np.sort(np.abs(v - med))[r]
+    exp = docs[np.abs(docs["n_chars"] - med) > text.OUTLIER_MAD_K * mad]
+    assert set(got["doc_id"]) == set(exp["doc_id"])
