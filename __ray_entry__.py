@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.events_window,
         # rows-between moving window (completes the window family)
         "events_moving_avg": relational.events_moving_avg,
+        # ordered step conversion (view -> click -> purchase) per user
+        "events_funnel": relational.events_funnel,
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
@@ -261,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "concat_remap": relational.CONCAT_REMAP_SQL,
         "events_window": relational.EVENTS_WINDOW_SQL,
         "events_moving_avg": relational.events_moving_avg_sql(),
+        "events_funnel": relational.events_funnel_sql(),
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,

@@ -1527,3 +1527,109 @@ from v
 window win as (partition by user_id order by ts, event_id
                rows between {w} preceding and current row)
 """
+
+
+# --------------------------------------------------------------------------
+# funnel analysis (ordered step conversion per user)
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> ray.data.Dataset:
+    """Ordered funnel conversion per user: depth 1 = did step 1
+    ('view'), depth 2 = step 2 STRICTLY AFTER their first step 1,
+    depth 3 = step 3 strictly after that step 2 — the sequential-
+    pattern query behind every conversion dashboard.  One row
+    (user_id, funnel_depth) per user who performed step 1.
+
+    Scale shape: the stream is pre-filtered to the step types and
+    pruned to (user_id, ts, event_type) AT THE READ, then shuffles
+    ONCE by user bucket; each bucket resolves the per-user
+    first-occurrence chain with vectorized pandas groupby-min /
+    merge passes (one per step, no per-user Python).  Strict-ts
+    progression mirrors the SQL oracle exactly, so equal-timestamp
+    ties cannot diverge."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(list(steps)))
+        t = t.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "bucket": pa.array(u % np.int64(ASOF_BUCKETS)),
+            }
+        )
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        s1, s2, s3 = steps
+        t1 = (
+            df[df["event_type"] == s1]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t1"})
+        )
+        c = df[df["event_type"] == s2].merge(t1, on="user_id")
+        t2 = (
+            c[c["ts"] > c["t1"]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t2"})
+        )
+        p = df[df["event_type"] == s3].merge(t2, on="user_id")
+        t3 = (
+            p[p["ts"] > p["t2"]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t3"})
+        )
+        out = t1.merge(t2, on="user_id", how="left").merge(
+            t3, on="user_id", how="left"
+        )
+        depth = (
+            1
+            + out["t2"].notna().to_numpy().astype(np.int64)
+            + out["t3"].notna().to_numpy().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "funnel_depth": depth,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+def events_funnel_sql(steps: tuple = FUNNEL_STEPS) -> str:
+    s1, s2, s3 = steps
+    return f"""
+with v as (
+  select user_id, min(ts) as t1 from events
+  where event_type = '{s1}' group by user_id
+),
+c as (
+  select e.user_id, min(e.ts) as t2 from events e
+  join v on v.user_id = e.user_id
+  where e.event_type = '{s2}' and e.ts > v.t1 group by e.user_id
+),
+p as (
+  select e.user_id, min(e.ts) as t3 from events e
+  join c on c.user_id = e.user_id
+  where e.event_type = '{s3}' and e.ts > c.t2 group by e.user_id
+)
+select v.user_id,
+       cast(1 + (c.user_id is not null)::int + (p.user_id is not null)::int
+            as bigint) as funnel_depth
+from v
+left join c on c.user_id = v.user_id
+left join p on p.user_id = v.user_id
+"""

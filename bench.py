@@ -267,6 +267,7 @@ def run_benchmarks() -> dict:
         "shared_fingerprints": lambda: _consume(text.shared_fingerprints(SF_DIR)),
         "length_outliers": lambda: _consume(text.length_outliers(SF_DIR)),
         "mad": lambda: _consume(relational.mad(SF_DIR)),
+        "events_funnel": lambda: _consume(relational.events_funnel(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

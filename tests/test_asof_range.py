@@ -57,3 +57,41 @@ def test_events_range_join_window_inclusive(sf_dir):
     lim = relational.RANGE_WINDOW_S * 1_000_000
     dt = got["dt_us"].to_numpy(np.int64)
     assert (np.abs(dt) <= lim).all()
+
+
+def test_events_funnel_matches_pandas(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import relational
+
+    got = (
+        relational.events_funnel(sf_dir)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        v = g[g["event_type"] == "view"]
+        if not len(v):
+            continue
+        t1 = v["ts"].iloc[0]
+        depth = 1
+        c = g[(g["event_type"] == "click") & (g["ts"] > t1)]
+        if len(c):
+            depth = 2
+            t2 = c["ts"].iloc[0]
+            p = g[(g["event_type"] == "purchase") & (g["ts"] > t2)]
+            if len(p):
+                depth = 3
+        rows.append((uid, depth))
+    exp = (
+        pd.DataFrame(rows, columns=["user_id", "funnel_depth"])
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)
