@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": relational.events_moving_avg,
         # ordered step conversion (view -> click -> purchase) per user
         "events_funnel": relational.events_funnel,
+        # window-over-window distinct-user retention
+        "events_retention": relational.events_retention,
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
@@ -264,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": relational.EVENTS_WINDOW_SQL,
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_funnel": relational.events_funnel_sql(),
+        "events_retention": relational.events_retention_sql(),
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,

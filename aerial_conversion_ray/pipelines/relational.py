@@ -1633,3 +1633,95 @@ from v
 left join c on c.user_id = v.user_id
 left join p on p.user_id = v.user_id
 """
+
+
+# --------------------------------------------------------------------------
+# cohort retention (window-over-window active-user return rate)
+# --------------------------------------------------------------------------
+
+
+def events_retention(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
+    """Window-over-window retention: for every tumbling hour window,
+    the count of distinct active users and how many of them are also
+    active in the NEXT window — the cohort return-rate query behind
+    every retention dashboard.  Output: (window_start_s, n_active,
+    n_retained).
+
+    Scale shape: one in-batch dedupe reduces the stream to distinct
+    (user, window) pairs, then ONE shuffle by user bucket; inside
+    each bucket a vectorized sorted-pair scan marks windows whose
+    successor (window + window_s) exists for the same user, and the
+    per-window partial counts fold through the small window-keyed
+    groupby (output = |windows| rows).  The raw event stream never
+    shuffles; user activity sets never leave their bucket."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64()).to_numpy()
+        win = (epoch_us // (window_s * 1_000_000)) * window_s
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.stack([u, win])
+        uniq = np.unique(keys, axis=1)
+        uu, ww = uniq[0], uniq[1]
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "window_start_s": pa.array(ww.astype(np.int64)),
+                "bucket": pa.array(uu % np.int64(ASOF_BUCKETS)),
+            }
+        )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "window_start_s"])
+        u = d["user_id"].to_numpy(np.int64)
+        w = d["window_start_s"].to_numpy(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        nxt = np.zeros(len(u), dtype=np.int64)
+        if len(u) > 1:
+            nxt[:-1] = (u[1:] == u[:-1]) & (w[1:] == w[:-1] + window_s)
+        g = pd.DataFrame({"window_start_s": w, "n_active": 1, "n_retained": nxt})
+        out = g.groupby("window_start_s", as_index=False).sum()
+        return pd.DataFrame(
+            {
+                "window_start_s": out["window_start_s"].to_numpy(np.int64),
+                "n_active": out["n_active"].to_numpy(np.int64),
+                "n_retained": out["n_retained"].to_numpy(np.int64),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start_s", as_index=False)[
+            ["n_active", "n_retained"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "window_start_s": g["window_start_s"].to_numpy(np.int64),
+                "n_active": g["n_active"].to_numpy(np.int64),
+                "n_retained": g["n_retained"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("window_start_s")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def events_retention_sql(window_s: int = 3600) -> str:
+    return f"""
+with uw as (
+  select distinct user_id,
+         (epoch_us(ts) // {window_s * 1_000_000}) * {window_s} as w
+  from events
+)
+select a.w as window_start_s,
+       cast(count(*) as bigint) as n_active,
+       cast(count(b.user_id) as bigint) as n_retained
+from uw a
+left join uw b on b.user_id = a.user_id and b.w = a.w + {window_s}
+group by a.w
+"""

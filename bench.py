@@ -268,6 +268,7 @@ def run_benchmarks() -> dict:
         "length_outliers": lambda: _consume(text.length_outliers(SF_DIR)),
         "mad": lambda: _consume(relational.mad(SF_DIR)),
         "events_funnel": lambda: _consume(relational.events_funnel(SF_DIR)),
+        "events_retention": lambda: _consume(relational.events_retention(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

@@ -95,3 +95,32 @@ def test_events_funnel_matches_pandas(sf_dir):
         .astype(np.int64)
     )
     pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+
+
+def test_events_retention_matches_pandas(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import relational
+
+    got = (
+        relational.events_retention(sf_dir)
+        .to_pandas()
+        .sort_values("window_start_s")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    w = (ev["ts"].astype("int64") // (3600 * 1_000_000)) * 3600
+    uw = pd.DataFrame({"user_id": ev["user_id"], "w": w}).drop_duplicates()
+    uwset = set(map(tuple, uw.to_numpy()))
+    rows = []
+    for win, g in uw.groupby("w"):
+        ret = sum((u, win + 3600) in uwset for u in g["user_id"])
+        rows.append((win, len(g), ret))
+    exp = (
+        pd.DataFrame(rows, columns=["window_start_s", "n_active", "n_retained"])
+        .sort_values("window_start_s")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), exp)
