@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         # window-over-window distinct-user retention
         "events_retention": relational.events_retention,
+        # grouped lag over an aggregated series (YoY deltas)
+        "customer_yoy": relational.customer_yoy,
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
@@ -267,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_funnel": relational.events_funnel_sql(),
         "events_retention": relational.events_retention_sql(),
+        "customer_yoy": relational.CUSTOMER_YOY_SQL,
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,

@@ -1725,3 +1725,77 @@ from uw a
 left join uw b on b.user_id = a.user_id and b.w = a.w + {window_s}
 group by a.w
 """
+
+
+# --------------------------------------------------------------------------
+# grouped lag over an aggregated series (year-over-year deltas)
+# --------------------------------------------------------------------------
+
+
+def customer_yoy(sf_dir: str) -> ray.data.Dataset:
+    """Year-over-year order activity per customer: (o_custkey, year,
+    n_orders, delta_prev = n_orders - previous year's count, NULL-free
+    encoding: first observed year reports delta_prev = n_orders) — the
+    grouped-LAG-over-aggregate pattern behind trend dashboards.
+
+    Scale shape: the orders stream partial-aggregates to (custkey,
+    year, n) INSIDE each batch, then ONE shuffle by customer bucket;
+    each bucket folds partials and computes the lag with a vectorized
+    sorted (custkey, year) boundary scan — consecutive-year test, no
+    per-customer Python, no window sort of raw orders."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"o_custkey": c, "year": y})
+        g = df.groupby(["o_custkey", "year"], sort=False, as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(np.int64),
+                "year": g["year"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64),
+            }
+        )
+        out["bucket"] = out["o_custkey"].to_numpy(np.int64) % N_JOIN_BUCKETS
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_custkey", "year"], sort=False, as_index=False)["n"].sum()
+        c = g["o_custkey"].to_numpy(np.int64)
+        y = g["year"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((y, c))
+        c, y, n = c[order], y[order], n[order]
+        delta = n.copy()
+        if len(c) > 1:
+            prev = (c[1:] == c[:-1]) & (y[1:] == y[:-1] + 1)
+            delta[1:][prev] = n[1:][prev] - n[:-1][prev]
+        return pd.DataFrame(
+            {
+                "o_custkey": c,
+                "year": y,
+                "n_orders": n,
+                "delta_prev": delta,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+CUSTOMER_YOY_SQL = """
+with a as (
+  select o_custkey, cast(year(o_orderdate) as bigint) as year,
+         cast(count(*) as bigint) as n_orders
+  from orders group by o_custkey, year(o_orderdate)
+)
+select o_custkey, year, n_orders,
+       cast(case when lag(year) over w = year - 1
+                 then n_orders - lag(n_orders) over w
+                 else n_orders end as bigint) as delta_prev
+from a window w as (partition by o_custkey order by year)
+"""

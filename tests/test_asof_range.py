@@ -124,3 +124,35 @@ def test_events_retention_matches_pandas(sf_dir):
         .astype(np.int64)
     )
     pd.testing.assert_frame_equal(got.astype(np.int64), exp)
+
+
+def test_customer_yoy_matches_pandas(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import relational
+
+    got = (
+        relational.customer_yoy(sf_dir)
+        .to_pandas()
+        .sort_values(["o_custkey", "year"])
+        .reset_index(drop=True)
+    )
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    od["year"] = od["o_orderdate"].dt.year
+    a = (
+        od.groupby(["o_custkey", "year"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_orders"})
+        .sort_values(["o_custkey", "year"])
+        .reset_index(drop=True)
+    )
+    prev_n = a.groupby("o_custkey")["n_orders"].shift(1)
+    prev_y = a.groupby("o_custkey")["year"].shift(1)
+    consec = prev_y == a["year"] - 1
+    a["delta_prev"] = np.where(
+        consec, a["n_orders"] - prev_n.fillna(0), a["n_orders"]
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), a.astype(np.int64))
