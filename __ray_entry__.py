@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": lambda sf: text.host_stats(sf, CFG),
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
+        # length-weighted deterministic Bernoulli sample
+        "weighted_sample": text.weighted_sample,
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
@@ -293,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": text.host_stats_sql(CFG),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
+        "weighted_sample": text.weighted_sample_sql(),
         "tfidf": text.TFIDF_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),

@@ -2805,3 +2805,50 @@ select doc_id, cast(n_chars as bigint) as n_chars
 from documents, s
 where abs(n_chars - s.med) > {k} * s.mad
 """
+
+
+# --------------------------------------------------------------------------
+# weighted deterministic sample (inclusion probability ~ doc length)
+# --------------------------------------------------------------------------
+
+WSAMPLE_TARGET_RATE = 0.25
+
+
+def weighted_sample(sf_dir: str, target_rate: float = WSAMPLE_TARGET_RATE) -> ray.data.Dataset:
+    """Length-weighted deterministic Bernoulli sample: doc kept iff
+
+        (doc_id * SAMPLE_MULT) mod 2^32  <  n_chars * C
+
+    with C = target_rate * 2^32 * N / sum(n_chars), so inclusion
+    probability is proportional to document LENGTH (the char-budget
+    sampling a token-count-targeted curation pass wants) and the
+    expected kept fraction is ``target_rate``.  C is computed from one
+    tiny count/sum aggregate, floored to an integer, and the entire
+    predicate is integer arithmetic — the oracle reproduces the EXACT
+    sample, stable under any partitioning (same resumable-sampling
+    contract as ``sample_hash``; no RNG, no seed state).  Two
+    streaming passes, nothing shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    agg = ds.aggregate(Count(), Sum("n_chars"))
+    n, total = int(agg["count()"]), int(agg["sum(n_chars)"])
+    c = int(target_rate * SAMPLE_MOD * n // total)
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = (d * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+        return t.filter(pa.array(u < w * np.uint64(c)))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def weighted_sample_sql(target_rate: float = WSAMPLE_TARGET_RATE) -> str:
+    return f"""
+with s as (select count(*) as n, sum(n_chars) as total from documents)
+select doc_id, lang, n_chars from documents, s
+where (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}
+      < n_chars * cast(floor({target_rate} * {SAMPLE_MOD} * s.n / s.total)
+                       as bigint)
+"""

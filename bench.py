@@ -270,6 +270,7 @@ def run_benchmarks() -> dict:
         "events_funnel": lambda: _consume(relational.events_funnel(SF_DIR)),
         "events_retention": lambda: _consume(relational.events_retention(SF_DIR)),
         "customer_yoy": lambda: _consume(relational.customer_yoy(SF_DIR)),
+        "weighted_sample": lambda: _consume(text.weighted_sample(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

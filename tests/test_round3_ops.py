@@ -578,3 +578,25 @@ def test_length_outliers_matches_numpy(sf_dir):
     mad = np.sort(np.abs(v - med))[r]
     exp = docs[np.abs(docs["n_chars"] - med) > text.OUTLIER_MAD_K * mad]
     assert set(got["doc_id"]) == set(exp["doc_id"])
+
+
+def test_weighted_sample_deterministic_and_length_biased(sf_dir):
+    import numpy as np
+
+    a = text.weighted_sample(sf_dir).to_pandas().sort_values("doc_id")
+    b = text.weighted_sample(sf_dir).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # deterministic
+    docs = _docs(sf_dir)
+    # expected fraction near the target, and kept docs longer on
+    # average than the corpus (length-proportional inclusion)
+    frac = len(a) / len(docs)
+    assert 0.1 < frac < 0.45
+    assert a["n_chars"].mean() > docs["n_chars"].mean()
+    # exact membership law
+    n, total = len(docs), int(docs["n_chars"].sum())
+    c = int(text.WSAMPLE_TARGET_RATE * text.SAMPLE_MOD * n // total)
+    u = (
+        docs["doc_id"].to_numpy(np.uint64) * np.uint64(text.SAMPLE_MULT)
+    ) % np.uint64(text.SAMPLE_MOD)
+    exp = docs[u < docs["n_chars"].to_numpy(np.uint64) * np.uint64(c)]
+    assert set(a["doc_id"]) == set(exp["doc_id"])
