@@ -382,7 +382,12 @@ def triangle_count(
     # zero-shuffle map_batches over the edge partitions.  The
     # fully-distributed chain below stays for graphs past the cap.
     if edges.count() <= SMALL_EDGE_ROWS // 2:
-        return _tri_small(edges, bucket_of)
+        try:
+            return _tri_small(edges, bucket_of)
+        except ValueError:
+            # node ids exceed the packed 2x32-bit pair key — honour
+            # the documented contract and run the distributed chain
+            pass
 
     # -- 1. degrees ---------------------------------------------------
     def deg_partial(t: pa.Table) -> pa.Table:

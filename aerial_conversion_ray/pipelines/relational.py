@@ -524,7 +524,7 @@ def events_window(sf_dir: str, window_s: int = 3600) -> ray.data.Dataset:
 
 EVENTS_WINDOW_SQL = """
 select event_type,
-       (epoch_us(ts) // 3600000000) * 3600 as window_start_s,
+       cast(floor(epoch_us(ts) / 3600000000.0) as bigint) * 3600 as window_start_s,
        count(*) as n,
        sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
 from events
@@ -636,13 +636,18 @@ def events_hopping_window(
 
 
 EVENTS_HOPPING_SQL = """
-with hops as (select unnest(range(4)) as h)
+with hops as (select unnest(range(4)) as h),
+sec as (
+  select event_type, value,
+         cast(floor(epoch_us(ts) / 1000000.0) as bigint) as ts_s
+  from events
+)
 select event_type,
-       ((epoch_us(ts) // 1000000) // 900) * 900 - h.h * 900 as window_start_s,
+       cast(floor(ts_s / 900.0) as bigint) * 900 - h.h * 900 as window_start_s,
        count(*) as n,
        sum(cast(floor(value * 1000000.0 + 0.5) as bigint)) / 1000000.0 as sum_value
-from events cross join hops h
-where (epoch_us(ts) // 1000000) < ((epoch_us(ts) // 1000000) // 900) * 900 - h.h * 900 + 3600
+from sec cross join hops h
+where ts_s < cast(floor(ts_s / 900.0) as bigint) * 900 - h.h * 900 + 3600
 group by event_type, window_start_s
 order by event_type, window_start_s
 """
@@ -673,29 +678,49 @@ select distinct source, lang from documents order by source, lang
 
 def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     """Session windows per user: events sorted by ts within user; a
-    >gap_s silence starts a new session.  groupby(user).map_groups
-    with vectorized cumsum — the reference has no streaming operators
-    (SURVEY.md §2 'streaming-only: N/A'); this is the engine-new
-    stream-shaped aggregate over the ordered log."""
+    >gap_s silence starts a new session.  The reference has no
+    streaming operators (SURVEY.md §2 'streaming-only: N/A'); this is
+    the engine-new stream-shaped aggregate over the ordered log.
+
+    Scale shape: the shuffle key is ``hash(user_id) % 64``, NOT the
+    raw unbounded user_id — one Ray group-task per COARSE BUCKET
+    (same plan as events_funnel/events_retention), and the per-bucket
+    kernel is one lexsort + cumsum over ALL of the bucket's users at
+    once (session boundary = user change OR time gap), so 10^9 users
+    cost 64 vectorized tasks, not 10^9 tiny ones."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    n_buckets = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
 
     def sess(df: pd.DataFrame) -> pd.DataFrame:
-        # (ts, value) tie-break matches the SQL window ordering exactly
-        df = df.sort_values(["ts", "value"], kind="mergesort")
+        # (user, ts, value) lexsort: the (ts, value) tie-break matches
+        # the SQL window ordering exactly
+        df = df.sort_values(["user_id", "ts", "value"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
         ts = df["ts"].astype("int64").to_numpy() // 1_000_000
         new = np.ones(len(df), dtype=np.int64)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_s
-        sid = np.cumsum(new) - 1
+        new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_s)
+        csum = np.cumsum(new)
+        # per-user session ids start at 0: subtract the cumsum value
+        # at each user's first row (broadcast via forward-filled base)
+        base = np.where(new.astype(bool) & np.concatenate(
+            [[True], uid[1:] != uid[:-1]]), csum, 0)
+        base = np.maximum.accumulate(base)
+        sid = csum - base
         out = pd.DataFrame(
             {
-                "user_id": df["user_id"].to_numpy(),
+                "user_id": uid,
                 "session_id": sid,
                 "ts_s": ts,
                 "value_u": to_fixed(df["value"].to_numpy(), 1_000_000.0),
             }
         )
-        g = out.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
+        g = out.groupby(["user_id", "session_id"], as_index=False).agg(
             session_start_s=("ts_s", "min"),
             session_end_s=("ts_s", "max"),
             n_events=("ts_s", "size"),
@@ -706,13 +731,19 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
             ["user_id", "session_id", "session_start_s", "session_end_s", "n_events", "sum_value"]
         ]
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sess, batch_format="pandas")
+    )
 
 
 EVENTS_SESSIONIZE_SQL = """
 with e as (
-  select user_id, ts, epoch_us(ts) // 1000000 as ts_s, value,
-         lag(epoch_us(ts) // 1000000) over (partition by user_id order by ts, value) as prev_ts
+  select user_id, ts,
+         cast(floor(epoch_us(ts) / 1000000.0) as bigint) as ts_s, value,
+         lag(cast(floor(epoch_us(ts) / 1000000.0) as bigint))
+           over (partition by user_id order by ts, value) as prev_ts
   from events
 ), marked as (
   select *, case when prev_ts is null or ts_s - prev_ts > 1800 then 1 else 0 end as is_new
@@ -1490,29 +1521,51 @@ def events_moving_avg(sf_dir: str, w: int = MOVING_W) -> ray.data.Dataset:
     the rows-between window frame the tumbling/hopping/session trio
     didn't cover.
 
-    One shuffle keyed by user_id; per-group work is a sorted prefix-sum
-    difference (vectorized, no per-row Python).  Event-time skew is
-    bounded per user; a pathological power-user key would split by
-    (user, ts-range) with boundary rows exchanged — noted, not needed
-    for the synthetic key space."""
+    One shuffle keyed by ``hash(user_id) % 64`` — a COARSE bucket, not
+    the raw unbounded user_id, so 10^9 users cost 64 group-tasks (the
+    events_funnel/events_sessionize plan).  Per-bucket work is one
+    (user, ts, event_id) lexsort + per-user prefix-sum difference,
+    all vectorized: the window floor per row is
+    max(first_row_of_its_user, row - w).  Event-time skew is bounded
+    per user; a pathological power-user key would split by (user,
+    ts-range) with boundary rows exchanged — noted, not needed for
+    the synthetic key space."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    n_buckets = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
 
     def window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
         v = to_fixed(df["value"].to_numpy(), 1_000_000.0)
         csum = np.concatenate([[0], np.cumsum(v)])
         idx = np.arange(len(v))
-        lo = np.maximum(0, idx - w)
+        # index of each user's first row, forward-filled along the sort
+        is_first = np.ones(len(v), dtype=bool)
+        is_first[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(is_first, idx, 0))
+        lo = np.maximum(user_start, idx - w)
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy(np.int64),
-                "user_id": df["user_id"].to_numpy(np.int64),
+                "user_id": uid,
                 "n_w": (idx - lo + 1).astype(np.int64),
                 "sum_w_u": (csum[idx + 1] - csum[lo]).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
 
 
 def events_moving_avg_sql(w: int = MOVING_W) -> str:
@@ -1715,7 +1768,8 @@ def events_retention_sql(window_s: int = 3600) -> str:
     return f"""
 with uw as (
   select distinct user_id,
-         (epoch_us(ts) // {window_s * 1_000_000}) * {window_s} as w
+         cast(floor(epoch_us(ts) / {window_s * 1_000_000}.0) as bigint)
+           * {window_s} as w
   from events
 )
 select a.w as window_start_s,

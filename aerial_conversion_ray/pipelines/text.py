@@ -2338,7 +2338,7 @@ from g join c using (bg) group by g.doc_id
 # streaming dedup via a shared mutable index (sharded actors)
 # --------------------------------------------------------------------------
 
-DEDUP_INDEX_SHARDS = 8
+DEDUP_INDEX_SHARDS = None  # None -> sized from ray.cluster_resources()
 
 
 def streaming_dedup(sf_dir: str, n_shards: int = DEDUP_INDEX_SHARDS) -> ray.data.Dataset:
@@ -2353,11 +2353,22 @@ def streaming_dedup(sf_dir: str, n_shards: int = DEDUP_INDEX_SHARDS) -> ray.data
     associative-commutative, so parallel arrival order CANNOT change
     the final answer and the dump equals :func:`dedup_exact` (same SQL
     oracle).  Raw actors are justified here per the build brief: a
-    shared mutable index is the case the Dataset API can't express."""
+    shared mutable index is the case the Dataset API can't express.
+
+    Scale notes: shard count defaults to cluster CPU count / 4
+    (min 8) so index capacity grows with the cluster rather than
+    being fixed; the final dump travels actor -> object store ->
+    downstream tasks via ``from_arrow_refs`` (the distinct-key table
+    NEVER transits driver memory).  The per-batch ``ray.get(futs)``
+    ack is an at-least-once durability barrier — it serializes each
+    ingest task on its shard actors, so ingest throughput is bounded
+    by shard count, not CPU count; raise ``n_shards`` to scale it."""
     import ray
 
     from ..state.dedup_index import make_index
 
+    if n_shards is None:
+        n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
     shards = make_index(n_shards)
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2381,10 +2392,15 @@ def streaming_dedup(sf_dir: str, n_shards: int = DEDUP_INDEX_SHARDS) -> ray.data
     # drive the ingest (the count consumes the acks, nothing large
     # returns to the driver)
     ds.map_batches(route, batch_format="pyarrow").count()
-    tables = [t for t in ray.get([s.dump.remote() for s in shards]) if t.num_rows]
+    # dump stays IN THE OBJECT STORE: from_arrow_refs consumes the
+    # shard tables by reference — the distinct-key table (the whole
+    # corpus's unique keys) never transits driver memory
+    refs = [s.dump.remote() for s in shards]
+    out = ray.data.from_arrow_refs(refs)
+    ray.wait(refs, num_returns=len(refs))  # dumps durable before kill
     for s in shards:
         ray.kill(s)
-    return ray.data.from_arrow(tables)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -2561,6 +2577,16 @@ def bm25_query(sf_dir: str, terms: tuple = BM25_TERMS) -> ray.data.Dataset:
             tf = np.bincount(doc_idx[m], minlength=len(n)).astype(np.int64)
             has = tf > 0
             hit |= has
+            # int64 overflow fails LOUDLY, not with silently wrapped
+            # scores (numpy wraps; the DuckDB oracle promotes to
+            # HUGEINT).  Check the worst-case product per batch.
+            max_tf = int(tf.max()) if len(tf) else 0
+            if max_tf and int(idf_e3[i]) * max_tf * 22 * T >= 2**63:
+                raise OverflowError(
+                    "bm25_query int64 numerator overflow: "
+                    f"idf_e3={int(idf_e3[i])} tf={max_tf} T={T}; "
+                    "rescale IDF_SCALE or shard the corpus"
+                )
             num = idf_e3[i] * tf * np.int64(22) * np.int64(T)
             den = np.int64(10) * np.int64(T) * tf + np.int64(3 * T) + np.int64(9) * n * np.int64(N)
             total[has] += num[has] // den[has]
@@ -2663,13 +2689,18 @@ def lang_pivot(sf_dir: str, sources: tuple = PIVOT_SOURCES) -> ray.data.Dataset:
     distributed once, the reshape handles |lang x source| partial
     rows only."""
     fine = lang_stats(sf_dir).to_pandas()
+    # Pivot from the UNFILTERED fine frame so a lang whose docs all
+    # fall outside `sources` still yields a zero-filled row (the SQL
+    # oracle groups over every document and emits such langs too).
+    all_langs = sorted(fine["lang"].unique())
     fine = fine[fine["source"].isin(sources)]
     wide = (
         fine.pivot_table(
             index="lang", columns="source", values="n_docs",
             aggfunc="sum", fill_value=0,
         )
-        .reindex(columns=list(sources), fill_value=0)
+        .reindex(index=all_langs, columns=list(sources), fill_value=0)
+        .rename_axis("lang")
         .reset_index()
     )
     out = pd.DataFrame({"lang": wide["lang"]})
