@@ -258,8 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
-        # knn_kring: approximate scale path — rows-only check (no SQL);
-        # recall vs brute force asserted in tests/test_spatial_pipelines.py.
+        # knn_kring is EXACT (adaptive ring expansion with a provable
+        # coverage-radius stopping rule) — same oracle as brute kNN.
+        "knn_kring": sql_oracle.knn_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -1150,14 +1150,26 @@ class KringKnn:
     """Scale-path kNN: k-ring candidate expansion over the cell-sorted
     index (H3 ``grid_disk`` analog of the reference's tile
     neighbourhoods, ``aerial_conversion/tiles.py:180-256``) +
-    vectorized haversine refine.
+    vectorized haversine refine.  EXACT: rings expand adaptively until
+    the k-th candidate distance is strictly inside the ring's
+    guaranteed-coverage radius, so the result equals :class:`BruteKnn`
+    (and the ``knn`` SQL oracle) on every input.
+
+    Stopping rule (the metric bound): a ring of Chebyshev radius r
+    around the query's cell covers the lat/lon box
+    ``[latlo, lathi] x [lonlo, lonhi]``; every point OUTSIDE it is at
+    haversine distance >= min(lat margins as meridian arcs, lon margin
+    folded through ``2R asin(sqrt(cos phi_q * cos phi_strip) *
+    sin(dlam/2))``) — both are haversine lower bounds, so once the
+    k-th best candidate is strictly closer than that bound no exterior
+    point can displace it (ties cannot cross the strict inequality).
+    Queries that exhaust ``max_ring`` brute-force against the index
+    (still exact).
 
     Vectorized per batch: ring cells -> ``np.searchsorted`` ranges on
     the cell-sorted index -> pair expansion via np.repeat -> lexsort
-    top-k.  Queries whose k-th distance is not provably inside the
-    searched ring escalate to a doubled ring (correct-by-construction
-    stopping rule would need metric bounds; this stage is documented
-    as approximate with recall validated in tests vs BruteKnn).
+    top-k.  On a uniform corpus the expected cost is ~1 ring per
+    query; only boundary queries pay a second (doubled) ring.
     """
 
     def __init__(self, index_ref, k: int, res: int, ring: int = 1, max_ring: int = 64):
@@ -1188,42 +1200,94 @@ class KringKnn:
         pos = np.repeat(lo - np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt) + np.arange(total)
         return qrep, pos
 
+    def _ring_bound(
+        self, qlon: np.ndarray, qlat: np.ndarray, qcell: np.ndarray, ring: int
+    ) -> np.ndarray:
+        """Guaranteed-coverage radius in meters: every index point NOT
+        inside the Chebyshev-``ring`` cell box is at haversine distance
+        >= this bound from the query.  Haversine lower bounds used:
+        d >= R*|dphi| (meridian arc) for points failing the lat bound;
+        d >= 2R asin(sqrt(cos phi1 cos phi2) sin(dlam/2)) for points
+        failing only the lon bound (their lat is inside the strip, so
+        cos phi2 >= cos(max |strip lat|))."""
+        from ..geo.haversine import EARTH_RADIUS_M
+
+        res = self.res
+        n = 1 << res
+        ny = n >> 1
+        w = 360.0 / n
+        rad = np.pi / 180.0
+        R = EARTH_RADIUS_M
+        iy, ix = qcell // n, qcell % n
+        latlo = (iy - ring) * w - 90.0
+        lathi = (iy + ring + 1) * w - 90.0
+        # lat margins: exterior on that side exists only when the ring
+        # doesn't already reach the pole (kring clamps rows there)
+        down = np.where(iy - ring > 0, (qlat - latlo) * rad * R, np.inf)
+        up = np.where(iy + ring + 1 < ny, (lathi - qlat) * rad * R, np.inf)
+        bound = np.minimum(down, up)
+        if (2 * ring + 1) < n:  # lon exterior exists (no full wrap)
+            lonlo = (ix - ring) * w - 180.0
+            lonhi = (ix + ring + 1) * w - 180.0
+            # margins computed in the same unwrapped frame as the box,
+            # so they are wrap-safe and positive by construction
+            dlam = np.minimum(qlon - lonlo, lonhi - qlon) * rad
+            strip = np.maximum(
+                np.abs(np.clip(latlo, -90.0, 90.0)),
+                np.abs(np.clip(lathi, -90.0, 90.0)),
+            )
+            cstrip = np.clip(np.cos(strip * rad), 0.0, 1.0)
+            cq = np.clip(np.cos(qlat * rad), 0.0, 1.0)
+            s = np.sqrt(cq * cstrip) * np.abs(np.sin(dlam * 0.5))
+            lonb = 2.0 * R * np.arcsin(np.clip(s, 0.0, 1.0))
+            bound = np.minimum(bound, lonb)
+        return bound
+
     def __call__(self, t: pa.Table) -> pa.Table:
         qids = t["page_id"].to_numpy(zero_copy_only=False)
         qlon = t["lon"].to_numpy()
         qlat = t["lat"].to_numpy()
         qcell = cells.encode(qlon, qlat, self.res)
         nq = len(qids)
+        k = self.k
         pending = np.arange(nq)
         ring = self.ring
         acc = []
         while len(pending) and ring <= self.max_ring:
             qrep, pos = self._pairs_for(pending, qcell[pending], ring)
+            done_flag = np.zeros(nq, dtype=bool)
             if len(qrep):
                 nid = self.ids[pos]
                 ok = nid != qids[qrep]
-                qrep = qrep[ok]
-                cnt_per_q = np.bincount(qrep, minlength=nq)
-                done = cnt_per_q[pending] >= self.k
-            else:
-                done = np.zeros(len(pending), dtype=bool)
-            if done.any():
-                # boundary guard: emit candidates from DOUBLE the ring
-                # that satisfied k, so neighbors just outside the
-                # satisfying ring are still considered
-                dq = pending[done]
-                qrep2, pos2 = self._pairs_for(dq, qcell[dq], min(ring * 2, self.max_ring))
-                if len(qrep2):
-                    nid2 = self.ids[pos2]
-                    ok2 = nid2 != qids[qrep2]
-                    qrep2, pos2, nid2 = qrep2[ok2], pos2[ok2], nid2[ok2]
-                    d = haversine_m(
-                        qlon[qrep2], qlat[qrep2], self.lon[pos2], self.lat[pos2]
-                    )
-                    acc.append((qids[qrep2], nid2, d))
-            pending = pending[~done]
+                qrep, pos, nid = qrep[ok], pos[ok], nid[ok]
+            if len(qrep):
+                d = haversine_m(qlon[qrep], qlat[qrep], self.lon[pos], self.lat[pos])
+                # k-th smallest distance per query (lexsort + group rank)
+                order = np.lexsort((d, qrep))
+                qs, ds_ = qrep[order], d[order]
+                new_grp = np.empty(len(qs), dtype=bool)
+                new_grp[0] = True
+                new_grp[1:] = qs[1:] != qs[:-1]
+                grp_start = np.maximum.accumulate(
+                    np.where(new_grp, np.arange(len(qs)), 0)
+                )
+                rank = np.arange(len(qs)) - grp_start + 1
+                kth = np.full(nq, np.inf)
+                at_k = rank == k
+                kth[qs[at_k]] = ds_[at_k]
+                # EXACT stopping rule: k-th candidate STRICTLY inside
+                # the ring's guaranteed-coverage radius -> no exterior
+                # point can reach the top-k (not even by id tie-break)
+                bound = self._ring_bound(
+                    qlon[pending], qlat[pending], qcell[pending], ring
+                )
+                done_flag[pending] = kth[pending] < bound
+                emit = done_flag[qrep]
+                if emit.any():
+                    acc.append((qids[qrep[emit]], nid[emit], d[emit]))
+            pending = pending[~done_flag[pending]]
             ring *= 2
-        if len(pending):  # exhausted ring budget: brute-force the stragglers
+        if len(pending):  # exhausted ring budget: brute-force (still exact)
             for qi in pending:
                 d = haversine_m(qlon[qi], qlat[qi], self.lon, self.lat)
                 ok = self.ids != qids[qi]

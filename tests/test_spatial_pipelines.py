@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -64,14 +65,25 @@ def test_knn_brute_matches_numpy_oracle(sf_dir):
         assert got == want, f"query {q}"
 
 
-def test_knn_kring_high_recall_vs_brute(sf_dir):
+def test_knn_kring_exactly_matches_brute(sf_dir):
+    """k-ring kNN is EXACT (adaptive ring expansion with the coverage-
+    radius stopping rule), so it must equal brute force row-for-row —
+    ranks, ids, and distances, not just high recall."""
     cfg = EngineConfig(pages_rep=2, knn_k=5)
-    brute = _collect(spatial.knn_pipeline(sf_dir, cfg, method="brute")).to_pandas()
-    kring = _collect(spatial.knn_pipeline(sf_dir, cfg, method="kring")).to_pandas()
-    b = set(zip(brute["query_id"], brute["neighbor_id"]))
-    k = set(zip(kring["query_id"], kring["neighbor_id"]))
-    recall = len(b & k) / len(b)
-    assert recall > 0.97, recall
+    cols = ["query_id", "rank", "neighbor_id", "dist_m"]
+    brute = (
+        _collect(spatial.knn_pipeline(sf_dir, cfg, method="brute"))
+        .to_pandas()[cols]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    kring = (
+        _collect(spatial.knn_pipeline(sf_dir, cfg, method="kring"))
+        .to_pandas()[cols]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(brute, kring)
 
 
 def test_pages_rep_amplification(sf_dir):
