@@ -258,7 +258,14 @@ order by r_name
 def top_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
     """Join + grouped revenue + global top-k (SO1 sort analog).
     lineitem revenue per order, orders broadcast-joined for metadata,
-    top-k by (revenue desc, orderkey)."""
+    top-k by (revenue desc, orderkey).
+
+    NO global sort: the grouped per-order revenues (unique keys per
+    block after the aggregate) reduce to <= k rows PER BLOCK with a
+    vectorized partial top-k, then one single-partition merge re-ranks
+    the O(k * blocks) survivors — the ``top_docs_per_lang`` plan.  An
+    all-to-all range sort of one row per order just to keep 20 would
+    move the whole key space at 10^12 rows."""
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -277,9 +284,18 @@ def top_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         .groupby("l_orderkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
     )
+    def block_topk(t: pa.Table) -> pa.Table:
+        rev = t["revenue_c"].to_numpy(zero_copy_only=False)
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((key, -rev))[:k]
+        return pa.table(
+            {"l_orderkey": pa.array(key[o]), "revenue_c": pa.array(rev[o])}
+        )
+
     topk = (
-        per_order.sort(["revenue_c", "l_orderkey"], descending=[True, False])
-        .limit(k)
+        per_order.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
         .map_batches(
             lambda t: pa.table(
                 {
