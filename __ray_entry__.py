@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
         "wkt_roundtrip": lambda sf: spatial.wkt_roundtrip(sf, CFG),
         "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
+        "shapefile_roundtrip": lambda sf: spatial.shapefile_roundtrip(sf, CFG),
         "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
@@ -256,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "wkt_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
+        # shapefile write->read is the identity on the same columns
+        "shapefile_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring is EXACT (adaptive ring expansion with a provable

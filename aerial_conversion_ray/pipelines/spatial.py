@@ -916,6 +916,34 @@ def geojson_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.
     return read_geojson(out_dir)
 
 
+def shapefile_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """S1 completion: first-party ESRI shapefile sink + source round
+    trip.  Footprints write as partitioned .shp/.shx/.dbf triples
+    (atomic, one per page-range partition) and read back to the exact
+    geocode bounds — .shp doubles are raw float64 so the round trip is
+    bit-exact, and the same oracle as :func:`geojson_roundtrip`
+    applies.  The reference's vector reader is ``gpd.read_file`` whose
+    first real-world input is a .shp (``scripts/geojson2coco.py:180``)."""
+    import tempfile
+
+    from ..sources.shapefile import read_shapefile, write_shapefile
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_shp_")
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "lang", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        part = t["page_id"].to_numpy(zero_copy_only=False) // GEOJSON_PART_PAGES
+        return t.append_column("part_key", pa.array(part.astype(np.int64)))
+
+    manifest = write_shapefile(
+        ds.map_batches(bucket, batch_format="pyarrow"), out_dir, "part_key"
+    )
+    manifest.materialize()  # barrier: all partitions committed
+    return read_shapefile(out_dir)
+
+
 def reproject_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """M3 reprojection analog: geocoded points -> EPSG:3857 web
     mercator (closed-form spherical formulas; the reference's pyproj

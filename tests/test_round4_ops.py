@@ -92,6 +92,53 @@ def test_triangle_count_large_ids_falls_back(monkeypatch):
     assert list(out["n_triangles"]) == [1, 1, 1]
 
 
+def test_shapefile_codec_roundtrip(tmp_path):
+    """First-party .shp/.shx/.dbf writer + reader: rect fast path,
+    multipart polygon with a hole, and typed dbf attributes all
+    survive a byte round trip."""
+    import os
+
+    from aerial_conversion_ray.sources import shapefile as sp
+
+    base = str(tmp_path / "data")
+    minx = np.array([0.0, -10.5])
+    miny = np.array([1.0, -20.25])
+    maxx = np.array([2.0, -5.125])
+    maxy = np.array([3.0, -15.0625])
+    sp.write_shp(base, sp.rect_polygon_contents(minx, miny, maxx, maxy))
+    shapes = sp.read_shp_bytes(open(base + ".shp", "rb").read())
+    assert len(shapes) == 2
+    for i, sh in enumerate(shapes):
+        pts = np.vstack(sh["parts"])
+        assert pts[:, 0].min() == minx[i] and pts[:, 0].max() == maxx[i]
+        assert pts[:, 1].min() == miny[i] and pts[:, 1].max() == maxy[i]
+    # .shx record index is consistent with the .shp layout
+    shx = open(base + ".shx", "rb").read()
+    offs = np.frombuffer(shx[100:], ">i4").reshape(-1, 2)
+    assert offs[0, 0] * 2 == 100 and (offs[:, 1] == 64).all()
+
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], float)
+    island = np.array([[10, 10], [11, 10], [11, 11]], float)
+    sp.write_shp(
+        base, [sp.polygon_content([outer, hole]), sp.polygon_content([island])]
+    )
+    shapes = sp.read_shp_bytes(open(base + ".shp", "rb").read())
+    assert [len(s["parts"]) for s in shapes] == [2, 1]
+    # outer ring written clockwise, hole counter-clockwise (spec)
+    r0, r1 = shapes[0]["parts"]
+    assert sp._ring_cw(r0[:, 0], r0[:, 1]) and not sp._ring_cw(r1[:, 0], r1[:, 1])
+
+    df = pd.DataFrame(
+        {"page_id": np.int64([7, 2**40]), "lang": ["en", "zh"]}
+    )
+    sp.write_dbf(base, df, [("page_id", "N", 18, 0), ("lang", "C", 8, 0)])
+    back = sp.read_dbf_bytes(open(base + ".dbf", "rb").read())
+    assert list(back["page_id"]) == [7, 2**40]
+    assert list(back["lang"]) == ["en", "zh"]
+    assert os.path.getsize(base + ".dbf") == 32 + 64 + 1 + 2 * 27 + 1
+
+
 def test_bm25_overflow_guard_raises():
     """The int64 numerator guard must fail loudly, not wrap."""
     from aerial_conversion_ray.pipelines.text import bm25_query  # noqa: F401
