@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
         "shapefile_roundtrip": lambda sf: spatial.shapefile_roundtrip(sf, CFG),
         "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
+        "utm_reproject": lambda sf: spatial.utm_reproject(sf, CFG),
+        "utm_footprint_area": lambda sf: spatial.utm_footprint_area(sf, CFG),
+        "tile_clip_join_metric": lambda sf: spatial.tile_clip_join_metric(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
         "knn": lambda sf: spatial.knn_pipeline(sf, CFG, method="brute")
@@ -221,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "singleton_drop": lambda sf: coco.drop_small_classes(sf, CFG),
         "class_stats": lambda sf: coco.class_stats(sf, CFG),
         "balance_removal": lambda sf: coco.balance_removal(sf, CFG),
+        "isolate_cat": lambda sf: coco.isolate_cat(sf, CFG),
         # -- lineage / checkpoint-resume --
         "lineage_write": _lineage_write,
         # -- multimodal (binary payload plumbing; codec stubbed) --
@@ -260,6 +264,9 @@ def oracle_sql() -> dict[str, str]:
         # shapefile write->read is the identity on the same columns
         "shapefile_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
+        "utm_reproject": sql_oracle.utm_reproject_sql(CFG),
+        "utm_footprint_area": sql_oracle.utm_footprint_area_sql(CFG),
+        "tile_clip_join_metric": sql_oracle.tile_clip_join_metric_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring is EXACT (adaptive ring expansion with a provable
         # coverage-radius stopping rule) — same oracle as brute kNN.
@@ -347,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "singleton_drop": coco.drop_small_classes_sql(CFG),
         "class_stats": coco.class_stats_sql(CFG),
         "balance_removal": coco.balance_removal_sql(CFG),
+        "isolate_cat": coco.isolate_cat_sql(CFG),
         "lineage_write": LINEAGE_SQL.format(
             tpj=sql_oracle.tile_point_join_sql(CFG)
         ),

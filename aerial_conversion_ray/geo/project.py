@@ -45,3 +45,126 @@ def mercator_sql(lon_sql: str, lat_sql: str) -> dict[str, str]:
         "merc_x": f"({R_MERC!r} * radians({lon_sql}))",
         "merc_y": f"({R_MERC!r} * ln(tan(pi() / 4.0 + radians({lat_c}) / 2.0)))",
     }
+
+
+# --------------------------------------------------------------------------
+# UTM (ellipsoidal transverse Mercator, Krüger n-series to n^4)
+# --------------------------------------------------------------------------
+#
+# The reference's metric area filter reprojects to
+# ``estimate_utm_crs()`` via pyproj (``coordinates.py:194-198``).  No
+# CRS library exists in this container; the Krüger flattening series
+# (Karney 2011, "Transverse Mercator with an accuracy of a few
+# nanometers"; coefficients as published on the public reference
+# tables) is closed-form and DuckDB-mirrorable.  Truncated at n^4 the
+# series is sub-millimeter over a UTM zone — far below the 1e-3
+# fixed-point snap used for oracle parity.
+#
+# DuckDB has no sinh/cosh/atanh, so BOTH sides (numpy here, SQL in
+# :func:`utm_sql_ctes`) spell them out via exp/ln with identical
+# operation order — 1-ulp libm noise is absorbed by the mm snap.
+
+A_WGS84 = 6378137.0
+F_WGS84 = 1.0 / 298.257223563
+N_KR = F_WGS84 / (2.0 - F_WGS84)                       # third flattening
+K0_UTM = 0.9996
+E0_UTM = 500000.0
+FN_SOUTH = 10000000.0
+A_KR = A_WGS84 / (1.0 + N_KR) * (1.0 + N_KR**2 / 4.0 + N_KR**4 / 64.0)
+ALPHA_KR = (
+    N_KR / 2.0 - 2.0 * N_KR**2 / 3.0 + 5.0 * N_KR**3 / 16.0
+    + 41.0 * N_KR**4 / 180.0,
+    13.0 * N_KR**2 / 48.0 - 3.0 * N_KR**3 / 5.0 + 557.0 * N_KR**4 / 1440.0,
+    61.0 * N_KR**3 / 240.0 - 103.0 * N_KR**4 / 140.0,
+    49561.0 * N_KR**4 / 161280.0,
+)
+C_KR = 2.0 * np.sqrt(N_KR) / (1.0 + N_KR)
+
+
+def _atanh(x: np.ndarray) -> np.ndarray:
+    return 0.5 * np.log((1.0 + x) / (1.0 - x))
+
+
+def _sinh(x: np.ndarray) -> np.ndarray:
+    return (np.exp(x) - np.exp(-x)) * 0.5
+
+
+def _cosh(x: np.ndarray) -> np.ndarray:
+    return (np.exp(x) + np.exp(-x)) * 0.5
+
+
+def utm_zone(lon: np.ndarray) -> np.ndarray:
+    """Standard 6-degree UTM zone number, clipped to [1, 60]."""
+    z = np.floor((np.asarray(lon, np.float64) + 180.0) / 6.0).astype(np.int64) + 1
+    return np.clip(z, 1, 60)
+
+
+def to_utm(
+    lon: np.ndarray, lat: np.ndarray, zone: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """EPSG:4326 degrees -> (zone, easting m, northing m), WGS84
+    ellipsoid, Krüger series to n^4.  ``zone`` overrides the per-point
+    zone (the reference projects a whole layer into ONE estimated
+    zone; footprint corners must share their centroid's zone so the
+    polygon stays consistent)."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    if zone is None:
+        zone = utm_zone(lon)
+    zone = np.asarray(zone, np.int64)
+    lam = np.radians(lon - (zone * 6.0 - 183.0))
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t = _sinh(_atanh(s) - C_KR * _atanh(C_KR * s))
+    xip = np.arctan2(t, np.cos(lam))
+    etap = _atanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi = xip.copy()
+    eta = etap.copy()
+    for j, a in enumerate(ALPHA_KR, start=1):
+        xi = xi + a * np.sin(2.0 * j * xip) * _cosh(2.0 * j * etap)
+        eta = eta + a * np.cos(2.0 * j * xip) * _sinh(2.0 * j * etap)
+    east = E0_UTM + K0_UTM * A_KR * eta
+    north = K0_UTM * A_KR * xi + np.where(lat < 0.0, FN_SOUTH, 0.0)
+    return zone, east, north
+
+
+def utm_sql_ctes(
+    src: str, lon_col: str = "lon", lat_col: str = "lat",
+    zone_expr: str | None = None, keep: str = "page_id",
+) -> str:
+    """CTE chain projecting ``src(lon, lat, ...)`` to UTM with the
+    exact operation order of :func:`to_utm`.  Appends CTEs named
+    ``u0..u4``; the final ``u4`` exposes (``keep`` columns, zone,
+    east, north).  ``zone_expr`` (over ``src`` columns) overrides the
+    per-point zone."""
+    zexpr = zone_expr or (
+        f"least(greatest(cast(floor(({lon_col} + 180.0) / 6.0) as bigint)"
+        " + 1, 1), 60)"
+    )
+    # DuckDB parses plain decimal literals as DECIMAL and overflows
+    # multiplying them — force every constant to DOUBLE
+    D = lambda x: f"cast({x!r} as double)"  # noqa: E731
+    atanh = lambda x: f"(0.5 * ln((1.0 + {x}) / (1.0 - {x})))"  # noqa: E731
+    sinh = lambda x: f"((exp({x}) - exp(-({x}))) * 0.5)"  # noqa: E731
+    cosh = lambda x: f"((exp({x}) + exp(-({x}))) * 0.5)"  # noqa: E731
+    xi = "xip"
+    eta = "etap"
+    for j, a in enumerate(ALPHA_KR, start=1):
+        xi += f" + {D(a)} * sin(2.0 * {j} * xip) * {cosh(f'2.0 * {j} * etap')}"
+        eta += f" + {D(a)} * cos(2.0 * {j} * xip) * {sinh(f'2.0 * {j} * etap')}"
+    return f"""
+u0 as (select {keep}, {lon_col} as lon_, {lat_col} as lat_, {zexpr} as zone
+       from {src}),
+u1 as (select *, radians(lon_ - (zone * 6.0 - 183.0)) as lam,
+               radians(lat_) as phi from u0),
+u2 as (select *, sin(phi) as s from u1),
+u3 as (select *, {sinh(f"{atanh('s')} - {D(C_KR)} * {atanh(f'{D(C_KR)} * s')}")} as t
+       from u2),
+u4 as (select *, atan2(t, cos(lam)) as xip,
+               {atanh("sin(lam) / sqrt(1.0 + t * t)")} as etap from u3),
+u5 as (select {keep}, zone, lat_,
+              {D(E0_UTM)} + {D(K0_UTM)} * {D(A_KR)} * ({eta}) as east,
+              {D(K0_UTM)} * {D(A_KR)} * ({xi})
+                + case when lat_ < 0.0 then {D(FN_SOUTH)} else 0.0 end as north
+       from u4)
+"""

@@ -520,6 +520,64 @@ def balance_removal_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+ISOLATE_CAT_IDS = (0, 1)  # gated-query default: the two densest cats
+
+
+def isolate_cat(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    cat_ids: tuple = ISOLATE_CAT_IDS,
+) -> ray.data.Dataset:
+    """``isolate_cat`` balance mode (``scripts/coco_balance.py:199-246``):
+    keep only annotations of ``cat_ids``, then keep the images those
+    annotations reference.  Mirrors the reference BYTE-FOR-BYTE
+    including its quirk: the image-survival scan iterates the
+    PRE-FILTER annotation list (``coco_balance.py:233-236`` loops the
+    ``annotations`` variable bound before the filter), so an image
+    referenced only by non-isolated categories still survives, with
+    zero isolated annotations.  Output: (image_id, n_isolated) for
+    every image with >= 1 original annotation.
+
+    Scale shape: one narrow aggregate — per-batch partial counts of
+    (any, isolated) per image, then a small groupby fold; no
+    driver-side annotation list, no per-image Python."""
+    from ray.data.aggregate import Sum
+
+    anns = coco_annotations(sf_dir, cfg).select_columns(["image_id", "category_id"])
+    ids = np.asarray(cat_ids, np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        img = t["image_id"].to_numpy(zero_copy_only=False)
+        cat = t["category_id"].to_numpy(zero_copy_only=False)
+        iso = np.isin(cat, ids)
+        u, inv = np.unique(img, return_inverse=True)
+        return pa.table(
+            {
+                "image_id": pa.array(u),
+                "n_isolated": pa.array(np.bincount(inv, iso).astype(np.int64)),
+            }
+        )
+
+    return (
+        anns.map_batches(partial, batch_format="pyarrow")
+        .groupby("image_id")
+        .aggregate(Sum("n_isolated", alias_name="n_isolated"))
+        .sort("image_id")
+    )
+
+
+def isolate_cat_sql(
+    cfg: EngineConfig = DEFAULT_CFG, cat_ids: tuple = ISOLATE_CAT_IDS
+) -> str:
+    ids = ", ".join(str(i) for i in cat_ids)
+    return (
+        f"with ann as ({coco_annotations_sql(cfg)}) "
+        "select image_id, "
+        f"cast(count(*) filter (category_id in ({ids})) as bigint) as n_isolated "
+        "from ann group by image_id order by image_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # A6 small/singleton-class drop + SO3 exact-quota stratified split
 # --------------------------------------------------------------------------

@@ -966,6 +966,135 @@ def reproject_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data
     return ds.map_batches(proj, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
+def utm_reproject(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """M3 completion: ellipsoidal UTM projection (WGS84 Krüger series,
+    the reference's ``estimate_utm_crs`` path, ``coordinates.py:
+    194-198``) — geocoded points to (zone, easting, northing), fixed-
+    point mm keys for exact oracle parity.  Per-point zone (each point
+    in its own 6-degree zone, the ``estimate_utm_crs``-per-row
+    generalization)."""
+    from ..geo.project import to_utm
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(["page_id", "lon", "lat"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        z, e, n = to_utm(t["lon"].to_numpy(), t["lat"].to_numpy())
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "zone": pa.array(z),
+                "utm_e_mm": pa.array(np.floor(e * 1e3 + 0.5).astype(np.int64)),
+                "utm_n_mm": pa.array(np.floor(n * 1e3 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def utm_footprint_area(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    """M17 metric semantics: footprint area in SQUARE METERS via UTM —
+    the reference filters ``geometry.area > filter`` AFTER projecting
+    to the estimated UTM zone (``coordinates.py:194-198``); degree-
+    space area is latitude-distorted.  All 4 corners project in the
+    CENTROID's zone (one zone per footprint, as the reference uses one
+    CRS per layer), then shoelace.  Corners snap to INTEGER mm before
+    the shoelace and the shoelace runs in int64 relative to corner 0
+    (translation-invariant), so the value is bit-exact vs the SQL
+    oracle — a float shoelace at 1e13-scale products would amplify
+    libm ulps past any fixed-point snap.  Output: (page_id, zone,
+    area2_mm2 = TWICE the area in mm^2, the exact integer)."""
+    from ..geo.project import to_utm, utm_zone
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy"]
+    )
+
+    def area(t: pa.Table) -> pa.Table:
+        a = t["fp_minx"].to_numpy()
+        b = t["fp_miny"].to_numpy()
+        c = t["fp_maxx"].to_numpy()
+        d = t["fp_maxy"].to_numpy()
+        zone = utm_zone((a + c) * 0.5)
+        # corner order (minx,miny) (maxx,miny) (maxx,maxy) (minx,maxy)
+        xs, ys = [], []
+        for lon_c, lat_c in ((a, b), (c, b), (c, d), (a, d)):
+            _, e_, n_ = to_utm(lon_c, lat_c, zone)
+            xs.append(np.floor(e_ * 1e3 + 0.5).astype(np.int64))
+            ys.append(np.floor(n_ * 1e3 + 0.5).astype(np.int64))
+        s = np.zeros(len(a), dtype=np.int64)
+        for i in range(4):
+            j = (i + 1) % 4
+            s += (xs[i] - xs[0]) * (ys[j] - ys[0]) - (xs[j] - xs[0]) * (
+                ys[i] - ys[0]
+            )
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "zone": pa.array(zone),
+                "area2_mm2": pa.array(np.abs(s)),
+            }
+        )
+
+    return ds.map_batches(area, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+MIN_CLIP_AREA_M2 = 100_000  # gated-query threshold (bites at sf0.01)
+
+
+def tile_clip_join_metric(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    min_area_m2: int = MIN_CLIP_AREA_M2,
+) -> ray.data.Dataset:
+    """M17 with the reference's FULL semantics: clip join, then drop
+    clipped pieces whose UTM-PROJECTED area <= the filter threshold
+    (``coordinates.py:194-198`` projects to ``estimate_utm_crs`` and
+    filters ``geometry.area > filter``; the base join's degree-space
+    positive-area test approximates this only near the equator).
+    Same integer mm-shoelace as :func:`utm_footprint_area` on the
+    CLIPPED rect corners in the clip centroid's zone, so the compare
+    is exact integer: keep area2_mm2 > 2e6 * min_area_m2.  Output:
+    (page_id, tile_id, zone, area2_mm2)."""
+    from ..geo.project import to_utm, utm_zone
+
+    joined = tile_clip_join(sf_dir, cfg).select_columns(
+        ["page_id", "tile_id", "clip_minx", "clip_miny", "clip_maxx", "clip_maxy"]
+    )
+    thresh2_mm2 = np.int64(min_area_m2) * np.int64(2_000_000)
+
+    def metric(t: pa.Table) -> pa.Table:
+        a = t["clip_minx"].to_numpy()
+        b = t["clip_miny"].to_numpy()
+        c = t["clip_maxx"].to_numpy()
+        d = t["clip_maxy"].to_numpy()
+        zone = utm_zone((a + c) * 0.5)
+        xs, ys = [], []
+        for lon_c, lat_c in ((a, b), (c, b), (c, d), (a, d)):
+            _, e_, n_ = to_utm(lon_c, lat_c, zone)
+            xs.append(np.floor(e_ * 1e3 + 0.5).astype(np.int64))
+            ys.append(np.floor(n_ * 1e3 + 0.5).astype(np.int64))
+        s = np.zeros(len(a), dtype=np.int64)
+        for i in range(4):
+            j = (i + 1) % 4
+            s += (xs[i] - xs[0]) * (ys[j] - ys[0]) - (xs[j] - xs[0]) * (
+                ys[i] - ys[0]
+            )
+        area2 = np.abs(s)
+        keep = area2 > thresh2_mm2
+        return pa.table(
+            {
+                "page_id": t["page_id"].filter(pa.array(keep)),
+                "tile_id": t["tile_id"].filter(pa.array(keep)),
+                "zone": pa.array(zone[keep]),
+                "area2_mm2": pa.array(area2[keep]),
+            }
+        )
+
+    return joined.map_batches(metric, batch_format="pyarrow")
+
+
 def tile_point_join_shuffle(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CFG,

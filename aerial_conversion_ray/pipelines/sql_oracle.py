@@ -309,6 +309,104 @@ def reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def utm_reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..geo.project import utm_sql_ctes
+
+    return (
+        _pages_geo(cfg)
+        + ", "
+        + utm_sql_ctes("geo")
+        + " select page_id, zone, "
+        "cast(floor(east * 1e3 + 0.5) as bigint) as utm_e_mm, "
+        "cast(floor(north * 1e3 + 0.5) as bigint) as utm_n_mm from u5"
+    )
+
+
+def utm_footprint_area_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Integer shoelace over mm-snapped UTM corners (centroid zone) —
+    op-for-op the engine's utm_footprint_area kernel."""
+    from ..geo.project import utm_sql_ctes
+
+    zone = (
+        "least(greatest(cast(floor(((fp_minx + fp_maxx) * 0.5 + 180.0) / 6.0)"
+        " as bigint) + 1, 1), 60)"
+    )
+    return (
+        _pages_geo(cfg)
+        + f""",
+corners as (
+  select page_id, corner,
+    case corner when 0 then fp_minx when 1 then fp_maxx
+                when 2 then fp_maxx else fp_minx end as lon,
+    case corner when 0 then fp_miny when 1 then fp_miny
+                when 2 then fp_maxy else fp_maxy end as lat,
+    {zone} as czone
+  from geo cross join (select unnest(range(4)) as corner) c),
+"""
+        + utm_sql_ctes("corners", zone_expr="czone", keep="page_id, corner")
+        + """,
+pts as (select page_id, corner, zone,
+               cast(floor(east * 1e3 + 0.5) as bigint) as x_mm,
+               cast(floor(north * 1e3 + 0.5) as bigint) as y_mm from u5),
+rel as (select p.page_id, p.zone,
+               (p.x_mm - p0.x_mm) * (q.y_mm - p0.y_mm)
+             - (q.x_mm - p0.x_mm) * (p.y_mm - p0.y_mm) as cross_term
+        from pts p
+        join pts q on q.page_id = p.page_id and q.corner = (p.corner + 1) % 4
+        join pts p0 on p0.page_id = p.page_id and p0.corner = 0)
+select page_id, max(zone) as zone,
+       cast(abs(sum(cross_term)) as bigint) as area2_mm2
+from rel group by page_id
+"""
+    )
+
+
+def tile_clip_join_metric_sql(
+    cfg: EngineConfig = DEFAULT_CFG, min_area_m2: int = 100_000
+) -> str:
+    """Clip join + UTM metric area filter: same integer mm-shoelace
+    as the engine on the clipped rect corners."""
+    from ..geo.project import utm_sql_ctes
+
+    zone = (
+        "least(greatest(cast(floor(((clip_minx + clip_maxx) * 0.5 + 180.0)"
+        " / 6.0) as bigint) + 1, 1), 60)"
+    )
+    return (
+        f"with clipjoin as ({tile_clip_join_sql(cfg)}),"
+        + f"""
+corners as (
+  select page_id, tile_id, corner,
+    case corner when 0 then clip_minx when 1 then clip_maxx
+                when 2 then clip_maxx else clip_minx end as lon,
+    case corner when 0 then clip_miny when 1 then clip_miny
+                when 2 then clip_maxy else clip_maxy end as lat,
+    {zone} as czone
+  from clipjoin cross join (select unnest(range(4)) as corner) c),
+"""
+        + utm_sql_ctes(
+            "corners", zone_expr="czone", keep="page_id, tile_id, corner"
+        )
+        + f""",
+pts as (select page_id, tile_id, corner, zone,
+               cast(floor(east * 1e3 + 0.5) as bigint) as x_mm,
+               cast(floor(north * 1e3 + 0.5) as bigint) as y_mm from u5),
+rel as (select p.page_id, p.tile_id, p.zone,
+               (p.x_mm - p0.x_mm) * (q.y_mm - p0.y_mm)
+             - (q.x_mm - p0.x_mm) * (p.y_mm - p0.y_mm) as cross_term
+        from pts p
+        join pts q on q.page_id = p.page_id and q.tile_id = p.tile_id
+                  and q.corner = (p.corner + 1) % 4
+        join pts p0 on p0.page_id = p.page_id and p0.tile_id = p.tile_id
+                   and p0.corner = 0)
+select page_id, tile_id, max(zone) as zone,
+       cast(abs(sum(cross_term)) as bigint) as area2_mm2
+from rel group by page_id, tile_id
+having cast(abs(sum(cross_term)) as bigint) > {min_area_m2} * cast(2000000 as bigint)
+"""
+    )
+
+
 def knn_sql(cfg: EngineConfig = DEFAULT_CFG, query_mod: int = 10) -> str:
     """Exact kNN oracle: cross join + haversine + row_number.
     Haversine written with the same formula as geo.haversine."""

@@ -139,6 +139,40 @@ def test_shapefile_codec_roundtrip(tmp_path):
     assert os.path.getsize(base + ".dbf") == 32 + 64 + 1 + 2 * 27 + 1
 
 
+def test_utm_projection_known_points():
+    """Krüger-series UTM vs published coordinates (CN Tower: zone 17,
+    630084 E / 4833438 N to the meter) + hemispheric symmetry
+    (northing(-lat) == 10^7 - northing(lat), same easting)."""
+    from aerial_conversion_ray.geo.project import to_utm
+
+    z, e, n = to_utm(np.array([-79.387139]), np.array([43.642567]))
+    assert z[0] == 17
+    assert abs(e[0] - 630084.3) < 1.0 and abs(n[0] - 4833438.6) < 1.0
+
+    z1, e1, n1 = to_utm(np.array([5.0]), np.array([40.0]))
+    z2, e2, n2 = to_utm(np.array([5.0]), np.array([-40.0]))
+    assert e1[0] == e2[0] and abs((1e7 - n1[0]) - n2[0]) < 1e-6
+
+
+def test_utm_scale_factor_on_central_meridian():
+    """On the central meridian the TM point scale is k0 = 0.9996:
+    a small northward step of s meters geodesic must map to ~0.9996*s
+    in northing (ellipsoidal meridian arc, checked to 1e-4)."""
+    from aerial_conversion_ray.geo.project import to_utm
+
+    lat = 45.0
+    # WGS84 meridian radius of curvature at 45 deg
+    a_, f_ = 6378137.0, 1 / 298.257223563
+    e2 = f_ * (2 - f_)
+    m_rad = a_ * (1 - e2) / (1 - e2 * np.sin(np.radians(lat)) ** 2) ** 1.5
+    dlat = 0.01
+    s = m_rad * np.radians(dlat)
+    _, _, n0 = to_utm(np.array([3.0]), np.array([lat]), np.array([31]))
+    _, _, n1 = to_utm(np.array([3.0]), np.array([lat + dlat]), np.array([31]))
+    ratio = (n1[0] - n0[0]) / s
+    assert abs(ratio - 0.9996) < 1e-4, ratio
+
+
 def test_bm25_overflow_guard_raises():
     """The int64 numerator guard must fail loudly, not wrap."""
     from aerial_conversion_ray.pipelines.text import bm25_query  # noqa: F401
