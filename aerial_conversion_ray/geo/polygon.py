@@ -371,6 +371,104 @@ def orthogonalise_rings(
     return [orthogonalise(r, max_angle_change_deg) for r in rings]
 
 
+def has_self_intersection(coords: np.ndarray) -> bool:
+    """Vectorized proper-crossing test between all non-adjacent edge
+    pairs of a ring (open or closed input).  The cheap gate before
+    :func:`repair_ring` — simple polygons pay ~5 numpy ops here and
+    never enter the repair path."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) >= 2 and (c[0] == c[-1]).all():
+        c = c[:-1]
+    n = len(c)
+    if n < 4:
+        return False
+    nxt = np.roll(np.arange(n), -1)
+    i, j = np.triu_indices(n, k=2)
+    adj = (nxt[j] == i) | (nxt[i] == j)
+    i, j = i[~adj], j[~adj]
+    p, r = c[i], c[nxt[i]] - c[i]
+    q, s = c[j], c[nxt[j]] - c[j]
+    denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / denom
+        u = (qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]) / denom
+    eps = 1e-12
+    hit = (denom != 0) & (t > eps) & (t < 1 - eps) & (u > eps) & (u < 1 - eps)
+    return bool(hit.any())
+
+
+def repair_ring(coords: np.ndarray) -> list[np.ndarray]:
+    """Untwist a self-intersecting ring into SIMPLE loops — the
+    reference repairs invalid rings with ``buffer(0)`` /
+    ``make_valid`` before orthogonalising
+    (``orthogonalise/orthogonalise.py:219-231``); this is the
+    library-free equivalent: proper crossings between non-adjacent
+    edges become explicit path vertices, then the closed path is
+    recursively split at any crossing visited twice within one loop
+    (a bowtie yields its two triangles, like ``make_valid``'s
+    MultiPolygon).  Splitting at a crossing never creates new
+    geometry — both sub-loops close exactly at the shared crossing
+    point, so every edge of every output loop is a sub-segment of an
+    input edge and all remaining crossings are explicit vertices;
+    hence every output loop is simple, including fully interleaved
+    cases like a pentagram.  Simple inputs return ``[ring]``
+    unchanged.  Loops with zero area are dropped."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) >= 2 and (c[0] == c[-1]).all():
+        c = c[:-1]
+    n = len(c)
+    if n < 4 or not has_self_intersection(c):
+        return [c]
+    eps = 1e-12
+    per_edge: dict[int, list] = {}
+    pts: dict[tuple, np.ndarray] = {}
+    for i in range(n):
+        ri = c[(i + 1) % n] - c[i]
+        for j in range(i + 2, n):
+            if (j + 1) % n == i:
+                continue  # wrap-adjacent
+            sj = c[(j + 1) % n] - c[j]
+            denom = ri[0] * sj[1] - ri[1] * sj[0]
+            if denom == 0.0:
+                continue
+            qp = c[j] - c[i]
+            t = (qp[0] * sj[1] - qp[1] * sj[0]) / denom
+            u = (qp[0] * ri[1] - qp[1] * ri[0]) / denom
+            if eps < t < 1 - eps and eps < u < 1 - eps:
+                key = (i, j)
+                pts[key] = c[i] + t * ri  # ONE point object for both edges
+                per_edge.setdefault(i, []).append((t, key))
+                per_edge.setdefault(j, []).append((u, key))
+    path: list[tuple] = []
+    for i in range(n):
+        path.append((("v", i), c[i]))
+        for t, key in sorted(per_edge.get(i, []), key=lambda x: x[0]):
+            path.append((("x", key), pts[key]))
+    loops: list[np.ndarray] = []
+    work: list[list] = [path]
+    while work:
+        p = work.pop()
+        first: dict[tuple, int] = {}
+        split = None
+        for pos, (tag, _) in enumerate(p):
+            if tag[0] != "x":
+                continue
+            if tag in first:
+                split = (first[tag], pos)
+                break
+            first[tag] = pos
+        if split is None:
+            loops.append(np.asarray([pt for _, pt in p]))
+            continue
+        i0, j0 = split
+        # both keep ONE copy of the crossing point, so both close there
+        work.append(p[i0:j0])
+        work.append(p[: i0 + 1] + p[j0 + 1 :])
+    out = [l for l in loops if len(l) >= 3 and shoelace_area(l) > 0.0]
+    return out if out else [c]
+
+
 def rect_union_area(rects: np.ndarray) -> float:
     """Exact union area of axis-aligned rectangles [(minx, miny, maxx,
     maxy), ...] via x-coordinate compression + per-strip y-interval

@@ -30,9 +30,11 @@ import ray.data
 from ..config import EngineConfig
 from ..geo.polygon import (
     douglas_peucker,
+    has_self_intersection,
     min_rotated_rect,
     orthogonalise,
     rect_union_area,
+    repair_ring,
     shoelace_area,
 )
 from . import spatial
@@ -576,6 +578,15 @@ class Regularise:
             poly = _synth_polygon(int(pids[i]), lon[i], lat[i])
             n_in.append(len(poly))
             a_in.append(shoelace_area(poly))
+            # validity repair before regularisation — the reference
+            # buffer(0)/make_valid step (orthogonalise.py:219-231):
+            # untwist self-intersections and keep the largest simple
+            # loop, so degenerate footprints regularise instead of
+            # silently bailing.  Simple polygons pass through the
+            # vectorized crossing gate untouched.
+            if has_self_intersection(poly):
+                loops = repair_ring(poly)
+                poly = max(loops, key=shoelace_area)
             if self.mrr:
                 out = min_rotated_rect(poly)
             else:

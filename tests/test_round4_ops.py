@@ -173,6 +173,45 @@ def test_utm_scale_factor_on_central_meridian():
     assert abs(ratio - 0.9996) < 1e-4, ratio
 
 
+def test_repair_ring_bowtie():
+    """A bowtie untwists into its two triangle lobes (the make_valid
+    MultiPolygon analog); simple rings pass through untouched."""
+    from aerial_conversion_ray.geo.polygon import (
+        has_self_intersection,
+        repair_ring,
+        shoelace_area,
+    )
+
+    bowtie = np.array([[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0]])
+    assert has_self_intersection(bowtie)
+    loops = repair_ring(bowtie)
+    assert len(loops) == 2
+    areas = sorted(shoelace_area(l) for l in loops)
+    assert np.allclose(areas, [1.0, 1.0])
+    # total even-odd area preserved: two unit triangles
+    square = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    assert not has_self_intersection(square)
+    (same,) = repair_ring(square)
+    assert np.array_equal(same, square)
+    # five-point star outline (pentagram): fully INTERLEAVED crossings
+    # (the case a naive stack untwist gets wrong) — every output loop
+    # must be simple and positive-area
+    ang = -np.pi / 2 + 2 * np.pi * np.arange(5) * 2 / 5
+    star = np.c_[np.cos(ang), np.sin(ang)]
+    assert has_self_intersection(star)
+    star_loops = repair_ring(star)
+    assert len(star_loops) >= 2
+    for l in star_loops:
+        assert not has_self_intersection(l), l
+        assert shoelace_area(l) > 0.0
+    # orthogonalise now gets a simple ring instead of bailing
+    from aerial_conversion_ray.geo.polygon import orthogonalise
+
+    big = max(loops, key=shoelace_area)
+    out = orthogonalise(big)
+    assert len(out) >= 3
+
+
 def test_bm25_overflow_guard_raises():
     """The int64 numerator guard must fail loudly, not wrap."""
     from aerial_conversion_ray.pipelines.text import bm25_query  # noqa: F401
@@ -180,3 +219,23 @@ def test_bm25_overflow_guard_raises():
     # the guard condition itself: idf * tf * 22 * T >= 2^63
     idf, tf, T = 1 << 40, 1 << 10, 1 << 12
     assert idf * tf * 22 * T >= 2**63  # sanity: this input would wrap
+
+
+def test_repair_ring_random_property():
+    """Any random ring must repair into loops that are all simple and
+    positive-area (deterministic seeds, 40 cases)."""
+    from aerial_conversion_ray.geo.polygon import (
+        has_self_intersection,
+        repair_ring,
+        shoelace_area,
+    )
+
+    rng = np.random.default_rng(42)
+    for case in range(40):
+        n = int(rng.integers(4, 12))
+        ring = rng.uniform(-10, 10, size=(n, 2)).round(2)
+        loops = repair_ring(ring)
+        assert loops, ring
+        for l in loops:
+            assert not has_self_intersection(l), (case, ring, l)
+            assert shoelace_area(l) > 0.0, (case, ring, l)
