@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": lambda sf: multimodal.frame_sample(sf, CFG),
         # S8: PNG + bounds -> real georeferenced GeoTIFF -> read-back
         "png_to_geotiff": lambda sf: multimodal.png_to_geotiff(sf, CFG),
+        "jpeg_decode": lambda sf: multimodal.jpeg_decode(sf, CFG),
+        "jpeg_to_geotiff": lambda sf: multimodal.jpeg_to_geotiff(sf, CFG),
         # real WAV decode (first-party RIFF/PCM16 codec)
         "audio_decode": lambda sf: multimodal.audio_decode(sf, CFG),
         # real frame sampling (first-party container + PNG frames)
@@ -361,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": multimodal.media_meta_sql(CFG),
         "media_decode": multimodal.media_decode_sql(CFG),
         "png_to_geotiff": multimodal.png_to_geotiff_sql(CFG),
+        "jpeg_decode": multimodal.jpeg_decode_sql(CFG),
+        "jpeg_to_geotiff": multimodal.jpeg_to_geotiff_sql(CFG),
         "audio_decode": multimodal.audio_decode_sql(CFG),
         "video_frames": multimodal.video_frames_sql(CFG),
         # media_byte_stats / frame_sample / media_embed: deterministic

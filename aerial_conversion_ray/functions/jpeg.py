@@ -1,0 +1,630 @@
+"""REAL baseline JPEG codec (pure numpy + stdlib — no external libs).
+
+The reference's ``scripts/jpeg2tiff.py:15-105`` consumes real JPEG
+tiles; round 3 substituted the PNG codec for S8.  This module closes
+that gap with a genuine JFIF baseline-sequential codec:
+
+- **encoder**: 8-bit gray / RGB, JFIF YCbCr, optional 4:2:0 chroma
+  subsampling, IJG quality-scaled Annex-K quantization tables,
+  Annex-K Huffman tables, byte-stuffed entropy stream, standard
+  marker layout (SOI APP0 DQT SOF0 DHT SOS ... EOI).
+- **decoder**: full baseline parse — DQT (8/16-bit, multi-table
+  segments), SOF0 (rejects progressive SOF2 loudly), DHT (canonical
+  code reconstruction from BITS/HUFFVAL, so ANY valid table works,
+  not just ours), DRI + RSTn restart handling, interleaved MCU scan
+  for arbitrary sampling factors h,v in {1,2}, EXTEND sign recovery,
+  dequantize + inverse zigzag + IDCT, chroma upsample, YCbCr->RGB.
+
+Vectorization: the DCT/IDCT run over ALL blocks of a component in one
+``einsum`` against the orthonormal DCT-II matrix (exact inverse pair),
+dequantize/zigzag are single fancy-index ops, and plane assembly /
+subsampling / color transforms are whole-image numpy.  Only the
+entropy coding walks symbols in Python — Huffman decoding is
+inherently sequential per stream (the same boundary PIL/libjpeg hide
+in C); a JPEG blob is the per-row unit inside an actor-pool
+``map_batches`` stage, so parallelism comes from Ray, exactly like
+the PNG codec in ``functions/png.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constant tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+# zigzag scan: ZIGZAG[k] = flat index (row*8+col) of the k-th coefficient
+_zz = []
+for s in range(15):
+    rng = range(max(0, s - 7), min(s, 7) + 1)
+    for i in (rng if s % 2 else reversed(rng)):
+        _zz.append(i * 8 + (s - i))
+ZIGZAG = np.array(_zz, dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Huffman spec tables: (BITS[1..16], HUFFVAL).  Encoder writes these
+# into DHT; the decoder rebuilds codes from whatever DHT it reads.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal DCT-II matrix: exact forward/inverse pair (D @ x @ D.T,
+# D.T @ X @ D) — reused for every block of every image
+_k = np.arange(8.0)
+DCT_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.sqrt(0.25)
+DCT_M[0] *= np.sqrt(0.5)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex-K tables (1..100)."""
+    q = int(np.clip(quality, 1, 100))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical construction
+    (T.81 C.2: counts per length, codes assigned in HUFFVAL order)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the sequential decoder walk."""
+    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+
+
+def _csize(v: np.ndarray) -> np.ndarray:
+    """bit category of a coefficient (0 for 0; else bit_length(|v|))."""
+    a = np.abs(v)
+    out = np.zeros(a.shape, dtype=np.int64)
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def restart(self, m: int) -> None:
+        """byte-align (1-bit padding) and emit RSTm — markers bypass
+        byte stuffing by definition."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _dct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted plane -> (n_blocks, 8, 8) DCT coefficients,
+    blocks in raster order.  One einsum for the whole plane."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return np.einsum("ij,njk,lk->nil", DCT_M, b, DCT_M, optimize=True)
+
+
+def _idct_blocks(coef: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """(n, 8, 8) coefficients -> (bh*8, bw*8) plane (inverse einsum)."""
+    px = np.einsum("ji,njk,kl->nil", DCT_M, coef, DCT_M, optimize=True)
+    return px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _pad_to(a: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """edge-replicate pad to multiples of (mh, mw)."""
+    h, w = a.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _encode_component_blocks(
+    coef: np.ndarray, qtab: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """quantize + zigzag all blocks: (n, 64) int zigzag coefficients."""
+    q = np.round(coef / qtab[None, :, :]).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _put_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    """entropy-encode one zigzagged block; returns the new DC pred."""
+    dc = int(zz[0])
+    diff = dc - pred
+    s = int(_csize(np.array([diff]))[0])
+    code, length = dc_codes[s]
+    w.put(code, length)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.put(code, length)
+            run -= 16
+        s = int(_csize(np.array([v]))[0])
+        code, length = ac_codes[(run << 4) | s]
+        w.put(code, length)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        w.put(code, length)
+    return dc
+
+
+def _dht_segment(tc_th: int, bits, vals) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF JPEG from (H, W) gray or (H, W, 3) RGB uint8.
+
+    ``subsample``: ``"444"`` (no chroma subsampling) or ``"420"``
+    (2x2 box-filtered chroma, the common camera default).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs (0 = none) — the stream-resync feature real aerial tiles use
+    so a bit error loses one strip, not the raster."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444 or 420, got {subsample}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = quality_tables(quality)
+    two = subsample == "420" and not gray
+
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        ycc = rgb_to_ycbcr(a)
+        if two:
+            y = _pad_to(ycc[..., 0], 16, 16)
+            cbf = _pad_to(ycc[..., 1], 16, 16)
+            crf = _pad_to(ycc[..., 2], 16, 16)
+            # 2x2 box average subsample
+            cb = cbf.reshape(y.shape[0] // 2, 2, y.shape[1] // 2, 2).mean((1, 3))
+            cr = crf.reshape(y.shape[0] // 2, 2, y.shape[1] // 2, 2).mean((1, 3))
+            planes = [y, cb, cr]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [_pad_to(ycc[..., i], 8, 8) for i in range(3)]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+
+    # per-component quantized zigzag blocks (vectorized DCT)
+    zzs = []
+    bdims = []
+    for p, qi in zip(planes, qsel):
+        p8 = _pad_to(p, 8, 8)
+        coef = _dct_blocks(p8 - 128.0)
+        zzs.append(_encode_component_blocks(coef, ql if qi == 0 else qc))
+        bdims.append((p8.shape[0] // 8, p8.shape[1] // 8))
+
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    # interleaved MCU scan
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_rows = bdims[0][0] // samp[0][1]
+    mcu_cols = bdims[0][1] // samp[0][0]
+    n_rst = 0
+    for mcu_i in range(mcu_rows * mcu_cols):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            wtr.restart(n_rst)
+            n_rst += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu_i, mcu_cols)
+        for ci, (zz, (sh, sv), (dcc, acc)) in enumerate(zip(zzs, samp, huff)):
+            bw_ci = bdims[ci][1]
+            for by in range(sv):
+                for bx in range(sh):
+                    bidx = (my * sv + by) * bw_ci + (mx * sh + bx)
+                    preds[ci] = _put_block(wtr, zz[bidx], preds[ci], dcc, acc)
+    entropy = wtr.flush()
+
+    # ---- markers ----
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += (
+        b"\xff\xdb"
+        + struct.pack(">H", 67)
+        + b"\x00"
+        + bytes(ql.flatten()[ZIGZAG].astype(np.uint8))
+    )
+    if not gray:
+        out += (
+            b"\xff\xdb"
+            + struct.pack(">H", 67)
+            + b"\x01"
+            + bytes(qc.flatten()[ZIGZAG].astype(np.uint8))
+        )
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over de-stuffed entropy bytes.  RSTn markers
+    are handled by the caller (segments are split before reading)."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        bits = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W) uint8 gray or (H, W, 3) RGB.
+
+    Handles multi-table DQT/DHT segments, 8- and 16-bit quant tables,
+    restart intervals, and sampling factors up to 2x2 (4:4:4, 4:2:2,
+    4:2:0, 4:4:0).  Progressive (SOF2) and arithmetic coding raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    restart = 0
+    frame = None
+    scan = None
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if m == 0xDB:  # DQT (may hold several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                o += 1
+                if pq:
+                    t = np.frombuffer(body[o : o + 128], dtype=">u2").astype(np.int64)
+                    o += 128
+                else:
+                    t = np.frombuffer(body[o : o + 64], dtype=np.uint8).astype(np.int64)
+                    o += 64
+                qtabs[tq] = t[UNZIGZAG].reshape(8, 8)
+        elif m == 0xC4:  # DHT (may hold several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                htabs[(tc, th)] = _decode_table(bits, vals)
+                o += 17 + n
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"only 8-bit baseline supported, got {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF marker 0xFF{m:02X} unsupported")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            entropy_start = pos
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    # split entropy data into restart segments, de-stuffing as we go
+    raw = data[entropy_start:]
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = raw[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+    segments.append(bytes(cur))
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_cols = -(-frame["w"] // (8 * hmax))
+    mcu_rows = -(-frame["h"] // (8 * vmax))
+    scan_by_id = {s["cs"]: s for s in scan}
+    for c in comps:
+        c["bw"] = mcu_cols * c["h"]
+        c["bh"] = mcu_rows * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        s = scan_by_id[c["id"]]
+        c["dc"] = htabs[(0, s["td"])]
+        c["ac"] = htabs[(1, s["ta"])]
+
+    n_mcu = mcu_cols * mcu_rows
+    mcu = 0
+    for seg in segments:
+        r = _BitReader(seg)
+        preds = {c["id"]: 0 for c in comps}
+        stop = min(n_mcu, mcu + restart) if restart else n_mcu
+        while mcu < stop:
+            my, mx = divmod(mcu, mcu_cols)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_symbol(r, c["dc"])
+                        diff = _extend(r.receive(s), s)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(r, c["ac"])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(r.receive(size), size)
+                            k += 1
+                        bidx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        c["zz"][bidx] = zz
+            mcu += 1
+        if mcu >= n_mcu:
+            break
+    if mcu != n_mcu:
+        raise ValueError(f"truncated scan: {mcu}/{n_mcu} MCUs")
+
+    # vectorized dequantize + unzigzag + IDCT per component
+    planes = []
+    for c in comps:
+        q = qtabs[c["tq"]]
+        coef = (c["zz"][:, UNZIGZAG] * q.flatten()[None, :]).reshape(-1, 8, 8)
+        plane = _idct_blocks(coef.astype(np.float64), c["bh"], c["bw"]) + 128.0
+        # upsample to full-frame resolution (sample replication)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[: frame["h"], : frame["w"]])
+    if len(planes) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return ycbcr_to_rgb(ycc)

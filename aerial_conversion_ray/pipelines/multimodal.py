@@ -680,3 +680,224 @@ def video_frames_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "cast(max(v) as bigint) as max_byte "
         "from px group by page_id, frame_idx, w, h"
     )
+
+
+# --------------------------------------------------------------------------
+# real JPEG decode (first-party baseline codec, functions/jpeg.py) — the
+# reference's actual input format (scripts/jpeg2tiff.py:15-105)
+# --------------------------------------------------------------------------
+
+JPEG_Q = 90
+JPEG_RST = 2          # exercise DRI/RSTn on every engine-produced blob
+# provable tolerance: the synth image family is periodic in page_id
+# with period lcm(8, 5, 251) = 10040; an exhaustive sweep over ALL
+# residues measured max |decoded - original| = 15 at quality 90, so 24
+# holds for every page_id at any scale (not a sampled guess)
+JPEG_TOL = 24
+
+
+class JpegImageSynth:
+    """page -> REAL JPEG blob: the same deterministic grayscale image
+    family as ``PngImageSynth`` (``(page_id*3 + i*7 + j*13) % 251``),
+    baseline-encoded at quality {JPEG_Q} with a restart interval —
+    genuine SOI/DQT/SOF0/DHT/DRI/SOS streams on the binary column."""
+
+    def __init__(self):
+        from ..functions.jpeg import encode_jpeg
+
+        self.enc = encode_jpeg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ws, hs = _png_dims(pid)
+        blobs = []
+        for p, w, h in zip(pid, ws, hs):
+            i = np.arange(int(h), dtype=np.int64)[:, None]
+            j = np.arange(int(w), dtype=np.int64)[None, :]
+            img = ((int(p) * 3 + i * 7 + j * 13) % PNG_MOD).astype(np.uint8)
+            blobs.append(self.enc(img, quality=JPEG_Q, restart_interval=JPEG_RST))
+        return pa.table(
+            {"page_id": t["page_id"], "jpeg": pa.array(blobs, pa.binary())}
+        )
+
+
+class JpegDecode:
+    """REAL decoder actor: full baseline parse (DQT/SOF0/DHT/DRI/RST,
+    Huffman entropy decode, vectorized dequant + IDCT) — JPEG is
+    lossy, so instead of raw pixel sums the stage emits dims plus an
+    ``ok`` flag asserting the decode landed within the PROVEN error
+    bound of the original image (re-synthesized from page_id inside
+    the actor).  ``ok`` is closed-form true for every page, which is
+    what makes the lossy codec SQL-oracle-checkable."""
+
+    def __init__(self):
+        from ..functions import jpeg
+
+        self.decode = jpeg.decode_jpeg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pid = t["page_id"]
+        col = t["jpeg"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ws, hs, oks = [], [], []
+        for p, buf in zip(
+            pid.to_numpy(zero_copy_only=False).astype(np.int64), col
+        ):
+            img = self.decode(buf.as_py())
+            h, w = img.shape
+            i = np.arange(h, dtype=np.int64)[:, None]
+            j = np.arange(w, dtype=np.int64)[None, :]
+            orig = ((int(p) * 3 + i * 7 + j * 13) % PNG_MOD).astype(np.int64)
+            err = int(np.abs(img.astype(np.int64) - orig).max())
+            ws.append(w)
+            hs.append(h)
+            oks.append(err <= JPEG_TOL)
+        return pa.table(
+            {
+                "page_id": pid,
+                "img_w": pa.array(ws, pa.int64()),
+                "img_h": pa.array(hs, pa.int64()),
+                "ok": pa.array(oks, pa.bool_()),
+            }
+        )
+
+
+def jpeg_decode(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Real JPEG decode over a binary media column: genuine baseline
+    JFIF bytes per page (first-party encoder), decoded back with the
+    first-party decoder, dims + proven-bound ``ok`` out (the lossy
+    analog of ``media_decode``; reference input format per
+    ``scripts/jpeg2tiff.py``)."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(
+        JpegImageSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH
+    )
+    return ds.map_batches(
+        JpegDecode,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def jpeg_decode_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}) "
+        "select page_id, 16 + page_id % 8 as img_w, "
+        "12 + page_id % 5 as img_h, true as ok from pages"
+    )
+
+
+def jpeg_to_geotiff(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """The reference's JPEG->GeoTIFF export (``scripts/jpeg2tiff.py``:
+    JPEG bytes + corner bounds -> north-up affine -> georeferenced
+    raster on disk), now with the REAL input format end-to-end: encode
+    a genuine baseline JPEG per sampled page, decode it with the
+    first-party codec, write the DECODED pixels as a GeoTIFF
+    (atomic tmp+rename), read the file back, and emit the
+    round-tripped georeferencing in fixed point plus two flags:
+    ``lossless_tiff`` (TIFF readback == decoded array, bit-exact) and
+    ``ok`` (decoded within the proven JPEG error bound).  Same
+    per-row-is-a-file shape and 1/{GEOTIFF_MOD} page sampling as
+    ``png_to_geotiff``."""
+    from ..config import RasterSpec
+    from ..sources.geotiff import read_info, read_window, write_geotiff
+    from .spatial import geocode_pipeline
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "fp_minx", "fp_maxx", "fp_maxy"]
+    )
+
+    class Export:
+        def __init__(self):
+            import os
+
+            from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+            self.enc, self.dec = encode_jpeg, decode_jpeg
+            os.makedirs(GEOTIFF_DIR, exist_ok=True)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import os
+
+            pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = pid % GEOTIFF_MOD == 0
+            cols = (
+                "page_id", "img_w", "img_h", "ok", "lossless_tiff",
+                "x0_e9", "ymax_e9", "cell_e9",
+            )
+            if not keep.any():
+                return pa.table(
+                    {
+                        k: pa.array(
+                            [], pa.bool_() if k in ("ok", "lossless_tiff")
+                            else pa.int64()
+                        )
+                        for k in cols
+                    }
+                )
+            sub = t.filter(pa.array(keep))
+            pids = sub["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            x0s = sub["fp_minx"].to_numpy(zero_copy_only=False)
+            x1s = sub["fp_maxx"].to_numpy(zero_copy_only=False)
+            y1s = sub["fp_maxy"].to_numpy(zero_copy_only=False)
+            ws, hs = _png_dims(pids)
+            out = {k: [] for k in cols}
+            for p, w, h, x0, x1, y1 in zip(pids, ws, hs, x0s, x1s, y1s):
+                i = np.arange(int(h), dtype=np.int64)[:, None]
+                j = np.arange(int(w), dtype=np.int64)[None, :]
+                img = ((int(p) * 3 + i * 7 + j * 13) % PNG_MOD).astype(np.uint8)
+                dec = self.dec(
+                    self.enc(img, quality=JPEG_Q, restart_interval=JPEG_RST)
+                )
+                cell = (float(x1) - float(x0)) / int(w)
+                spec = RasterSpec(
+                    x0=float(x0), y_max=float(y1), cell=cell,
+                    ncols=int(w), nrows=int(h),
+                )
+                path = f"{GEOTIFF_DIR}/jpage_{int(p)}.tif"
+                tmp = f"{path}.{os.getpid()}"
+                write_geotiff(tmp, dec, spec, rows_per_strip=8)
+                os.replace(tmp, path)
+                info = read_info(path)
+                back = read_window(path, info, 0, 0, int(w), int(h))
+                err = int(np.abs(dec.astype(np.int64) - img.astype(np.int64)).max())
+                out["page_id"].append(int(p))
+                out["img_w"].append(info.width)
+                out["img_h"].append(info.height)
+                out["ok"].append(err <= JPEG_TOL)
+                out["lossless_tiff"].append(bool(np.array_equal(back, dec)))
+                out["x0_e9"].append(int(np.floor(info.raster.x0 * 1e9 + 0.5)))
+                out["ymax_e9"].append(int(np.floor(info.raster.y_max * 1e9 + 0.5)))
+                out["cell_e9"].append(int(np.floor(info.raster.cell * 1e9 + 0.5)))
+            return pa.table(
+                {
+                    k: pa.array(
+                        v, pa.bool_() if k in ("ok", "lossless_tiff") else pa.int64()
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return ds.map_batches(
+        Export, batch_format="pyarrow", batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def jpeg_to_geotiff_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from .sql_oracle import _pages_geo
+
+    return (
+        f"{_pages_geo(cfg)} "
+        "select page_id, 16 + page_id % 8 as img_w, 12 + page_id % 5 as img_h, "
+        "true as ok, true as lossless_tiff, "
+        "cast(floor(fp_minx * 1000000000.0 + 0.5) as bigint) as x0_e9, "
+        "cast(floor(fp_maxy * 1000000000.0 + 0.5) as bigint) as ymax_e9, "
+        "cast(floor(((fp_maxx - fp_minx) / (16 + page_id % 8)) * 1000000000.0 + 0.5)"
+        " as bigint) as cell_e9 "
+        f"from geo where page_id % {GEOTIFF_MOD} = 0"
+    )
