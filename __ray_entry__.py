@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.anti_join_customers_without_orders,
         "dense_ids": relational.dense_category_ids,
         "concat_remap": relational.concat_remap,
+        "roboflow_concat": relational.roboflow_concat,
         "events_window": relational.events_window,
         # rows-between moving window (completes the window family)
         "events_moving_avg": relational.events_moving_avg,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": relational.ANTI_JOIN_SQL,
         "dense_ids": relational.dense_category_ids_sql(),
         "concat_remap": relational.CONCAT_REMAP_SQL,
+        "roboflow_concat": relational.ROBOFLOW_CONCAT_SQL,
         "events_window": relational.EVENTS_WINDOW_SQL,
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_funnel": relational.events_funnel_sql(),

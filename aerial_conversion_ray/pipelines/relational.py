@@ -480,6 +480,56 @@ from ranked r join cum c on r.source = c.source
 """
 
 
+def roboflow_concat(sf_dir: str) -> ray.data.Dataset:
+    """Roboflow-compatible concat rewrite
+    (``batch_geojson2coco.py:492-519``): the reference flattens the
+    concatenated dataset's nested per-shard image paths into one
+    directory by rewriting ``/tile_`` -> ``_tile_`` in every
+    ``file_name``.  Here: the A5 concat/remap output gets its nested
+    path (``tiles/<source>/tile_<new_id>.png``) and the flattened
+    Roboflow path, both built with vectorized Arrow string kernels —
+    no per-row Python, no driver materialization (the reference does a
+    whole-file ``str.replace`` on the JSON document; the engine keeps
+    it a streaming column rewrite)."""
+    import pyarrow.compute as pc
+
+    ds = concat_remap(sf_dir)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["new_id"], pa.string())
+        # last arg of binary_join_element_wise is the SEPARATOR
+        path = pc.binary_join_element_wise(
+            pa.scalar("tiles/"), t["source"], pa.scalar("/tile_"), ids,
+            pa.scalar(".png"), pa.scalar(""),
+        )
+        flat = pc.replace_substring(path, pattern="/tile_", replacement="_tile_")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "new_id": t["new_id"],
+                "file_name": path,
+                "rf_file_name": flat,
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+ROBOFLOW_CONCAT_SQL = f"""
+with base as ({CONCAT_REMAP_SQL.strip()}),
+named as (
+  select doc_id, source, new_id,
+         'tiles/' || source || '/tile_' || cast(new_id as varchar) || '.png'
+           as file_name
+  from base
+)
+select doc_id, source, new_id, file_name,
+       replace(file_name, '/tile_', '_tile_') as rf_file_name
+from named
+"""
+
+
 # --------------------------------------------------------------------------
 # events: tumbling window aggregate (streaming-shaped)
 # --------------------------------------------------------------------------
