@@ -235,6 +235,11 @@ def coco_annotations_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+# ~150 bytes/record -> ~150 MB of driver heap at the bound, a safe
+# ceiling for a single-file export on any node
+MAX_DRIVER_IMAGES = 1_000_000
+
+
 def to_coco_json(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, path: str | None = None) -> str:
     """Driver-side COCO JSON collector (S4, the reference's primary
     artifact: ``aerial_conversion/coco.py:32-57`` writer shape,
@@ -248,6 +253,17 @@ def to_coco_json(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, path: str | None 
     images = _images_df(sf_dir, cfg)
     cats = coco_categories(sf_dir, cfg)
     anns = coco_annotations(sf_dir, cfg)
+    # ENFORCED driver bound: images/categories are the only parts this
+    # collector materializes (annotations stream batch-by-batch below).
+    # A COCO file whose image table alone exceeds this belongs to the
+    # partitioned lineage writer (state/lineage.resumable_write), not a
+    # single driver-assembled JSON document.
+    if len(images) > MAX_DRIVER_IMAGES:
+        raise ValueError(
+            f"{len(images)} images exceeds the driver-side collector bound "
+            f"({MAX_DRIVER_IMAGES}); write partitioned COCO shards via "
+            "state.lineage.resumable_write instead"
+        )
     if path is None:
         path = tempfile.mkstemp(prefix="coco_", suffix=".json")[1]
 
