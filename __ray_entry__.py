@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text.token_stats,
         "lang_stats": text.lang_stats,
         "dedup_exact": text.dedup_exact,
+        "segment_dedup": text.segment_dedup,
         # same semantics through a shared mutable index (sharded
         # actors) — the incremental-ingest mechanism
         "streaming_dedup": text.streaming_dedup,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": text.TOKEN_STATS_SQL,
         "lang_stats": text.LANG_STATS_SQL,
         "dedup_exact": text.DEDUP_EXACT_SQL,
+        "segment_dedup": text.SEGMENT_DEDUP_SQL,
         "streaming_dedup": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),

@@ -341,6 +341,141 @@ from documents group by text
 
 
 # --------------------------------------------------------------------------
+# cross-document SEGMENT-level dedup (C4-style: dedup fixed-size token
+# chunks corpus-wide, keep the first occurrence)
+# --------------------------------------------------------------------------
+
+SEG_TOKENS = 16
+
+
+def segment_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide segment dedup: split every document into
+    consecutive ``SEG_TOKENS``-token chunks, keep each distinct chunk
+    only at its FIRST occurrence (min ``(doc_id, seg_idx)``), and
+    report per doc how many of its segments survive — the C4 rule's
+    cross-document granularity, between ``dedup_exact`` (whole-doc)
+    and ``token_first_pos`` (intra-doc).
+
+    Scale shape: tokenization + segment byte-ranges come from ONE
+    vectorized pass over the batch's flat Arrow string buffer (space
+    positions -> token starts -> every ``SEG_TOKENS``-th -> gathered
+    segment bytes -> two 64-bit polynomial hash family members, the
+    same 128-bit identity discipline as ``dedup_exact``); only
+    ``(doc_id, seg_idx, h1, h2, bucket)`` — 40 B/segment — enters the
+    shuffle, text never leaves its scan task.  First-wins runs inside
+    ``N_DEDUP_BUCKETS`` coarse hash buckets (one vectorized pandas
+    groupby per bucket, never one Ray group per distinct segment), and
+    the win counts are pre-aggregated per (bucket, doc) before the
+    final narrow ``doc_id`` sum."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def segments(t: pa.Table) -> pa.Table:
+        buf, offs = _string_buffer(t["text"])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        sp = np.flatnonzero(buf == 32)  # single-space token separators
+        # token starts = doc starts + (space+1); both sorted, merge
+        tok_start = np.sort(np.concatenate([offs[:-1], sp + 1]))
+        tok_doc = np.searchsorted(offs, tok_start, side="right") - 1
+        n_tok = np.bincount(tok_doc, minlength=n)
+        first_tok = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        tok_idx = np.arange(len(tok_start)) - first_tok[tok_doc]
+        segm = tok_idx % SEG_TOKENS == 0
+        seg_start = tok_start[segm]
+        seg_doc = tok_doc[segm]
+        seg_idx = tok_idx[segm] // SEG_TOKENS
+        # segment ends: byte before the next segment's separating
+        # space in the same doc, else the doc's last byte
+        nxt = np.empty_like(seg_start)
+        nxt[:-1] = seg_start[1:]
+        nxt[-1] = 0
+        same = np.zeros(len(seg_start), dtype=bool)
+        same[:-1] = seg_doc[:-1] == seg_doc[1:]
+        seg_end = np.where(same, nxt - 1, offs[1:][seg_doc])
+        seg_len = seg_end - seg_start
+        g_offs = np.concatenate([[0], np.cumsum(seg_len)])
+        pos = np.arange(int(seg_len.sum()), dtype=np.int64) - np.repeat(
+            g_offs[:-1], seg_len
+        )
+        gathered = buf[np.repeat(seg_start, seg_len) + pos]
+        h1 = _poly_hash_segments(gathered, g_offs)
+        h2 = _poly_hash_segments(gathered, g_offs, prime=PRIME_B, offset=OFFSET_B)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[seg_doc]),
+                "seg_idx": pa.array(seg_idx.astype(np.int64)),
+                "h1": pa.array(h1.astype(np.int64)),
+                "h2": pa.array(h2.astype(np.int64)),
+                "bucket": pa.array(
+                    (h1 % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
+                ),
+                # per-doc segment-count partial rides along: the LAST
+                # segment row of each doc carries the doc's n_seg so no
+                # second tokenize pass is needed
+                "n_seg_partial": pa.array(
+                    np.where(
+                        seg_idx == (n_tok[seg_doc] - 1) // SEG_TOKENS,
+                        (n_tok[seg_doc] + SEG_TOKENS - 1) // SEG_TOKENS,
+                        0,
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    segs = ds.map_batches(segments, batch_format="pyarrow")
+
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["h1", "h2", "doc_id", "seg_idx"], kind="mergesort"
+        )
+        wins = df.drop_duplicates(["h1", "h2"], keep="first")
+        kept = wins.groupby("doc_id", as_index=False).agg(
+            n_kept=("doc_id", "size")
+        )
+        nseg = df.groupby("doc_id", as_index=False).agg(
+            n_seg=("n_seg_partial", "sum")
+        )
+        out = nseg.merge(kept, on="doc_id", how="left")
+        out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+        return out[["doc_id", "n_seg", "n_kept"]]
+
+    partials = segs.groupby("bucket").map_groups(first_wins, batch_format="pandas")
+    out = partials.groupby("doc_id").aggregate(
+        Sum(on="n_seg", alias_name="n_seg"),
+        Sum(on="n_kept", alias_name="n_kept"),
+    )
+    return out
+
+
+SEGMENT_DEDUP_SQL = f"""
+with segs as (
+  select doc_id, t.i as seg_idx,
+         array_to_string(
+           list_slice(string_split(text, ' '),
+                      t.i * {SEG_TOKENS} + 1, t.i * {SEG_TOKENS} + {SEG_TOKENS}),
+           ' ') as content
+  from documents,
+       unnest(range((len(string_split(text, ' ')) + {SEG_TOKENS} - 1)
+                    // {SEG_TOKENS})) t(i)
+),
+wins as (
+  select doc_id from (
+    select doc_id,
+           row_number() over (partition by content
+                              order by doc_id, seg_idx) as rn
+    from segs) where rn = 1
+),
+k as (select doc_id, count(*) as n_kept from wins group by doc_id),
+n as (select doc_id, count(*) as n_seg from segs group by doc_id)
+select n.doc_id, cast(n.n_seg as bigint) as n_seg,
+       cast(coalesce(k.n_kept, 0) as bigint) as n_kept
+from n left join k using (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # word-set Jaccard similar pairs (SQL-mirrored)
 # --------------------------------------------------------------------------
 

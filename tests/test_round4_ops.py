@@ -239,3 +239,34 @@ def test_repair_ring_random_property():
         for l in loops:
             assert not has_self_intersection(l), (case, ring, l)
             assert shoelace_area(l) > 0.0, (case, ring, l)
+
+
+def test_segment_dedup_first_wins(tmp_path):
+    """Hand-built corpus: doc 0 and doc 1 share their first 16-token
+    chunk; the duplicate instance in doc 1 must NOT count as kept, and
+    first-occurrence ordering is by (doc_id, seg_idx)."""
+    from aerial_conversion_ray.pipelines.text import SEG_TOKENS, segment_dedup
+
+    chunk = " ".join(f"w{k}" for k in range(SEG_TOKENS))
+    uniq0 = " ".join(f"a{k}" for k in range(SEG_TOKENS))
+    uniq1 = " ".join(f"b{k}" for k in range(SEG_TOKENS))
+    tail = "x y z"  # partial final segment
+    df = pd.DataFrame(
+        {
+            "doc_id": np.int64([0, 1, 2]),
+            "text": [
+                chunk + " " + uniq0,          # 2 segments, both first
+                chunk + " " + uniq1 + " " + tail,  # 3 segs, 1 dup
+                chunk,                         # 1 seg, dup of doc 0
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    out = (
+        segment_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_seg"]) == [2, 3, 1]
+    assert list(out["n_kept"]) == [2, 2, 0]
