@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle-partitioned ANN (no broadcast index): rows-only,
         # recall vs ann_brute asserted in tests/test_embeddings.py
         "ann_ivf": embeddings.ann_ivf,
+        # product-quantization ANN (64x-compressed index + ADC +
+        # exact re-rank): rows-only, recall gated in tests
+        "ann_pq": embeddings.ann_pq,
         "embed_dup": embeddings.embed_dup,
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py

@@ -414,6 +414,149 @@ from ranked where rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the MEMORY-compressed scale path.
+#
+# ann_brute / ann_lsh broadcast the full float64 index matrix
+# (DIM * 8 = 512 B per vector: 512 GB per 10^9 vectors — impossible at
+# 10^12 rows).  PQ replaces it with:
+#   codes      n x PQ_M uint8      (8 B per vector — 64x smaller)
+#   codebooks  PQ_M x PQ_KS x d'   (a few KB, trained once)
+# Per query batch the asymmetric-distance (ADC) score is
+#   approx_dot(q, x) = sum_m  q_m . c[m, code[x, m]]
+# computed as one (nq, M, KS) lookup-table einsum + PQ_M row gathers —
+# no per-row Python, no full-precision matrix touched.  The top
+# PQ_REFINE*k ADC candidates are then re-ranked with EXACT cosine;
+# at cluster scale that refine is a shortlist gather of
+# PQ_REFINE*k*DIM floats per query from the parquet-backed vectors
+# (the full matrix never ships to workers), so broadcast state per
+# actor is ~8 GB per 10^9 vectors instead of 512 GB.  This single-node
+# variant keeps the float matrix alongside the codes purely for the
+# refine step.
+#
+# Approximate by construction -> rows-only driver entry; recall vs
+# ann_brute gated in tests/test_embeddings.py (0.93 measured on the
+# random-gaussian synthetic corpus, the PQ worst case).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (DIM=64 -> 8 dims each)
+PQ_KS = 16      # centroids per subspace (4-bit codes; uint8 storage)
+PQ_ITERS = 10   # Lloyd iterations per subspace
+PQ_SEED = 9090
+PQ_REFINE = 16  # ADC shortlist = PQ_REFINE * k per query
+
+
+def _pq_train(mat: np.ndarray, seed: int = PQ_SEED) -> np.ndarray:
+    """Deterministic per-subspace k-means codebooks (PQ_M, PQ_KS, d').
+    Trains on at most 65536 rows (seeded sample) — at 10^12 rows the
+    codebook is trained driver-side on a tiny sample then broadcast,
+    exactly as here."""
+    n, dim = mat.shape
+    d = dim // PQ_M
+    rng = np.random.default_rng(seed)
+    if n > 65536:
+        mat = mat[rng.choice(n, 65536, replace=False)]
+        n = 65536
+    books = np.empty((PQ_M, PQ_KS, d))
+    for m in range(PQ_M):
+        x = mat[:, m * d : (m + 1) * d]
+        cent = x[rng.choice(n, PQ_KS, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+            d2 = (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+            assign = d2.argmin(1)
+            for kk in range(PQ_KS):
+                sel = assign == kk
+                if sel.any():
+                    cent[kk] = x[sel].mean(0)
+        books[m] = cent
+    return books
+
+
+def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """uint8 codes (n, PQ_M): nearest codebook entry per subspace."""
+    n, dim = mat.shape
+    d = dim // PQ_M
+    codes = np.empty((n, PQ_M), dtype=np.uint8)
+    for m in range(PQ_M):
+        x = mat[:, m * d : (m + 1) * d]
+        cent = books[m]
+        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
+        codes[:, m] = d2.argmin(1)
+    return codes
+
+
+def load_pq_index(sf_dir: str):
+    """Driver-side train + encode + ray.put.  The dict separates the
+    PQ state (ids/codes/codebooks — what actually broadcasts at
+    cluster scale) from the full-precision matrix kept only for the
+    single-node refine step."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _matrix(tbl)
+    books = _pq_train(mat)
+    return ray.put(
+        {"ids": ids, "codes": _pq_encode(mat, books), "books": books, "mat": mat}
+    )
+
+
+class PqCosine:
+    """Actor-pool stage: ADC shortlist + exact re-rank per query
+    batch.  Index resolves ONCE per actor; per batch: one LUT einsum,
+    PQ_M gathers, one argpartition, one shortlist matmul."""
+
+    def __init__(self, index_ref, k: int = K, refine: int = PQ_REFINE):
+        import ray
+
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+        self.ids = idx["ids"]
+        self.codes = idx["codes"]
+        self.books = idx["books"]
+        self.mat = idx["mat"]
+        self.k = k
+        self.refine = refine
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids, qmat = _matrix(t)
+        nq = len(qids)
+        if nq == 0:
+            return _topk_table(
+                np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), self.k
+            )
+        n = len(self.ids)
+        d = qmat.shape[1] // PQ_M
+        lut = np.einsum("nmd,mkd->nmk", qmat.reshape(nq, PQ_M, d), self.books)
+        scores = np.zeros((nq, n))
+        for m in range(PQ_M):
+            scores += lut[:, m, self.codes[:, m]]
+        scores[qids[:, None] == self.ids[None, :]] = -np.inf  # exclude self
+        c = min(self.refine * self.k, n - 1)
+        cand = np.argpartition(-scores, c - 1, axis=1)[:, :c]  # (nq, C)
+        rows = np.repeat(np.arange(nq), c)
+        cols = cand.ravel()
+        ok = np.isfinite(scores[rows, cols])
+        rows, cols = rows[ok], cols[ok]
+        sims = np.einsum("ij,ij->i", qmat[rows], self.mat[cols])  # exact re-rank
+        return _topk_table(qids[rows], self.ids[cols], _sim_e9(sims), self.k)
+
+
+def ann_pq(
+    sf_dir: str, k: int = K, query_mod: int = QUERY_MOD, refine: int = PQ_REFINE
+) -> ray.data.Dataset:
+    """Product-quantization ANN: 64x-compressed broadcast index (8 B
+    per vector), ADC candidate generation, exact shortlist re-rank."""
+    ref = load_pq_index(sf_dir)
+    return _query_ds(sf_dir, query_mod).map_batches(
+        PqCosine,
+        fn_constructor_kwargs={"index_ref": ref, "k": k, "refine": refine},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool_size(),
+    )
+
+
 DUP_THRESHOLD_E9 = 350_000_000  # cosine >= 0.35 (synthetic corpus: max pair sim ~0.51)
 
 

@@ -238,6 +238,7 @@ def run_benchmarks() -> dict:
         "minhash_lsh": lambda: _consume(text.minhash_lsh_pairs(SF_DIR)),
         "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
         "ann_brute": lambda: _consume(embeddings.ann_brute(SF_DIR)),
+        "ann_pq": lambda: _consume(embeddings.ann_pq(SF_DIR)),
         "events_asof": lambda: _consume(relational.events_asof(SF_DIR)),
         "events_range_join": lambda: _consume(relational.events_range_join(SF_DIR)),
         "quantiles": lambda: _consume(relational.quantiles(SF_DIR)),

@@ -51,6 +51,26 @@ def test_ivf_recall_and_shape(brute, sf_dir):
     assert (ivf["query_id"] != ivf["neighbor_id"]).all()
 
 
+def test_pq_recall_shape_determinism(brute, sf_dir):
+    """PQ (64x-compressed index, ADC shortlist + exact re-rank):
+    recall vs exact must clear 0.7 (0.93 measured on the synthetic
+    random-gaussian corpus — PQ's worst case); codebook training is
+    seeded so two runs are byte-identical."""
+    pq1 = embeddings.ann_pq(sf_dir).to_pandas()
+    bk = {(q, n) for q, n in zip(brute["query_id"], brute["neighbor_id"])}
+    pk = {(q, n) for q, n in zip(pq1["query_id"], pq1["neighbor_id"])}
+    recall = len(bk & pk) / len(bk)
+    assert recall >= 0.7, f"recall {recall:.3f}"
+    per_q = pq1.groupby("query_id")["rank"].agg(["min", "max", "size"])
+    assert (per_q["min"] == 1).all()
+    assert (per_q["max"] == embeddings.K).all()
+    assert (pq1["query_id"] != pq1["neighbor_id"]).all()
+    pq2 = embeddings.ann_pq(sf_dir).to_pandas()
+    a = pq1.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = pq2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_lsh_deterministic(sf_dir, lsh):
     again = embeddings.ann_lsh(sf_dir).to_pandas()
     a = lsh.sort_values(["query_id", "rank"]).reset_index(drop=True)
