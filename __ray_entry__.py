@@ -20,6 +20,7 @@ from aerial_conversion_ray.pipelines import (
     cluster,
     coco,
     embeddings,
+    extract,
     multimodal,
     relational,
     spatial,
@@ -146,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_capped": lambda sf: text.jaccard_pairs(sf, max_df=400),
         "quality_filter": text.quality_filter,
         "host_stats": lambda sf: text.host_stats(sf, CFG),
+        # html -> text extraction (north-rule byte-identical invariant:
+        # oracle pins the extraction to the source text column per url)
+        "html_extract": lambda sf: extract.html_extract(sf, CFG),
+        # email/phone/IPv4 count + redaction (RE2 both sides)
+        "pii_redact": extract.pii_redact,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -313,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
         "quality_filter": text.QUALITY_FILTER_SQL,
         "host_stats": text.host_stats_sql(CFG),
+        "html_extract": extract.html_extract_sql(CFG),
+        "pii_redact": extract.pii_redact_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

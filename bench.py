@@ -126,6 +126,7 @@ def run_benchmarks() -> dict:
     from aerial_conversion_ray.config import EngineConfig
     from aerial_conversion_ray.pipelines import (
         embeddings,
+        extract,
         multimodal,
         relational,
         spatial,
@@ -239,6 +240,10 @@ def run_benchmarks() -> dict:
         "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
         "ann_brute": lambda: _consume(embeddings.ann_brute(SF_DIR)),
         "ann_pq": lambda: _consume(embeddings.ann_pq(SF_DIR)),
+        "html_extract": lambda: _consume(
+            extract.html_extract(SF_DIR, EngineConfig(pages_rep=BENCH_REP))
+        ),
+        "pii_redact": lambda: _consume(extract.pii_redact(SF_DIR)),
         "events_asof": lambda: _consume(relational.events_asof(SF_DIR)),
         "events_range_join": lambda: _consume(relational.events_range_join(SF_DIR)),
         "quantiles": lambda: _consume(relational.quantiles(SF_DIR)),

@@ -1,0 +1,81 @@
+"""Webtext extraction: general HTML parsing on crafted pages (not
+just the synthesizer's wrapper) + PII redaction semantics."""
+
+import pyarrow as pa
+
+from aerial_conversion_ray.pipelines import extract
+
+
+def _run_html(htmls: list[str]) -> pa.Table:
+    t = pa.table(
+        {
+            "page_id": pa.array(range(len(htmls)), pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(len(htmls))]),
+            "html": pa.array([h.encode() for h in htmls], pa.binary()),
+        }
+    )
+    return extract.extract_html_batch(t)
+
+
+def test_html_extract_general_pages():
+    out = _run_html(
+        [
+            # attributes on tags, nested markup, script+style dropped
+            '<html><head><title lang="en">T&amp;1</title>'
+            "<style>p{color:red}</style></head>"
+            '<body class="x"><h1>Hello</h1> <p>a &lt;b&gt; &quot;c&quot;'
+            "</p><script>var x = '<p>not text</p>';</script>!</body></html>",
+            # no <body> at all: falls back to whole page minus <head>
+            "<html><head><title>only head</title></head><p>loose text</p></html>",
+            # entities decode exactly once (&amp;lt; -> &lt;)
+            "<body>&amp;lt; stays</body>",
+        ]
+    )
+    titles = out["title"].to_pylist()
+    texts = out["extracted"].to_pylist()
+    assert titles == ["T&1", "only head", ""]
+    assert texts[0] == "Hello a <b> \"c\"!"
+    assert texts[1] == "loose text"
+    assert texts[2] == "&lt; stays"
+
+
+def test_html_extract_byte_identity_on_corpus(sf_dir):
+    """The north-rule invariant end-to-end: extraction of the html
+    column is byte-identical to the source text per url."""
+    import pyarrow.parquet as pq
+
+    got = extract.html_extract(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    by_doc = docs.set_index("doc_id")["text"]
+    # rep=1 -> page_id == doc_id
+    assert (got["extracted"].to_numpy() == by_doc.loc[got["page_id"]].to_numpy()).all()
+    assert (got["title"] == got["page_id"].astype(str)).all()
+
+
+def test_pii_redact_crafted():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b+c@x.co or 1.2.3.4 end",
+                    "no pii here",
+                ]
+            ),
+        }
+    )
+    out = extract.pii_redact_batch(t).to_pandas().set_index("doc_id")
+    # row 1: crafted email+ip, plus the deterministic contact block
+    # (doc_id=1: all three gates on -> +1 email, +1 phone, +1 ip)
+    assert out.loc[1, "n_email"] == 2
+    assert out.loc[1, "n_phone"] == 1
+    assert out.loc[1, "n_ip"] == 2
+    red = out.loc[1, "redacted"]
+    assert "a.b+c@x.co" not in red and "1.2.3.4" not in red
+    assert red.startswith("mail <EMAIL> or <IP> end")
+    assert "<PHONE>" in red and "<EMAIL>" in red
+    # row 2 (doc_id=2): only the gated contact block contributes
+    assert out.loc[2, "n_email"] == 1  # 2 % 3 != 0
+    assert out.loc[2, "n_phone"] == 1  # 2 % 4 != 0
+    assert out.loc[2, "n_ip"] == 1  # 2 % 5 != 0
+    assert out.loc[2, "redacted"].startswith("no pii here reach ")
