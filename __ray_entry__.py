@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": relational.events_retention,
         # grouped lag over an aggregated series (YoY deltas)
         "customer_yoy": relational.customer_yoy,
+        # running cumulative window (unbounded frame + distinct types)
+        "events_cumulative": relational.events_cumulative,
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
@@ -156,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
         "weighted_sample": text.weighted_sample,
+        # exact edit-distance<=1 pairs (deletion-neighborhood banding)
+        "editdist_pairs": text.editdist_pairs,
+        # grouped integer-exact correlation moments
+        "lang_moments": text.lang_moments,
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
@@ -297,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": relational.events_funnel_sql(),
         "events_retention": relational.events_retention_sql(),
         "customer_yoy": relational.CUSTOMER_YOY_SQL,
+        "events_cumulative": relational.EVENTS_CUMULATIVE_SQL,
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
@@ -324,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),
+        "editdist_pairs": text.EDITDIST_PAIRS_SQL,
+        "lang_moments": text.LANG_MOMENTS_SQL,
         "tfidf": text.TFIDF_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),

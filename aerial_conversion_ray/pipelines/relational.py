@@ -1919,3 +1919,89 @@ select o_custkey, year, n_orders,
                  else n_orders end as bigint) as delta_prev
 from a window w as (partition by o_custkey order by year)
 """
+
+
+# --------------------------------------------------------------------------
+# running cumulative window per user (unbounded-preceding frame)
+# --------------------------------------------------------------------------
+
+def events_cumulative(sf_dir: str) -> ray.data.Dataset:
+    """Per-event RUNNING aggregates over each user's stream ordered by
+    (ts, event_id): cumulative event count, exact fixed-point
+    cumulative value sum, and cumulative DISTINCT event-type count —
+    the unbounded-preceding window frame (vs ``events_moving_avg``'s
+    rows-between frame), plus the distinct-within-frame variant no
+    other window entry covers.
+
+    Same coarse-bucket plan as the rest of the events family: ONE
+    shuffle keyed ``user_id % 64`` (BASELINE's high-cardinality-groupby
+    lesson), then fully vectorized per-bucket numpy — a (user, ts,
+    event_id) lexsort, global prefix sums differenced at each user's
+    first row, and the distinct-type counter as a per-(user, type)
+    first-occurrence flag (second lexsort) cumulatively summed per
+    user.  No state crosses buckets; event-time order within a user is
+    total because (ts, event_id) is unique."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    n_buckets = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        v = to_fixed(df["value"].to_numpy(), 1_000_000.0)
+        n = len(df)
+        idx = np.arange(n)
+        is_first = np.ones(n, dtype=bool)
+        is_first[1:] = uid[1:] != uid[:-1]
+        user_start = np.maximum.accumulate(np.where(is_first, idx, 0))
+        csum = np.concatenate([[0], np.cumsum(v)])
+        # first time this (user, event_type) appears in stream order:
+        # sort rows by (user, type, stream position); a row is 'new'
+        # when the (user, type) run changes, mapped back to stream idx
+        et = df["event_type"].astype("category").cat.codes.to_numpy(np.int64)
+        order = np.lexsort((idx, et, uid))
+        new_sorted = np.ones(n, dtype=bool)
+        new_sorted[1:] = (uid[order][1:] != uid[order][:-1]) | (
+            et[order][1:] != et[order][:-1]
+        )
+        is_new = np.empty(n, dtype=np.int64)
+        is_new[order] = new_sorted
+        ncsum = np.concatenate([[0], np.cumsum(is_new)])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": uid,
+                "n_cum": (idx - user_start + 1).astype(np.int64),
+                "sum_cum_u": (csum[idx + 1] - csum[user_start]).astype(np.int64),
+                "types_cum": (ncsum[idx + 1] - ncsum[user_start]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+EVENTS_CUMULATIVE_SQL = """
+with v as (select event_id, user_id, ts, event_type,
+                  cast(floor(value * 1000000.0 + 0.5) as bigint) as value_u,
+                  row_number() over (partition by user_id, event_type
+                                     order by ts, event_id) as type_rn
+           from events)
+select event_id, user_id,
+       cast(count(*) over win as bigint) as n_cum,
+       cast(sum(value_u) over win as bigint) as sum_cum_u,
+       cast(count(*) filter (where type_rn = 1) over win as bigint) as types_cum
+from v
+window win as (partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row)
+"""

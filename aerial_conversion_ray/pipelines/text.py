@@ -3018,3 +3018,274 @@ where (doc_id * {SAMPLE_MULT}) % {SAMPLE_MOD}
       < n_chars * cast(floor({target_rate} * {SAMPLE_MOD} * s.n / s.total)
                        as bigint)
 """
+
+
+# --------------------------------------------------------------------------
+# exact edit-distance<=1 pair mining (deletion-neighborhood banding)
+# --------------------------------------------------------------------------
+#
+# The remaining classical near-dup family member next to MinHash /
+# SimHash / n-gram Jaccard: ALL doc pairs whose 16-char text prefix is
+# within Levenshtein distance 1, found EXACTLY without an all-pairs
+# scan.  Banding identity: lev(s,t) <= 1  =>  D(s) n D(t) != {} where
+# D(x) = {x} u {x with one char deleted} (substitution: delete the
+# differing position from both; insertion: the short string IS a
+# deletion variant of the long one; equality: identity variant).  The
+# converse has false positives (del_i(s) == del_j(t) allows lev 2), so
+# every candidate is verified by an exact width-bounded kernel.
+# Reference analog: SE2 dedup generalized (batch_geojson2coco.py:406).
+
+EDIT_KEY_LEN = 16
+_EDIT_PRIME = np.uint64(0x00000100000001B3)  # FNV-ish odd multiplier
+_EDIT_OFFSET = np.uint64(0xCBF29CE484222325)
+EDIT_PAIR_BUCKETS = 64
+# df-cap per shared-variant run: a run of k docs costs k^2/2 candidate
+# pairs; beyond this the "variant" is a stopword-like hot prefix and
+# the pairs it induces are dist-0 cliques already captured by
+# dedup_exact.  Generous at test scale (no run comes close).
+EDIT_MAX_RUN = 2000
+
+
+def _edit_key_matrix(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n,16) uint8 matrix + int64 lengths for ASCII key strings."""
+    lens = np.char.str_len(keys.astype(str)).astype(np.int64)
+    mat = (
+        keys.astype(f"S{EDIT_KEY_LEN}")
+        .view(np.uint8)
+        .reshape(len(keys), EDIT_KEY_LEN)
+    )
+    return mat, lens
+
+
+def _row_poly_hash(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized per-row polynomial hash of variable-length byte rows
+    (width bound EDIT_KEY_LEN => the scan is a constant 16-step loop
+    across all rows at once, not a per-row loop)."""
+    h = np.full(len(mat), _EDIT_OFFSET, np.uint64)
+    for j in range(mat.shape[1]):
+        active = j < lens
+        nxt = h * _EDIT_PRIME + mat[:, j].astype(np.uint64) + np.uint64(1)
+        h = np.where(active, nxt, h)
+    return h
+
+
+def _lev_le1(ka: np.ndarray, kb: np.ndarray) -> np.ndarray:
+    """dist in {0,1,2} per pair of key strings; 2 means 'more than 1'.
+    Exact, vectorized across pairs (inner loops are over the constant
+    16-char width only)."""
+    ma, la = _edit_key_matrix(ka)
+    mb, lb = _edit_key_matrix(kb)
+    dist = np.full(len(ka), 2, np.int64)
+    dl = la - lb
+    same = dl == 0
+    if same.any():
+        mism = ((ma != mb) & (np.arange(EDIT_KEY_LEN) < la[:, None])).sum(axis=1)
+        dist[same & (mism == 0)] = 0
+        dist[same & (mism == 1)] = 1
+    for sign in (1, -1):  # longer on the a side, then the b side
+        sel = dl == sign
+        if not sel.any():
+            continue
+        L, S = (ma[sel], mb[sel]) if sign == 1 else (mb[sel], ma[sel])
+        ls = np.minimum(la[sel], lb[sel])  # short length
+        eq1 = (L[:, : EDIT_KEY_LEN - 1] == S[:, : EDIT_KEY_LEN - 1]) | (
+            np.arange(EDIT_KEY_LEN - 1) >= ls[:, None]
+        )
+        eq2 = (L[:, 1:] == S[:, : EDIT_KEY_LEN - 1]) | (
+            np.arange(EDIT_KEY_LEN - 1) >= ls[:, None]
+        )
+        pre = np.cumprod(eq1, axis=1).astype(bool)  # prefix all-equal
+        suf = np.cumprod(eq2[:, ::-1], axis=1)[:, ::-1].astype(bool)
+        ok = suf[:, 0].copy()  # gap at position 0
+        for p in range(1, EDIT_KEY_LEN - 1):
+            ok |= pre[:, p - 1] & suf[:, p]
+        ok |= pre[:, EDIT_KEY_LEN - 2]  # gap at the end
+        dist[np.flatnonzero(sel)[ok]] = 1
+    return dist
+
+
+def editdist_pairs(sf_dir: str) -> ray.data.Dataset:
+    """All doc pairs (a < b) whose 16-char prefix key is within
+    Levenshtein distance 1, with the exact distance — deletion-
+    neighborhood banding, per-bucket exact verify, one narrow
+    (a, b, dist) dedup fold.
+
+    Scale shape: each doc emits <= 17 rows of (variant_hash, doc_id,
+    key) — 40 B/row, text never shuffles.  Candidates form inside
+    equal-variant runs only (true near-dups + hash collisions, both
+    verified exactly); a pair sharing several variants is emitted by
+    several buckets and collapsed by the final 64-bucket distinct fold
+    keyed on hash(a, b) — rows there are output-sized.  The corpus is
+    ASCII (substr == utf8_slice); non-ASCII would need codepoint
+    slicing on both sides."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys_arr = pc.utf8_slice_codeunits(t["text"], 0, EDIT_KEY_LEN)
+        keys = keys_arr.to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat, lens = _edit_key_matrix(keys)
+        out_h, out_id, out_k = [_row_poly_hash(mat, lens)], [ids], [keys]
+        for d in range(EDIT_KEY_LEN):
+            rows = np.flatnonzero(lens > d)
+            if len(rows) == 0:
+                break
+            vm = np.concatenate(
+                [mat[rows, :d], mat[rows, d + 1 :],
+                 np.zeros((len(rows), 1), np.uint8)],
+                axis=1,
+            )
+            out_h.append(_row_poly_hash(vm, lens[rows] - 1))
+            out_id.append(ids[rows])
+            out_k.append(keys[rows])
+        return pa.table(
+            {
+                "vkey": pa.array(np.concatenate(out_h).view(np.int64)),
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "key": pa.array(np.concatenate(out_k).astype(object), pa.string()),
+            }
+        ).append_column(
+            "bucket",
+            pa.array(
+                (np.concatenate(out_h) % np.uint64(EDIT_PAIR_BUCKETS)).astype(
+                    np.int64
+                )
+            ),
+        )
+
+    pair_cols = {"doc_a": np.int64, "doc_b": np.int64, "dist": np.int64}
+
+    def mine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vkey", kind="mergesort")
+        vk = df["vkey"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        keys = df["key"].to_numpy()
+        starts = np.flatnonzero(np.concatenate([[True], vk[1:] != vk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(vk)]])
+        ai, bi = [], []
+        for s, e in zip(starts, ends):  # runs with >=2 rows only
+            k = e - s
+            if k < 2 or k > EDIT_MAX_RUN:
+                continue
+            iu, ju = np.triu_indices(k, k=1)
+            ai.append(iu + s)
+            bi.append(ju + s)
+        if not ai:
+            return _pin_schema(pd.DataFrame(), pair_cols)
+        ii, jj = np.concatenate(ai), np.concatenate(bi)
+        neq = ids[ii] != ids[jj]
+        ii, jj = ii[neq], jj[neq]
+        dist = _lev_le1(keys[ii], keys[jj])
+        keep = dist <= 1
+        out = pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ii], ids[jj])[keep],
+                "doc_b": np.maximum(ids[ii], ids[jj])[keep],
+                "dist": dist[keep],
+            }
+        )
+        return _pin_schema(out, pair_cols)
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return _pin_schema(
+            df.drop_duplicates(["doc_a", "doc_b"]), pair_cols
+        )
+
+    cand = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mine, batch_format="pandas")
+    )
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * PRIME_B + b) % np.uint64(EDIT_PAIR_BUCKETS)
+        return t.append_column("pb", pa.array(h.astype(np.int64)))
+
+    return (
+        cand.map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(distinct, batch_format="pandas")
+    )
+
+
+EDITDIST_PAIRS_SQL = f"""
+with k as (select doc_id, substr(text, 1, {EDIT_KEY_LEN}) as key from documents)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(levenshtein(a.key, b.key) as bigint) as dist
+from k a join k b on a.doc_id < b.doc_id
+where levenshtein(a.key, b.key) <= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped correlation moments (integer-exact second moments per lang)
+# --------------------------------------------------------------------------
+
+def lang_moments(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang EXACT second-moment sums for the (n_chars, n_tokens)
+    correlation/covariance: n_docs, sum_x, sum_y, sum_xx, sum_xy,
+    sum_yy with x = n_chars, y = whitespace token count.  The float
+    corr/cov is one closed-form ratio of these integers — shipping the
+    moments keeps the gate bit-exact and lets the caller fuse groups
+    (moments are associative; corr values are not).
+
+    Scale shape: per-batch pandas partial keyed by lang inside
+    map_batches, then a lang-cardinality groupby over partial rows
+    only (the A3 pre-aggregate pattern — the corpus never shuffles).
+    int64 bound: n_chars < 2^15 and tokens <= chars keep every product
+    < 2^30, so 10^12-doc sums stay < 2^63 per group; violations would
+    need per-group doc counts > 2^33, checked by the n_docs column."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (
+            pc.list_value_length(pc.split_pattern(t["text"], " "))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "n_docs": 1,
+                "sum_x": x,
+                "sum_y": y,
+                "sum_xx": x * x,
+                "sum_xy": x * y,
+                "sum_yy": y * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(), preserve_index=False
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_xy", alias_name="sum_xy"),
+            Sum("sum_yy", alias_name="sum_yy"),
+        )
+        .sort("lang")
+    )
+
+
+LANG_MOMENTS_SQL = """
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as sum_x,
+       cast(sum(len(string_split(text, ' '))) as bigint) as sum_y,
+       cast(sum(n_chars * n_chars) as bigint) as sum_xx,
+       cast(sum(n_chars * len(string_split(text, ' '))) as bigint) as sum_xy,
+       cast(sum(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+            as bigint) as sum_yy
+from documents group by lang order by lang
+"""

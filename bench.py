@@ -277,6 +277,9 @@ def run_benchmarks() -> dict:
         "events_retention": lambda: _consume(relational.events_retention(SF_DIR)),
         "customer_yoy": lambda: _consume(relational.customer_yoy(SF_DIR)),
         "weighted_sample": lambda: _consume(text.weighted_sample(SF_DIR)),
+        "events_cumulative": lambda: _consume(relational.events_cumulative(SF_DIR)),
+        "editdist_pairs": lambda: _consume(text.editdist_pairs(SF_DIR)),
+        "lang_moments": lambda: _consume(text.lang_moments(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

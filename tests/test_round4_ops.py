@@ -270,3 +270,121 @@ def test_segment_dedup_first_wins(tmp_path):
     )
     assert list(out["n_seg"]) == [2, 3, 1]
     assert list(out["n_kept"]) == [2, 2, 0]
+
+
+# --------------------------------------------------------------------------
+# round-4 additions: editdist pairs, cumulative window, moments
+# --------------------------------------------------------------------------
+
+def _docs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (full DP, test-only)."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_lev_le1_kernel_crafted():
+    cases = [
+        ("abcd", "abcd", 0),          # equal
+        ("abcd", "abxd", 1),          # substitution
+        ("abcd", "abd", 1),           # deletion (middle)
+        ("abcd", "bcd", 1),           # deletion (front)
+        ("abc", "abcd", 1),           # insertion at end
+        ("abcd", "abdc", 2),          # transpose = 2
+        ("abcd", "xbcy", 2),          # two substitutions
+        ("ab", "ba", 2),              # the classic banding false positive
+        ("a" * 16, "a" * 15 + "b", 1),
+        ("a" * 16, "a" * 14, 2),      # length gap 2
+    ]
+    ka = np.array([c[0] for c in cases])
+    kb = np.array([c[1] for c in cases])
+    got = text._lev_le1(ka, kb)
+    for (a, b, want), g in zip(cases, got):
+        want_k = want if want <= 1 else 2
+        assert g == want_k, (a, b, want, int(g))
+        assert min(_lev(a, b), 2) == want_k  # the table itself is right
+
+
+def test_editdist_pairs_matches_bruteforce(sf_dir):
+    got = (
+        text.editdist_pairs(sf_dir)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir)
+    keys = docs["text"].str.slice(0, text.EDIT_KEY_LEN).tolist()
+    ids = docs["doc_id"].tolist()
+    exp = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = _lev(keys[i], keys[j])
+            if d <= 1:
+                a, b = sorted((ids[i], ids[j]))
+                exp.append((a, b, d))
+    exp = pd.DataFrame(exp, columns=["doc_a", "doc_b", "dist"]).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got[["doc_a", "doc_b", "dist"]].values == exp.values).all()
+    # pairs are unique (the distinct fold worked)
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_events_cumulative_matches_pandas(sf_dir):
+    got = (
+        relational.events_cumulative(sf_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    ev["value_u"] = np.floor(ev["value"].to_numpy() * 1_000_000.0 + 0.5).astype(
+        np.int64
+    )
+    g = ev.groupby("user_id", sort=False)
+    ev["n_cum"] = g.cumcount() + 1
+    ev["sum_cum_u"] = g["value_u"].cumsum()
+    first = ~ev.duplicated(["user_id", "event_type"])
+    ev["types_cum"] = first.astype(np.int64).groupby(ev["user_id"]).cumsum()
+    exp = ev.sort_values("event_id")[
+        ["event_id", "user_id", "n_cum", "sum_cum_u", "types_cum"]
+    ].reset_index(drop=True)
+    assert (got[exp.columns].values == exp.values).all()
+
+
+def test_lang_moments_matches_pandas(sf_dir):
+    got = text.lang_moments(sf_dir).to_pandas().set_index("lang")
+    docs = _docs(sf_dir)
+    x = docs["n_chars"].to_numpy(np.int64)
+    y = docs["text"].str.split(" ").str.len().to_numpy(np.int64)
+    df = pd.DataFrame(
+        {"lang": docs["lang"], "x": x, "y": y, "xx": x * x, "xy": x * y, "yy": y * y}
+    )
+    exp = df.groupby("lang").agg(
+        n_docs=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+        sum_xx=("xx", "sum"), sum_xy=("xy", "sum"), sum_yy=("yy", "sum"),
+    )
+    assert (got.loc[exp.index].values == exp.values).all()
+    # moments associativity: corr derivable and finite for every lang
+    n, sx, sy = exp["n_docs"], exp["sum_x"], exp["sum_y"]
+    cov = exp["sum_xy"] - sx * sy / n
+    vx = exp["sum_xx"] - sx * sx / n
+    vy = exp["sum_yy"] - sy * sy / n
+    corr = cov / np.sqrt(vx * vy)
+    assert np.isfinite(corr).all()
