@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_yoy": relational.customer_yoy,
         # running cumulative window (unbounded frame + distinct types)
         "events_cumulative": relational.events_cumulative,
+        # grouped mode/argmax: most frequent event type per user
+        "user_top_type": relational.user_top_type,
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
@@ -162,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs": text.editdist_pairs,
         # grouped integer-exact correlation moments
         "lang_moments": text.lang_moments,
+        # doc-level co-occurrence counts (PMI numerators, fixed vocab)
+        "cooccur_pairs": text.cooccur_pairs,
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
@@ -304,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": relational.events_retention_sql(),
         "customer_yoy": relational.CUSTOMER_YOY_SQL,
         "events_cumulative": relational.EVENTS_CUMULATIVE_SQL,
+        "user_top_type": relational.USER_TOP_TYPE_SQL,
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
@@ -333,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": text.weighted_sample_sql(),
         "editdist_pairs": text.EDITDIST_PAIRS_SQL,
         "lang_moments": text.LANG_MOMENTS_SQL,
+        "cooccur_pairs": text.COOCCUR_PAIRS_SQL,
         "tfidf": text.TFIDF_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),

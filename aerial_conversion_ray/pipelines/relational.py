@@ -2005,3 +2005,70 @@ from v
 window win as (partition by user_id order by ts, event_id
                rows between unbounded preceding and current row)
 """
+
+
+# --------------------------------------------------------------------------
+# grouped mode / argmax: most frequent event type per user
+# --------------------------------------------------------------------------
+
+def user_top_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-user MODE of event_type with deterministic tie-break
+    (count desc, then type asc) and its count — the grouped-argmax
+    shape (SO1/A3 sibling: top-1 within group, not global top-k).
+
+    Plan: per-batch pandas (user, type) partial counts (the corpus of
+    events collapses to at most users x types rows per batch), ONE
+    shuffle keyed ``user_id % 64`` (coarse bucket — the BASELINE
+    high-cardinality lesson), then a vectorized per-bucket fold: sum
+    partials, lexsort (user, -n, type), keep each user's first row."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["bucket"] = (g["user_id"].to_numpy(np.int64) % n_buckets).astype(
+            np.int64
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        uid = g["user_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        et = g["event_type"].astype("category")
+        order = np.lexsort((et.cat.codes.to_numpy(np.int64), -n, uid))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = uid[order][1:] != uid[order][:-1]
+        keep = order[first]
+        return pd.DataFrame(
+            {
+                "user_id": uid[keep],
+                "top_type": g["event_type"].to_numpy()[keep],
+                "n": n[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+USER_TOP_TYPE_SQL = """
+with c as (select user_id, event_type, count(*) as n
+           from events group by 1, 2),
+r as (select user_id, event_type, n,
+             row_number() over (partition by user_id
+                                order by n desc, event_type) as rn
+      from c)
+select user_id, event_type as top_type, cast(n as bigint) as n
+from r where rn = 1
+"""

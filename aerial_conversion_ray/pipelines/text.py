@@ -3289,3 +3289,89 @@ select lang,
             as bigint) as sum_yy
 from documents group by lang order by lang
 """
+
+
+# --------------------------------------------------------------------------
+# token co-occurrence counts (PMI numerator table over a fixed vocab)
+# --------------------------------------------------------------------------
+#
+# Document-level co-occurrence counts for a FIXED probe vocabulary —
+# the exact integer numerators of PMI / association scoring (the float
+# PMI is one log of these counts; shipping integers keeps the gate
+# bit-exact).  A 16-word vocab fits one uint16 presence bitmask per
+# doc, so the corpus-wide state is 120 partial pair-count rows per
+# batch: the corpus itself NEVER shuffles, only (tok_a, tok_b, n) rows
+# with a 120-value bounded key do.
+
+COOCCUR_VOCAB = (
+    "agg", "batch", "column", "customer", "data", "filter", "hash",
+    "join", "key", "merge", "order", "row", "scan", "slow", "small",
+    "table",
+)  # sorted lexicographically => bit index order == output order
+
+
+def cooccur_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(tok_a, tok_b, n_docs) for every vocab pair (tok_a < tok_b)
+    present together in at least one document."""
+    assert list(COOCCUR_VOCAB) == sorted(COOCCUR_VOCAB)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    vocab = pa.array(COOCCUR_VOCAB)
+    k = len(COOCCUR_VOCAB)
+    iu, ju = np.triu_indices(k, k=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_tok)
+        vi_arr = pc.index_in(flat, value_set=vocab)
+        hit = pc.is_valid(vi_arr).to_numpy(zero_copy_only=False)
+        vi_i = (
+            vi_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        bits = np.zeros(len(n_tok), np.uint32)
+        np.bitwise_or.at(
+            bits, doc_idx[hit], (np.uint32(1) << vi_i[hit].astype(np.uint32))
+        )
+        both = ((bits[:, None] >> iu) & (bits[:, None] >> ju) & 1).sum(
+            axis=0
+        ).astype(np.int64)
+        va = np.array(COOCCUR_VOCAB)
+        return pa.table(
+            {
+                "tok_a": pa.array(va[iu]),
+                "tok_b": pa.array(va[ju]),
+                "n_docs": pa.array(both),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def present(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_docs"], 0))
+
+    return folded.map_batches(present, batch_format="pyarrow").sort(
+        ["tok_a", "tok_b"]
+    )
+
+
+COOCCUR_PAIRS_SQL = f"""
+with p as (
+  select distinct doc_id, tok
+  from (select doc_id, unnest(string_split(text, ' ')) as tok from documents)
+  where tok in ({", ".join("'" + w + "'" for w in COOCCUR_VOCAB)})
+)
+select x.tok as tok_a, y.tok as tok_b, cast(count(*) as bigint) as n_docs
+from p x join p y on x.doc_id = y.doc_id and x.tok < y.tok
+group by 1, 2 order by 1, 2
+"""

@@ -280,6 +280,8 @@ def run_benchmarks() -> dict:
         "events_cumulative": lambda: _consume(relational.events_cumulative(SF_DIR)),
         "editdist_pairs": lambda: _consume(text.editdist_pairs(SF_DIR)),
         "lang_moments": lambda: _consume(text.lang_moments(SF_DIR)),
+        "user_top_type": lambda: _consume(relational.user_top_type(SF_DIR)),
+        "cooccur_pairs": lambda: _consume(text.cooccur_pairs(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

@@ -388,3 +388,41 @@ def test_lang_moments_matches_pandas(sf_dir):
     vy = exp["sum_yy"] - sy * sy / n
     corr = cov / np.sqrt(vx * vy)
     assert np.isfinite(corr).all()
+
+
+def test_user_top_type_matches_pandas(sf_dir):
+    got = (
+        relational.user_top_type(sf_dir)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    c = ev.groupby(["user_id", "event_type"], as_index=False).size()
+    c = c.sort_values(
+        ["user_id", "size", "event_type"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    exp = c.drop_duplicates("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["top_type"].tolist() == exp["event_type"].tolist()
+    assert got["n"].tolist() == exp["size"].tolist()
+
+
+def test_cooccur_pairs_matches_pandas(sf_dir):
+    got = text.cooccur_pairs(sf_dir).to_pandas()
+    docs = _docs(sf_dir)
+    vocab = set(text.COOCCUR_VOCAB)
+    import itertools
+
+    counts = {}
+    for t in docs["text"]:
+        present = sorted(vocab & set(t.split(" ")))
+        for a, b in itertools.combinations(present, 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    exp = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(counts.items())],
+        columns=["tok_a", "tok_b", "n_docs"],
+    )
+    assert (got[["tok_a", "tok_b", "n_docs"]].values == exp.values).all()
