@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": relational.events_cumulative,
         # grouped mode/argmax: most frequent event type per user
         "user_top_type": relational.user_top_type,
+        # first-order Markov transition table over user streams
+        "event_transitions": relational.event_transitions,
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
@@ -166,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_moments": text.lang_moments,
         # doc-level co-occurrence counts (PMI numerators, fixed vocab)
         "cooccur_pairs": text.cooccur_pairs,
+        # integer-exact per-lang z-score filter (composes moments)
+        "zscore_outliers": text.zscore_outliers,
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
@@ -309,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_yoy": relational.CUSTOMER_YOY_SQL,
         "events_cumulative": relational.EVENTS_CUMULATIVE_SQL,
         "user_top_type": relational.USER_TOP_TYPE_SQL,
+        "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
@@ -339,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "editdist_pairs": text.EDITDIST_PAIRS_SQL,
         "lang_moments": text.LANG_MOMENTS_SQL,
         "cooccur_pairs": text.COOCCUR_PAIRS_SQL,
+        "zscore_outliers": text.zscore_outliers_sql(),
         "tfidf": text.TFIDF_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),

@@ -2072,3 +2072,75 @@ r as (select user_id, event_type, n,
 select user_id, event_type as top_type, cast(n as bigint) as n
 from r where rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# event-type transition counts (first-order Markov table)
+# --------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """(prev_type, next_type, n) over consecutive events of each user
+    ordered by (ts, event_id) — the first-order Markov transition
+    table behind session path analysis.
+
+    Plan: one coarse ``user_id % 64`` shuffle, per-bucket vectorized
+    lexsort + shift-compare (a transition exists where the next row is
+    the SAME user), in-bucket (prev, next) partial counts, then a
+    bounded-key (types x types) global fold."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        g = (
+            pd.DataFrame(
+                {"prev_type": et[:-1][same], "next_type": et[1:][same]}
+            )
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype=object),
+                    "next_type": pd.Series(dtype=object),
+                    "n": pd.Series(dtype=np.int64),
+                }
+            )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(trans, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["prev_type", "next_type"])
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+with s as (select user_id, event_type,
+                  lead(event_type) over (partition by user_id
+                                         order by ts, event_id) as nxt
+           from events)
+select event_type as prev_type, nxt as next_type,
+       cast(count(*) as bigint) as n
+from s where nxt is not null
+group by 1, 2 order by 1, 2
+"""

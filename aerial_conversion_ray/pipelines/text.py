@@ -3375,3 +3375,67 @@ select x.tok as tok_a, y.tok as tok_b, cast(count(*) as bigint) as n_docs
 from p x join p y on x.doc_id = y.doc_id and x.tok < y.tok
 group by 1, 2 order by 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# integer-exact per-lang z-score outlier filter (composes lang_moments)
+# --------------------------------------------------------------------------
+
+ZSCORE_T = 2  # |z| > 2 cut
+
+
+def zscore_outliers(sf_dir: str, t: int = ZSCORE_T) -> ray.data.Dataset:
+    """Documents whose n_chars deviates more than ``t`` standard
+    deviations from their LANG's mean — the per-group robust-filter
+    shape, with the float z-score replaced by the equivalent EXACT
+    integer cross-multiplied predicate so the gate is bit-exact:
+
+        (n*x - sx)^2 * n  >  t^2 * n * (n*sxx - sx^2)
+        <=>  (n*x - sx)^2  >  t^2 * (n*sxx - sx^2)
+
+    (population variance; both sides integer).  Two passes: the tiny
+    per-lang moments aggregate (5 rows) broadcasts driver-side into a
+    streaming filter — the corpus never shuffles.  int64 bound:
+    |n*x - sx| <= n * max_x, so the square needs n * max_x < 2^31.5;
+    beyond ~10^5-doc groups with 2^15-char docs the constants must be
+    folded at reduced precision or held as Python ints (documented,
+    asserted)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    mom = lang_moments(sf_dir).to_pandas()
+    const = {
+        r["lang"]: (int(r["n_docs"]), int(r["sum_x"]), int(r["sum_xx"]))
+        for _, r in mom.iterrows()
+    }
+    for n, sx, sxx in const.values():
+        assert n * 32768 < (1 << 31), "fold constants before squaring"
+    langs = sorted(const)
+    n_v = np.array([const[L][0] for L in langs], np.int64)
+    sx_v = np.array([const[L][1] for L in langs], np.int64)
+    rhs_v = np.array(
+        [t * t * (const[L][0] * const[L][2] - const[L][1] ** 2) for L in langs],
+        np.int64,
+    )
+    lang_arr = pa.array(langs)
+
+    def pick(tb: pa.Table) -> pa.Table:
+        li = pc.index_in(tb["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        x = tb["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lhs = n_v[li] * x - sx_v[li]
+        keep = lhs * lhs > rhs_v[li]
+        return tb.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def zscore_outliers_sql(t: int = ZSCORE_T) -> str:
+    return f"""
+with m as (select lang, count(*) as n, sum(n_chars) as sx,
+                  sum(n_chars * n_chars) as sxx
+           from documents group by lang)
+select d.doc_id, d.lang, d.n_chars
+from documents d join m using (lang)
+where (m.n * d.n_chars - m.sx) * (m.n * d.n_chars - m.sx)
+      > {t * t} * (m.n * m.sxx - m.sx * m.sx)
+"""

@@ -282,6 +282,8 @@ def run_benchmarks() -> dict:
         "lang_moments": lambda: _consume(text.lang_moments(SF_DIR)),
         "user_top_type": lambda: _consume(relational.user_top_type(SF_DIR)),
         "cooccur_pairs": lambda: _consume(text.cooccur_pairs(SF_DIR)),
+        "event_transitions": lambda: _consume(relational.event_transitions(SF_DIR)),
+        "zscore_outliers": lambda: _consume(text.zscore_outliers(SF_DIR)),
         "triangle_count": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.cluster", fromlist=["triangle_count"]

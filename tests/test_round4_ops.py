@@ -426,3 +426,47 @@ def test_cooccur_pairs_matches_pandas(sf_dir):
         columns=["tok_a", "tok_b", "n_docs"],
     )
     assert (got[["tok_a", "tok_b", "n_docs"]].values == exp.values).all()
+
+
+def test_event_transitions_matches_pandas(sf_dir):
+    got = (
+        relational.event_transitions(sf_dir)
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    same = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    exp = (
+        pd.DataFrame(
+            {
+                "prev_type": ev["event_type"].to_numpy()[:-1][same],
+                "next_type": ev["event_type"].to_numpy()[1:][same],
+            }
+        )
+        .groupby(["prev_type", "next_type"], as_index=False)
+        .size()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    assert got["prev_type"].tolist() == exp["prev_type"].tolist()
+    assert got["next_type"].tolist() == exp["next_type"].tolist()
+    assert got["n"].tolist() == exp["size"].tolist()
+    # transitions conserve mass: sum == total events - distinct users
+    ev_n = len(ev)
+    users = ev["user_id"].nunique()
+    assert got["n"].sum() == ev_n - users
+
+
+def test_zscore_outliers_matches_numpy(sf_dir):
+    got = set(text.zscore_outliers(sf_dir).to_pandas()["doc_id"])
+    docs = _docs(sf_dir)
+    exp = set()
+    for lang, g in docs.groupby("lang"):
+        x = g["n_chars"].to_numpy(np.float64)
+        mu, sd = x.mean(), x.std()  # population
+        z = np.abs(x - mu) / sd
+        exp |= set(g["doc_id"].to_numpy()[z > text.ZSCORE_T])
+    assert got == exp
