@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_pairs": text.cooccur_pairs,
         # integer-exact per-lang z-score filter (composes moments)
         "zscore_outliers": text.zscore_outliers,
+        # PPJoin prefix-filtered EXACT Jaccard join (uncapped)
+        "ppjoin_pairs": text.ppjoin_pairs,
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
@@ -345,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_moments": text.LANG_MOMENTS_SQL,
         "cooccur_pairs": text.COOCCUR_PAIRS_SQL,
         "zscore_outliers": text.zscore_outliers_sql(),
+        "ppjoin_pairs": text.jaccard_pairs_sql(threshold=0.5, max_df=None),
         "tfidf": text.TFIDF_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),

@@ -3439,3 +3439,193 @@ from documents d join m using (lang)
 where (m.n * d.n_chars - m.sx) * (m.n * d.n_chars - m.sx)
       > {t * t} * (m.n * m.sxx - m.sx * m.sx)
 """
+
+
+# --------------------------------------------------------------------------
+# PPJoin-style prefix-filtered EXACT Jaccard join (no df cap needed)
+# --------------------------------------------------------------------------
+#
+# The deterministic-exact set-similarity join: all pairs with word-set
+# Jaccard >= tau found WITHOUT the df cap ``jaccard_pairs`` needs and
+# without LSH's probabilistic recall.  Prefix-filter guarantee (Chaudhuri
+# et al. / PPJoin): under ONE global token order, if J(a,b) >= tau then
+# the MINIMAL shared token of a and b lies within both docs' prefixes of
+# length p = n - ceil(tau*n) + 1 (else the shared set would fit in a
+# suffix of size ceil(tau*n) - 1 < required overlap ceil(tau*n)).  The
+# order used is (df asc, token-hash asc) — rare-first, so stopword-grade
+# tokens never enter short prefixes and the quadratic stopword blowup
+# the df cap guards against cannot happen BY CONSTRUCTION.
+#
+# Plan (all shuffles coarse 64-bucket, BASELINE lesson):
+#   1. distinct (doc, token) explode with per-doc set size n;
+#   2. token-keyed fold attaches exact global df (the tfidf pattern —
+#      the vocabulary itself never materializes anywhere);
+#   3. doc-keyed fold sorts each doc's tokens by (df, hash), keeps the
+#      prefix, and attaches the doc's FULL ordered signature (df + hash
+#      arrays as two binary cells) to each prefix row — PPJoin's trade:
+#      signature bytes through the shuffle instead of candidate
+#      explosion (sig ~ 16 B/token; a 1k-token doc ships ~16 KB x p);
+#   4. key-keyed fold: per equal-(df,hash) run, one BLAS matmul gives
+#      ALL pairwise intersections (M @ M.T, exact in float64 for
+#      counts < 2^53), a second matmul over the columns BEFORE the run
+#      key (E = P @ P.T) implements the minimal-shared-token dedupe
+#      (keep iff E == 0) so each pair is emitted exactly once with no
+#      extra distinct pass.  tau = 1/2 folds to the integer predicate
+#      2*inter >= na + nb - inter.
+#
+# Token identity downstream of stage 2 is the 64-bit hash: a collision
+# only matters INSIDE one candidate pair's ~2k-token universe
+# (P ~ k^2/2^64 per pair — negligible even at 10^12 pairs), and equal-df
+# is additionally required for the keys to merge.
+
+PPJOIN_TAU_NUM, PPJOIN_TAU_DEN = 1, 2  # tau = 1/2, matches the SQL oracle
+
+
+def ppjoin_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(a, b, inter) for all doc pairs with Jaccard >= 1/2 — same
+    output contract and SQL oracle as ``jaccard_pairs`` with NO cap."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        cnt = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        th = _hash_arrow_strings(flat)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), cnt)
+        order = np.lexsort((th, doc))
+        d_s, h_s = doc[order], th[order]
+        keep = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_s, h_s = d_s[keep], h_s[keep]
+        u, c = np.unique(d_s, return_counts=True)
+        n = c[np.searchsorted(u, d_s)] if len(d_s) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s),
+                "h": pa.array(h_s.view(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "tb": pa.array((h_s % np.uint64(nb)).astype(np.int64)),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        dfc = df.groupby("h")["doc_id"].transform("size").astype(np.int64)
+        out = df[["doc_id", "h", "n"]].copy()
+        out["df"] = dfc
+        out["db"] = (out["doc_id"].to_numpy(np.int64) % nb).astype(np.int64)
+        return out
+
+    sig_cols = {
+        "kdf": np.int64, "kh": np.int64, "doc_id": np.int64, "n": np.int64,
+        "sig_df": object, "sig_h": object,
+    }
+
+    def prefix_sig(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "h"], kind="mergesort")
+        doc = g["doc_id"].to_numpy(np.int64)
+        dfv = g["df"].to_numpy(np.int64)
+        hv = g["h"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], doc[1:] != doc[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(doc)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            k = e - s
+            # p = n - ceil(tau*n) + 1 with tau = NUM/DEN
+            p = k - (-(-(PPJOIN_TAU_NUM * k) // PPJOIN_TAU_DEN)) + 1
+            sd = dfv[s:e].tobytes()
+            sh = hv[s:e].tobytes()
+            for j in range(s, s + p):
+                rows.append((dfv[j], hv[j], doc[s], n[s], sd, sh))
+        out = pd.DataFrame(
+            rows, columns=["kdf", "kh", "doc_id", "n", "sig_df", "sig_h"]
+        )
+        return _pin_schema(out, sig_cols)
+
+    pair_cols = {"a": np.int64, "b": np.int64, "inter": np.int64}
+
+    def mine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["kdf", "kh"], kind="mergesort")
+        kdf = g["kdf"].to_numpy(np.int64)
+        kh = g["kh"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(
+                [[True], (kdf[1:] != kdf[:-1]) | (kh[1:] != kh[:-1])]
+            )
+        )
+        ends = np.concatenate([starts[1:], [len(g)]])
+        outs = []
+        docs_all = g["doc_id"].to_numpy(np.int64)
+        n_all = g["n"].to_numpy(np.int64)
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            sig_df = [
+                np.frombuffer(x, np.int64) for x in g["sig_df"].iloc[s:e]
+            ]
+            sig_h = [np.frombuffer(x, np.int64) for x in g["sig_h"].iloc[s:e]]
+            rows_id = np.repeat(np.arange(d), [len(x) for x in sig_h])
+            fdf = np.concatenate(sig_df)
+            fh = np.concatenate(sig_h)
+            order = np.lexsort((fh, fdf))
+            sdf, sh = fdf[order], fh[order]
+            newk = np.ones(len(sdf), dtype=bool)
+            newk[1:] = (sdf[1:] != sdf[:-1]) | (sh[1:] != sh[:-1])
+            col_of_sorted = np.cumsum(newk) - 1
+            cols = np.empty(len(order), np.int64)
+            cols[order] = col_of_sorted
+            ncols = int(col_of_sorted[-1]) + 1
+            m = np.zeros((d, ncols), np.float64)
+            m[rows_id, cols] = 1.0
+            # the run key's column = rank of (kdf, kh) among unique keys
+            uk_df, uk_h = sdf[newk], sh[newk]
+            lo = np.searchsorted(uk_df, kdf[s])
+            c0 = lo + np.searchsorted(uk_h[uk_df == kdf[s]], kh[s])
+            inter = m @ m.T
+            iu, ju = np.triu_indices(d, k=1)
+            keep = np.ones(len(iu), dtype=bool)
+            if c0 > 0:
+                early = m[:, :c0] @ m[:, :c0].T
+                keep &= early[iu, ju] == 0
+            na, nbv = n_all[s:e][iu], n_all[s:e][ju]
+            iv = inter[iu, ju].astype(np.int64)
+            keep &= PPJOIN_TAU_DEN * iv >= PPJOIN_TAU_NUM * (na + nbv - iv)
+            da, db = docs_all[s:e][iu][keep], docs_all[s:e][ju][keep]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a": np.minimum(da, db),
+                        "b": np.maximum(da, db),
+                        "inter": iv[keep],
+                    }
+                )
+            )
+        if not outs:
+            return _pin_schema(pd.DataFrame(), pair_cols)
+        return _pin_schema(pd.concat(outs, ignore_index=True), pair_cols)
+
+    def kb_tag(t: pa.Table) -> pa.Table:
+        h = t["kh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        d = t["kdf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "kb",
+            pa.array(((h * PRIME_B + d) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(prefix_sig, batch_format="pandas")
+        .map_batches(kb_tag, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(mine, batch_format="pandas")
+    )

@@ -470,3 +470,29 @@ def test_zscore_outliers_matches_numpy(sf_dir):
         z = np.abs(x - mu) / sd
         exp |= set(g["doc_id"].to_numpy()[z > text.ZSCORE_T])
     assert got == exp
+
+
+def test_ppjoin_pairs_matches_bruteforce(sf_dir):
+    got = (
+        text.ppjoin_pairs(sf_dir)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    docs = _docs(sf_dir)
+    sets = {r.doc_id: set(r.text.split(" ")) for r in docs.itertuples()}
+    ids = sorted(sets)
+    exp = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sets[ids[i]], sets[ids[j]]
+            inter = len(sa & sb)
+            if 2 * inter >= len(sa) + len(sb) - inter:  # J >= 1/2
+                exp.append((ids[i], ids[j], inter))
+    exp = pd.DataFrame(exp, columns=["a", "b", "inter"]).sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got[["a", "b", "inter"]].values == exp.values).all()
+    # exactly-once emission (the minimal-shared-key dedupe worked)
+    assert not got.duplicated(["a", "b"]).any()
