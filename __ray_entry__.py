@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": lambda sf: extract.html_extract(sf, CFG),
         # email/phone/IPv4 count + redaction (RE2 both sides)
         "pii_redact": extract.pii_redact,
+        # URL canonicalization (strip fragment/port/tracking, lowercase
+        # host) + crawl dedup by canonical url
+        "url_canonical": extract.url_canonical,
+        "url_dedup": extract.url_dedup,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -340,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": text.host_stats_sql(CFG),
         "html_extract": extract.html_extract_sql(CFG),
         "pii_redact": extract.pii_redact_sql(),
+        "url_canonical": extract.url_canonical_sql(),
+        "url_dedup": extract.url_dedup_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

@@ -197,3 +197,174 @@ select doc_id, n_email, n_phone,
        regexp_replace(r2, '{_IP_RE}', '<IP>', 'g') as redacted
 from p
 """
+
+
+# --- url_canonical / url_dedup ----------------------------------------------
+#
+# Crawl-dedup staple: canonicalize URLs (lowercase scheme+host, strip
+# fragment, strip default port, strip tracking params, strip trailing
+# slashes) and collapse pages that differ only in those cosmetics.
+# Reference analog: the reference keys tiles/images by normalized file
+# stem before joining annotations (aerial_conversion/coco.py:336-352);
+# the web-corpus equivalent key is the canonical URL.
+#
+# The synthetic corpus's urls are already canonical, so both sides
+# first derive a deterministic RAW variant per page (same expression
+# both sides, gated on page_id % 5 — the pii_redact augmentation
+# pattern): host-case noise, utm/ref tracking params, fragments,
+# trailing slashes, an explicit :443 default port.  The canonicalizer
+# itself is GENERAL (anchored RE2 rewrites, no knowledge of the
+# variant shapes); DuckDB's regex engine is also RE2 so the semantics
+# cannot drift.
+#
+# Scale (100 TB): url_canonical is a stateless single-pass
+# map_batches (pc.* RE2 kernels, zero-copy Arrow, no shuffle);
+# url_dedup adds ONE narrow shuffle over (canon_url) carrying three
+# int64/string columns — the corpus text never moves.
+
+_SCHEME_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+_PORT_RE = r"^(https://[^/?#:]+):443"
+_TRACK_RE = r"&(utm_[a-z]+|ref)=[^&#]*"
+
+
+def _raw_url_batch(t: pa.Table) -> pa.Array:
+    """Deterministic raw-URL variant per page.  MUST stay
+    expression-identical to the SQL in :func:`_raw_url_sql`."""
+    import numpy as np
+
+    pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = t["source"]
+    s = pa.string()
+
+    def istr(v) -> pa.Array:
+        return pc.cast(pa.array(v), s)
+
+    base_path = pc.binary_join_element_wise("/doc/", istr(did), "")
+    m = pid % 5
+    up = pc.utf8_upper(src)
+    v0 = pc.binary_join_element_wise("HTTPS://", up, ".EXAMPLE", base_path, "")
+    v1 = pc.binary_join_element_wise(
+        "https://", src, ".example", base_path, "/p/", istr(pid % 4),
+        "?utm_source=feed&utm_medium=rss&ref=", istr(pid % 9), "",
+    )
+    v2 = pc.binary_join_element_wise(
+        "https://", src, ".example", base_path, "/p/", istr(pid % 4),
+        "#section-", istr(pid % 7), "",
+    )
+    v3 = pc.binary_join_element_wise("https://", src, ".example", base_path, "/", "")
+    v4 = pc.binary_join_element_wise("https://", src, ".example:443", base_path, "")
+    out = v4
+    for mv, arr in ((0, v0), (1, v1), (2, v2), (3, v3)):
+        out = pc.if_else(pa.array(m == mv), arr, out)
+    return out
+
+
+def _raw_url_sql() -> str:
+    base = "'/doc/' || cast(doc_id as varchar)"
+    return (
+        "case page_id % 5 "
+        f"when 0 then 'HTTPS://' || upper(source) || '.EXAMPLE' || {base} "
+        f"when 1 then 'https://' || source || '.example' || {base} || '/p/' "
+        "|| cast(page_id % 4 as varchar) "
+        "|| '?utm_source=feed&utm_medium=rss&ref=' || cast(page_id % 9 as varchar) "
+        f"when 2 then 'https://' || source || '.example' || {base} || '/p/' "
+        "|| cast(page_id % 4 as varchar) || '#section-' || cast(page_id % 7 as varchar) "
+        f"when 3 then 'https://' || source || '.example' || {base} || '/' "
+        f"else 'https://' || source || '.example:443' || {base} end"
+    )
+
+
+def canonicalize_urls(u: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """General URL canonicalizer, whole-batch RE2 rewrites:
+    1. strip fragment; 2. lowercase scheme+host; 3. strip :443 default
+    port; 4. normalize ``?`` -> ``&`` so every query param is
+    ``&``-prefixed, strip utm_*/ref tracking params wherever they sit,
+    restore the first ``&`` to ``?``; 5. strip an empty trailing query,
+    a trailing path slash before the query, and trailing slashes."""
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    prefix = _capture(u, f"(?P<g>{_SCHEME_HOST_RE})")
+    rest = pc.replace_substring_regex(u, _SCHEME_HOST_RE, "", max_replacements=1)
+    u = pc.binary_join_element_wise(pc.utf8_lower(prefix), rest, "")
+    u = pc.replace_substring_regex(u, _PORT_RE, r"\1", max_replacements=1)
+    u = pc.replace_substring(u, "?", "&", max_replacements=1)
+    u = pc.replace_substring_regex(u, _TRACK_RE, "")
+    u = pc.replace_substring(u, "&", "?", max_replacements=1)
+    u = pc.replace_substring_regex(u, r"\?$", "")
+    u = pc.replace_substring_regex(u, r"/+\?", "?", max_replacements=1)
+    return pc.replace_substring_regex(u, r"/+$", "")
+
+
+def _canon_sql(u: str) -> str:
+    """DuckDB expression mirroring :func:`canonicalize_urls`
+    rewrite-for-rewrite (same RE2 patterns, same order; DuckDB's
+    ``regexp_replace`` without ``'g'`` = first occurrence only, the
+    analog of ``max_replacements=1``)."""
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = (
+        f"(lower(coalesce(regexp_extract({u}, '{_SCHEME_HOST_RE}'), ''))"
+        f" || regexp_replace({u}, '{_SCHEME_HOST_RE}', ''))"
+    )
+    u = f"regexp_replace({u}, '{_PORT_RE}', '\\1')"
+    u = f"regexp_replace({u}, '\\?', '&')"
+    u = f"regexp_replace({u}, '{_TRACK_RE}', '', 'g')"
+    u = f"regexp_replace({u}, '&', '?')"
+    u = f"regexp_replace({u}, '\\?$', '')"
+    u = f"regexp_replace({u}, '/+\\?', '?')"
+    return f"regexp_replace({u}, '/+$', '')"
+
+
+_URL_REP = 5  # one page per variant residue
+
+
+def url_canonical_batch(t: pa.Table) -> pa.Table:
+    raw = _raw_url_batch(t)
+    return pa.table(
+        {
+            "page_id": t["page_id"],
+            "raw_url": raw,
+            "canon_url": canonicalize_urls(raw),
+        }
+    )
+
+
+def url_canonical(sf_dir: str) -> ray.data.Dataset:
+    """(page_id, raw_url, canon_url): the canonical-URL mapping for
+    every page — stateless map-only pass."""
+    ds = pages_dataset(sf_dir, rep=_URL_REP, columns=["page_id", "doc_id", "source"])
+    return ds.map_batches(url_canonical_batch, batch_format="pyarrow")
+
+
+def url_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(canon_url, n_pages, rep_page_id): crawl dedup by canonical
+    URL — first-wins representative = min page_id.  One narrow
+    shuffle over the canonical key (three small columns); the page
+    payload never moves."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        url_canonical(sf_dir)
+        .groupby("canon_url")
+        .aggregate(
+            Count(alias_name="n_pages"),
+            Min("page_id", alias_name="rep_page_id"),
+        )
+        .sort("canon_url")
+    )
+
+
+def url_canonical_sql() -> str:
+    raw = _raw_url_sql()
+    return (
+        f"with pages as ({pages_cte(_URL_REP)}), "
+        f"r as (select page_id, {raw} as raw_url from pages) "
+        f"select page_id, raw_url, {_canon_sql('raw_url')} as canon_url from r"
+    )
+
+
+def url_dedup_sql() -> str:
+    return (
+        f"with c as ({url_canonical_sql()}) "
+        "select canon_url, cast(count(*) as bigint) as n_pages, "
+        "min(page_id) as rep_page_id from c group by canon_url order by canon_url"
+    )

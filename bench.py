@@ -148,6 +148,16 @@ def run_benchmarks() -> dict:
         # CPU ratio entirely.  Full-materialization timings live in
         # the regular bench run.  Warm-up at full size first (worker
         # pool + heap pages fault once, untimed).
+        _PREMAT_PAGES: list = []
+        if SCALING_MODE == "premat":
+            # one-time, untimed: synthesize + pin the full pages
+            # payload as Arrow blocks in the object store
+            from aerial_conversion_ray.sources.pages import pages_dataset
+
+            _PREMAT_PAGES.append(
+                pages_dataset(SF_DIR, rep=BENCH_REP).materialize()
+            )
+
         def scaled():
             import pyarrow as pa
             import pyarrow.compute as pc
@@ -163,6 +173,36 @@ def run_benchmarks() -> dict:
                 # this sandbox at BOTH CPU counts and would otherwise
                 # mask the compute-scaling ratio.
                 ds = spatial.tile_point_join(SF_DIR, cfg, columns=["page_id"])
+            elif SCALING_MODE == "premat":
+                # PRE-MATERIALIZED leg (round-3 verdict item 8): the
+                # pages payload is synthesized ONCE, untimed, into the
+                # object store (``_PREMAT_PAGES`` below); the timed
+                # job READS those Arrow blocks through the same
+                # geocode -> cells -> tile-assign chain and consumes
+                # the payload bytes in the fold.  This separates
+                # "fresh-allocation string synthesis" (the hypothesis
+                # for the full-payload leg's low ratio) from
+                # "read + join compute": if this ratio recovers toward
+                # the kernel number, the memory-throttle attribution
+                # in BASELINE.md is measured, not argued.
+                ds = (
+                    _PREMAT_PAGES[0]
+                    .map_batches(
+                        spatial.geocode_batch,
+                        batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
+                    )
+                    .map_batches(
+                        spatial.cell_encode_batch,
+                        batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
+                    )
+                    .map_batches(
+                        spatial.PointTileAssign(cfg),
+                        batch_format="pyarrow",
+                        batch_size=cfg.batch_size,
+                    )
+                )
             else:
                 # FULL-PAYLOAD leg: every column synthesized (url,
                 # text, lang, ...) and carried through the whole join
@@ -218,6 +258,9 @@ def run_benchmarks() -> dict:
             "num_cpus": NUM_CPUS,
             "pages_rep": BENCH_REP,
             "tile_join_rows_per_s": round(n / sec) if sec > 0 else None,
+            "premat_bytes": (
+                int(_PREMAT_PAGES[0].size_bytes()) if _PREMAT_PAGES else None
+            ),
         }
 
     queries = {
@@ -417,6 +460,12 @@ def run_scaling() -> dict:
 
     kernel = leg("kernel", SCALING_REP)
     full = leg("full", SCALING_REP_FULL)
+    # round-3 verdict item 8: the attribution leg — same payload
+    # volume as `full`, but synthesized once untimed and READ from the
+    # object store by the timed job.  kernel >> premat > full would
+    # localize the loss to fresh-allocation synthesis; premat ~= full
+    # would refute the memory-throttle claim.
+    premat = leg("premat", SCALING_REP_FULL)
     return {
         "metric": "scaling_efficiency",
         "value": kernel["efficiency"],
@@ -429,6 +478,7 @@ def run_scaling() -> dict:
         "cpus_hi": hi,
         "kernel_only": kernel,
         "full_payload": full,
+        "premat_payload": premat,
         "sf": SF_DIR,
     }
 

@@ -79,3 +79,46 @@ def test_pii_redact_crafted():
     assert out.loc[2, "n_phone"] == 1  # 2 % 4 != 0
     assert out.loc[2, "n_ip"] == 1  # 2 % 5 != 0
     assert out.loc[2, "redacted"].startswith("no pii here reach ")
+
+
+def test_canonicalize_urls_general():
+    """The canonicalizer is general (not shaped to the synthetic
+    variants): fragment, default-port, tracking-param, host-case and
+    trailing-slash noise all collapse; real query params survive."""
+    raw = pa.array(
+        [
+            "HTTPS://News.Example/a/B?q=1#frag",
+            "https://news.example:443/a/B?q=1",
+            "https://news.example/a/B?utm_source=x&q=1&utm_campaign=y",
+            "https://news.example/a/B/?q=1",
+            "https://news.example/a/B?q=1&ref=abc",
+            "http://other.example/path?page=2&utm_medium=mail",
+        ]
+    )
+    got = extract.canonicalize_urls(raw).to_pylist()
+    assert got[:5] == ["https://news.example/a/B?q=1"] * 5
+    assert got[5] == "http://other.example/path?page=2"
+
+
+def test_url_dedup_collapses_variants(sf_dir):
+    """Every canonical url groups exactly the pages that differ only
+    in cosmetics; representative is min page_id."""
+    import duckdb
+
+    out = extract.url_dedup(sf_dir).to_pandas()
+    con = duckdb.connect()
+    _register_views(con, sf_dir)
+    want = con.execute(extract.url_dedup_sql()).fetch_df()
+    assert len(out) == len(want)
+    out = out.sort_values("canon_url").reset_index(drop=True)
+    want = want.sort_values("canon_url").reset_index(drop=True)
+    assert (out["n_pages"].to_numpy() == want["n_pages"].to_numpy()).all()
+    assert (out["rep_page_id"].to_numpy() == want["rep_page_id"].to_numpy()).all()
+
+
+def _register_views(con, sf_dir):
+    import glob
+
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].removesuffix(".parquet")
+        con.execute(f"create view {name} as select * from read_parquet('{p}')")
