@@ -21,6 +21,7 @@ from aerial_conversion_ray.pipelines import (
     coco,
     embeddings,
     extract,
+    linkgraph,
     multimodal,
     relational,
     spatial,
@@ -162,6 +163,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host) + crawl dedup by canonical url
         "url_canonical": extract.url_canonical,
         "url_dedup": extract.url_dedup,
+        # link graph: anchor extraction -> host degrees -> fixed-point
+        # PageRank (broadcast-vector folds, hot host by construction)
+        "link_extract": linkgraph.link_extract,
+        "host_degree": linkgraph.host_degree,
+        "pagerank_hosts": linkgraph.pagerank_hosts,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -346,6 +352,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": extract.pii_redact_sql(),
         "url_canonical": extract.url_canonical_sql(),
         "url_dedup": extract.url_dedup_sql(),
+        "link_extract": linkgraph.link_extract_sql(),
+        "host_degree": linkgraph.host_degree_sql(),
+        "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

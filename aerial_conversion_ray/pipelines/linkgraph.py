@@ -1,0 +1,415 @@
+"""Web link graph: anchor extraction -> host graph -> PageRank.
+
+The crawl-pipeline staple the reference's join machinery analogizes
+to: the reference joins annotations to tiles by parsed grid keys
+(aerial_conversion/tiles.py:180-256); the web-corpus equivalent joins
+pages to hosts by parsed anchor targets.
+
+The synthetic pages' html wrapper carries no anchors, so both sides
+first derive a deterministic ANCHOR-BEARING html variant per page
+(same expression both sides — the pii_redact / url_canonical
+augmentation pattern): 1-3 ``<a href>`` links whose targets are a
+pure integer function of page_id, with a built-in hot host (40% of
+links point at host 0) so the skew path is exercised by
+construction.  The extractor itself is GENERAL: it finds every
+``href="..."`` occurrence in document order, however many there are
+(split-scan on the engine side, ``regexp_extract_all`` in the DuckDB
+oracle — same semantics on well-formed attributes).
+
+Scale (100 TB):
+- ``link_extract`` is a stateless single-pass ``map_batches`` explode
+  (1->N rows); no shuffle, the page text never moves past the parse.
+- ``host_degree`` pre-aggregates (src,dst) edge weights per batch
+  before ONE narrow groupby over the host-pair key; the final
+  per-host fold runs over the weighted edge table (|hosts|^2 upper
+  bound, orders of magnitude below the page count).
+- ``pagerank_hosts`` keeps the edge table distributed and folds each
+  power iteration as kmeans-style per-batch partial vectors
+  (``np.add.at`` into a |hosts|-length int64 vector, one row per
+  batch) summed by a tiny groupby — no per-key shuffle, so the hot
+  host costs nothing extra.  Assumption (documented, same as kmeans
+  centroids): the HOST rank vector fits in the object store
+  (|hosts| ~ 1e8 at web scale -> ~1 GB); past that, each iteration
+  becomes a groupby(dst) shuffle over the weighted edges instead.
+
+All PageRank arithmetic is fixed-point int64 (scale 1e12) so the
+engine and the oracle agree bit-for-bit: contributions use integer
+floor division ``r//outdeg``, damping is ``(85*x)//100``, and the
+DuckDB mirror uses the same ``//`` integer division.  Max magnitude
+85 * total_mass ~ 8.5e13 << 2^63.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources.pages import pages_cte, pages_dataset
+
+NH = 64                 # synthetic host count
+LG_REP = 5              # pages per document for link-graph entries
+PR_SCALE = 10**12       # fixed-point PageRank scale
+PR_ITERS = 4
+_HOT_DST = 0            # 40% of links target this host (skew by design)
+
+
+# --- deterministic anchor-bearing html variant ---------------------------
+
+
+def _dst_ids(page_id: np.ndarray, j: int) -> np.ndarray:
+    """Link j's target host id: hot host for 40% of (page, j) pairs,
+    else spread over the host space.  Pure int64 function; MUST stay
+    expression-identical to :func:`_dst_sql`."""
+    hot = (page_id + j) % 5 < 2
+    return np.where(hot, _HOT_DST, ((page_id + 1) * (j + 3)) % NH)
+
+
+def _dst_sql(j: int) -> str:
+    return (
+        f"(case when (page_id + {j}) % 5 < 2 then {_HOT_DST} "
+        f"else ((page_id + 1) * ({j} + 3)) % {NH} end)"
+    )
+
+
+def _anchor_arrays(t: pa.Table) -> list[pa.Array]:
+    pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out = []
+    for j in range(3):
+        dst = _dst_ids(pid, j)
+        a = pc.binary_join_element_wise(
+            '<a href="https://h',
+            pc.cast(pa.array(dst), pa.string()),
+            ".example/doc/",
+            pc.cast(pa.array(pid * 31 + j), pa.string()),
+            f'">link {j}</a>',
+            "",
+        )
+        if j > 0:
+            # links beyond the first exist only when page_id % 3 >= j
+            a = pc.if_else(pa.array(pid % 3 >= j), a, "")
+        out.append(a)
+    return out
+
+
+def linked_html_batch(t: pa.Table) -> pa.Table:
+    """(page_id, text) -> + html: the anchor-bearing page variant."""
+    a0, a1, a2 = _anchor_arrays(t)
+    html = pc.binary_join_element_wise(
+        "<html><head><title>",
+        pc.cast(t["page_id"], pa.string()),
+        "</title></head><body><p>",
+        t["text"],
+        "</p>",
+        a0,
+        a1,
+        a2,
+        "</body></html>",
+        "",
+    )
+    return pa.table({"page_id": t["page_id"], "html": html})
+
+
+def _anchor_sql(j: int) -> str:
+    a = (
+        "('<a href=\"https://h' || cast("
+        + _dst_sql(j)
+        + " as varchar) || '.example/doc/' || cast(page_id * 31 + "
+        + str(j)
+        + ' as varchar) || \'">link '
+        + str(j)
+        + "</a>')"
+    )
+    if j > 0:
+        a = f"(case when page_id % 3 >= {j} then {a} else '' end)"
+    return a
+
+
+def _html_sql() -> str:
+    return (
+        "('<html><head><title>' || cast(page_id as varchar) || "
+        "'</title></head><body><p>' || text || '</p>' || "
+        f"{_anchor_sql(0)} || {_anchor_sql(1)} || {_anchor_sql(2)} || "
+        "'</body></html>')"
+    )
+
+
+# --- link extraction (general split-scan) --------------------------------
+
+_HOST_OF_URL_RE = r"^[a-z]+://(?P<g>[^/]*)"
+
+
+def extract_links_batch(t: pa.Table) -> pa.Table:
+    """html -> one row per ``href="..."`` occurrence, in document
+    order: (page_id, link_pos, href, src_host, dst_host).
+
+    General whole-batch scan: split each page on ``href="`` (every
+    piece after the first starts with an attribute value), cut each
+    piece at its closing quote.  No per-row Python loop."""
+    html = t["html"]
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    parts = pc.split_pattern(html, 'href="')
+    lengths = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+    keep = pos > 0  # piece 0 precedes the first href
+    kept = flat.filter(pa.array(keep))
+    href = pc.list_element(pc.split_pattern(kept, '"', max_splits=1), 0)
+    page_id = t["page_id"].take(pa.array(parent[keep]))
+    pid = (
+        page_id.combine_chunks() if isinstance(page_id, pa.ChunkedArray) else page_id
+    ).to_numpy(zero_copy_only=False)
+    from .extract import _capture
+
+    dst_host = _capture(href, _HOST_OF_URL_RE)
+    src_host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(pid % NH), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {
+            "page_id": page_id,
+            "link_pos": pa.array(pos[keep] - 1),
+            "href": href,
+            "src_host": src_host,
+            "dst_host": dst_host,
+        }
+    )
+
+
+def link_extract(sf_dir: str, rep: int = LG_REP) -> ray.data.Dataset:
+    """(page_id, link_pos, href, src_host, dst_host): every anchor of
+    every page — map-only explode, no shuffle."""
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id", "text"])
+    return ds.map_batches(linked_html_batch, batch_format="pyarrow").map_batches(
+        extract_links_batch, batch_format="pyarrow"
+    )
+
+
+def link_extract_sql(rep: int = LG_REP) -> str:
+    return f"""
+with pages as ({pages_cte(rep)}),
+hh as (select page_id, {_html_sql()} as html from pages),
+hl as (select page_id, regexp_extract_all(html, 'href="([^"]*)"', 1) as hs
+       from hh),
+lx as (select page_id, unnest(hs) as href,
+              unnest(range(len(hs))) as link_pos
+       from hl)
+select page_id, cast(link_pos as bigint) as link_pos, href,
+       ('h' || cast(page_id % {NH} as varchar) || '.example') as src_host,
+       regexp_extract(href, '^[a-z]+://([^/]*)', 1) as dst_host
+from lx
+"""
+
+
+# --- weighted host edges --------------------------------------------------
+
+
+def _edge_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (src_id, dst_id) -> cnt pre-aggregation (combiner
+    before the narrow host-pair groupby)."""
+    from .extract import _capture
+
+    src = _capture(t["src_host"], r"^h(?P<g>\d+)\.")
+    dst = _capture(t["dst_host"], r"^h(?P<g>\d+)\.")
+    s = pc.cast(src, pa.int64()).to_numpy(zero_copy_only=False)
+    d = pc.cast(dst, pa.int64()).to_numpy(zero_copy_only=False)
+    key = s * NH + d
+    u, cnt = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "src_id": pa.array(u // NH),
+            "dst_id": pa.array(u % NH),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def host_edges(sf_dir: str, rep: int = LG_REP) -> ray.data.Dataset:
+    """Weighted host-level edge table (src_id, dst_id, cnt): batch
+    combiner then ONE groupby over the |hosts|^2-bounded pair key —
+    the only shuffle in the suite, and it moves three int64 columns."""
+    from ray.data.aggregate import Sum
+
+    return (
+        link_extract(sf_dir, rep)
+        .map_batches(_edge_partial, batch_format="pyarrow")
+        .groupby(["src_id", "dst_id"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+_EDGES_SQL_BODY = (
+    "select page_id % {nh} as src_id, "
+    "cast(regexp_extract(dst_host, '^h(\\d+)\\.', 1) as bigint) as dst_id, "
+    "count(*) as cnt from ({links}) group by 1, 2"
+)
+
+
+def _edges_sql(rep: int) -> str:
+    return _EDGES_SQL_BODY.format(nh=NH, links=link_extract_sql(rep))
+
+
+# --- host degrees ---------------------------------------------------------
+
+
+def host_degree(sf_dir: str, rep: int = LG_REP) -> "ray.data.Dataset":
+    """Per host: out_links / in_links (link multiplicity) and
+    out_hosts / in_hosts (distinct neighbours).  Folds the SMALL
+    weighted edge table (post-shuffle) — the page-scale data was
+    already reduced by :func:`host_edges`."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        s = t["src_id"].to_numpy(zero_copy_only=False)
+        d = t["dst_id"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        hosts = np.unique(np.concatenate([s, d]))
+        idx = {int(h): i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        out_links = np.zeros(n, dtype=np.int64)
+        in_links = np.zeros(n, dtype=np.int64)
+        out_hosts = np.zeros(n, dtype=np.int64)
+        in_hosts = np.zeros(n, dtype=np.int64)
+        si = np.fromiter((idx[int(x)] for x in s), dtype=np.int64, count=len(s))
+        di = np.fromiter((idx[int(x)] for x in d), dtype=np.int64, count=len(d))
+        np.add.at(out_links, si, c)
+        np.add.at(in_links, di, c)
+        np.add.at(out_hosts, si, 1)
+        np.add.at(in_hosts, di, 1)
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+        )
+        return pa.table(
+            {
+                "host": host,
+                "out_links": pa.array(out_links),
+                "out_hosts": pa.array(out_hosts),
+                "in_links": pa.array(in_links),
+                "in_hosts": pa.array(in_hosts),
+            }
+        )
+
+    # the weighted edge table is <= |hosts|^2 rows: one fold task
+    return (
+        host_edges(sf_dir, rep)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .sort("host")
+    )
+
+
+def host_degree_sql(rep: int = LG_REP) -> str:
+    return f"""
+with e as ({_edges_sql(rep)}),
+o as (select src_id as hid, sum(cnt) as out_links, count(*) as out_hosts
+      from e group by 1),
+i as (select dst_id as hid, sum(cnt) as in_links, count(*) as in_hosts
+      from e group by 1)
+select ('h' || cast(coalesce(o.hid, i.hid) as varchar) || '.example') as host,
+       cast(coalesce(o.out_links, 0) as bigint) as out_links,
+       cast(coalesce(o.out_hosts, 0) as bigint) as out_hosts,
+       cast(coalesce(i.in_links, 0) as bigint) as in_links,
+       cast(coalesce(i.in_hosts, 0) as bigint) as in_hosts
+from o full outer join i on o.hid = i.hid
+order by host
+"""
+
+
+# --- PageRank (fixed-point int64, kmeans-style broadcast folds) ----------
+
+
+def pagerank_hosts(
+    sf_dir: str, rep: int = LG_REP, iters: int = PR_ITERS
+) -> "pa.Table":
+    """Damped PageRank over the host graph, ``iters`` power
+    iterations, all arithmetic int64 fixed-point (scale 1e12) so the
+    result is bit-identical to the SQL oracle.
+
+    The weighted edge Dataset stays distributed; each iteration is a
+    single pass of per-batch partial contribution vectors (one
+    |hosts|-length int64 row per batch) summed on the driver — the
+    rank vector is broadcast, never shuffled, so the built-in hot
+    host (40% in-degree) costs nothing.  Dangling hosts leak mass
+    (simplified PR) identically on both sides."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()  # |hosts|^2-bounded; hosts universe + outdeg
+    hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
+    n = len(hosts)
+    outdeg = np.zeros(n, dtype=np.int64)
+    si = np.searchsorted(hosts, small["src_id"].values)
+    np.add.at(outdeg, si, small["cnt"].values)
+    base = (15 * PR_SCALE) // (100 * n)
+    r = np.full(n, PR_SCALE // n, dtype=np.int64)
+
+    hosts_ref = ray.put(hosts)
+    outdeg_ref = ray.put(outdeg)
+
+    def contrib(t: pa.Table, r_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        od = ray.get(outdeg_ref)
+        rv = ray.get(r_ref)
+        s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        per_edge = (rv[s] // od[s]) * c
+        acc = np.zeros(len(hs), dtype=np.int64)
+        np.add.at(acc, d, per_edge)
+        return pa.table({f"c{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+
+    for _ in range(iters):
+        r_ref = ray.put(r)
+        parts = edges.map_batches(
+            lambda t, rr=r_ref: contrib(t, rr), batch_format="pyarrow"
+        )
+        sums = parts.sum([f"c{i}" for i in range(n)])
+        cvec = np.array([sums[f"sum(c{i})"] for i in range(n)], dtype=np.int64)
+        r = base + (85 * cvec) // 100
+
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {
+            "host": host,
+            "pr_num": pa.array(r),
+            "pr": pa.array(r / float(PR_SCALE)),
+        }
+    )
+
+
+def pagerank_hosts_sql(rep: int = LG_REP, iters: int = PR_ITERS) -> str:
+    """K-iteration fixed-point PageRank unrolled as chained CTEs;
+    DuckDB ``//`` = integer floor division = numpy ``//`` on the
+    non-negative fixed-point values."""
+    ctes = [
+        f"e as ({_edges_sql(rep)})",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from e union select dst_id from e))",
+        "outd as (select src_id, sum(cnt) as od from e group by 1)",
+        "nh as (select count(*) as n from hosts)",
+        f"r0 as (select hid, {PR_SCALE} // (select n from nh) as r from hosts)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"r{k + 1} as (select h.hid, "
+            f"(15 * {PR_SCALE}) // (100 * (select n from nh)) "
+            f"+ (85 * coalesce(s.c, 0)) // 100 as r "
+            "from hosts h left join ("
+            f"select e.dst_id as hid, sum(e.cnt * (r{k}.r // o.od)) as c "
+            f"from e join r{k} on e.src_id = r{k}.hid "
+            "join outd o on o.src_id = e.src_id group by 1) s using (hid))"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        f"select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"cast(r as bigint) as pr_num, "
+        f"cast(r as bigint) / {float(PR_SCALE)!r} as pr from r{iters} order by host"
+    )

@@ -1,0 +1,63 @@
+"""Link-graph suite: general href extraction + integer-exact
+PageRank invariants."""
+
+import numpy as np
+import pyarrow as pa
+
+from aerial_conversion_ray.pipelines import linkgraph as lg
+
+
+def test_extract_links_general_html():
+    """The extractor is a general href scanner, not shaped to the
+    synthetic variant: arbitrary counts (incl. zero), single quotes
+    ignored, document order preserved."""
+    htmls = [
+        '<p>no links at all</p>',
+        '<a href="https://a.example/x">one</a>',
+        'pre <a href="https://b.example/1">x</a> mid '
+        '<img src="i.png"/><a href="https://c.example/2?q=1">y</a> post',
+        "<a href='https://notdouble.example/'>single-quoted: skipped</a>",
+    ]
+    t = pa.table(
+        {
+            "page_id": pa.array(range(len(htmls)), pa.int64()),
+            "html": pa.array(htmls),
+        }
+    )
+    out = lg.extract_links_batch(t).to_pandas()
+    assert list(out["page_id"]) == [1, 2, 2]
+    assert list(out["link_pos"]) == [0, 0, 1]
+    assert list(out["href"]) == [
+        "https://a.example/x",
+        "https://b.example/1",
+        "https://c.example/2?q=1",
+    ]
+    assert list(out["dst_host"]) == ["a.example", "b.example", "c.example"]
+
+
+def test_pagerank_mass_and_hot_host(sf_dir):
+    """Fixed-point PageRank: total mass bounded by the scale (mass
+    only leaks via dangling hosts / floor division), every rank >=
+    the damping floor, and the constructed hot host (40% of links)
+    ranks first."""
+    t = lg.pagerank_hosts(sf_dir).to_pandas()
+    assert len(t) == lg.NH
+    total = int(t["pr_num"].sum())
+    assert total <= lg.PR_SCALE
+    assert total > lg.PR_SCALE * 0.9  # floors lose only tiny mass
+    n = len(t)
+    base = (15 * lg.PR_SCALE) // (100 * n)
+    assert (t["pr_num"] >= base).all()
+    hot = t.loc[t["pr_num"].idxmax(), "host"]
+    assert hot == f"h{lg._HOT_DST}.example"
+    # hot host holds a plurality comparable to its 40% in-link share
+    assert t["pr_num"].max() > 5 * np.median(t["pr_num"])
+
+
+def test_host_degree_conservation(sf_dir):
+    """Sum of out_links == sum of in_links == total extracted link
+    rows (every edge counted exactly once per side)."""
+    deg = lg.host_degree(sf_dir).to_pandas()
+    n_links = lg.link_extract(sf_dir).count()
+    assert int(deg["out_links"].sum()) == n_links
+    assert int(deg["in_links"].sum()) == n_links
