@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- spatial (forward path) --
         "geocode": lambda sf: spatial.geocode_pipeline(sf, CFG),
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
+        # standard base32 geohash + prefix parent (string-keyed T3)
+        "geohash_index": spatial.geohash_index,
         "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
@@ -288,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geocode": sql_oracle.geocode_sql(CFG),
         "cell_index": sql_oracle.cell_index_sql(CFG),
+        "geohash_index": spatial.geohash_index_sql(),
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
         # salted-shuffle plan: same semantics, same oracle

@@ -142,3 +142,83 @@ def hilbert_of_cell(cell: np.ndarray, res: int) -> np.ndarray:
     n = 1 << res
     cell = np.asarray(cell, dtype=np.int64)
     return hilbert_key(cell % n, cell // n, order=res)
+
+
+# --- geohash -------------------------------------------------------------
+#
+# Standard public geohash: lon/lat quantized to (ceil(5P/2), floor(5P/2))
+# bits, bit-interleaved msb-first starting with longitude, base32-coded
+# 5 bits per character with the canonical alphabet.  Even precision only
+# (each character boundary then splits bits 3/2 or 2/3 consistently with
+# the closed-form below; the tests pin known geohashes).
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 6) -> np.ndarray:
+    """Vectorized geohash strings (numpy unicode array).
+
+    ``lon_i = floor((lon+180)/w_lon)`` with ``w_lon = 360/2**(5P/2)``
+    (clamped), same for lat over 180 deg — then Morton-interleave and
+    emit 5-bit base32 groups.  SQL mirror: :func:`geohash_sql_expr`
+    (identical quantization expression, per-character bit extraction).
+    """
+    if precision % 2:
+        raise ValueError("even precision only (odd splits a character's bits)")
+    half = (5 * precision) // 2
+    n = np.int64(1) << half
+    w_lon = 360.0 / float(n)
+    w_lat = 180.0 / float(n)
+    lon_i = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / w_lon).astype(
+        np.int64
+    )
+    lat_i = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / w_lat).astype(
+        np.int64
+    )
+    np.clip(lon_i, 0, int(n) - 1, out=lon_i)
+    np.clip(lat_i, 0, int(n) - 1, out=lat_i)
+
+    # spread bits (bit k -> bit 2k), 32-bit inputs suffice (half <= 30)
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    combined = (spread(lon_i) << np.uint64(1)) | spread(lat_i)
+    chars = np.frombuffer(GEOHASH_BASE32.encode(), dtype=np.uint8)
+    out = np.empty((precision, len(lon_i)), dtype=np.uint8)
+    for c in range(precision):
+        shift = np.uint64(5 * (precision - 1 - c))
+        out[c] = chars[((combined >> shift) & np.uint64(31)).astype(np.int64)]
+    return out.T.copy().view(f"S{precision}").reshape(-1).astype(f"U{precision}")
+
+
+def geohash_sql_expr(lon_sql: str, lat_sql: str, precision: int = 6) -> str:
+    """DuckDB expression equal to :func:`geohash_encode` bit-for-bit:
+    same quantization doubles, per-character 5-bit extraction from the
+    two integer coordinates, base32 via substr."""
+    half = (5 * precision) // 2
+    n = 1 << half
+    w_lon = repr(360.0 / n)
+    w_lat = repr(180.0 / n)
+    lon_i = (
+        f"least(greatest(cast(floor(({lon_sql} + 180.0) / {w_lon}) as bigint), 0), {n - 1})"
+    )
+    lat_i = (
+        f"least(greatest(cast(floor(({lat_sql} + 90.0) / {w_lat}) as bigint), 0), {n - 1})"
+    )
+    chars = []
+    for c in range(precision):
+        bits = []
+        for t in range(5):
+            p = 5 * c + t  # stream position, 0 = msb
+            src, k = ("LON", half - 1 - p // 2) if p % 2 == 0 else ("LAT", half - 1 - (p - 1) // 2)
+            coord = lon_i if src == "LON" else lat_i
+            bits.append(f"((({coord}) >> {k}) & 1) * {1 << (4 - t)}")
+        idx = " + ".join(bits)
+        chars.append(f"substr('{GEOHASH_BASE32}', cast({idx} as integer) + 1, 1)")
+    return "(" + " || ".join(chars) + ")"

@@ -24,7 +24,7 @@ from ..config import EngineConfig
 from ..geo import cells
 from ..geo.haversine import haversine_m
 from ..geocode import geocode_arrays
-from ..sources.pages import pages_dataset
+from ..sources.pages import pages_dataset, read_table
 
 DEFAULT_CFG = EngineConfig()
 
@@ -1547,4 +1547,41 @@ def knn_pipeline(
         batch_format="pyarrow",
         batch_size=None,
         concurrency=pool,
+    )
+
+
+def geohash_index(sf_dir: str, precision: int = 6) -> ray.data.Dataset:
+    """Per-document geohash (standard base32, public alphabet) at
+    ``precision`` chars + its 4-char parent prefix — the string-keyed
+    sibling of ``cell_index`` (T3): geohash prefixes give
+    lexicographic range-partitioning by locality, so a sort by gh is
+    a spatial clustering pass.  Map-only, no shuffle."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["doc_id"].to_numpy(zero_copy_only=False))
+        gh = cells.geohash_encode(g["lon"], g["lat"], precision)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "gh": pa.array(gh),
+                "gh4": pa.array(gh.astype("U4")),
+                "lon": pa.array(g["lon"]),
+                "lat": pa.array(g["lat"]),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        enc, batch_format="pyarrow"
+    )
+
+
+def geohash_index_sql(precision: int = 6) -> str:
+    from ..geocode import SQL_EXPRS
+
+    e = cells.geohash_sql_expr("lon", "lat", precision)
+    return (
+        f"with g as (select doc_id, {SQL_EXPRS['lon']} as lon, "
+        f"{SQL_EXPRS['lat']} as lat from documents), "
+        f"h as (select doc_id, {e} as gh, lon, lat from g) "
+        "select doc_id, gh, left(gh, 4) as gh4, lon, lat from h"
     )

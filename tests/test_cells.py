@@ -80,3 +80,41 @@ def test_mercator_roundtrip():
     # known fixed point: equator/prime meridian maps to origin
     x0, y0 = to_mercator(np.array([0.0]), np.array([0.0]))
     assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-9
+
+
+def test_geohash_known_vectors():
+    """Public geohash test vectors (geohash.org canonical examples)."""
+    import numpy as np
+
+    from aerial_conversion_ray.geo import cells
+
+    got = cells.geohash_encode(
+        np.array([-5.6, 13.361389, 151.2093, -0.1278]),
+        np.array([42.6, 38.115556, -33.8688, 51.5074]),
+        6,
+    )
+    assert list(got) == ["ezs42e", "sqc8b4", "r3gx2f", "gcpvj0"]
+
+
+def test_geohash_prefix_property():
+    """left(gh6, 4) == the 4-char encode (bit-truncation identity)."""
+    import numpy as np
+
+    from aerial_conversion_ray.geo import cells
+
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    g6 = cells.geohash_encode(lon, lat, 6)
+    g4 = cells.geohash_encode(lon, lat, 4)
+    assert (g6.astype("U4") == g4).all()
+
+
+def test_geohash_odd_precision_rejected():
+    import numpy as np
+    import pytest
+
+    from aerial_conversion_ray.geo import cells
+
+    with pytest.raises(ValueError):
+        cells.geohash_encode(np.array([0.0]), np.array([0.0]), 5)
