@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
+        # distance-band spatial self-join (cell ring probe + refine)
+        "within_dist_join": spatial.within_dist_join,
         "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
@@ -291,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode": sql_oracle.geocode_sql(CFG),
         "cell_index": sql_oracle.cell_index_sql(CFG),
         "geohash_index": spatial.geohash_index_sql(),
+        "within_dist_join": spatial.within_dist_join_sql(),
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
         # salted-shuffle plan: same semantics, same oracle

@@ -1585,3 +1585,158 @@ def geohash_index_sql(precision: int = 6) -> str:
         f"h as (select doc_id, {e} as gh, lon, lat from g) "
         "select doc_id, gh, left(gh, 4) as gh4, lon, lat from h"
     )
+
+
+# --- distance-band join ---------------------------------------------------
+
+DIST_JOIN_M = 20000.0
+_DJ_RES = 9
+_DJ_BUCKETS = 64
+
+
+def _hav_sql_expr(a: str, b: str) -> str:
+    """Haversine in meters between aliases ``a``/``b`` — op-for-op the
+    expression of :func:`_hav_np` (same as sql_oracle.knn_sql)."""
+    return (
+        "2.0 * 6371000.0 * asin(sqrt(least(greatest("
+        f"pow(sin(radians({b}.lat - {a}.lat) * 0.5), 2) + "
+        f"cos(radians({a}.lat)) * cos(radians({b}.lat)) * "
+        f"pow(sin(radians({b}.lon - {a}.lon) * 0.5), 2), 0.0), 1.0)))"
+    )
+
+
+def _hav_np(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """numpy haversine mirroring :func:`_hav_sql_expr` op order
+    (degrees subtracted BEFORE radians — unlike geo.haversine — so
+    the doubles match the oracle bit-for-bit)."""
+    s1 = np.sin(np.radians(lat2 - lat1) * 0.5) ** 2
+    s2 = np.sin(np.radians(lon2 - lon1) * 0.5) ** 2
+    a = s1 + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2)) * s2
+    return 2.0 * 6371000.0 * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def within_dist_join(
+    sf_dir: str, dist_m: float = DIST_JOIN_M, res: int = _DJ_RES
+) -> ray.data.Dataset:
+    """All document pairs within ``dist_m`` meters (great-circle):
+    the distance-band join (DBSCAN neighborhood / spatial self-join
+    primitive the reference's ``intersects`` batch filter
+    approximates, scripts/batch_geojson2coco.py:118).
+
+    Plan (no broadcast of the big side, no all-pairs):
+    1. map-only: each point gets its res-``res`` grid cell plus a
+       conservative per-point k-ring (lat ring from ``dist_m``; lon
+       ring widened by 1/cos(lat) toward the poles, wrapped mod the
+       grid) — points are emitted once as HOME rows and ~9x as PROBE
+       rows carrying only (cell, doc_id, lon, lat);
+    2. ONE narrow shuffle: coarse bucket = cell % 64 (the repo's
+       bounded-key fold pattern) co-locates every cell's homes and
+       probes; inside a bucket the cell join is a sorted
+       searchsorted/ragged-expansion — no Python per-row loop;
+    3. haversine refine (op order identical to the oracle) + a<b;
+    4. a pair can be found from both endpoints' rings -> tiny final
+       groupby on the (a, b) key dedups.
+
+    The constructed hot cluster (20% of points in ~0.25 deg) makes
+    the output itself locally quadratic — inherent to the operator,
+    not the plan; buckets keyed by cell spread ring probes of the hot
+    cell's NEIGHBORS across buckets, and the hot cell's own compare
+    is a dense vectorized block."""
+    from ray.data.aggregate import Min
+
+    n = 1 << res
+    cellw = 360.0 / n
+
+    def explode(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["doc_id"].to_numpy(zero_copy_only=False))
+        lon, lat = g["lon"], g["lat"]
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        ix = np.clip(np.floor((lon + 180.0) / cellw).astype(np.int64), 0, n - 1)
+        iy = np.clip(np.floor((lat + 90.0) / cellw).astype(np.int64), 0, n // 2 - 1)
+        dlat_deg = dist_m / 111000.0  # conservative meters/deg
+        klat = int(np.ceil(dlat_deg / cellw))
+        abslat = np.minimum(np.abs(lat) + dlat_deg, 89.99)
+        dlon_deg = dist_m / (111000.0 * np.cos(np.radians(abslat)))
+        klon = np.minimum(np.ceil(dlon_deg / cellw).astype(np.int64), 8)
+        kmax = int(klon.max()) if len(klon) else 1
+        rows_cell, rows_i, rows_kind = [], [], []
+        # home rows
+        rows_cell.append(iy * n + ix)
+        rows_i.append(np.arange(len(did)))
+        rows_kind.append(np.zeros(len(did), dtype=np.int8))
+        for dy in range(-klat, klat + 1):
+            yy = iy + dy
+            ok_y = (yy >= 0) & (yy < n // 2)
+            for dx in range(-kmax, kmax + 1):
+                sel = ok_y & (np.abs(dx) <= klon)
+                if not sel.any():
+                    continue
+                xx = (ix[sel] + dx) % n
+                rows_cell.append(yy[sel] * n + xx)
+                rows_i.append(np.nonzero(sel)[0])
+                rows_kind.append(np.ones(int(sel.sum()), dtype=np.int8))
+        cell = np.concatenate(rows_cell)
+        idx = np.concatenate(rows_i)
+        kind = np.concatenate(rows_kind)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "bucket": pa.array(cell % _DJ_BUCKETS),
+                "kind": pa.array(kind),
+                "doc_id": pa.array(did[idx]),
+                "lon": pa.array(lon[idx]),
+                "lat": pa.array(lat[idx]),
+            }
+        )
+
+    def bucket_join(df):
+        import pandas as pd
+
+        kind = df["kind"].to_numpy()
+        h = df[kind == 0].sort_values("cell", kind="mergesort")
+        p = df[kind == 1]
+        hc = h["cell"].to_numpy()
+        pc_ = p["cell"].to_numpy()
+        lo = np.searchsorted(hc, pc_, side="left")
+        hi = np.searchsorted(hc, pc_, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "dist_mm": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "dist_mm": "int64"}
+            )
+        probe_row = np.repeat(np.arange(len(p)), cnt)
+        home_row = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(lo, cnt)
+        pid = p["doc_id"].to_numpy()[probe_row]
+        hid = h["doc_id"].to_numpy()[home_row]
+        keep = pid != hid
+        d = _hav_np(
+            p["lon"].to_numpy()[probe_row][keep],
+            p["lat"].to_numpy()[probe_row][keep],
+            h["lon"].to_numpy()[home_row][keep],
+            h["lat"].to_numpy()[home_row][keep],
+        )
+        near = d <= dist_m
+        a = np.minimum(pid[keep][near], hid[keep][near])
+        b = np.maximum(pid[keep][near], hid[keep][near])
+        mm = np.floor(d[near] * 1000.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"a_id": a, "b_id": b, "dist_mm": mm})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    pairs = ds.groupby("bucket").map_groups(bucket_join, batch_format="pandas")
+    return pairs.groupby(["a_id", "b_id"]).aggregate(Min("dist_mm", alias_name="dist_mm"))
+
+
+def within_dist_join_sql(dist_m: float = DIST_JOIN_M) -> str:
+    from ..geocode import geocoded_documents_cte
+
+    hav = _hav_sql_expr("a", "b")
+    return f"""
+with g as ({geocoded_documents_cte()}),
+pr as (select a.doc_id as a_id, b.doc_id as b_id, {hav} as d
+       from g a join g b on a.doc_id < b.doc_id)
+select a_id, b_id, cast(floor(d * 1000.0 + 0.5) as bigint) as dist_mm
+from pr where d <= {dist_m!r}
+"""
