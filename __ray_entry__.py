@@ -79,6 +79,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
         "within_dist_join": spatial.within_dist_join,
+        # one-pass distributed Gram matrix (PCA building block) +
+        # driver-side power-iteration top component
+        "embed_gram": embeddings.embed_gram,
+        "pca_top_component": embeddings.pca_power_iteration,
+        # full outer join (tagged narrow union, coarse-bucket fold)
+        "full_outer_join": relational.full_outer_join,
+        # token -> postings retrieval index (vocabulary-proof build)
+        "inverted_index": text.inverted_index,
+        # unicode NFC + casefold + whitespace normalization
+        "text_normalize": text.text_normalize,
+        # TPC-H Q3-shape 3-way join: broadcast dims, fact never shuffles
+        "q3_shipping": relational.q3_shipping,
+        # incremental maintenance: checkpoint + delta == full recompute
+        "delta_lang_counts": text.delta_lang_counts,
+        # per-source convex hull (distributive hull-of-hulls reduction;
+        # rows-only — property-gated in pytest)
+        "source_hulls": spatial.source_hulls,
+        # per-host trajectory legs (lag window x haversine)
+        "crawl_path": spatial.crawl_path,
         "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
@@ -294,6 +313,13 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": sql_oracle.cell_index_sql(CFG),
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
+        "embed_gram": embeddings.embed_gram_sql(),
+        "full_outer_join": relational.FULL_OUTER_JOIN_SQL,
+        "inverted_index": text.INVERTED_INDEX_SQL,
+        "text_normalize": text.TEXT_NORMALIZE_SQL,
+        "q3_shipping": relational.Q3_SHIPPING_SQL,
+        "delta_lang_counts": text.delta_lang_counts_sql(),
+        "crawl_path": spatial.crawl_path_sql(),
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
         # salted-shuffle plan: same semantics, same oracle

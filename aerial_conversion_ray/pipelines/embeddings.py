@@ -990,3 +990,115 @@ scored as (
 )
 select vec_id, label, sim_e9 from scored where sim_e9 < {threshold_e9}
 """
+
+
+# --- Gram / covariance (PCA building block) ------------------------------
+
+GRAM_SCALE = 1_000_000.0
+
+
+def embed_gram(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Gram matrix of the embedding corpus (upper
+    triangle, long form): for dims i <= j, ``gram = sum_r e_i * e_j``
+    plus the per-dim sums and the row count — everything covariance /
+    PCA needs (cov_ij = gram/n - (s_i/n)(s_j/n)), computed in ONE
+    streaming pass.
+
+    Exactness: each element is rounded to 1e-6 fixed point BEFORE the
+    products (batching-invariant integer partials, the
+    label_centroids pattern), so the int64 result is bit-identical to
+    the SQL oracle.  Magnitude: |e|<=1 -> products <= 1e12, summed
+    over n rows -> n * 1e12; the loud guard trips past ~9e6 rows/
+    dim-pair (far above test scale; at real scale shard the sum by
+    row-range and widen to two-level int128 accumulation).
+
+    Scale: per-batch partials are the full 64x64 int64 matmul (numpy,
+    no Python loop) emitted as 2080 long-form rows; the only shuffle
+    is the (i, j)-keyed groupby over #batches * 2080 tiny rows.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    iu, ju = np.triu_indices(DIM)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(t.num_rows, -1)  # RAW values (oracle uses raw)
+        fp = np.floor(mat * GRAM_SCALE + 0.5).astype(np.int64)
+        assert t.num_rows < 9_000_000, "int64 gram overflow bound"
+        g = fp.T @ fp
+        s = fp.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "gram": pa.array(g[iu, ju]),
+                "s_i": pa.array(s[iu]),
+                "s_j": pa.array(s[ju]),
+                "n": pa.array(np.full(len(iu), t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("gram", alias_name="gram"),
+            Sum("s_i", alias_name="s_i"),
+            Sum("s_j", alias_name="s_j"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def embed_gram_sql() -> str:
+    fp = "cast(floor(cast(embedding[{k} + 1] as double) * 1000000.0 + 0.5) as bigint)"
+    return f"""
+with dims as (select unnest(range({DIM})) as d),
+p as (select i.d as i, j.d as j,
+             {fp.format(k='i.d')} as ei, {fp.format(k='j.d')} as ej
+      from embeddings cross join dims i cross join dims j
+      where i.d <= j.d)
+select i, j, cast(sum(ei * ej) as bigint) as gram,
+       cast(sum(ei) as bigint) as s_i, cast(sum(ej) as bigint) as s_j,
+       cast(count(*) as bigint) as n
+from p group by i, j
+"""
+
+
+def pca_power_iteration(sf_dir: str, iters: int = 30) -> pa.Table:
+    """Top principal component of the embedding corpus via power
+    iteration on the (small, exact) covariance matrix assembled from
+    :func:`embed_gram` — the heavy O(n * d^2) pass is the distributed
+    Gram; the O(d^2) eigen step runs on the driver.  Deterministic
+    start vector (all-ones); sign fixed by the largest-|component|
+    entry.  Rows-only entry (eigenvector floats are
+    iteration-order-sensitive; pytest pins a numpy.linalg oracle)."""
+    g = embed_gram(sf_dir).to_pandas()
+    n = int(g["n"].iloc[0])
+    cov = np.zeros((DIM, DIM), dtype=np.float64)
+    ii = g["i"].to_numpy()
+    jj = g["j"].to_numpy()
+    c = (
+        g["gram"].to_numpy() / (GRAM_SCALE * GRAM_SCALE) / n
+        - (g["s_i"].to_numpy() / GRAM_SCALE / n) * (g["s_j"].to_numpy() / GRAM_SCALE / n)
+    )
+    cov[ii, jj] = c
+    cov[jj, ii] = c
+    v = np.ones(DIM) / np.sqrt(DIM)
+    for _ in range(iters):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    lam = float(v @ cov @ v)
+    return pa.table(
+        {
+            "component": pa.array(np.arange(DIM, dtype=np.int64)),
+            "weight": pa.array(v),
+            "eigenvalue": pa.array(np.full(DIM, lam)),
+        }
+    )

@@ -2144,3 +2144,224 @@ select event_type as prev_type, nxt as next_type,
 from s where nxt is not null
 group by 1, 2 order by 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# full outer join (customers x event users)
+# --------------------------------------------------------------------------
+
+
+def full_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """Customers FULL OUTER JOIN per-user event aggregates on
+    c_custkey = user_id: customers who never emitted an event keep
+    zero counts, event users with no customer row appear with
+    is_customer = 0 — the one join member left after
+    equi/broadcast/semi/anti/asof/range/left-outer.
+
+    Same tagged-narrow-union shape as :func:`left_outer_join` (one
+    coarse-bucket shuffle of int64 partials, no raw-row exchange);
+    FULL is just the left-outer merge WITHOUT the drop of keys absent
+    on the left."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = to_fixed(t["value"].to_numpy(zero_copy_only=False), 100.0)
+        u, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(u),
+                "bucket": pa.array(u % np.int64(N_JOIN_BUCKETS)),
+                "n_events": pa.array(np.bincount(inv).astype(np.int64)),
+                "sum_value_c": pa.array(np.bincount(inv, weights=v).astype(np.int64)),
+                "is_customer": pa.array(np.zeros(len(u), np.int64)),
+            }
+        )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "bucket": pa.array(k % np.int64(N_JOIN_BUCKETS)),
+                "n_events": z,
+                "sum_value_c": z,
+                "is_customer": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    tagged = ev.map_batches(partial, batch_format="pyarrow").union(
+        cust.map_batches(tag_left, batch_format="pyarrow")
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=False, as_index=False)[
+            ["n_events", "sum_value_c", "is_customer"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "key": g["key"].to_numpy(np.int64),
+                "is_customer": g["is_customer"].to_numpy(np.int64),
+                "n_events": g["n_events"].to_numpy(np.int64),
+                "sum_value_c": g["sum_value_c"].to_numpy(np.int64),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+FULL_OUTER_JOIN_SQL = """
+with e as (select user_id,
+                  cast(count(*) as bigint) as n_events,
+                  cast(sum(cast(floor(value * 100.0 + 0.5) as bigint)) as bigint)
+                      as sum_value_c
+           from events group by user_id)
+select coalesce(c.c_custkey, e.user_id) as key,
+       cast(case when c.c_custkey is null then 0 else 1 end as bigint)
+           as is_customer,
+       cast(coalesce(e.n_events, 0) as bigint) as n_events,
+       cast(coalesce(e.sum_value_c, 0) as bigint) as sum_value_c
+from customer c full outer join e on c.c_custkey = e.user_id
+"""
+
+
+
+# --------------------------------------------------------------------------
+# three-way join composition (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q3_K = 10
+
+
+def q3_shipping(sf_dir: str) -> "pd.DataFrame":
+    """TPC-H Q3 shape: customer ⨝ orders ⨝ lineitem with predicates
+    on all three tables, grouped revenue per order, top-10 — the
+    multi-join composition entry (each individual join member already
+    has its own entry; this one proves they stack).
+
+    Scale plan, smallest-to-largest:
+    1. the segment-filtered customer KEY SET broadcasts (``ray.put``
+       once, read per actor) — customer is the dimension side;
+    2. orders stream past the broadcast set (semi-join filter at the
+       scan, date predicate pushed into the batch) emitting only
+       (o_orderkey, o_orderdate_us) int64 pairs;
+    3. those pairs broadcast to the lineitem scan (they are
+       match-bounded, far smaller than orders) where the revenue fold
+       happens per batch in fixed-point cents — lineitem, the fact
+       table, never shuffles at all;
+    4. per-block partial top-k -> single-partition merge (the
+       top_orders pattern — no global sort).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    date_us = np.datetime64(Q3_DATE, "us").astype(np.int64)
+
+    cust = pq.read_table(sf_dir + "/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], Q3_SEGMENT))["c_custkey"].to_numpy()
+    ckeys_ref = ray.put(np.unique(ckeys))
+
+    class OrderFilter:
+        def __init__(self):
+            self.keys = ray.get(ckeys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ok = (od < date_us) & np.isin(
+                t["o_custkey"].to_numpy(zero_copy_only=False), self.keys
+            )
+            t = t.filter(pa.array(ok))
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "o_date_us": t["o_orderdate"].cast(pa.int64()),
+                }
+            )
+
+    orders = (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(OrderFilter, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    okeys = np.sort(orders["o_orderkey"].to_numpy(np.int64))
+    odate = orders.set_index("o_orderkey")["o_date_us"]
+    odate_arr = odate.loc[okeys].to_numpy(np.int64)
+    ord_ref = ray.put((okeys, odate_arr))
+
+    class RevenueFold:
+        def __init__(self):
+            self.okeys, self.odate = ray.get(ord_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sd = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.okeys, k)
+            idx[idx >= len(self.okeys)] = 0
+            ok = (self.okeys[idx] == k) & (sd > date_us) if len(self.okeys) else np.zeros(len(k), bool)
+            if not ok.any():
+                return pa.table(
+                    {"o_orderkey": pa.array([], pa.int64()),
+                     "o_date_us": pa.array([], pa.int64()),
+                     "rev_c4": pa.array([], pa.int64()),
+                     "bucket": pa.array([], pa.int64())}
+                )
+            k = k[ok]
+            ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+            dc = t["l_discount"].to_numpy(zero_copy_only=False)[ok]
+            rev = np.floor(ep * (1.0 - dc) * 10000.0 + 0.5).astype(np.int64)
+            u, inv = np.unique(k, return_inverse=True)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(u),
+                    "o_date_us": pa.array(self.odate[np.searchsorted(self.okeys, u)]),
+                    "rev_c4": pa.array(np.bincount(inv, weights=rev).astype(np.int64)),
+                    # key-bucket the partials: an order's batch partials
+                    # must co-locate BEFORE any top-k (partial top-k
+                    # over incomplete sums would drop keys)
+                    "bucket": pa.array(u % np.int64(8)),
+                }
+            )
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(RevenueFold, batch_format="pyarrow", concurrency=2)
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "o_date_us"], as_index=False)["rev_c4"].sum()
+        return g.nlargest(Q3_K, ["rev_c4"])
+
+    merged = li.groupby("bucket").map_groups(topk_bucket, batch_format="pandas")
+    df = merged.to_pandas()  # <= 8 * K rows of COMPLETE per-key sums
+    df = df.sort_values(["rev_c4", "o_orderkey"], ascending=[False, True], kind="mergesort").head(Q3_K)
+    out = pd.DataFrame(
+        {
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "revenue": df["rev_c4"].to_numpy(np.int64) / 10000.0,
+            "o_orderdate": df["o_date_us"].to_numpy(np.int64).astype("datetime64[us]"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+Q3_SHIPPING_SQL = f"""
+select l.l_orderkey,
+       sum(cast(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0 + 0.5)
+           as bigint)) / 10000.0 as revenue,
+       o.o_orderdate
+from customer c
+join orders o on o.o_custkey = c.c_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = '{Q3_SEGMENT}'
+  and o.o_orderdate < timestamp '{Q3_DATE} 00:00:00'
+  and l.l_shipdate > timestamp '{Q3_DATE} 00:00:00'
+group by l.l_orderkey, o.o_orderdate
+order by revenue desc, l.l_orderkey
+limit {Q3_K}
+"""

@@ -24,7 +24,7 @@ from ..config import EngineConfig
 from ..geo import cells
 from ..geo.haversine import haversine_m
 from ..geocode import geocode_arrays
-from ..sources.pages import pages_dataset, read_table
+from ..sources.pages import pages_cte, pages_dataset, read_table
 
 DEFAULT_CFG = EngineConfig()
 
@@ -1740,3 +1740,176 @@ pr as (select a.doc_id as a_id, b.doc_id as b_id, {hav} as d
 select a_id, b_id, cast(floor(d * 1000.0 + 0.5) as bigint) as dist_mm
 from pr where d <= {dist_m!r}
 """
+
+
+# --- crawl path (per-host trajectory legs) -------------------------------
+
+_CP_REP = 5
+
+
+def crawl_path(sf_dir: str, rep: int = _CP_REP) -> ray.data.Dataset:
+    """Per-source crawl trajectory: order each source's pages by
+    (warc_ts, page_id), measure every consecutive leg's great-circle
+    length, and fold to (source, n_legs, dist_mm_total, dist_mm_max)
+    — the lag-window x haversine hybrid (reference analog: tile
+    neighbourhood walk order, aerial_conversion/tiles.py:180-256).
+
+    One shuffle keyed hash(source) % 64 (coarse bucket, not one task
+    per source); the in-bucket fold is a vectorized sort + shift.
+    Leg lengths are floored to integer millimeters BEFORE the sum so
+    the aggregate is batching-invariant and oracle-exact."""
+    from .text import _hash_arrow_strings
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        h = _hash_arrow_strings(t["source"])
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "source": t["source"],
+                "lon": pa.array(g["lon"]),
+                "lat": pa.array(g["lat"]),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        df = df.sort_values(["source", "page_id"], kind="mergesort")
+        same = df["source"].to_numpy()[1:] == df["source"].to_numpy()[:-1]
+        lon = df["lon"].to_numpy()
+        lat = df["lat"].to_numpy()
+        d = _hav_np(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)[same]
+        src = df["source"].to_numpy()[1:][same]
+        out = pd.DataFrame({"source": src, "mm": mm})
+        g = out.groupby("source", as_index=False)["mm"].agg(["count", "sum", "max"])
+        g.columns = ["source", "n_legs", "dist_mm_total", "dist_mm_max"]
+        return g
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+def crawl_path_sql(rep: int = _CP_REP) -> str:
+    from ..geocode import SQL_EXPRS
+
+    lon = SQL_EXPRS["lon"].replace("doc_id", "page_id")
+    lat = SQL_EXPRS["lat"].replace("doc_id", "page_id")
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt(least(greatest("
+        "pow(sin(radians(lat - plat) * 0.5), 2) + "
+        "cos(radians(plat)) * cos(radians(lat)) * "
+        "pow(sin(radians(lon - plon) * 0.5), 2), 0.0), 1.0)))"
+    )
+    return f"""
+with pages as ({pages_cte(rep)}),
+g as (select page_id, source, {lon} as lon, {lat} as lat from pages),
+w as (select source, lon, lat,
+             lag(lon) over (partition by source order by page_id) as plon,
+             lag(lat) over (partition by source order by page_id) as plat
+      from g),
+legs as (select source,
+                cast(floor({hav} * 1000.0 + 0.5) as bigint) as mm
+         from w where plon is not null)
+select source, cast(count(*) as bigint) as n_legs,
+       cast(sum(mm) as bigint) as dist_mm_total,
+       cast(max(mm) as bigint) as dist_mm_max
+from legs group by source
+"""
+
+
+# --- per-source convex hull ----------------------------------------------
+
+
+def _monotone_chain(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain (public algorithm): lexicographically
+    sorted unique points -> CCW hull vertex indices (first point =
+    lexicographic minimum, no repeated closing point).  O(n log n);
+    the scan loop runs over the SORTED hull candidates only."""
+
+    def half(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if (a[0] - o[0]) * (pts[i][1] - o[1]) - (a[1] - o[1]) * (
+                    pts[i][0] - o[0]
+                ) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    if len(order) <= 2:
+        return order
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def source_hulls(sf_dir: str) -> ray.data.Dataset:
+    """Convex hull of each source's page points (the vector-side
+    ``unary_union`` footprint summarization analog —
+    scripts/coco2geojson.py:136): (source, hull_pos, lon, lat) with
+    CCW vertex order from the lexicographic minimum.
+
+    Scale shape: a per-batch LOCAL hull first (hull(union) ==
+    hull(union of hulls) — the classic distributive reduction, so
+    each batch forwards at most its own hull vertices, not its
+    points), then one hash(source) % 64 coarse-bucket fold runs the
+    final chain per source.  Rows-only entry: hulls are not
+    SQL-expressible; pytest pins containment/convexity/minimality
+    properties."""
+    from .text import _hash_arrow_strings
+
+    ds = pages_dataset(sf_dir, rep=_CP_REP, columns=["page_id", "source"])
+
+    def local_hull(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "lon": g["lon"],
+                "lat": g["lat"],
+            }
+        )
+        keep_idx = []
+        for _, sub in df.groupby("source", sort=False):
+            pts = sub[["lon", "lat"]].to_numpy()
+            keep_idx.extend(sub.index.to_numpy()[_monotone_chain(pts)])
+        out = df.loc[keep_idx]
+        h = _hash_arrow_strings(pa.array(out["source"].to_numpy().tolist()))
+        return pa.table(
+            {
+                "source": pa.array(out["source"].to_numpy().tolist()),
+                "lon": pa.array(out["lon"].to_numpy()),
+                "lat": pa.array(out["lat"].to_numpy()),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        rows = []
+        for src, sub in df.groupby("source", sort=False):
+            pts = sub[["lon", "lat"]].drop_duplicates().to_numpy()
+            hull = _monotone_chain(pts)
+            for pos, i in enumerate(hull):
+                rows.append((src, pos, pts[i][0], pts[i][1]))
+        return pd.DataFrame(rows, columns=["source", "hull_pos", "lon", "lat"])
+
+    return (
+        ds.map_batches(local_hull, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -3629,3 +3629,218 @@ def ppjoin_pairs(sf_dir: str) -> ray.data.Dataset:
         .groupby("kb")
         .map_groups(mine, batch_format="pandas")
     )
+
+
+# --- inverted index -------------------------------------------------------
+
+
+def inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """token -> (df, total_tf, postings) over the documents table:
+    the retrieval-side index build (BM25/tfidf's sibling output).
+    ``postings`` is the doc_id-sorted 'doc:tf' list serialized as a
+    string so the correctness gate can hash it.
+
+    Scale shape: a document's tokens live in one row, so (token,
+    doc_id, tf) triples are EXACT within a batch (no cross-batch
+    combine needed); the one shuffle is the hash(token) % 64 coarse
+    bucket (vocabulary-proof — the token domain never drives task
+    count and no vocab table ever broadcasts), and each bucket folds
+    with one vectorized pandas groupby.  At real corpus scale a hot
+    token's posting string is unbounded — production would emit
+    doc-range-sharded posting SEGMENTS (the lineage-partitioned write
+    covers that); the single-string form here keeps the oracle
+    hashable."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        order = np.lexsort((flat, doc))
+        d_s, t_s = doc[order], flat[order]
+        new = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        idx = np.nonzero(new)[0]
+        tf = np.diff(np.append(idx, len(d_s)))
+        tok = pa.array(t_s[new])
+        h = _hash_arrow_strings(tok)  # deterministic across workers
+        return pa.table(
+            {
+                "token": tok,
+                "doc_id": pa.array(d_s[new]),
+                "tf": pa.array(tf.astype(np.int64)),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        post = (
+            df["doc_id"].astype(str) + ":" + df["tf"].astype(str)
+        ).groupby(df["token"].values, sort=True)
+        agg = df.groupby("token", sort=True)
+        out = pd.DataFrame(
+            {
+                "token": agg.size().index,
+                "df": agg.size().to_numpy(np.int64),
+                "total_tf": agg["tf"].sum().to_numpy(np.int64),
+                "postings": post.agg(",".join).to_numpy(),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(explode_tf, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+INVERTED_INDEX_SQL = """
+with p as (select doc_id, unnest(string_split(text, ' ')) as token
+           from documents),
+tf as (select token, doc_id, cast(count(*) as bigint) as tf
+       from p group by 1, 2)
+select token, cast(count(*) as bigint) as df,
+       cast(sum(tf) as bigint) as total_tf,
+       string_agg(cast(doc_id as varchar) || ':' || cast(tf as varchar),
+                  ',' order by doc_id) as postings
+from tf group by token
+"""
+
+
+# --- unicode text normalization ------------------------------------------
+
+# deterministic unicode noise per doc (the augmentation pattern used
+# by pii_redact / url_canonical): decomposed accents, fullwidth forms,
+# NBSP runs, mixed case — so the normalizer has real work on the
+# ASCII-only synthetic corpus.  MUST stay expression-identical to
+# _NOISE_SQL (chr() codepoints match the python literals).
+_NOISE_PREFIX = [
+    "Café ",            # decomposed acute -> NFC composes
+    "NAÏVE ",           # decomposed diaeresis, upper
+    "Ｗｉｄｅ ",  # fullwidth 'Wide' (NFKC-only; survives NFC)
+    "deja vu  ",         # NBSP + double space -> collapses
+    "",
+]
+
+_NOISE_SQL = (
+    "case doc_id % 5 "
+    "when 0 then 'Cafe' || chr(769) || ' ' "
+    "when 1 then 'NAI' || chr(776) || 'VE ' "
+    "when 2 then chr(65367) || chr(65353) || chr(65348) || chr(65349) || ' ' "
+    "when 3 then 'deja' || chr(160) || 'vu  ' "
+    "else '' end"
+)
+
+
+def _noised_text(t: pa.Table) -> pa.Array:
+    did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = did % 5
+    pref = pa.array(np.array(_NOISE_PREFIX, dtype=object)[m].tolist(), pa.string())
+    return pc.binary_join_element_wise(pref, t["text"], "")
+
+
+def text_normalize(sf_dir: str) -> ray.data.Dataset:
+    """Unicode normalization pass (doc_id, norm): NFC-compose (the
+    decomposed-accent noise collapses to single codepoints), then
+    case-fold (utf8proc lower), then collapse whitespace runs — incl.
+    NBSP via ``\\p{Zs}``, which plain RE2 ``\\s`` misses — and trim.
+    Stateless map-only: the 100-TB cost is one streaming scan.
+
+    Both engine and oracle run utf8proc + RE2 (pyarrow / DuckDB link
+    the same algorithms), so results are byte-identical; fullwidth
+    compatibility forms are intentionally NOT folded (that's NFKC —
+    DuckDB has no NFKC/NFD mirror, so the op pins NFC semantics and
+    the fullwidth noise survives as a negative control)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = _noised_text(t)
+        s = pc.utf8_normalize(s, form="NFC")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, r"[\s\p{Zs}]+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": t["doc_id"], "norm": s})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+TEXT_NORMALIZE_SQL = f"""
+with n as (select doc_id, ({_NOISE_SQL}) || text as s from documents),
+a as (select doc_id, nfc_normalize(s) as s from n),
+b as (select doc_id, lower(s) as s from a),
+d as (select doc_id, regexp_replace(s, '[\\s\\p{{Zs}}]+', ' ', 'g') as s from b)
+select doc_id, trim(s) as norm from d
+"""
+
+
+# --- incremental aggregate maintenance (delta fold) ----------------------
+
+DELTA_SPLIT_TS = "2024-01-01 00:04:00"  # page_id 240 at rep=1 (ts = epoch + page_id s)
+_DELTA_REP = 5
+
+
+def delta_lang_counts(sf_dir: str, rep: int = _DELTA_REP) -> ray.data.Dataset:
+    """Incremental aggregate maintenance over the page stream: the
+    per-(lang) page count and char sum are computed as CHECKPOINT
+    (pages with ``warc_ts < T``, standing in for the previously
+    materialized state a daily crawl job would have on disk) plus a
+    DELTA fold over only the new pages (``warc_ts >= T``), merged by
+    a tiny |lang|-keyed groupby.  The oracle recomputes from scratch
+    over all pages — checkpoint + delta MUST be indistinguishable
+    from full recompute (the exactly-once lineage property, here at
+    the aggregate level).
+
+    Scale: both legs are one streaming pass with per-batch partial
+    sums; the delta leg's scan PRUNES at the read via the row-filter
+    predicate (only new row groups leave storage), which is the whole
+    point of incremental maintenance at 100 TB."""
+    from ray.data.aggregate import Sum
+
+    split_us = np.datetime64(DELTA_SPLIT_TS.replace(" ", "T"), "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"lang": lang, "n": 1, "chars": nc})
+        g = df.groupby("lang", as_index=False).agg(n=("n", "sum"), chars=("chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def leg(pred):
+        from ..sources.pages import pages_dataset
+
+        ds = pages_dataset(sf_dir, rep=rep, columns=["page_id", "warc_ts", "lang", "n_chars"])
+
+        def filt(t: pa.Table) -> pa.Table:
+            ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(ts)))
+
+        return ds.map_batches(filt, batch_format="pyarrow").map_batches(
+            partial, batch_format="pyarrow"
+        )
+
+    checkpoint = leg(lambda ts: ts < split_us)
+    delta = leg(lambda ts: ts >= split_us)
+    return (
+        checkpoint.union(delta)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_pages"), Sum("chars", alias_name="sum_chars"))
+    )
+
+
+def delta_lang_counts_sql(rep: int = _DELTA_REP) -> str:
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(rep)}) "
+        "select lang, cast(count(*) as bigint) as n_pages, "
+        "cast(sum(n_chars) as bigint) as sum_chars "
+        "from pages group by lang"
+    )

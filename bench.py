@@ -365,6 +365,28 @@ def run_benchmarks() -> dict:
         "png_to_geotiff": lambda: _consume(
             multimodal.png_to_geotiff(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),
+        # round-4 additions
+        "url_dedup": lambda: _consume(extract.url_dedup(SF_DIR)),
+        "link_extract": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["link_extract"]
+            ).link_extract(SF_DIR)
+        ),
+        "pagerank_hosts": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["pagerank_hosts"]
+            ).pagerank_hosts(SF_DIR)
+        ),
+        "geohash_index": lambda: _consume(spatial.geohash_index(SF_DIR)),
+        "within_dist_join": lambda: _consume(spatial.within_dist_join(SF_DIR)),
+        "crawl_path": lambda: _consume(spatial.crawl_path(SF_DIR)),
+        "source_hulls": lambda: _consume(spatial.source_hulls(SF_DIR)),
+        "embed_gram": lambda: _consume(embeddings.embed_gram(SF_DIR)),
+        "inverted_index": lambda: _consume(text.inverted_index(SF_DIR)),
+        "text_normalize": lambda: _consume(text.text_normalize(SF_DIR)),
+        "delta_lang_counts": lambda: _consume(text.delta_lang_counts(SF_DIR)),
+        "q3_shipping": lambda: _consume(relational.q3_shipping(SF_DIR)),
+        "full_outer_join": lambda: _consume(relational.full_outer_join(SF_DIR)),
     }
 
     # warm-up (untimed): page cache + FULL Ray worker pool + imports —

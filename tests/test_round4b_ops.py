@@ -1,0 +1,92 @@
+"""Round-4 second block: inverted index, bloom semi-join, full outer
+join, crawl path — engine-vs-direct-computation checks (the SQL
+oracles run in tools/check.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from aerial_conversion_ray.pipelines import relational, spatial, text
+
+
+def test_inverted_index_matches_pandas(sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for tok in txt.split(" "):
+            rows.append((tok, did))
+    df = pd.DataFrame(rows, columns=["token", "doc_id"])
+    tf = df.groupby(["token", "doc_id"]).size().reset_index(name="tf")
+    want = tf.groupby("token").agg(
+        df_=("doc_id", "size"),
+        total_tf=("tf", "sum"),
+        postings=("tf", "count"),  # placeholder, rebuilt below
+    )
+    got = text.inverted_index(sf_dir).to_pandas().set_index("token").sort_index()
+    assert len(got) == len(want)
+    assert (got["df"].sort_index() == want["df_"].sort_index()).all()
+    assert (got["total_tf"].sort_index() == want["total_tf"].sort_index()).all()
+    # spot-check one hot and one rare token's posting string
+    for tok in [got["df"].idxmax(), got["df"].idxmin()]:
+        sub = tf[tf["token"] == tok].sort_values("doc_id")
+        expect = ",".join(f"{d}:{t}" for d, t in zip(sub["doc_id"], sub["tf"]))
+        assert got.loc[tok, "postings"] == expect
+
+
+def test_bloom_semi_join_matches_plain_filter(sf_dir):
+    """Bloom prefilter + exact verify == the plain predicate result
+    (the bloom stage must be output-invisible)."""
+    out = (
+        relational.bloom_semi_join(sf_dir)
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_partkey", "l_quantity"])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    part = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    keys = set(part[part["p_size"] >= relational.BLOOM_SIZE_CUT]["p_partkey"])
+    want = (
+        li[li["l_partkey"].isin(keys)]
+        .sort_values(["l_orderkey", "l_partkey", "l_quantity"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], want[sorted(want.columns)])
+
+
+def test_full_outer_join_has_both_unmatched_sides(sf_dir):
+    out = relational.full_outer_join(sf_dir).to_pandas()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    assert set(out["key"]) == set(cust["c_custkey"]) | set(ev["user_id"])
+    only_cust = set(cust["c_custkey"]) - set(ev["user_id"])
+    only_ev = set(ev["user_id"]) - set(cust["c_custkey"])
+    if only_cust:
+        sub = out[out["key"].isin(list(only_cust))]
+        assert (sub["n_events"] == 0).all() and (sub["is_customer"] == 1).all()
+    if only_ev:
+        sub = out[out["key"].isin(list(only_ev))]
+        assert (sub["is_customer"] == 0).all() and (sub["n_events"] > 0).all()
+
+
+def test_crawl_path_one_source_direct(sf_dir):
+    out = spatial.crawl_path(sf_dir).to_pandas().set_index("source")
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    src = docs["source"].iloc[0]
+    doc_ids = np.sort(docs[docs["source"] == src]["doc_id"].to_numpy())
+    rep = spatial._CP_REP
+    page_ids = np.sort(
+        (doc_ids[:, None] * rep + np.arange(rep)[None, :]).ravel()
+    )
+    from aerial_conversion_ray.geocode import geocode_arrays
+
+    g = geocode_arrays(page_ids)
+    d = spatial._hav_np(g["lon"][:-1], g["lat"][:-1], g["lon"][1:], g["lat"][1:])
+    mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+    assert out.loc[src, "n_legs"] == len(mm)
+    assert out.loc[src, "dist_mm_total"] == mm.sum()
+    assert out.loc[src, "dist_mm_max"] == mm.max()
