@@ -1069,7 +1069,7 @@ from p group by i, j
 """
 
 
-def pca_power_iteration(sf_dir: str, iters: int = 30) -> pa.Table:
+def pca_power_iteration(sf_dir: str, iters: int = 500) -> pa.Table:
     """Top principal component of the embedding corpus via power
     iteration on the (small, exact) covariance matrix assembled from
     :func:`embed_gram` — the heavy O(n * d^2) pass is the distributed

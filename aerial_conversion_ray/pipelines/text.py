@@ -3760,8 +3760,15 @@ def text_normalize(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def norm(t: pa.Table) -> pa.Table:
+        import unicodedata
+
         s = _noised_text(t)
-        s = pc.utf8_normalize(s, form="NFC")
+        # NFC composition via unicodedata (a C call per string — this
+        # container's pyarrow utf8_normalize decomposes but does not
+        # canonically COMPOSE, so 'e'+U+0301 would not fold to é);
+        # unicodedata and DuckDB nfc_normalize implement the same
+        # standard-defined composition, verified byte-equal in tests
+        s = pa.array([unicodedata.normalize("NFC", x) for x in s.to_pylist()])
         s = pc.utf8_lower(s)
         s = pc.replace_substring_regex(s, r"[\s\p{Zs}]+", " ")
         s = pc.utf8_trim_whitespace(s)

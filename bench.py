@@ -385,7 +385,8 @@ def run_benchmarks() -> dict:
         "inverted_index": lambda: _consume(text.inverted_index(SF_DIR)),
         "text_normalize": lambda: _consume(text.text_normalize(SF_DIR)),
         "delta_lang_counts": lambda: _consume(text.delta_lang_counts(SF_DIR)),
-        "q3_shipping": lambda: _consume(relational.q3_shipping(SF_DIR)),
+        # pandas result: len(), not _consume (pandas .count is per-column)
+        "q3_shipping": lambda: len(relational.q3_shipping(SF_DIR)),
         "full_outer_join": lambda: _consume(relational.full_outer_join(SF_DIR)),
     }
 
