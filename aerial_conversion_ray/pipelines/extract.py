@@ -29,6 +29,7 @@ over the whole batch; no Python row loop.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -338,18 +339,31 @@ def url_canonical(sf_dir: str) -> ray.data.Dataset:
 def url_dedup(sf_dir: str) -> ray.data.Dataset:
     """(canon_url, n_pages, rep_page_id): crawl dedup by canonical
     URL — first-wins representative = min page_id.  One narrow
-    shuffle over the canonical key (three small columns); the page
-    payload never moves."""
-    from ray.data.aggregate import Count, Min
+    COARSE-BUCKET shuffle (hash(canon_url) % 64 — the canonical-url
+    domain is corpus-sized, so a per-url groupby would be Ray's
+    per-group-overhead trap); three small columns move, the page
+    payload never."""
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        from .text import _hash_arrow_strings
+
+        h = _hash_arrow_strings(t["canon_url"])
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def fold(df):
+        g = df.groupby("canon_url", as_index=False).agg(
+            n_pages=("page_id", "size"), rep_page_id=("page_id", "min")
+        )
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return g
 
     return (
         url_canonical(sf_dir)
-        .groupby("canon_url")
-        .aggregate(
-            Count(alias_name="n_pages"),
-            Min("page_id", alias_name="rep_page_id"),
-        )
-        .sort("canon_url")
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
 
 

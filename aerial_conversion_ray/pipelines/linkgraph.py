@@ -233,15 +233,29 @@ def _edge_partial(t: pa.Table) -> pa.Table:
 
 def host_edges(sf_dir: str, rep: int = LG_REP) -> ray.data.Dataset:
     """Weighted host-level edge table (src_id, dst_id, cnt): batch
-    combiner then ONE groupby over the |hosts|^2-bounded pair key —
-    the only shuffle in the suite, and it moves three int64 columns."""
-    from ray.data.aggregate import Sum
+    combiner then ONE coarse-bucket fold over the |hosts|^2-bounded
+    pair key — the only shuffle in the suite, three int64 columns.
+    (Bucketed, not a per-pair groupby: Ray's aggregate pays per-GROUP
+    Python overhead, so the NH^2 key space folds inside 32 buckets
+    with one vectorized pandas groupby each.)"""
+
+    def fold(df):
+        return df.groupby(["src_id", "dst_id"], as_index=False)["cnt"].sum()
+
+    edges = link_extract(sf_dir, rep).map_batches(
+        _edge_partial, batch_format="pyarrow"
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        key = t["src_id"].to_numpy(zero_copy_only=False) * NH + t[
+            "dst_id"
+        ].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(key % 32))
 
     return (
-        link_extract(sf_dir, rep)
-        .map_batches(_edge_partial, batch_format="pyarrow")
-        .groupby(["src_id", "dst_id"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        edges.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
 
 

@@ -1633,17 +1633,20 @@ def within_dist_join(
        bounded-key fold pattern) co-locates every cell's homes and
        probes; inside a bucket the cell join is a sorted
        searchsorted/ragged-expansion — no Python per-row loop;
-    3. haversine refine (op order identical to the oracle) + a<b;
-    4. a pair can be found from both endpoints' rings -> tiny final
-       groupby on the (a, b) key dedups.
+    3. haversine refine (op order identical to the oracle), oriented
+       home.id < probe.id — every in-range pair is covered by BOTH
+       endpoints' rings (each ring is padded by the partner's maximum
+       latitude drift ``dlat`` plus one boundary cell), so exactly
+       one orientation survives globally and NO dedup shuffle is
+       needed (a second high-cardinality groupby would pay Ray's
+       per-group overhead on |pairs| keys — the repo's coarse-bucket
+       lesson).
 
     The constructed hot cluster (20% of points in ~0.25 deg) makes
     the output itself locally quadratic — inherent to the operator,
     not the plan; buckets keyed by cell spread ring probes of the hot
     cell's NEIGHBORS across buckets, and the hot cell's own compare
     is a dense vectorized block."""
-    from ray.data.aggregate import Min
-
     n = 1 << res
     cellw = 360.0 / n
 
@@ -1654,10 +1657,13 @@ def within_dist_join(
         ix = np.clip(np.floor((lon + 180.0) / cellw).astype(np.int64), 0, n - 1)
         iy = np.clip(np.floor((lat + 90.0) / cellw).astype(np.int64), 0, n // 2 - 1)
         dlat_deg = dist_m / 111000.0  # conservative meters/deg
-        klat = int(np.ceil(dlat_deg / cellw))
+        # +1: a floor-quantized cell offset can exceed ceil(d/w) by one
+        # when the gap straddles a cell boundary; the symmetric
+        # orientation dedup REQUIRES both rings to cover every pair
+        klat = int(np.ceil(dlat_deg / cellw)) + 1
         abslat = np.minimum(np.abs(lat) + dlat_deg, 89.99)
         dlon_deg = dist_m / (111000.0 * np.cos(np.radians(abslat)))
-        klon = np.minimum(np.ceil(dlon_deg / cellw).astype(np.int64), 8)
+        klon = np.minimum(np.ceil(dlon_deg / cellw).astype(np.int64) + 1, 9)
         kmax = int(klon.max()) if len(klon) else 1
         rows_cell, rows_i, rows_kind = [], [], []
         # home rows
@@ -1709,7 +1715,9 @@ def within_dist_join(
         home_row = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + np.repeat(lo, cnt)
         pid = p["doc_id"].to_numpy()[probe_row]
         hid = h["doc_id"].to_numpy()[home_row]
-        keep = pid != hid
+        # orientation rule = the dedup: each pair is generated from
+        # both endpoints' rings; keep only the home<probe orientation
+        keep = hid < pid
         d = _hav_np(
             p["lon"].to_numpy()[probe_row][keep],
             p["lat"].to_numpy()[probe_row][keep],
@@ -1717,16 +1725,15 @@ def within_dist_join(
             h["lat"].to_numpy()[home_row][keep],
         )
         near = d <= dist_m
-        a = np.minimum(pid[keep][near], hid[keep][near])
-        b = np.maximum(pid[keep][near], hid[keep][near])
+        a = hid[keep][near]
+        b = pid[keep][near]
         mm = np.floor(d[near] * 1000.0 + 0.5).astype(np.int64)
         return pd.DataFrame({"a_id": a, "b_id": b, "dist_mm": mm})
 
     ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         explode, batch_format="pyarrow"
     )
-    pairs = ds.groupby("bucket").map_groups(bucket_join, batch_format="pandas")
-    return pairs.groupby(["a_id", "b_id"]).aggregate(Min("dist_mm", alias_name="dist_mm"))
+    return ds.groupby("bucket").map_groups(bucket_join, batch_format="pandas")
 
 
 def within_dist_join_sql(dist_m: float = DIST_JOIN_M) -> str:
