@@ -383,8 +383,14 @@ def pagerank_hosts(
         parts = edges.map_batches(
             lambda t, rr=r_ref: contrib(t, rr), batch_format="pyarrow"
         )
-        sums = parts.sum([f"c{i}" for i in range(n)])
-        cvec = np.array([sums[f"sum(c{i})"] for i in range(n)], dtype=np.int64)
+        # one partial VECTOR row per edge block; summing the few rows
+        # on the driver is one dataset pass instead of an Aggregate op
+        # per iteration.  Bound: #blocks x |hosts| ints — fine while
+        # the rank vector broadcasts at all; past that (|hosts| >~1e7)
+        # the iteration becomes a bucketed fold of the partials.
+        cvec = np.zeros(n, dtype=np.int64)
+        for row in parts.take_all():
+            cvec += np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
         r = base + (85 * cvec) // 100
 
     host = pc.binary_join_element_wise(
