@@ -65,13 +65,14 @@ def _parse_tile_ids(tile_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return parts[:, 0].astype(np.int64), parts[:, 2].astype(np.int64)
 
 
-def _images_df(sf_dir: str, cfg: EngineConfig) -> pd.DataFrame:
+def _images_df(sf_dir: str, cfg: EngineConfig, clip=None) -> pd.DataFrame:
     """Occupied-tile image table (SMALL: bounded by the tile grid, 120
     tiles at the default raster) — per-tile counts via one groupby,
-    dense ids assigned on the driver in (col_off, row_off) order."""
+    dense ids assigned on the driver in (col_off, row_off) order.
+    ``clip`` reuses a shared materialized clip-join scan."""
     from ray.data.aggregate import Count
 
-    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(["tile_id"])
+    ds = (clip or spatial.tile_clip_join(sf_dir, cfg)).select_columns(["tile_id"])
     counts = ds.groupby("tile_id").aggregate(Count(alias_name="n_ann")).to_pandas()
     coff, roff = _parse_tile_ids(counts["tile_id"].to_numpy())
     counts["col_off"] = coff
@@ -99,11 +100,15 @@ def coco_images_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
-def coco_categories(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFrame:
+def coco_categories(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, clip=None
+) -> pd.DataFrame:
     """lang -> dense category_id by min(page_id) first appearance."""
     from ray.data.aggregate import Min
 
-    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(["lang", "page_id"])
+    ds = (clip or spatial.tile_clip_join(sf_dir, cfg)).select_columns(
+        ["lang", "page_id"]
+    )
     firsts = (
         ds.groupby("lang").aggregate(Min("page_id", alias_name="first_page")).to_pandas()
     )
@@ -124,7 +129,9 @@ def coco_categories_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
 RANK_BUCKET = 4096  # page_ids per annot-id rank bucket (see below)
 
 
-def _bucket_offsets(sf_dir: str, cfg: EngineConfig, images: pd.DataFrame) -> dict:
+def _bucket_offsets(
+    sf_dir: str, cfg: EngineConfig, images: pd.DataFrame, clip=None
+) -> dict:
     """Global annot-id offset per (image_id, page_id // RANK_BUCKET).
 
     Skew guard: grouping by image_id alone puts ~20% of the corpus in
@@ -136,17 +143,38 @@ def _bucket_offsets(sf_dir: str, cfg: EngineConfig, images: pd.DataFrame) -> dic
     page_id, so the result is independent of block/batch boundaries."""
     from ray.data.aggregate import Sum
 
-    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(["tile_id", "page_id"])
+    ds = (clip or spatial.tile_clip_join(sf_dir, cfg)).select_columns(
+        ["tile_id", "page_id"]
+    )
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(bucket=df["page_id"] // RANK_BUCKET)
         g = df.groupby(["tile_id", "bucket"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
+    def part_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["tile_id", "bucket"], as_index=False)["n"].sum()
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse shuffle key (per-(tile,bucket) aggregate would pay
+        # Ray's per-group overhead on an unbounded key); the string
+        # hash MUST be deterministic across worker processes —
+        # builtin hash() is per-process salted
+        from .text import _hash_arrow_strings
+
+        th = _hash_arrow_strings(pa.array(df["tile_id"].tolist()))
+        return df.assign(
+            shard=(
+                (df["bucket"].to_numpy(np.uint64) * np.uint64(131) + th)
+                % np.uint64(64)
+            ).astype(np.int64)
+        )
+
     counts = (
         ds.map_batches(part, batch_format="pandas")
-        .groupby(["tile_id", "bucket"])
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(part_fold, batch_format="pandas")
         .to_pandas()
     )
     counts = counts.merge(images[["tile_id", "image_id"]], on="tile_id")
@@ -169,18 +197,25 @@ def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
     skew-proof paint)."""
     import ray
 
-    images = _images_df(sf_dir, cfg)
-    cats = coco_categories(sf_dir, cfg)
+    # one shared LAZY clip-join plan for the four passes (images,
+    # categories, offsets, main).  Deliberately NOT materialized:
+    # at corpus scale the clip join is corpus-sized and a mid-pipeline
+    # materialize() is a barrier + object-store residency cost, while
+    # re-executing the streamed scan per pass costs only CPU
+    # (measured equal at test scale).
+    clip = spatial.tile_clip_join(sf_dir, cfg).select_columns(
+        ["page_id", "tile_id", "lang", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
+    )
+    images = _images_df(sf_dir, cfg, clip=clip)
+    cats = coco_categories(sf_dir, cfg, clip=clip)
     img_map = dict(zip(images["tile_id"], images["image_id"]))
-    offsets = _bucket_offsets(sf_dir, cfg, images)
+    offsets = _bucket_offsets(sf_dir, cfg, images, clip=clip)
     cat_map = dict(zip(cats["lang"], cats["category_id"]))
     img_ref = ray.put(img_map)
     off_ref = ray.put(offsets)
     cat_ref = ray.put(cat_map)
 
-    ds = spatial.tile_clip_join(sf_dir, cfg).select_columns(
-        ["page_id", "tile_id", "lang", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
-    )
+    ds = clip
 
     # task-based (no actor pool): the broadcast maps resolve from the
     # local object store per task; chaining actor pools here would
@@ -195,13 +230,33 @@ def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
 
     ds = ds.map_batches(attach, batch_format="pandas")
 
+    def shard_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["image_id"].to_numpy(np.int64) * np.int64(1_000_003) + df[
+            "bucket"
+        ].to_numpy(np.int64)
+        return df.assign(shard=key % np.int64(64))
+
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        # one group per (image_id, bucket): rank by page_id + offset
-        df = df.sort_values("page_id", kind="mergesort").reset_index(drop=True)
-        off = ray.get(off_ref)[
-            (int(df["image_id"].iloc[0]), int(df["bucket"].iloc[0]))
-        ]
-        df["annot_id"] = off + np.arange(len(df), dtype=np.int64)
+        # a shard holds MANY (image_id, bucket) groups — rank inside
+        # each via one vectorized sort + cumcount, offsets resolved by
+        # a merge against the broadcast offset table (no per-group
+        # Python; a per-(image,bucket) map_groups paid Ray's ~3.5 ms/
+        # group dispatch)
+        off = ray.get(off_ref)
+        df = df.sort_values(
+            ["image_id", "bucket", "page_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        rank = df.groupby(["image_id", "bucket"], sort=False).cumcount().to_numpy()
+        off_df = pd.DataFrame(
+            [(i, b, o) for (i, b), o in off.items()],
+            columns=["image_id", "bucket", "off"],
+        )
+        base = (
+            df[["image_id", "bucket"]]
+            .merge(off_df, on=["image_id", "bucket"], how="left")["off"]
+            .to_numpy(np.int64)
+        )
+        df["annot_id"] = base + rank
         df["area"] = (df["bbox_w"] * df["bbox_h"]).astype(np.int64)
         df["iscrowd"] = np.zeros(len(df), dtype=np.int64)
         return df[
@@ -219,7 +274,11 @@ def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
             ]
         ]
 
-    return ds.groupby(["image_id", "bucket"]).map_groups(assign, batch_format="pandas")
+    return (
+        ds.map_batches(shard_rows, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(assign, batch_format="pandas")
+    )
 
 
 def coco_annotations_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
@@ -449,25 +508,34 @@ def coco_split_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
 
 def class_stats(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """A3 grouped stats: per category, annotation count + distinct
-    image count (nunique via distinct-pair partial then count)."""
-    from ray.data.aggregate import Count, Sum
+    image count.  Distinct pairs fold inside image-keyed COARSE
+    buckets (an image's pair rows co-locate, so per-bucket distinct
+    counts sum exactly); the final per-category groupby sees
+    |categories| keys only."""
+    from ray.data.aggregate import Sum
 
     anns = coco_annotations(sf_dir, cfg).select_columns(["category_id", "image_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["category_id", "image_id"], as_index=False).size()
-        return g.rename(columns={"size": "n_ann"})
+        g = g.rename(columns={"size": "n_ann"})
+        return g.assign(bucket=g["image_id"].to_numpy(np.int64) % 64)
 
-    pairs = (
-        anns.map_batches(partial, batch_format="pandas")
-        .groupby(["category_id", "image_id"])
-        .aggregate(Sum("n_ann", alias_name="n_ann"))
-    )
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.groupby(["category_id", "image_id"], as_index=False)["n_ann"].sum()
+        g = pairs.groupby("category_id", as_index=False).agg(
+            n_annotations=("n_ann", "sum"), n_images=("image_id", "size")
+        )
+        return g
+
     return (
-        pairs.groupby("category_id")
+        anns.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("category_id")
         .aggregate(
-            Sum("n_ann", alias_name="n_annotations"),
-            Count(alias_name="n_images"),
+            Sum("n_annotations", alias_name="n_annotations"),
+            Sum("n_images", alias_name="n_images"),
         )
         .sort("category_id")
     )
@@ -503,12 +571,18 @@ def balance_removal(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> pd.DataFram
     anns = coco_annotations(sf_dir, cfg).select_columns(["category_id", "image_id"])
 
     def filt(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["category_id"] == dominant][["image_id"]]
+        sub = df[df["category_id"] == dominant][["image_id"]]
+        g = sub.groupby("image_id", as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return g.assign(bucket=g["image_id"].to_numpy(np.int64) % 64)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("image_id", as_index=False)["n"].sum()
 
     imgs = (
         anns.map_batches(filt, batch_format="pandas")
-        .groupby("image_id")
-        .aggregate(Count(alias_name="n"))
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
         .to_pandas()
         .sort_values(["n", "image_id"], ascending=[False, True], kind="mergesort")
         .reset_index(drop=True)
@@ -781,29 +855,37 @@ def iter_stratified_split(
     anns = coco_annotations(sf_dir, cfg).select_columns(["image_id", "category_id"])
 
     def batch_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["image_id", "category_id"])
+        g = df.drop_duplicates(["image_id", "category_id"])
+        return g.assign(bucket=g["image_id"].to_numpy(np.int64) % 64)
+
+    def sig_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # an image's pairs co-locate in its bucket; the per-image
+        # label-set join is one pandas groupby-agg (no per-group RAY
+        # dispatch — the previous per-image map_groups paid ~3.5 ms
+        # of Ray overhead per image)
+        df = df.sort_values(["image_id", "category_id"], kind="mergesort")
+        s = df.groupby("image_id", sort=False)["category_id"].agg(
+            lambda v: ",".join(map(str, dict.fromkeys(v.astype(int))))
+        )
+        out = pd.DataFrame({"image_id": s.index.to_numpy(np.int64), "sig": s.to_numpy()})
+        from .text import _hash_arrow_strings
+
+        h = _hash_arrow_strings(pa.array(out["sig"].tolist()))
+        return out.assign(sbucket=(h % np.uint64(64)).astype(np.int64))
 
     pairs = (
         anns.map_batches(batch_pairs, batch_format="pandas")
-        .groupby("image_id")
-        .map_groups(
-            lambda df: pd.DataFrame(
-                {
-                    "image_id": [int(df["image_id"].iloc[0])],
-                    "sig": [
-                        ",".join(
-                            map(str, sorted(set(df["category_id"].astype(int))))
-                        )
-                    ],
-                }
-            ),
-            batch_format="pandas",
-        )
+        .groupby("bucket")
+        .map_groups(sig_fold, batch_format="pandas")
     )
 
+    def count_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sig", as_index=False).size()
+        return g.rename(columns={"size": "m"})
+
     sig_counts = (
-        pairs.groupby("sig")
-        .aggregate(Count(alias_name="m"))
+        pairs.groupby("sbucket")
+        .map_groups(count_fold, batch_format="pandas")
         .to_pandas()
         .sort_values("sig")
         .reset_index(drop=True)
@@ -843,14 +925,18 @@ def iter_stratified_split(
     q_ref = _ray.put(quota)
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("image_id", kind="mergesort").reset_index(drop=True)
-        k = _ray.get(q_ref)[df["sig"].iloc[0]]
+        # one bucket holds many signatures: vectorized in-sig rank via
+        # sort + cumcount, quota resolved by map (sig -> k broadcast)
+        q = _ray.get(q_ref)
+        df = df.sort_values(["sig", "image_id"], kind="mergesort").reset_index(drop=True)
+        rank = df.groupby("sig", sort=False).cumcount().to_numpy()
+        k = df["sig"].map(q).to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "image_id": df["image_id"].to_numpy(np.int64),
                 "sig": df["sig"],
-                "split": np.where(np.arange(len(df)) < k, "test", "train"),
+                "split": np.where(rank < k, "test", "train"),
             }
         )
 
-    return pairs.groupby("sig").map_groups(assign, batch_format="pandas")
+    return pairs.groupby("sbucket").map_groups(assign, batch_format="pandas")
