@@ -303,7 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_decode": lambda sf: multimodal.audio_decode(sf, CFG),
         # real frame sampling (first-party container + PNG frames)
         "video_frames": lambda sf: multimodal.video_frames(sf, CFG),
-        "media_embed": lambda sf: multimodal.media_embed_stub(sf, CFG),
+        # REAL decoded-pixel features (upgraded from the byte-histogram
+        # stub): first-party PNG decode -> 16-bin intensity histogram +
+        # exact moments, SQL-mirrored via the closed-form pixel synth
+        "media_embed": lambda sf: multimodal.media_embed(sf, CFG),
     }
 
 
@@ -453,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_to_geotiff": multimodal.jpeg_to_geotiff_sql(CFG),
         "audio_decode": multimodal.audio_decode_sql(CFG),
         "video_frames": multimodal.video_frames_sql(CFG),
-        # media_byte_stats / frame_sample / media_embed: deterministic
-        # codec stubs — rows-only; numpy oracles in tests/test_multimodal.py.
+        "media_embed": multimodal.media_embed_sql(CFG),
+        # media_byte_stats / frame_sample: deterministic codec stubs —
+        # rows-only; numpy oracles in tests/test_multimodal.py.
     }

@@ -901,3 +901,90 @@ def jpeg_to_geotiff_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         " as bigint) as cell_e9 "
         f"from geo where page_id % {GEOTIFF_MOD} = 0"
     )
+
+
+# --------------------------------------------------------------------------
+# media feature extraction over REAL decoded pixels (SQL-mirrored)
+# --------------------------------------------------------------------------
+
+EMBED_BINS = 16
+
+
+class PngFeatures:
+    """Classical image features from REAL decoded pixels: the
+    first-party PNG codec decodes each blob, then a 16-bin intensity
+    histogram + integer pixel moments form the feature row — the
+    'vision encoder' slot upgraded from the r2/r3 byte-histogram STUB
+    to features of the actual IMAGE content, with an exact SQL oracle
+    (the synthesized pixel function is closed-form, so DuckDB can
+    re-derive every bin count without any codec).
+
+    Same production shape as PngDecode: codec bound once per actor,
+    per-batch decode loop is per-IMAGE (inherent — each blob is an
+    independent compressed stream), per-image math vectorized."""
+
+    def __init__(self):
+        from ..functions import png
+
+        self.decode = png.decode_png
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["png"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = t.num_rows
+        bins = np.zeros((n, EMBED_BINS), dtype=np.int64)
+        s1 = np.zeros(n, dtype=np.int64)
+        s2 = np.zeros(n, dtype=np.int64)
+        npx = np.zeros(n, dtype=np.int64)
+        width = 256 // EMBED_BINS
+        for k, buf in enumerate(col):
+            img = self.decode(buf.as_py()).astype(np.int64)
+            bins[k] = np.bincount(
+                np.minimum(img.ravel() // width, EMBED_BINS - 1),
+                minlength=EMBED_BINS,
+            )
+            s1[k] = img.sum()
+            s2[k] = (img * img).sum()
+            npx[k] = img.size
+        cols = {"page_id": t["page_id"], "n_px": pa.array(npx),
+                "px_sum": pa.array(s1), "px_sq_sum": pa.array(s2)}
+        for b in range(EMBED_BINS):
+            cols[f"b{b}"] = pa.array(bins[:, b])
+        return pa.table(cols)
+
+
+def media_embed(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """page -> real-PNG synth -> REAL decode -> 16-bin intensity
+    histogram + exact moments (the feature-extraction stage of an
+    image pipeline, actor-pool shaped)."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(PngImageSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        PngFeatures,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def media_embed_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    width = 256 // EMBED_BINS
+    bin_cols = ", ".join(
+        f"cast(count(*) filter (least(v // {width}, {EMBED_BINS - 1}) = {b}) as bigint) as b{b}"
+        for b in range(EMBED_BINS)
+    )
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        "dims as (select page_id, 16 + page_id % 8 as w, 12 + page_id % 5 as h "
+        "from pages), "
+        "px as (select page_id, w, h, "
+        f"((page_id * 3 + i.v * 7 + j.v * 13) % {PNG_MOD}) as v "
+        "from dims, unnest(range(h)) i(v), unnest(range(w)) j(v)) "
+        "select page_id, cast(w * h as bigint) as n_px, "
+        "cast(sum(v) as bigint) as px_sum, cast(sum(v * v) as bigint) as px_sq_sum, "
+        f"{bin_cols} "
+        "from px group by page_id, w, h"
+    )
