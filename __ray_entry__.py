@@ -457,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode": multimodal.audio_decode_sql(CFG),
         "video_frames": multimodal.video_frames_sql(CFG),
         "media_embed": multimodal.media_embed_sql(CFG),
-        # media_byte_stats / frame_sample: deterministic codec stubs —
-        # rows-only; numpy oracles in tests/test_multimodal.py.
+        "media_byte_stats": multimodal.media_byte_stats_sql(CFG),
+        # frame_sample: deterministic codec stub — rows-only; numpy
+        # oracle in tests/test_multimodal.py.
     }

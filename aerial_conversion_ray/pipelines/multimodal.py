@@ -988,3 +988,22 @@ def media_embed_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         f"{bin_cols} "
         "from px group by page_id, w, h"
     )
+
+
+def media_byte_stats_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Exact DuckDB mirror of :class:`DecodeStub`: the html payload is
+    ASCII by construction, so per-page byte stats are char-code stats
+    (ord over an unnested position range).  Upgrades the entry from
+    rows-only to an exact oracle; the class itself remains the
+    documented stand-in shape for absent third-party codecs."""
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        "h as (select page_id, '<html><head><title>' || cast(doc_id as varchar) "
+        "|| '</title></head><body>' || text || '</body></html>' as html from pages), "
+        "b as (select page_id, ord(substr(html, i.v + 1, 1)) as o "
+        "from h, unnest(range(length(html))) i(v)) "
+        "select page_id, sum(o) / count(*) as mean_byte, "
+        "cast(max(o) as bigint) as max_byte from b group by page_id"
+    )
