@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
         "within_dist_join": spatial.within_dist_join,
+        # zoom-pyramid cell counts (res 7/9/11 in one pass)
+        "cell_pyramid": spatial.cell_pyramid,
         # one-pass distributed Gram matrix (PCA building block) +
         # driver-side power-iteration top component
         "embed_gram": embeddings.embed_gram,
@@ -316,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": sql_oracle.cell_index_sql(CFG),
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
+        "cell_pyramid": spatial.cell_pyramid_sql(),
         "embed_gram": embeddings.embed_gram_sql(),
         "full_outer_join": relational.FULL_OUTER_JOIN_SQL,
         "inverted_index": text.INVERTED_INDEX_SQL,

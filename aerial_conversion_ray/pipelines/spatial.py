@@ -1920,3 +1920,72 @@ def source_hulls(sf_dir: str) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# --- tile pyramid (multi-resolution cell counts) -------------------------
+
+PYRAMID_RES = (7, 9, 11)
+_PYR_REP = 5
+
+
+def cell_pyramid(sf_dir: str, rep: int = _PYR_REP) -> ray.data.Dataset:
+    """Tile-pyramid build: page counts per cell at every resolution of
+    the pyramid (res 7/9/11) in ONE streaming pass — the zoom-level
+    aggregation a slippy-map / heat-map backend runs over the corpus
+    (reference analog: the tile grid's windowed aggregation,
+    aerial_conversion/tiles.py:40-128, generalized across levels).
+
+    The per-batch combiner counts all three levels (cell encode is
+    pure arithmetic; floor composition guarantees child cells nest
+    exactly), then ONE coarse-bucket fold sums per (res, cell) —
+    never a per-cell groupby (cells are corpus-cardinality at res
+    11)."""
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        frames = []
+        for res in PYRAMID_RES:
+            cell = cells.encode(g["lon"], g["lat"], res)
+            u, cnt = np.unique(cell, return_counts=True)
+            frames.append(
+                (np.full(len(u), res, dtype=np.int64), u, cnt.astype(np.int64))
+            )
+        r = np.concatenate([f[0] for f in frames])
+        c = np.concatenate([f[1] for f in frames])
+        n = np.concatenate([f[2] for f in frames])
+        return pa.table(
+            {
+                "res": pa.array(r),
+                "cell": pa.array(c),
+                "n_pages": pa.array(n),
+                "bucket": pa.array((c * 3 + r) % 64),
+            }
+        )
+
+    def fold(df):
+        return df.groupby(["res", "cell"], as_index=False)["n_pages"].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def cell_pyramid_sql(rep: int = _PYR_REP) -> str:
+    from ..geocode import SQL_EXPRS
+
+    lon = SQL_EXPRS["lon"].replace("doc_id", "page_id")
+    lat = SQL_EXPRS["lat"].replace("doc_id", "page_id")
+    levels = " union all ".join(
+        f"select cast({res} as bigint) as res, {cells.sql_expr('lon', 'lat', res)} as cell, "
+        "cast(count(*) as bigint) as n_pages from g group by 2"
+        for res in PYRAMID_RES
+    )
+    return (
+        f"with pages as ({pages_cte(rep)}), "
+        f"g as (select page_id, {lon} as lon, {lat} as lat from pages) "
+        + levels
+    )

@@ -102,3 +102,23 @@ def test_source_hulls_properties(sf_dir):
         # minimality: every hull vertex is an actual input point
         for vv in v:
             assert np.isclose(pts, vv[None, :]).all(axis=1).any()
+
+
+def test_cell_pyramid_levels_nest(sf_dir):
+    """Child counts sum exactly to the parent count (floor
+    composition: res-11 cells nest in res-9 in res-7)."""
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import spatial
+
+    out = spatial.cell_pyramid(sf_dir).to_pandas()
+    total = {r: g["n_pages"].sum() for r, g in out.groupby("res")}
+    assert len(set(total.values())) == 1  # every level counts all pages
+    lv = {r: g.set_index("cell")["n_pages"] for r, g in out.groupby("res")}
+    c11 = lv[11]
+    n11 = 1 << 11
+    parent9 = (c11.index.to_numpy() // n11 // 4) * (1 << 9) + (
+        c11.index.to_numpy() % n11
+    ) // 4
+    rolled = c11.groupby(parent9).sum()
+    assert (rolled.sort_index() == lv[9].sort_index()).all()
