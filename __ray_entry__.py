@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": relational.q3_shipping,
         # incremental maintenance: checkpoint + delta == full recompute
         "delta_lang_counts": text.delta_lang_counts,
+        # cross-split n-gram leakage audit (self-decontamination)
+        "split_leakage": text.split_leakage,
         # per-source convex hull (distributive hull-of-hulls reduction;
         # rows-only — property-gated in pytest)
         "source_hulls": spatial.source_hulls,
@@ -325,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": text.TEXT_NORMALIZE_SQL,
         "q3_shipping": relational.Q3_SHIPPING_SQL,
         "delta_lang_counts": text.delta_lang_counts_sql(),
+        "split_leakage": text.split_leakage_sql(),
         "crawl_path": spatial.crawl_path_sql(),
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),

@@ -3851,3 +3851,73 @@ def delta_lang_counts_sql(rep: int = _DELTA_REP) -> str:
         "cast(sum(n_chars) as bigint) as sum_chars "
         "from pages group by lang"
     )
+
+
+# --- train/test split leakage (self-decontamination) ---------------------
+
+LEAK_TEST_MOD = 5  # doc_id % MOD == 0 -> test split (hash-split standin)
+
+
+def split_leakage(
+    sf_dir: str, window: int = 16, keep_mod: int = 8, test_mod: int = LEAK_TEST_MOD
+) -> ray.data.Dataset:
+    """Cross-split n-gram leakage audit: winnowing fingerprints that
+    occur in BOTH the train and the test split — the check a training
+    pipeline runs on its OWN split before trusting eval numbers
+    (decontaminate's sibling: there the eval set is external, here it
+    is a partition of the corpus).  Output: (fingerprint,
+    n_train_docs, n_test_docs), leaking fingerprints only.
+
+    Scale shape identical to shared_fingerprints: one fingerprint-
+    bucket shuffle of (fingerprint, doc_id, is_test) int rows, counts
+    fold vectorized per bucket; text never re-shuffles."""
+    ds = rolling_fingerprint(sf_dir, window, keep_mod)
+
+    def tag(t: pa.Table) -> pa.Table:
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = (fp.view(np.uint64) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+        return pa.table(
+            {
+                "fingerprint": t["fingerprint"],
+                "doc_id": t["doc_id"],
+                "is_test": pa.array((did % test_mod == 0).astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.drop_duplicates(["fingerprint", "doc_id"])
+        g = pairs.groupby("fingerprint", sort=False).agg(
+            n_test_docs=("is_test", "sum"), n=("is_test", "size")
+        )
+        g["n_train_docs"] = g["n"] - g["n_test_docs"]
+        g = g[(g["n_train_docs"] > 0) & (g["n_test_docs"] > 0)].reset_index()
+        return pd.DataFrame(
+            {
+                "fingerprint": g["fingerprint"].to_numpy(np.int64),
+                "n_train_docs": g["n_train_docs"].to_numpy(np.int64),
+                "n_test_docs": g["n_test_docs"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def split_leakage_sql(
+    window: int = 16, keep_mod: int = 8, test_mod: int = LEAK_TEST_MOD
+) -> str:
+    return f"""
+with rf as ({rolling_fingerprint_sql(window, keep_mod)}),
+p as (select distinct fingerprint, doc_id,
+             cast(doc_id % {test_mod} = 0 as bigint) as is_test from rf)
+select fingerprint,
+       cast(sum(1 - is_test) as bigint) as n_train_docs,
+       cast(sum(is_test) as bigint) as n_test_docs
+from p group by fingerprint
+having sum(1 - is_test) > 0 and sum(is_test) > 0
+"""
