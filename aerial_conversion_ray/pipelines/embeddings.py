@@ -615,9 +615,7 @@ where cast(floor(list_cosine_similarity(cast(a.embedding as double[]),
 def label_centroids(sf_dir: str) -> ray.data.Dataset:
     """Per-label centroid + count over embeddings: the vectorized
     grouped-mean (IVF coarse-quantizer training step, expressed as
-    in-batch partial sums -> tiny groupby -> finish)."""
-    from ray.data.aggregate import Sum
-
+    in-batch partial sums -> one-task fold -> finish)."""
     ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -639,19 +637,30 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
             cols[f"s{d}"] = pa.array(sums[:, d])
         return pa.table(cols)
 
-    aggs = [Sum("n", alias_name="n")] + [
-        Sum(f"s{d}", alias_name=f"s{d}") for d in range(DIM)
-    ]
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby("label").aggregate(*aggs)
-
+    # final fold: one task over the TINY partial table (#blocks x
+    # #labels rows).  A groupby("label").aggregate(65 Sums) here cost
+    # ~15 s of pure Aggregate-operator overhead (65 aggregates x 64
+    # input partitions) for milliseconds of math — the repo's
+    # per-group-overhead lesson applied to the per-AGGREGATE axis.
     def finish(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy().astype(np.float64)
-        cols = {"label": t["label"].cast(pa.int64()), "n": t["n"]}
+        import pandas as pd
+
+        df = t.to_pandas().groupby("label", as_index=False).sum()
+        df = df.sort_values("label", kind="mergesort").reset_index(drop=True)
+        n = df["n"].to_numpy(np.float64)
+        cols = {
+            "label": pa.array(df["label"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+        }
         for d in range(DIM):
-            cols[f"c{d}"] = pa.array(t[f"s{d}"].to_numpy() / 1_000_000.0 / n)
+            cols[f"c{d}"] = pa.array(df[f"s{d}"].to_numpy(np.int64) / 1_000_000.0 / n)
         return pa.table(cols)
 
-    return out.map_batches(finish, batch_format="pyarrow").sort("label")
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def label_centroids_sql() -> str:

@@ -279,10 +279,20 @@ def top_orders(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         df = tb.to_pandas().groupby("l_orderkey", as_index=False)["revenue_c"].sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # per-order totals fold inside 64 key buckets (a per-order-key
+    # Ray aggregate paid ~3.5 ms/group on the order-key domain)
+    def bucketed(t: pa.Table) -> pa.Table:
+        k_ = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(k_ % np.int64(64)))
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)["revenue_c"].sum()
+
     per_order = (
         li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
     )
     def block_topk(t: pa.Table) -> pa.Table:
         rev = t["revenue_c"].to_numpy(zero_copy_only=False)

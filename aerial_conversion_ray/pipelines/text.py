@@ -2000,12 +2000,27 @@ def heavy_hitters(sf_dir: str, k: int = HH_K) -> ray.data.Dataset:
         n = np.concatenate([sketch[nz], counts[top]])
         return pa.table({"slot": pa.array(slot), "token": token, "n": pa.array(n)})
 
-    from ray.data.aggregate import Sum
+    def _hh_bucket(t: pa.Table) -> pa.Table:
+        # sketch rows bucket by slot, candidate rows by token hash —
+        # one coarse fold instead of a per-(slot, token) aggregate
+        # over up to CMS_DEPTH*CMS_WIDTH keys
+        slot_np = t["slot"].to_numpy(zero_copy_only=False)
+        th = _hash_arrow_strings(t["token"])
+        b = np.where(
+            slot_np >= 0,
+            slot_np % 64,
+            (th % np.uint64(64)).astype(np.int64),
+        )
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def _hh_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["slot", "token"], as_index=False)["n"].sum()
 
     merged = (
         ds.map_batches(pass1, batch_format="pyarrow")
-        .groupby(["slot", "token"])
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_hh_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_hh_fold, batch_format="pandas")
         .to_pandas()
     )
     cms_rows = merged[merged["slot"] >= 0]
@@ -2036,6 +2051,8 @@ def heavy_hitters(sf_dir: str, k: int = HH_K) -> ray.data.Dataset:
                     "n": pa.array(counts[keep]),
                 }
             )
+
+    from ray.data.aggregate import Sum
 
     return (
         ds.map_batches(Verify, batch_format="pyarrow", concurrency=2)
