@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_lang_counts": text.delta_lang_counts,
         # cross-split n-gram leakage audit (self-decontamination)
         "split_leakage": text.split_leakage,
+        # temperature (alpha=0.5) mixture rebalancing by lang share
+        "temperature_sample": text.temperature_sample,
         # per-source convex hull (distributive hull-of-hulls reduction;
         # rows-only — property-gated in pytest)
         "source_hulls": spatial.source_hulls,
@@ -328,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": relational.Q3_SHIPPING_SQL,
         "delta_lang_counts": text.delta_lang_counts_sql(),
         "split_leakage": text.split_leakage_sql(),
+        "temperature_sample": text.TEMPERATURE_SAMPLE_SQL,
         "crawl_path": spatial.crawl_path_sql(),
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),

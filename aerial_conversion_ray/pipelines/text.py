@@ -3938,3 +3938,68 @@ select fingerprint,
 from p group by fingerprint
 having sum(1 - is_test) > 0 and sum(is_test) > 0
 """
+
+
+# --- temperature-weighted mixture sampling -------------------------------
+
+MIX_ALPHA_SQRT = True   # alpha = 0.5 via IEEE-correctly-rounded sqrt
+MIX_RES = 1_000_000     # acceptance-threshold resolution
+
+
+def temperature_sample(sf_dir: str) -> ray.data.Dataset:
+    """Pretraining-mixture rebalancing: deterministic temperature
+    sampling (alpha = 0.5) over the language shares — low-resource
+    langs keep (nearly) everything, the dominant lang downsamples so
+    the sampled mixture's shares are proportional to sqrt(share)
+    (the multilingual-pretraining reweighting rule).
+
+    Exactness: the per-lang keep-rate uses only IEEE-correctly-
+    rounded ops (sqrt, /, *) evaluated in the same order on both
+    sides, then floors to an integer threshold out of 1e6; the accept
+    test compares that threshold against the Knuth-hash residue of
+    doc_id — so membership is integer-decided and batching-proof.
+
+    Scale: one tiny lang-count groupby (|langs| keys), thresholds
+    broadcast, then a stateless filter scan — the corpus never
+    shuffles."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    counts = (
+        ds.groupby("lang").aggregate(Count(alias_name="cnt")).to_pandas()
+    )
+    cnt = counts["cnt"].to_numpy(np.float64)
+    # normalized keep-rate: (q_i/c_i)/max_j(q_j/c_j) with q ~ sqrt(c);
+    # the global sum over q CANCELS, leaving sqrt(cnt_min)/sqrt(cnt_i)
+    # — only IEEE-correctly-rounded ops remain, so engine and oracle
+    # floor to identical integer thresholds (a float SUM would round
+    # differently under different aggregation orders)
+    rate = np.sqrt(cnt.min()) / np.sqrt(cnt)
+    thr = dict(
+        zip(counts["lang"], np.floor(rate * float(MIX_RES)).astype(np.int64))
+    )
+    thr_ref = ray.put(thr)
+
+    def filt(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((did * 2654435761 + 987654321) % 4294967296) % MIX_RES
+        lim = np.array(
+            [th[x] for x in t["lang"].to_pylist()], dtype=np.int64
+        )
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+with c as (select lang, cast(count(*) as bigint) as cnt from documents group by lang),
+t as (select lang,
+             cast(floor(sqrt(cast((select min(cnt) from c) as double))
+                        / sqrt(cast(cnt as double)) * {float(MIX_RES)!r})
+                  as bigint) as thr from c)
+select d.doc_id, d.lang, d.source
+from documents d join t using (lang)
+where ((d.doc_id * 2654435761 + 987654321) % 4294967296) % {MIX_RES} < t.thr
+"""
