@@ -1989,3 +1989,92 @@ def cell_pyramid_sql(rep: int = _PYR_REP) -> str:
         f"g as (select page_id, {lon} as lon, {lat} as lat from pages) "
         + levels
     )
+
+
+# --- shapefile-fed zone join ---------------------------------------------
+
+_ZONE_N = 16
+
+
+def shapefile_zone_join(sf_dir: str) -> ray.data.Dataset:
+    """S1-to-J1 integration: zone polygons round-trip through a REAL
+    partitioned shapefile (first-party .shp/.dbf writer + reader) and
+    then drive a point-in-polygon join of the document points — the
+    reference's actual workflow (``gpd.read_file(zones.shp)`` then
+    clip/intersect, scripts/geojson2coco.py:180-192), with the vector
+    file a load-bearing engine input rather than a roundtrip-only
+    fixture.  Zones overlap by construction (50 x 95 deg boxes on a
+    45 x 90 grid), so the join is a genuine 1->N explode.
+
+    Scale: the zone table is the SMALL side (read once, broadcast via
+    ``ray.put``); the corpus streams through one stateless
+    containment map — no shuffle."""
+    import tempfile
+
+    import pandas as pd
+    import ray as _ray
+
+    from ..sources.shapefile import read_shapefile, write_shapefile
+
+    k = np.arange(_ZONE_N, dtype=np.int64)
+    zones = pd.DataFrame(
+        {
+            "page_id": k,  # the .dbf schema carries (page_id, lang)
+            "lang": "zone",
+            "fp_minx": -180.0 + 45.0 * (k % 8),
+            "fp_miny": -90.0 + 90.0 * (k // 8),
+            "fp_maxx": -180.0 + 45.0 * (k % 8) + 50.0,
+            "fp_maxy": -90.0 + 90.0 * (k // 8) + 95.0,
+            "part_key": np.zeros(_ZONE_N, dtype=np.int64),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="aerial_zones_shp_")
+    write_shapefile(
+        ray.data.from_pandas(zones), out_dir, "part_key"
+    ).materialize()
+    zdf = read_shapefile(out_dir).to_pandas()
+    rects = (
+        zdf["page_id"].to_numpy(np.int64),
+        zdf["fp_minx"].to_numpy(np.float64),
+        zdf["fp_miny"].to_numpy(np.float64),
+        zdf["fp_maxx"].to_numpy(np.float64),
+        zdf["fp_maxy"].to_numpy(np.float64),
+    )
+    z_ref = _ray.put(rects)
+
+    def join(t: pa.Table) -> pa.Table:
+        zid, minx, miny, maxx, maxy = _ray.get(z_ref)
+        g = geocode_arrays(t["doc_id"].to_numpy(zero_copy_only=False))
+        lon, lat = g["lon"], g["lat"]
+        inside = (
+            (lon[:, None] >= minx[None, :])
+            & (lon[:, None] < maxx[None, :])
+            & (lat[:, None] >= miny[None, :])
+            & (lat[:, None] < maxy[None, :])
+        )
+        di, zi = np.nonzero(inside)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(did[di]), "zone_id": pa.array(zid[zi])}
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        join, batch_format="pyarrow"
+    )
+
+
+def shapefile_zone_join_sql() -> str:
+    from ..geocode import SQL_EXPRS
+
+    return f"""
+with z as (select cast(k.v as bigint) as zone_id,
+                  -180.0 + 45.0 * (k.v % 8) as minx,
+                  -90.0 + 90.0 * (k.v // 8) as miny,
+                  -180.0 + 45.0 * (k.v % 8) + 50.0 as maxx,
+                  -90.0 + 90.0 * (k.v // 8) + 95.0 as maxy
+           from unnest(range({_ZONE_N})) k(v)),
+g as (select doc_id, {SQL_EXPRS['lon']} as lon, {SQL_EXPRS['lat']} as lat
+      from documents)
+select g.doc_id, z.zone_id from g join z
+on g.lon >= z.minx and g.lon < z.maxx and g.lat >= z.miny and g.lat < z.maxy
+"""
