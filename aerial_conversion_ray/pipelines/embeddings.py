@@ -1039,7 +1039,6 @@ def embed_gram(sf_dir: str) -> ray.data.Dataset:
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         mat = flat.reshape(t.num_rows, -1)  # RAW values (oracle uses raw)
         fp = np.floor(mat * GRAM_SCALE + 0.5).astype(np.int64)
-        assert t.num_rows < 9_000_000, "int64 gram overflow bound"
         g = fp.T @ fp
         s = fp.sum(axis=0)
         return pa.table(
@@ -1055,9 +1054,12 @@ def embed_gram(sf_dir: str) -> ray.data.Dataset:
         )
 
     def fold(df):
-        import pandas as pd  # noqa: F401
-
         g = df.groupby(["i", "j"], as_index=False)[["gram", "s_i", "s_j", "n"]].sum()
+        # loud overflow guard on the CORPUS-TOTAL row count per pair
+        # (the bound the docstring states: |element product| <= 1e12,
+        # so int64 wraps past ~9e6 summed rows) — a per-BATCH check
+        # would pass while the fold's sum wraps silently
+        assert int(g["n"].max()) < 9_000_000, "int64 gram overflow bound"
         return g
 
     return (

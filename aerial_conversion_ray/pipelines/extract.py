@@ -279,21 +279,27 @@ def _raw_url_sql() -> str:
 def canonicalize_urls(u: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """General URL canonicalizer, whole-batch RE2 rewrites:
     1. strip fragment; 2. lowercase scheme+host; 3. strip :443 default
-    port; 4. normalize ``?`` -> ``&`` so every query param is
-    ``&``-prefixed, strip utm_*/ref tracking params wherever they sit,
-    restore the first ``&`` to ``?``; 5. strip an empty trailing query,
-    a trailing path slash before the query, and trailing slashes."""
+    port; 4. split the QUERY off (tracking params exist only there —
+    a literal ``&``/``utm_x=`` in the PATH must survive untouched;
+    the round-3-advice-class bug of swapping ``?``/``&`` globally
+    corrupted query-less URLs containing ``&``), strip utm_*/ref
+    params inside it (mid/leading/only positions), rejoin; 5. strip a
+    trailing path slash before the query and trailing slashes."""
     u = pc.replace_substring_regex(u, r"#.*$", "")
     prefix = _capture(u, f"(?P<g>{_SCHEME_HOST_RE})")
     rest = pc.replace_substring_regex(u, _SCHEME_HOST_RE, "", max_replacements=1)
     u = pc.binary_join_element_wise(pc.utf8_lower(prefix), rest, "")
     u = pc.replace_substring_regex(u, _PORT_RE, r"\1", max_replacements=1)
-    u = pc.replace_substring(u, "?", "&", max_replacements=1)
-    u = pc.replace_substring_regex(u, _TRACK_RE, "")
-    u = pc.replace_substring(u, "&", "?", max_replacements=1)
-    u = pc.replace_substring_regex(u, r"\?$", "")
-    u = pc.replace_substring_regex(u, r"/+\?", "?", max_replacements=1)
-    return pc.replace_substring_regex(u, r"/+$", "")
+    q = _capture(u, r"(?P<g>\?.*)$")  # '' when no query
+    path = pc.replace_substring_regex(u, r"\?.*$", "")
+    q = pc.replace_substring_regex(q, _TRACK_RE, "")
+    q = pc.replace_substring_regex(
+        q, r"^\?(utm_[a-z]+|ref)=[^&#]*&", "?", max_replacements=1
+    )
+    q = pc.replace_substring_regex(q, r"^\?(utm_[a-z]+|ref)=[^&#]*$", "")
+    q = pc.replace_substring_regex(q, r"^\?$", "")
+    path = pc.replace_substring_regex(path, r"/+$", "")
+    return pc.binary_join_element_wise(path, q, "")
 
 
 def _canon_sql(u: str) -> str:
@@ -307,12 +313,14 @@ def _canon_sql(u: str) -> str:
         f" || regexp_replace({u}, '{_SCHEME_HOST_RE}', ''))"
     )
     u = f"regexp_replace({u}, '{_PORT_RE}', '\\1')"
-    u = f"regexp_replace({u}, '\\?', '&')"
-    u = f"regexp_replace({u}, '{_TRACK_RE}', '', 'g')"
-    u = f"regexp_replace({u}, '&', '?')"
-    u = f"regexp_replace({u}, '\\?$', '')"
-    u = f"regexp_replace({u}, '/+\\?', '?')"
-    return f"regexp_replace({u}, '/+$', '')"
+    q = f"coalesce(regexp_extract({u}, '(\\?.*)$'), '')"
+    path = f"regexp_replace({u}, '\\?.*$', '')"
+    q = f"regexp_replace({q}, '{_TRACK_RE}', '', 'g')"
+    q = f"regexp_replace({q}, '^\\?(utm_[a-z]+|ref)=[^&#]*&', '?')"
+    q = f"regexp_replace({q}, '^\\?(utm_[a-z]+|ref)=[^&#]*$', '')"
+    q = f"regexp_replace({q}, '^\\?$', '')"
+    path = f"regexp_replace({path}, '/+$', '')"
+    return f"({path} || {q})"
 
 
 _URL_REP = 5  # one page per variant residue

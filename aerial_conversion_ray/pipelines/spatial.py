@@ -16,6 +16,8 @@ the same constants.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -1663,7 +1665,17 @@ def within_dist_join(
         klat = int(np.ceil(dlat_deg / cellw)) + 1
         abslat = np.minimum(np.abs(lat) + dlat_deg, 89.99)
         dlon_deg = dist_m / (111000.0 * np.cos(np.radians(abslat)))
-        klon = np.minimum(np.ceil(dlon_deg / cellw).astype(np.int64) + 1, 9)
+        klon = np.ceil(dlon_deg / cellw).astype(np.int64) + 1
+        # a silent cap here would DROP in-range pairs (the orientation
+        # dedup requires both rings to cover every pair) — refuse
+        # loudly instead when dist_m/res puts a point's ring past the
+        # explosion budget (raise res or dist_m in that regime)
+        if len(klon) and int(klon.max()) > 64:
+            raise ValueError(
+                f"lon ring {int(klon.max())} cells exceeds the 64-cell "
+                f"budget at res={res}, dist_m={dist_m}; use a coarser "
+                "resolution for this radius"
+            )
         kmax = int(klon.max()) if len(klon) else 1
         rows_cell, rows_i, rows_kind = [], [], []
         # home rows
@@ -1878,6 +1890,25 @@ def source_hulls(sf_dir: str) -> ray.data.Dataset:
 
     ds = pages_dataset(sf_dir, rep=_CP_REP, columns=["page_id", "source"])
 
+    def _at_prefilter(pts: np.ndarray) -> np.ndarray:
+        """Akl–Toussaint heuristic, fully vectorized: points STRICTLY
+        inside the quadrilateral of the four axis extremes cannot be
+        hull vertices — drop them before the (interpreted) chain so
+        the Python loop runs over O(hull candidates), not all points."""
+        if len(pts) <= 8:
+            return np.ones(len(pts), dtype=bool)
+        quad = pts[
+            [pts[:, 0].argmin(), pts[:, 1].argmax(), pts[:, 0].argmax(), pts[:, 1].argmin()]
+        ]
+        inside = np.ones(len(pts), dtype=bool)
+        for i in range(4):
+            p, q = quad[i], quad[(i + 1) % 4]
+            cross = (q[0] - p[0]) * (pts[:, 1] - p[1]) - (q[1] - p[1]) * (
+                pts[:, 0] - p[0]
+            )
+            inside &= cross < 0  # strictly right of the CW quad edge
+        return ~inside
+
     def local_hull(t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -1892,7 +1923,9 @@ def source_hulls(sf_dir: str) -> ray.data.Dataset:
         keep_idx = []
         for _, sub in df.groupby("source", sort=False):
             pts = sub[["lon", "lat"]].to_numpy()
-            keep_idx.extend(sub.index.to_numpy()[_monotone_chain(pts)])
+            cand = _at_prefilter(pts)
+            sub_idx = sub.index.to_numpy()[cand]
+            keep_idx.extend(sub_idx[_monotone_chain(pts[cand])])
         out = df.loc[keep_idx]
         h = _hash_arrow_strings(pa.array(out["source"].to_numpy().tolist()))
         return pa.table(
@@ -1994,6 +2027,21 @@ def cell_pyramid_sql(rep: int = _PYR_REP) -> str:
 # --- shapefile-fed zone join ---------------------------------------------
 
 _ZONE_N = 16
+_ZONE_SHP_DIR: list[str] = []
+
+
+def _zone_shp_dir() -> str:
+    """Process-lifetime cache dir for the deterministic zone
+    shapefile, removed at interpreter exit."""
+    if not _ZONE_SHP_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="aerial_zones_shp_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ZONE_SHP_DIR.append(d)
+    return _ZONE_SHP_DIR[0]
 
 
 def shapefile_zone_join(sf_dir: str) -> ray.data.Dataset:
@@ -2009,8 +2057,6 @@ def shapefile_zone_join(sf_dir: str) -> ray.data.Dataset:
     Scale: the zone table is the SMALL side (read once, broadcast via
     ``ray.put``); the corpus streams through one stateless
     containment map — no shuffle."""
-    import tempfile
-
     import pandas as pd
     import ray as _ray
 
@@ -2028,10 +2074,14 @@ def shapefile_zone_join(sf_dir: str) -> ray.data.Dataset:
             "part_key": np.zeros(_ZONE_N, dtype=np.int64),
         }
     )
-    out_dir = tempfile.mkdtemp(prefix="aerial_zones_shp_")
-    write_shapefile(
-        ray.data.from_pandas(zones), out_dir, "part_key"
-    ).materialize()
+    # the zone fixture is deterministic: write once per process to a
+    # registered temp dir (a mkdtemp per call leaked one directory
+    # per invocation across bench/check/job repeats)
+    out_dir = _zone_shp_dir()
+    if not os.path.isdir(os.path.join(out_dir, "part=0")):
+        write_shapefile(
+            ray.data.from_pandas(zones), out_dir, "part_key"
+        ).materialize()
     zdf = read_shapefile(out_dir).to_pandas()
     rects = (
         zdf["page_id"].to_numpy(np.int64),

@@ -3821,9 +3821,14 @@ def delta_lang_counts(sf_dir: str, rep: int = _DELTA_REP) -> ray.data.Dataset:
     the aggregate level).
 
     Scale: both legs are one streaming pass with per-batch partial
-    sums; the delta leg's scan PRUNES at the read via the row-filter
-    predicate (only new row groups leave storage), which is the whole
-    point of incremental maintenance at 100 TB."""
+    sums.  NOTE on pruning: with a parquet-backed pages table the
+    ``warc_ts`` predicate pushes to ``read_parquet(filter=...)`` and
+    only new row groups leave storage — the point of incremental
+    maintenance at 100 TB.  The SYNTHETIC generator here has no row
+    groups to prune, so both legs scan the generator and filter in
+    the first map stage (ts is a pure function of page_id, so the
+    filter is exact); the checkpoint leg stands in for the
+    previously-materialized state a production run would re-read."""
     from ray.data.aggregate import Sum
 
     split_us = np.datetime64(DELTA_SPLIT_TS.replace(" ", "T"), "us").astype(np.int64)

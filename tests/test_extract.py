@@ -98,6 +98,22 @@ def test_canonicalize_urls_general():
     got = extract.canonicalize_urls(raw).to_pylist()
     assert got[:5] == ["https://news.example/a/B?q=1"] * 5
     assert got[5] == "http://other.example/path?page=2"
+    # literal '&' (or '&utm_x=') in the PATH of a query-less URL must
+    # survive untouched — the tracking strip is query-scoped
+    hard = extract.canonicalize_urls(
+        pa.array(
+            [
+                "https://h.example/a&b",
+                "https://h.example/p&utm_source=path",
+                "https://h.example/x?utm_a=1&utm_b=2",
+            ]
+        )
+    ).to_pylist()
+    assert hard == [
+        "https://h.example/a&b",
+        "https://h.example/p&utm_source=path",
+        "https://h.example/x",
+    ]
 
 
 def test_url_dedup_collapses_variants(sf_dir):

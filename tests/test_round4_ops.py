@@ -17,7 +17,9 @@ def test_top_orders_plan_has_no_global_sort(sf_dir):
     ds = relational.top_orders(sf_dir)
     ds = ds.materialize()
     stats = ds.stats()
-    tail = stats[stats.rfind("block_topk"):]
+    idx = stats.rfind("block_topk")
+    assert idx != -1, "top-k operator label missing from plan stats"
+    tail = stats[idx:]
     assert "Sort" not in tail, tail[:2000]
 
 
