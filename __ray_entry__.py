@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_extract": linkgraph.link_extract,
         "host_degree": linkgraph.host_degree,
         "pagerank_hosts": linkgraph.pagerank_hosts,
+        "host_cocitation": linkgraph.host_cocitation,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -402,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": linkgraph.link_extract_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
+        "host_cocitation": linkgraph.host_cocitation_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

@@ -433,3 +433,84 @@ def pagerank_hosts_sql(rep: int = LG_REP, iters: int = PR_ITERS) -> str:
         f"cast(r as bigint) as pr_num, "
         f"cast(r as bigint) / {float(PR_SCALE)!r} as pr from r{iters} order by host"
     )
+
+
+# --- co-citation (bibliographic coupling) --------------------------------
+
+
+def host_cocitation(sf_dir: str, rep: int = LG_REP) -> ray.data.Dataset:
+    """Bibliographic coupling over the host graph: for every pair of
+    source hosts that link to at least one COMMON destination, the
+    number of shared destinations and the min-product link weight —
+    the similarity signal link-spam and mirror detection key on
+    (co-citation is PageRank's pairwise sibling).
+
+    Scale shape: runs on the WEIGHTED edge table (|hosts|^2-bounded,
+    already reduced from the page corpus), grouped per DESTINATION —
+    a destination's in-neighbor list is hosts-bounded, so the
+    per-group pair explosion is |in-neighbors|^2 with a documented
+    skew note: the constructed hot destination (40% of links) yields
+    the densest pair block, folded vectorized inside ONE bucket task.
+    Pair counts then fold by the (a, b) key inside 32 coarse buckets.
+    """
+
+    edges = host_edges(sf_dir, rep)
+
+    def pairs_per_dst(df):
+        import pandas as pd
+
+        out_a, out_b, out_w = [], [], []
+        for _, g in df.groupby("dst_id", sort=False):
+            s = g.sort_values("src_id")
+            src = s["src_id"].to_numpy()
+            cnt = s["cnt"].to_numpy()
+            n = len(src)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            out_a.append(src[iu])
+            out_b.append(src[ju])
+            out_w.append(np.minimum(cnt[iu], cnt[ju]))
+        if not out_a:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+                 "n_shared": pd.Series(dtype="int64"), "w_min": pd.Series(dtype="int64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        w = np.concatenate(out_w)
+        return pd.DataFrame(
+            {"a_id": a, "b_id": b, "n_shared": np.ones(len(a), np.int64), "w_min": w}
+        )
+
+    def tag_dst(t: pa.Table) -> pa.Table:
+        d = t["dst_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("dbucket", pa.array(d % np.int64(32)))
+
+    def fold(df):
+        return df.groupby(["a_id", "b_id"], as_index=False)[["n_shared", "w_min"]].sum()
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("pbucket", pa.array((a * NH + b) % np.int64(32)))
+
+    return (
+        edges.map_batches(tag_dst, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(pairs_per_dst, batch_format="pandas")
+        .map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def host_cocitation_sql(rep: int = LG_REP) -> str:
+    return f"""
+with e as ({_edges_sql(rep)})
+select a.src_id as a_id, b.src_id as b_id,
+       cast(count(*) as bigint) as n_shared,
+       cast(sum(least(a.cnt, b.cnt)) as bigint) as w_min
+from e a join e b on a.dst_id = b.dst_id and a.src_id < b.src_id
+group by a.src_id, b.src_id
+"""
