@@ -122,3 +122,16 @@ def test_cell_pyramid_levels_nest(sf_dir):
     ) // 4
     rolled = c11.groupby(parent9).sum()
     assert (rolled.sort_index() == lv[9].sort_index()).all()
+
+
+def test_within_dist_join_refuses_oversized_ring(sf_dir):
+    """A radius/resolution combination whose lon ring exceeds the
+    64-cell budget must fail loudly (a silent cap would drop pairs)."""
+    import pytest
+
+    from aerial_conversion_ray.pipelines import spatial
+
+    # the ValueError raised inside the map task surfaces wrapped in
+    # ray.exceptions.RayTaskError — match on the message
+    with pytest.raises(Exception, match="64-cell"):
+        spatial.within_dist_join(sf_dir, dist_m=2_000_000.0, res=11).count()

@@ -61,3 +61,29 @@ def test_host_degree_conservation(sf_dir):
     n_links = lg.link_extract(sf_dir).count()
     assert int(deg["out_links"].sum()) == n_links
     assert int(deg["in_links"].sum()) == n_links
+
+
+def test_host_cocitation_matches_brute(sf_dir):
+    """Engine pairs == pandas brute force over the weighted edges."""
+    import itertools
+
+    import pandas as pd
+
+    e = lg.host_edges(sf_dir).to_pandas()
+    want = {}
+    for _, g in e.groupby("dst_id"):
+        g = g.sort_values("src_id")
+        for (sa, ca), (sb, cb) in itertools.combinations(
+            zip(g["src_id"], g["cnt"]), 2
+        ):
+            k = (sa, sb)
+            n, w = want.get(k, (0, 0))
+            want[k] = (n + 1, w + min(ca, cb))
+    out = lg.host_cocitation(sf_dir).to_pandas()
+    got = {
+        (a, b): (n, w)
+        for a, b, n, w in zip(
+            out["a_id"], out["b_id"], out["n_shared"], out["w_min"]
+        )
+    }
+    assert got == want
