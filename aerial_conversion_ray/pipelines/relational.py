@@ -1372,33 +1372,64 @@ def global_rank(sf_dir: str) -> ray.data.Dataset:
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
+    # histogram via per-batch pre-count + 64-bucket fold (a per-value
+    # aggregate pays Ray's per-group overhead on the length domain)
+    def hist_part(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"n_chars": pa.array(u), "n": pa.array(c.astype(np.int64)),
+             "bucket": pa.array(u % 64)}
+        )
+
+    def hist_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars", as_index=False)["n"].sum()
+
     counts = (
-        ds.groupby("n_chars")
-        .aggregate(Count(alias_name="n"))
+        ds.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_fold, batch_format="pandas")
         .to_pandas()
         .sort_values("n_chars", ascending=False)
     )
     n = counts["n"].to_numpy(np.int64)
-    base = dict(
-        zip(
-            counts["n_chars"].to_numpy(np.int64),
-            np.concatenate([[0], np.cumsum(n)[:-1]]),
-        )
+    base_df = pd.DataFrame(
+        {
+            "n_chars": counts["n_chars"].to_numpy(np.int64),
+            "base": np.concatenate([[0], np.cumsum(n)[:-1]]),
+        }
     )
-    base_ref = ray.put(base)
+    base_ref = ray.put(base_df)
 
-    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        b = ray.get(base_ref)[int(df["n_chars"].iloc[0])]
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(v % np.int64(64)))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a bucket holds many length values: within-value ranks via
+        # one vectorized sort + cumcount, offsets by merge (the
+        # previous per-value map_groups paid per-group Ray dispatch)
+        bdf = ray.get(base_ref)
+        df = df.sort_values(["n_chars", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        local = df.groupby("n_chars", sort=False).cumcount().to_numpy()
+        b = df[["n_chars"]].merge(bdf, on="n_chars", how="left")["base"].to_numpy(
+            np.int64
+        )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
                 "n_chars": df["n_chars"].to_numpy(np.int64),
-                "global_rank": b + np.arange(1, len(df) + 1, dtype=np.int64),
+                "global_rank": b + local + 1,
             }
         )
 
-    return ds.groupby("n_chars").map_groups(rank_group, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
 
 
 GLOBAL_RANK_SQL = """

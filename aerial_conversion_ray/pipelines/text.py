@@ -2337,9 +2337,21 @@ def quality_percentile_filter(sf_dir: str, p: float = QPF_P) -> ray.data.Dataset
     from ray.data.aggregate import Count
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    def hist_part(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"n_chars": pa.array(u), "n": pa.array(c.astype(np.int64)),
+             "bucket": pa.array(u % 64)}
+        )
+
+    def hist_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars", as_index=False)["n"].sum()
+
     hist = (
-        ds.groupby("n_chars")
-        .aggregate(Count(alias_name="n"))
+        ds.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_fold, batch_format="pandas")
         .to_pandas()
         .sort_values("n_chars")
     )
