@@ -1206,10 +1206,20 @@ def _train_profiles(sf_dir: str) -> dict:
             }
         )
 
+    def tri_bucket(t: pa.Table) -> pa.Table:
+        tri = t["tri"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(tri % np.int64(64)))
+
+    def tri_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "tri"], as_index=False)["cnt"].sum()
+
+    # coarse bucket over the trigram domain (a per-(lang, trigram)
+    # aggregate pays Ray's per-group overhead on thousands of keys)
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "tri"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(tri_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tri_fold, batch_format="pandas")
         .to_pandas()
     )
     profiles: dict[str, tuple[np.ndarray, np.ndarray]] = {}
