@@ -29,6 +29,7 @@ the PNG codec in ``functions/png.py``.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -160,9 +161,42 @@ def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
     return codes
 
 
-def _decode_table(bits, vals) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the sequential decoder walk."""
-    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+@lru_cache(maxsize=64)
+def _lut_table(bits_b: bytes, vals_b: bytes) -> tuple[list[int], list[int]]:
+    """16-bit-peek Huffman lookup table: for every 16-bit window value
+    the (symbol, code length) of the code that prefixes it — the
+    standard O(1)-per-symbol decode structure (libjpeg does the same
+    in C).  Cached per (BITS, HUFFVAL) so re-used tables (every blob a
+    single encoder produced) build once per process.  Entries whose
+    prefix matches no code have length 0 (-> loud decode error)."""
+    codes = _canonical_codes(list(bits_b), list(vals_b))
+    sym = np.zeros(1 << 16, dtype=np.int64)
+    ln = np.zeros(1 << 16, dtype=np.int64)
+    for s, (c, l) in codes.items():
+        sym[c << (16 - l) : (c + 1) << (16 - l)] = s
+        ln[c << (16 - l) : (c + 1) << (16 - l)] = l
+    return sym.tolist(), ln.tolist()
+
+
+def _code_arrays(bits, vals) -> tuple[np.ndarray, np.ndarray]:
+    """symbol-indexed (codeword, length) arrays for vectorized encode."""
+    code = np.zeros(256, dtype=np.int64)
+    ln = np.zeros(256, dtype=np.int64)
+    for s, (c, l) in _canonical_codes(bits, vals).items():
+        code[s] = c
+        ln[s] = l
+    return code, ln
+
+
+# stacked [luma, chroma] encoder code tables, indexed [table, symbol]
+_dc_l = _code_arrays(DC_LUMA_BITS, DC_LUMA_VALS)
+_dc_c = _code_arrays(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_ac_l = _code_arrays(AC_LUMA_BITS, AC_LUMA_VALS)
+_ac_c = _code_arrays(AC_CHROMA_BITS, AC_CHROMA_VALS)
+DC_CODE_ARR = np.stack([_dc_l[0], _dc_c[0]])
+DC_LEN_ARR = np.stack([_dc_l[1], _dc_c[1]])
+AC_CODE_ARR = np.stack([_ac_l[0], _ac_c[0]])
+AC_LEN_ARR = np.stack([_ac_l[1], _ac_c[1]])
 
 
 def _csize(v: np.ndarray) -> np.ndarray:
@@ -258,34 +292,153 @@ def _encode_component_blocks(
     return q.reshape(-1, 64)[:, ZIGZAG]
 
 
-def _put_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
-    """entropy-encode one zigzagged block; returns the new DC pred."""
-    dc = int(zz[0])
-    diff = dc - pred
-    s = int(_csize(np.array([diff]))[0])
-    code, length = dc_codes[s]
-    w.put(code, length)
-    if s:
-        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_codes[0xF0]  # ZRL
-            w.put(code, length)
-            run -= 16
-        s = int(_csize(np.array([v]))[0])
-        code, length = ac_codes[(run << 4) | s]
-        w.put(code, length)
-        w.put(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if run:
-        code, length = ac_codes[0x00]  # EOB
-        w.put(code, length)
-    return dc
+def _pack_tokens(val: np.ndarray, ln: np.ndarray) -> bytes:
+    """MSB-first bit-pack (value, nbits) tokens into a byte-stuffed
+    entropy segment, padded to a byte boundary with 1-bits per spec.
+    Fully vectorized: token -> bit expansion via repeat/offset
+    arithmetic, packbits, then 0xFF -> 0xFF 0x00 stuffing."""
+    if len(ln) == 0:
+        return b""
+    starts = np.cumsum(ln) - ln
+    total = int(starts[-1] + ln[-1])
+    ti = np.repeat(np.arange(len(ln)), ln)
+    off = np.arange(total) - starts[ti]
+    bits = (val[ti] >> (ln[ti] - 1 - off)) & 1
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.int64)])
+    by = np.packbits(bits.astype(np.uint8))
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
+def _entropy_scan(
+    zzs: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    bdims: list[tuple[int, int]],
+    huff_sel: list[int],
+    restart_interval: int,
+    mcu_rows: int,
+    mcu_cols: int,
+) -> bytes:
+    """Vectorized interleaved-scan entropy coder.
+
+    The whole scan's RLE symbols, Huffman codewords and value bits are
+    computed as flat numpy arrays over every block at once (DC
+    differentials per component with restart resets, AC zero runs via
+    nonzero-gap arithmetic, ZRL/EOB insertion via offset scatter); the
+    only Python loop is one iteration per restart segment for the
+    final byte packing.  Bit-exact replacement for the per-coefficient
+    walk it replaced (same canonical codes, same padding rules)."""
+    ncomp = len(zzs)
+    n_mcu = mcu_rows * mcu_cols
+    mcu = np.arange(n_mcu, dtype=np.int64)
+    my, mx = mcu // mcu_cols, mcu % mcu_cols
+    parts, comp_cols = [], []
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        bw_ci = bdims[ci][1]
+        by = np.repeat(np.arange(sv, dtype=np.int64), sh)
+        bx = np.tile(np.arange(sh, dtype=np.int64), sv)
+        bidx = (my[:, None] * sv + by[None, :]) * bw_ci + (
+            mx[:, None] * sh + bx[None, :]
+        )
+        parts.append(bidx)
+        comp_cols.append(sh * sv)
+    offs = np.cumsum([0] + [z.shape[0] for z in zzs])
+    gather = np.concatenate(
+        [p + offs[ci] for ci, p in enumerate(parts)], axis=1
+    ).ravel()
+    seq_comp = np.concatenate(
+        [np.full((n_mcu, comp_cols[ci]), ci, dtype=np.int64) for ci in range(ncomp)],
+        axis=1,
+    ).ravel()
+    Z = np.vstack(zzs)[gather]  # (n_total, 64) blocks in scan order
+    n_total = Z.shape[0]
+    per_mcu = sum(comp_cols)
+    blk_mcu = np.arange(n_total, dtype=np.int64) // per_mcu
+    if restart_interval:
+        seg = blk_mcu // restart_interval
+    else:
+        seg = np.zeros(n_total, dtype=np.int64)
+
+    # DC differentials per component, prediction reset at segment starts
+    dc = Z[:, 0]
+    diff = np.empty(n_total, dtype=np.int64)
+    for ci in range(ncomp):
+        m = np.flatnonzero(seq_comp == ci)
+        d = dc[m]
+        s = seg[m]
+        prev = np.concatenate([[0], d[:-1]])
+        prev[np.concatenate([[True], s[1:] != s[:-1]])] = 0
+        diff[m] = d - prev
+    tbl = np.asarray(huff_sel, dtype=np.int64)[seq_comp]
+    s_dc = _csize(diff)
+    dc_mapped = np.where(diff >= 0, diff, diff + (1 << s_dc) - 1)
+    dc_tok_val = (DC_CODE_ARR[tbl, s_dc] << s_dc) | dc_mapped
+    dc_tok_len = DC_LEN_ARR[tbl, s_dc] + s_dc
+
+    # AC: one (run, size) token per nonzero, ZRL for runs > 15, EOB
+    acm = Z[:, 1:]
+    r_nz, c_nz = np.nonzero(acm)
+    vals = acm[r_nz, c_nz]
+    first_in_row = np.concatenate([[True], r_nz[1:] != r_nz[:-1]])
+    prevc = np.concatenate([[0], c_nz[:-1] + 1])
+    run = np.where(first_in_row, c_nz, c_nz - prevc)
+    nzrl = run >> 4
+    s_ac = _csize(vals)
+    sym = ((run & 15) << 4) | s_ac
+    ac_mapped = np.where(vals >= 0, vals, vals + (1 << s_ac) - 1)
+    tbl_nz = tbl[r_nz]
+    ac_tok_val = (AC_CODE_ARR[tbl_nz, sym] << s_ac) | ac_mapped
+    ac_tok_len = AC_LEN_ARR[tbl_nz, sym] + s_ac
+
+    last_col = np.full(n_total, -1, dtype=np.int64)
+    last_col[r_nz] = c_nz  # scan order: the last write per row wins
+    has_eob = last_col < 62
+
+    # token layout per block row: [DC] [ZRL* AC]* [EOB?]
+    tokens_per_nz = nzrl + 1
+    ac_tok_per_row = np.zeros(n_total, dtype=np.int64)
+    np.add.at(ac_tok_per_row, r_nz, tokens_per_nz)
+    row_ntok = 1 + ac_tok_per_row + has_eob
+    row_start = np.concatenate([[0], np.cumsum(row_ntok)[:-1]])
+    total_tok = int(row_start[-1] + row_ntok[-1])
+    tok_val = np.zeros(total_tok, dtype=np.int64)
+    tok_len = np.zeros(total_tok, dtype=np.int64)
+    tok_val[row_start] = dc_tok_val
+    tok_len[row_start] = dc_tok_len
+    if len(r_nz):
+        start_in_row = np.cumsum(tokens_per_nz) - tokens_per_nz
+        row_first_idx = np.flatnonzero(first_in_row)
+        counts = np.diff(np.concatenate([row_first_idx, [len(r_nz)]]))
+        start_in_row = start_in_row - np.repeat(start_in_row[row_first_idx], counts)
+        nz_base = row_start[r_nz] + 1 + start_in_row
+        sym_pos = nz_base + nzrl
+        tok_val[sym_pos] = ac_tok_val
+        tok_len[sym_pos] = ac_tok_len
+        tot_zrl = int(nzrl.sum())
+        if tot_zrl:
+            zi = np.repeat(np.arange(len(nzrl)), nzrl)
+            zoff = np.arange(tot_zrl) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+            zpos = nz_base[zi] + zoff
+            tok_val[zpos] = AC_CODE_ARR[tbl_nz[zi], 0xF0]
+            tok_len[zpos] = AC_LEN_ARR[tbl_nz[zi], 0xF0]
+    erows = np.flatnonzero(has_eob)
+    epos = row_start[erows] + row_ntok[erows] - 1
+    tok_val[epos] = AC_CODE_ARR[tbl[erows], 0x00]
+    tok_len[epos] = AC_LEN_ARR[tbl[erows], 0x00]
+
+    seg_of_tok = np.repeat(seg, row_ntok)
+    out = bytearray()
+    for si in range(int(seg[-1]) + 1):
+        m = seg_of_tok == si
+        if si:
+            out += bytes([0xFF, 0xD0 + ((si - 1) & 7)])
+        out += _pack_tokens(tok_val[m], tok_len[m])
+    return bytes(out)
 
 
 def _dht_segment(tc_th: int, bits, vals) -> bytes:
@@ -347,31 +500,13 @@ def encode_jpeg(
         zzs.append(_encode_component_blocks(coef, ql if qi == 0 else qc))
         bdims.append((p8.shape[0] // 8, p8.shape[1] // 8))
 
-    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
-
-    # interleaved MCU scan
-    wtr = _BitWriter()
-    preds = [0] * len(planes)
+    # vectorized interleaved MCU scan (see _entropy_scan)
     mcu_rows = bdims[0][0] // samp[0][1]
     mcu_cols = bdims[0][1] // samp[0][0]
-    n_rst = 0
-    for mcu_i in range(mcu_rows * mcu_cols):
-        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-            wtr.restart(n_rst)
-            n_rst += 1
-            preds = [0] * len(planes)
-        my, mx = divmod(mcu_i, mcu_cols)
-        for ci, (zz, (sh, sv), (dcc, acc)) in enumerate(zip(zzs, samp, huff)):
-            bw_ci = bdims[ci][1]
-            for by in range(sv):
-                for bx in range(sh):
-                    bidx = (my * sv + by) * bw_ci + (mx * sh + bx)
-                    preds[ci] = _put_block(wtr, zz[bidx], preds[ci], dcc, acc)
-    entropy = wtr.flush()
+    huff_sel = [0] + [1] * (len(planes) - 1)
+    entropy = _entropy_scan(
+        zzs, samp, bdims, huff_sel, restart_interval, mcu_rows, mcu_cols
+    )
 
     # ---- markers ----
     out = bytearray(b"\xff\xd8")  # SOI
@@ -421,44 +556,24 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """MSB-first reader over de-stuffed entropy bytes.  RSTn markers
-    are handled by the caller (segments are split before reading)."""
-
-    def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.pos = 0
-
-    def bit(self) -> int:
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = 0
-        bits = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        for b in bits:
-            v = (v << 1) | int(b)
-        return v
+def _peek16(data: bytes) -> list[int]:
+    """Sliding 16-bit MSB-first window values for every bit position of
+    a de-stuffed entropy segment (16 one-bits of tail padding, matching
+    the spec's 1-fill).  Built with 16 whole-array shifts then handed
+    to the decode loop as a plain list so each symbol is O(1) lookups."""
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    n = len(bits)
+    pad = np.concatenate([bits, np.ones(16, dtype=np.uint8)])
+    v = np.zeros(n + 1, dtype=np.int64)
+    for k in range(16):
+        v |= pad[k : k + n + 1].astype(np.int64) << (15 - k)
+    return v.tolist()
 
 
 def _extend(v: int, s: int) -> int:
     if s == 0:
         return 0
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
-def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in entropy stream")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -504,10 +619,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0x0F
-                bits = list(body[o + 1 : o + 17])
+                bits = bytes(body[o + 1 : o + 17])
                 n = sum(bits)
-                vals = list(body[o + 17 : o + 17 + n])
-                htabs[(tc, th)] = _decode_table(bits, vals)
+                vals = bytes(body[o + 17 : o + 17 + n])
+                htabs[(tc, th)] = _lut_table(bits, vals)
                 o += 17 + n
         elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -576,36 +691,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     n_mcu = mcu_cols * mcu_rows
     mcu = 0
     for seg in segments:
-        r = _BitReader(seg)
+        v16 = _peek16(seg)
+        pos = 0
         preds = {c["id"]: 0 for c in comps}
         stop = min(n_mcu, mcu + restart) if restart else n_mcu
-        while mcu < stop:
-            my, mx = divmod(mcu, mcu_cols)
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _read_symbol(r, c["dc"])
-                        diff = _extend(r.receive(s), s)
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(r, c["ac"])
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            zz[k] = _extend(r.receive(size), size)
-                            k += 1
-                        bidx = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
-                        c["zz"][bidx] = zz
-            mcu += 1
+        try:
+            while mcu < stop:
+                my, mx = divmod(mcu, mcu_cols)
+                for c in comps:
+                    dsym, dlen = c["dc"]
+                    asym, alen = c["ac"]
+                    czz = c["zz"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = czz[
+                                (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            ]
+                            peek = v16[pos]
+                            s = dsym[peek]
+                            ln = dlen[peek]
+                            if ln == 0:
+                                raise ValueError("invalid Huffman code")
+                            pos += ln
+                            if s:
+                                diff = _extend(v16[pos] >> (16 - s), s)
+                                pos += s
+                            else:
+                                diff = 0
+                            preds[c["id"]] += diff
+                            zz[0] = preds[c["id"]]
+                            k = 1
+                            while k < 64:
+                                peek = v16[pos]
+                                rs = asym[peek]
+                                ln = alen[peek]
+                                if ln == 0:
+                                    raise ValueError("invalid Huffman code")
+                                pos += ln
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run overflows block")
+                                zz[k] = _extend(v16[pos] >> (16 - size), size)
+                                pos += size
+                                k += 1
+                mcu += 1
+        except IndexError:
+            break  # ran past the segment: truncated stream
         if mcu >= n_mcu:
             break
     if mcu != n_mcu:
