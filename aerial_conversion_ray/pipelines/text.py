@@ -366,9 +366,8 @@ def segment_dedup(sf_dir: str) -> ray.data.Dataset:
     ``N_DEDUP_BUCKETS`` coarse hash buckets (one vectorized pandas
     groupby per bucket, never one Ray group per distinct segment), and
     the win counts are pre-aggregated per (bucket, doc) before the
-    final narrow ``doc_id`` sum."""
-    from ray.data.aggregate import Sum
-
+    final sum — itself a coarse DOC-bucket fold, not a raw ``doc_id``
+    sort-aggregate (doc_id is corpus-cardinality at 100 TB)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def segments(t: pa.Table) -> pa.Table:
@@ -439,14 +438,23 @@ def segment_dedup(sf_dir: str) -> ray.data.Dataset:
         )
         out = nseg.merge(kept, on="doc_id", how="left")
         out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
-        return out[["doc_id", "n_seg", "n_kept"]]
+        out["db"] = out["doc_id"].to_numpy(np.int64) % N_DEDUP_BUCKETS
+        return out[["doc_id", "n_seg", "n_kept", "db"]]
+
+    def doc_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False, as_index=False)[
+            ["n_seg", "n_kept"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_seg": g["n_seg"].to_numpy(np.int64),
+                "n_kept": g["n_kept"].to_numpy(np.int64),
+            }
+        )
 
     partials = segs.groupby("bucket").map_groups(first_wins, batch_format="pandas")
-    out = partials.groupby("doc_id").aggregate(
-        Sum(on="n_seg", alias_name="n_seg"),
-        Sum(on="n_kept", alias_name="n_kept"),
-    )
-    return out
+    return partials.groupby("db").map_groups(doc_fold, batch_format="pandas")
 
 
 SEGMENT_DEDUP_SQL = f"""
@@ -499,9 +507,12 @@ def jaccard_pairs(
     Engine: per-batch token explode (kept-token per-doc set sizes
     attached IN the same batch — each document row lives in exactly
     one input batch, so its distinct-token set is complete there; no
-    driver-held size map, VERDICT r2 #1) -> inverted list per token
-    via one groupby -> pair expansion per token group carrying
-    (na, nb), hash-bucketed on (a, b) -> ONE coarse bucket shuffle ->
+    driver-held size map, VERDICT r2 #1) -> posting lists co-located
+    by TOKEN HASH BUCKET (hash(token) % 64: raw-token keys are
+    vocabulary-cardinality, the repo-wide shuffle anti-pattern) ->
+    vectorized inverse-triu pair expansion over every token in the
+    bucket carrying (na, nb), hash-bucketed on (a, b) -> ONE coarse
+    bucket shuffle ->
     vectorized pandas sum + score inside each bucket.  Per-doc state
     travels THROUGH the shuffle on the pair rows; the driver holds
     only the (Zipf-tiny) hot-token head when ``max_df`` is set.
@@ -533,20 +544,44 @@ def jaccard_pairs(
     hot_ref = None
     if max_df is not None:
         # hot-token pre-pass: only the (tiny) head exceeding max_df is
-        # collected to the driver and broadcast as an exclusion set
+        # collected to the driver and broadcast as an exclusion set.
+        # Per-batch PARTIAL df counts shuffle by token hash bucket
+        # (not a raw token sort-aggregate — vocabulary-cardinality
+        # keys are the repo-wide anti-pattern); the > max_df filter
+        # runs INSIDE each bucket task, so only the Zipf head reaches
+        # the driver.
 
-        def explode_only(t: pa.Table) -> pa.Table:
-            d, tok = tokens_of(t)
-            return pa.table({"doc_id": pa.array(d), "token": pa.array(tok)})
+        def df_partials(t: pa.Table) -> pa.Table:
+            _, tok = tokens_of(t)
+            if len(tok) == 0:
+                return pa.table(
+                    {
+                        "token": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                        "tb": pa.array([], pa.int64()),
+                    }
+                )
+            u, c = np.unique(tok, return_counts=True)
+            ua = pa.array(u, pa.string())
+            tb = (
+                _hash_arrow_strings(ua) % np.uint64(N_PAIR_BUCKETS)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "token": ua,
+                    "c": pa.array(c.astype(np.int64)),
+                    "tb": pa.array(tb),
+                }
+            )
+
+        def hot_of_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("token", sort=False, as_index=False)["c"].sum()
+            return g[g["c"] > max_df][["token"]]
 
         hot_tbl = (
-            ds.map_batches(explode_only, batch_format="pyarrow")
-            .groupby("token")
-            .count()
-            .map_batches(
-                lambda t: t.filter(pc.greater(t["count()"], max_df)),
-                batch_format="pyarrow",
-            )
+            ds.map_batches(df_partials, batch_format="pyarrow")
+            .groupby("tb")
+            .map_groups(hot_of_bucket, batch_format="pandas")
             .to_pandas()
         )
         hot_ref = ray.put(pa.array(hot_tbl["token"].tolist(), pa.string()))
@@ -568,17 +603,29 @@ def jaccard_pairs(
         # back positionally via searchsorted
         u, c = np.unique(d, return_counts=True)
         n = c[np.searchsorted(u, d)] if len(d) else np.empty(0, np.int64)
+        ta = pa.array(tok, pa.string())
+        tb = (
+            (_hash_arrow_strings(ta) % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+            if len(tok)
+            else np.empty(0, np.int64)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(d),
-                "token": pa.array(tok),
+                "token": ta,
                 "n": pa.array(n.astype(np.int64)),
+                "tb": pa.array(tb),
             }
         )
 
     pairs_src = ds.map_batches(explode_sized, batch_format="pyarrow")
 
     def pair_count(df: pd.DataFrame) -> pd.DataFrame:
+        """One TOKEN BUCKET (hash(token) % N_PAIR_BUCKETS — same
+        co-location guarantee as keying on token, one vectorized call
+        per bucket instead of one Ray group per vocabulary entry):
+        expand each token's posting list to its doc pairs with a
+        closed-form inverse-triu index, no per-token Python loop."""
         empty = pd.DataFrame(
             {
                 "a": pd.Series(dtype=np.int64),
@@ -588,13 +635,41 @@ def jaccard_pairs(
                 "bucket": pd.Series(dtype=np.int64),
             }
         )
-        docs = df["doc_id"].to_numpy()
-        ns = df["n"].to_numpy(np.int64)
-        if len(docs) < 2:
+        if len(df) < 2:
             return empty
-        order = np.argsort(docs)
-        docs, ns = docs[order], ns[order]
-        ai, bi = np.triu_indices(len(docs), k=1)
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        toks = df["token"].to_numpy()
+        docs = df["doc_id"].to_numpy(np.int64)
+        ns = df["n"].to_numpy(np.int64)
+        new = np.ones(len(toks), dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(toks)))
+        m = sizes * (sizes - 1) // 2
+        total = int(m.sum())
+        if total == 0:
+            return empty
+        grp = np.repeat(np.arange(len(sizes)), m)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m
+        )
+        s = sizes[grp]
+        # condensed pair index -> (i, j), i < j < s: float64 seed is
+        # exact for s < ~1e7 (df-capped posting lists are far smaller),
+        # one integer fixup step, then a loud range assert
+        i = (
+            (2 * s - 1 - np.sqrt((2 * s - 1.0) ** 2 - 8.0 * within)) // 2
+        ).astype(np.int64)
+        base = s * i - i * (i + 1) // 2
+        i -= within < base
+        base = s * i - i * (i + 1) // 2
+        i += within >= base + (s - i - 1)
+        base = s * i - i * (i + 1) // 2
+        j = within - base + i + 1
+        if not bool(np.all((j > i) & (j < s))):
+            raise AssertionError("jaccard_pairs: inverse-triu fixup failed")
+        ai = starts[grp] + i
+        bi = starts[grp] + j
         a, b = docs[ai], docs[bi]
         bucket = (a * np.int64(1000003) + b) % N_PAIR_BUCKETS
         return pd.DataFrame(
@@ -619,7 +694,7 @@ def jaccard_pairs(
         )
 
     out = (
-        pairs_src.groupby("token")
+        pairs_src.groupby("tb")
         .map_groups(pair_count, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_sum_score, batch_format="pandas")
