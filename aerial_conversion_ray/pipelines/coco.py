@@ -629,10 +629,11 @@ def isolate_cat(
     every image with >= 1 original annotation.
 
     Scale shape: one narrow aggregate — per-batch partial counts of
-    (any, isolated) per image, then a small groupby fold; no
-    driver-side annotation list, no per-image Python."""
-    from ray.data.aggregate import Sum
-
+    (any, isolated) per image, folded inside hash(image_id) % 64
+    coarse buckets (image_id is tile-grid-cardinality at 100 TB; a
+    raw-key sort-aggregate there is the repo-wide anti-pattern); the
+    output-ordering sort runs over the already-folded one-row-per-
+    image result."""
     anns = coco_annotations(sf_dir, cfg).select_columns(["image_id", "category_id"])
     ids = np.asarray(cat_ids, np.int64)
 
@@ -645,13 +646,21 @@ def isolate_cat(
             {
                 "image_id": pa.array(u),
                 "n_isolated": pa.array(np.bincount(inv, iso).astype(np.int64)),
+                "ib": pa.array((u % 64).astype(np.int64)),
             }
         )
 
+    def fold(df):
+        g = df.groupby("image_id", sort=False, as_index=False)[
+            "n_isolated"
+        ].sum()
+        g["n_isolated"] = g["n_isolated"].astype(np.int64)
+        return g
+
     return (
         anns.map_batches(partial, batch_format="pyarrow")
-        .groupby("image_id")
-        .aggregate(Sum("n_isolated", alias_name="n_isolated"))
+        .groupby("ib")
+        .map_groups(fold, batch_format="pandas")
         .sort("image_id")
     )
 

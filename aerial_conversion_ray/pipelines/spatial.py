@@ -778,19 +778,30 @@ def tiles_intersecting(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data
     reference's tile-selection step — ``geojson2coco`` only emits
     tiles whose window intersects an annotation).  The clip join
     already co-locates hits per tile, so the distinct is a pre-counted
-    groupby on the narrow tile_id column — no wide rows shuffle."""
-    from ray.data.aggregate import Sum
+    groupby on the narrow tile_id column — no wide rows shuffle.  The
+    final fold shuffles by hash(tile_id) % 64 coarse bucket (tile_id
+    is grid-cardinality at 100 TB; a raw string sort-aggregate there
+    is the repo-wide anti-pattern), one vectorized pandas sum per
+    bucket."""
+    from .text import _hash_arrow_strings
 
     ds = tile_clip_join(sf_dir, cfg).select_columns(["tile_id"])
 
     def part(t: pa.Table) -> pa.Table:
         g = t.group_by("tile_id").aggregate([([], "count_all")])
-        return g.rename_columns(["tile_id", "n_hits"])
+        g = g.rename_columns(["tile_id", "n_hits"])
+        tb = (_hash_arrow_strings(g["tile_id"]) % np.uint64(64)).astype(np.int64)
+        return g.append_column("tb", pa.array(tb))
+
+    def fold(df):
+        g = df.groupby("tile_id", sort=False, as_index=False)["n_hits"].sum()
+        g["n_hits"] = g["n_hits"].astype(np.int64)
+        return g
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby("tile_id")
-        .aggregate(Sum("n_hits", alias_name="n_hits"))
+        .groupby("tb")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
