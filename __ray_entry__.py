@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust dispersion: exact median + median absolute deviation
         "mad": relational.mad,
         "grouped_quantiles": relational.grouped_quantiles,
+        # per-group robust outlier threshold, one pass (bounded domain)
+        "grouped_mad": relational.grouped_mad,
+        # DDSketch-style mergeable quantiles (approx-by-construction ->
+        # rows-only; error bound + associativity pytest-gated)
+        "sketch_quantiles": relational.sketch_quantiles,
         "top_docs_per_lang": relational.top_docs_per_lang,
         "q6_filter_agg": relational.q6_filter_aggregate,
         "distinct_sources": relational.distinct_sources,
@@ -384,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": relational.QUANTILES_SQL,
         "mad": relational.MAD_SQL,
         "grouped_quantiles": relational.GROUPED_QUANTILES_SQL,
+        "grouped_mad": relational.GROUPED_MAD_SQL,
         "top_docs_per_lang": relational.top_docs_per_lang_sql(),
         "q6_filter_agg": relational.Q6_SQL,
         "distinct_sources": relational.DISTINCT_SQL,

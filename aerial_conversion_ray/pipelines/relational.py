@@ -1346,6 +1346,159 @@ from documents group by lang
 """
 
 
+def grouped_mad(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang EXACT median + MAD of documents.n_chars — the robust
+    per-group outlier threshold a language-stratified quality filter
+    keys on (keep iff |n_chars - median| <= k * MAD), in ONE data
+    pass: n_chars is a bounded integer, so each batch reduces to its
+    distinct (lang, value, count) triples and each lang group solves
+    BOTH medians from its value histogram (the deviation histogram
+    |v - med| is a re-keying of the same counts — no second scan,
+    unlike the global float-domain :func:`mad` which must re-stream).
+    Rank semantics = DuckDB quantile_disc.  Shuffled rows bounded by
+    langs x distinct lengths x blocks, corpus-size-independent."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        lu, linv = np.unique(lang, return_inverse=True)
+        key = linv.astype(np.int64) * (1 << 32) | v.astype(np.int64)
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(lu[(ku >> 32).astype(np.int64)]),
+                "value": pa.array((ku & 0xFFFFFFFF).astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def _disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        cum = cnts.cumsum()
+        r = max(0, int(np.ceil(0.5 * int(cum[-1]))) - 1)
+        return int(vals[np.searchsorted(cum, r + 1)])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("value")["cnt"].sum().sort_index()
+        vals = g.index.to_numpy(np.int64)
+        cnts = g.to_numpy(np.int64)
+        med = _disc_median(vals, cnts)
+        dev = np.abs(vals - med)
+        o = np.argsort(dev, kind="stable")
+        # equal deviations from both sides of the median merge
+        dv, start = np.unique(dev[o], return_index=True)
+        dc = np.add.reduceat(cnts[o], start)
+        madv = _disc_median(dv, dc)
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "median": np.array([med], np.int64),
+                "mad": np.array([madv], np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+GROUPED_MAD_SQL = """
+with m as (
+  select lang, cast(quantile_disc(n_chars, 0.5) as bigint) as median
+  from documents group by lang
+)
+select d.lang, m.median,
+       cast(quantile_disc(abs(d.n_chars - m.median), 0.5) as bigint) as mad
+from documents d join m on d.lang = m.lang
+group by d.lang, m.median
+"""
+
+
+# --------------------------------------------------------------------------
+# DDSketch-style mergeable quantile sketch (the approximate SCALE path
+# beside the exact streaming-histogram solver of `quantiles`)
+# --------------------------------------------------------------------------
+
+SKETCH_ALPHA = 0.01  # guaranteed relative value error per quantile
+SKETCH_PS = (0.5, 0.9, 0.99)
+
+
+def sketch_quantiles(
+    sf_dir: str, alpha: float = SKETCH_ALPHA, ps: tuple = SKETCH_PS
+) -> "pd.DataFrame":
+    """Quantiles of lineitem.l_extendedprice from a DDSketch-style
+    log-bucket sketch (Masson et al., VLDB'19 — public paper): bucket
+    index ceil(ln v / ln gamma), gamma = (1+a)/(1-a), guarantees the
+    returned value is within relative error ``alpha`` of the exact
+    quantile.  The sketch is a pure bucket-count table, so it merges
+    by ADDITION — order- and partition-independent (the mergeability
+    the exact solver lacks: `quantiles` re-streams the data per
+    refinement pass, this reads it ONCE and the per-node state is
+    O(log(range)/alpha) integers regardless of corpus size.)
+
+    One pass, one bounded-key aggregate: each batch emits its distinct
+    (bucket, count) partials (domain ~ ln(vmax/vmin)/ln(gamma) — ~600
+    buckets for TPC-H prices at alpha=0.01), one 64-way coarse fold
+    co-locates them, and the driver reads quantiles off the ~600-row
+    cumulative table.  Approximate by construction -> rows-only gate;
+    the error bound and merge associativity are pytest-enforced
+    (tests/test_quantiles_topk.py)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0 or float(v.min()) <= 0.0:
+            raise ValueError("sketch_quantiles: requires positive values")
+        idx = np.ceil(np.log(v) / lg).astype(np.int64)
+        u, c = np.unique(idx, return_counts=True)
+        return pa.table(
+            {
+                "bucket_idx": pa.array(u),
+                "cnt": pa.array(c.astype(np.int64)),
+                "kb": pa.array(u % np.int64(64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket_idx", sort=False, as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    table = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # O(log(range)/alpha) rows — driver-safe at any scale
+        .sort_values("bucket_idx")
+    )
+    return sketch_table_quantiles(table, gamma, ps)
+
+
+def sketch_table_quantiles(
+    table: "pd.DataFrame", gamma: float, ps: tuple
+) -> "pd.DataFrame":
+    """Read quantile estimates off a merged (bucket_idx, cnt) sketch
+    table: bucket b covers (gamma^(b-1), gamma^b]; the log-midpoint
+    2*gamma^b/(gamma+1) is within relative error alpha of every value
+    in the bucket.  Split out so tests can merge shard sketches by
+    addition and assert associativity."""
+    idx = table["bucket_idx"].to_numpy(np.int64)
+    cnt = table["cnt"].to_numpy(np.int64)
+    cum = cnt.cumsum()
+    n = int(cum[-1])
+    out_p, out_v = [], []
+    for p in ps:
+        r = max(0, int(np.ceil(p * n)) - 1)
+        b = int(idx[np.searchsorted(cum, r + 1)])
+        out_p.append(p)
+        out_v.append(2.0 * gamma**b / (gamma + 1.0))
+    return pd.DataFrame({"p": np.array(out_p), "value": np.array(out_v)})
+
+
 # --------------------------------------------------------------------------
 # exact global rank (distributed row_number without a global sort)
 # --------------------------------------------------------------------------
