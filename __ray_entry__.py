@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host) + crawl dedup by canonical url
         "url_canonical": extract.url_canonical,
         "url_dedup": extract.url_dedup,
+        # JSONL interchange sink+source round trip (sources/jsonl.py)
+        "jsonl_roundtrip": extract.jsonl_roundtrip,
         # link graph: anchor extraction -> host degrees -> fixed-point
         # PageRank (broadcast-vector folds, hot host by construction)
         "link_extract": linkgraph.link_extract,
@@ -406,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": extract.pii_redact_sql(),
         "url_canonical": extract.url_canonical_sql(),
         "url_dedup": extract.url_dedup_sql(),
+        "jsonl_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "link_extract": linkgraph.link_extract_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),

@@ -390,3 +390,55 @@ def url_dedup_sql() -> str:
         "select canon_url, cast(count(*) as bigint) as n_pages, "
         "min(page_id) as rep_page_id from c group by canon_url order by canon_url"
     )
+
+
+# --------------------------------------------------------------------------
+# JSONL interchange round trip (sources/jsonl.py)
+# --------------------------------------------------------------------------
+
+JSONL_SHARDS = 16
+_JSONL_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+
+
+def jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded-JSONL sink + source round trip over the documents
+    table: write ``shard=<doc_id % 16>/data.jsonl`` atomically (pandas
+    C JSON writer — vectorized escaping), read back with pyarrow's C++
+    JSON block parser under a pinned schema, and return the exact
+    original columns.  Integer/string-only payload makes the trip
+    bit-exact; the oracle is the identity select.  This is the
+    training-data interchange format every public corpus ships in —
+    the engine's S3/S4-analog for webtext."""
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_jsonl_")
+    ds = read_table(sf_dir, "documents", columns=_JSONL_COLS)
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % JSONL_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    manifest = write_jsonl(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        _JSONL_COLS,
+    )
+    manifest.materialize()  # barrier: every shard committed
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+    return read_jsonl(out_dir, schema)
+
+
+JSONL_ROUNDTRIP_SQL = """
+select doc_id, lang, source, n_chars, text from documents
+"""

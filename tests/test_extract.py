@@ -138,3 +138,31 @@ def _register_views(con, sf_dir):
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
         con.execute(f"create view {name} as select * from read_parquet('{p}')")
+
+
+def test_jsonl_roundtrip_escaping(tmp_path):
+    """JSON-hostile strings (quotes, backslashes, newlines, unicode,
+    control bytes) survive the pandas-write / pyarrow-read trip."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from aerial_conversion_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ['say "hi"\\now', "tab\there", "unié中", "back\\\\slash"],
+        }
+    )
+    df["shard_key"] = df["doc_id"] % 2
+    ds = ray.data.from_pandas(df)
+    write_jsonl(ds, str(tmp_path), "shard_key", ["doc_id", "text"]).materialize()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    back = (
+        read_jsonl(str(tmp_path), schema)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df[["doc_id", "text"]])
