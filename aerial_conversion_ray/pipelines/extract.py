@@ -442,3 +442,64 @@ def jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
 JSONL_ROUNDTRIP_SQL = """
 select doc_id, lang, source, n_chars, text from documents
 """
+
+
+# --------------------------------------------------------------------------
+# WARC (ISO 28500) round trip (sources/warc.py)
+# --------------------------------------------------------------------------
+
+WARC_SHARDS = 16
+
+
+def warc_roundtrip(sf_dir: str, cfg: EngineConfig | None = None) -> ray.data.Dataset:
+    """Sharded-WARC sink + source round trip over the pages corpus
+    (page_id, url, warc_ts, html): the crawl-archive format web-scale
+    corpora actually arrive in.  Records are built with vectorized
+    header concatenation and parsed back by Content-Length (one pass
+    per shard file); bytes, URL, record id and the microsecond
+    WARC-Date all round-trip exactly, so the oracle is the pages CTE
+    with the html synthesis expression inlined."""
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    cfg = cfg or EngineConfig()
+    out_dir = tempfile.mkdtemp(prefix="aerial_warc_")
+    ds = pages_dataset(
+        sf_dir,
+        rep=cfg.pages_rep,
+        with_html=True,
+        columns=["page_id", "url", "warc_ts", "html"],
+    )
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["page_id"].to_numpy(zero_copy_only=False) % WARC_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    manifest = write_warc(
+        ds.map_batches(shard, batch_format="pyarrow"), out_dir, "shard_key"
+    )
+    manifest.materialize()  # barrier: every shard committed
+
+    def as_text(t: pa.Table) -> pa.Table:
+        # compare payload bytes as UTF-8 text (injective, so equality
+        # of the decoded column proves byte fidelity; DuckDB's blob ->
+        # pandas bytearray would defeat the driver's value hash)
+        return t.set_column(
+            t.schema.get_field_index("html"),
+            "html",
+            pc.cast(t["html"], pa.string()),
+        )
+
+    return read_warc(out_dir).map_batches(as_text, batch_format="pyarrow")
+
+
+def warc_roundtrip_sql(cfg: EngineConfig | None = None) -> str:
+    cfg = cfg or EngineConfig()
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}) "
+        "select page_id, url, warc_ts, "
+        "('<html><head><title>' || cast(doc_id as varchar) || "
+        "'</title></head><body>' || text || '</body></html>') as html "
+        "from pages"
+    )

@@ -166,3 +166,31 @@ def test_jsonl_roundtrip_escaping(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(back, df[["doc_id", "text"]])
+
+
+def test_warc_roundtrip_separator_in_payload(tmp_path):
+    """Content-Length framing must survive payloads that CONTAIN the
+    header/record separator bytes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from aerial_conversion_ray.sources.warc import read_warc, write_warc
+
+    payloads = [b"plain", b"has\r\n\r\nseparator inside", b"WARC/1.0\r\nfake header"]
+    df = pd.DataFrame(
+        {
+            "page_id": np.arange(3, dtype=np.int64),
+            "url": [f"https://x.example/{i}" for i in range(3)],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01", "2024-01-01 00:00:02"]
+            ).astype("datetime64[us]"),
+            "html": payloads,
+            "shard_key": np.array([0, 0, 1], np.int64),
+        }
+    )
+    write_warc(ray.data.from_pandas(df), str(tmp_path), "shard_key").materialize()
+    back = read_warc(str(tmp_path)).to_pandas().sort_values("page_id").reset_index(drop=True)
+    assert list(back["html"]) == payloads
+    assert list(back["url"]) == list(df["url"])
+    assert list(back["warc_ts"]) == list(df["warc_ts"])
