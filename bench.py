@@ -393,6 +393,13 @@ def run_benchmarks() -> dict:
         "media_embed": lambda: _consume(
             multimodal.media_embed(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),
+        # round-4b additions
+        "grouped_mad": lambda: _consume(relational.grouped_mad(SF_DIR)),
+        "sketch_quantiles": lambda: len(relational.sketch_quantiles(SF_DIR)),
+        "jsonl_roundtrip": lambda: _consume(extract.jsonl_roundtrip(SF_DIR)),
+        "warc_roundtrip": lambda: _consume(
+            extract.warc_roundtrip(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
     }
 
     # warm-up (untimed): page cache + FULL Ray worker pool + imports —
