@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": extract.jsonl_roundtrip,
         # WARC crawl-archive sink+source round trip (sources/warc.py)
         "warc_roundtrip": lambda sf: extract.warc_roundtrip(sf, CFG),
+        "csv_roundtrip": extract.csv_roundtrip,
         # link graph: anchor extraction -> host degrees -> fixed-point
         # PageRank (broadcast-vector folds, hot host by construction)
         "link_extract": linkgraph.link_extract,
@@ -412,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": extract.url_dedup_sql(),
         "jsonl_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "warc_roundtrip": extract.warc_roundtrip_sql(CFG),
+        "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
         "link_extract": linkgraph.link_extract_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),

@@ -503,3 +503,45 @@ def warc_roundtrip_sql(cfg: EngineConfig | None = None) -> str:
         "'</title></head><body>' || text || '</body></html>') as html "
         "from pages"
     )
+
+
+# --------------------------------------------------------------------------
+# CSV round trip (sources/csv.py)
+# --------------------------------------------------------------------------
+
+
+def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded-CSV sink + source round trip over the documents table
+    (RFC 4180 quoting out, pyarrow C++ parse back under a pinned
+    schema).  Integer/string payload -> bit-exact; identity oracle."""
+    import tempfile
+
+    from ..sources.csv import read_csv, write_csv
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_csv_")
+    ds = read_table(sf_dir, "documents", columns=_JSONL_COLS)
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % JSONL_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    manifest = write_csv(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        _JSONL_COLS,
+    )
+    manifest.materialize()  # barrier: every shard committed
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+    return read_csv(out_dir, schema)
+
+
+CSV_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL

@@ -194,3 +194,31 @@ def test_warc_roundtrip_separator_in_payload(tmp_path):
     assert list(back["html"]) == payloads
     assert list(back["url"]) == list(df["url"])
     assert list(back["warc_ts"]) == list(df["warc_ts"])
+
+
+def test_csv_roundtrip_quoting(tmp_path):
+    """RFC 4180-hostile strings (commas, quotes, newlines) survive the
+    pandas-write / pyarrow-read trip."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from aerial_conversion_ray.sources.csv import read_csv, write_csv
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ['a,b', 'say "hi"', 'line1\nline2', '123'],
+        }
+    )
+    df["shard_key"] = df["doc_id"] % 2
+    write_csv(ray.data.from_pandas(df), str(tmp_path), "shard_key", ["doc_id", "text"]).materialize()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    back = (
+        read_csv(str(tmp_path), schema)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df[["doc_id", "text"]])
