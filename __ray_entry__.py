@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
+        # watermark/late-data tumbling window (streaming semantics)
+        "events_late_window": relational.events_late_window,
         "events_sessionize": relational.events_sessionize,
         "events_asof": relational.events_asof,
         "events_range_join": relational.events_range_join,
@@ -386,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
+        "events_late_window": relational.events_late_window_sql(),
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
         "events_asof": relational.events_asof_sql(),
         "events_range_join": relational.events_range_join_sql(),

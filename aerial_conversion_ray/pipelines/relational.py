@@ -2559,3 +2559,118 @@ group by l.l_orderkey, o.o_orderdate
 order by revenue desc, l.l_orderkey
 limit {Q3_K}
 """
+
+
+# --------------------------------------------------------------------------
+# watermark / late-data tumbling window (streaming semantics, exact)
+# --------------------------------------------------------------------------
+
+LATE_WINDOW_S = 900     # 15-min tumbling windows
+LATE_LATENESS_S = 300   # allowed lateness before an event counts late
+
+
+def events_late_window(
+    sf_dir: str,
+    window_s: int = LATE_WINDOW_S,
+    lateness_s: int = LATE_LATENESS_S,
+) -> ray.data.Dataset:
+    """Tumbling event-time windows WITH WATERMARK SEMANTICS — the
+    streaming staple Ray Data has no primitive for, composed exactly:
+    events arrive in ``event_id`` order; after each arrival the
+    per-key watermark is (max event time seen so far) - lateness, and
+    an event is LATE iff its event time is below the watermark at its
+    arrival.  Output per (user_id, window_start_s): on-time count and
+    late count (late events attributed to their event-time window but
+    tallied separately — the "dropped by the window operator" signal).
+
+    Deterministic (arrival order is a column, not wall-clock), so the
+    DuckDB oracle expresses the same watermark as a running MAX window
+    over arrival order — exact value equality, not a simulation.
+
+    The synthetic stream is perfectly ts-ordered (nothing would ever
+    be late), so EVENT TIME is the arrival timestamp minus a
+    deterministic jitter of (event_id % 23) HOURS (the synthetic per-user event spacing is ~7 h median, so minutes would never invert) — applied by the
+    SAME expression in engine and oracle (the ``pii_redact``
+    augmentation pattern), producing genuine out-of-order data whose
+    jitter amplitude (22 h) far exceeds both the spacing and the allowed lateness (5 min).
+
+    Scale shape: pruned read (user_id, event_id, ts), ONE shuffle by
+    user hash bucket (watermarks are per-key, the distributed-
+    streaming norm), then vectorized pandas cummax/shift kernels
+    inside each bucket — no per-user tasks, no Python loop."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    w_us = np.int64(window_s) * 1_000_000
+    late_us = np.int64(lateness_s) * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(u % np.int64(ASOF_BUCKETS)))
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        eid = df["event_id"].to_numpy(np.int64)
+        ts_us = (
+            df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+            - (eid % 23) * 3_600_000_000
+        )
+        df = df.assign(ts_us=ts_us)
+        hwm = df.groupby("user_id", sort=False)["ts_us"].cummax()
+        prev_hwm = hwm.groupby(df["user_id"], sort=False).shift(1)
+        late = (df["ts_us"] < prev_hwm - late_us).fillna(False).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "window_start_s": (df["ts_us"].to_numpy() // w_us)
+                    * np.int64(window_s),
+                    "n_ontime": (~late).astype(np.int64),
+                    "n_late": late.astype(np.int64),
+                }
+            )
+            .groupby(["user_id", "window_start_s"], sort=False, as_index=False)[
+                ["n_ontime", "n_late"]
+            ]
+            .sum()
+        )
+        return g.astype(
+            {"n_ontime": np.int64, "n_late": np.int64, "window_start_s": np.int64}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+def events_late_window_sql(
+    window_s: int = LATE_WINDOW_S, lateness_s: int = LATE_LATENESS_S
+) -> str:
+    w_us = window_s * 1_000_000
+    late_us = lateness_s * 1_000_000
+    return f"""
+with et as (
+  select user_id, event_id,
+         epoch_us(ts) - (event_id % 23) * 3600000000 as et_us
+  from events
+),
+arr as (
+  select user_id, et_us,
+         max(et_us) over (partition by user_id order by event_id
+                          rows between unbounded preceding and 1 preceding)
+           as hwm_us
+  from et
+),
+f as (
+  select user_id,
+         cast(floor(et_us / {w_us}) as bigint) * {window_s}
+           as window_start_s,
+         case when hwm_us is not null and et_us < hwm_us - {late_us}
+              then 1 else 0 end as late
+  from arr
+)
+select user_id, window_start_s,
+       cast(sum(1 - late) as bigint) as n_ontime,
+       cast(sum(late) as bigint) as n_late
+from f group by user_id, window_start_s
+"""

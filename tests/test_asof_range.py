@@ -156,3 +156,51 @@ def test_customer_yoy_matches_pandas(sf_dir):
         consec, a["n_orders"] - prev_n.fillna(0), a["n_orders"]
     ).astype(np.int64)
     pd.testing.assert_frame_equal(got.astype(np.int64), a.astype(np.int64))
+
+
+def test_events_late_window_brute(sf_dir):
+    """Sequential per-user watermark simulation (the textbook streaming
+    semantics, one event at a time) must agree with the distributed
+    bucket-fold pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from aerial_conversion_ray.pipelines import relational
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    ).sort_values("event_id")
+    w_us = relational.LATE_WINDOW_S * 1_000_000
+    late_us = relational.LATE_LATENESS_S * 1_000_000
+    rows = []
+    hwm: dict[int, int] = {}
+    for u, eid, ts in zip(
+        ev["user_id"].to_numpy(np.int64),
+        ev["event_id"].to_numpy(np.int64),
+        ev["ts"].to_numpy().astype("datetime64[us]").view("i8"),
+    ):
+        et = ts - (eid % 23) * 3_600_000_000
+        prev = hwm.get(u)
+        late = prev is not None and et < prev - late_us
+        hwm[u] = et if prev is None else max(prev, et)
+        rows.append((u, (et // w_us) * relational.LATE_WINDOW_S, int(late)))
+    brute = (
+        pd.DataFrame(rows, columns=["user_id", "window_start_s", "late"])
+        .groupby(["user_id", "window_start_s"], as_index=False)["late"]
+        .agg(n_late="sum", n_events="count")
+    )
+    brute["n_ontime"] = brute["n_events"] - brute["n_late"]
+    brute = brute[["user_id", "window_start_s", "n_ontime", "n_late"]]
+    got = (
+        relational.events_late_window(sf_dir)
+        .to_pandas()
+        .sort_values(["user_id", "window_start_s"])
+        .reset_index(drop=True)
+    )
+    brute = (
+        brute.astype({"n_ontime": np.int64, "n_late": np.int64})
+        .sort_values(["user_id", "window_start_s"])
+        .reset_index(drop=True)
+    )
+    assert got["n_late"].sum() > 0  # the late path is genuinely exercised
+    pd.testing.assert_frame_equal(got, brute)
