@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": relational.events_hopping_window,
         # watermark/late-data tumbling window (streaming semantics)
         "events_late_window": relational.events_late_window,
+        # gaps-and-islands interval merge per user
+        "user_activity_islands": relational.user_activity_islands,
         "events_sessionize": relational.events_sessionize,
         "events_asof": relational.events_asof,
         "events_range_join": relational.events_range_join,
@@ -206,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WARC crawl-archive sink+source round trip (sources/warc.py)
         "warc_roundtrip": lambda sf: extract.warc_roundtrip(sf, CFG),
         "csv_roundtrip": extract.csv_roundtrip,
+        "warc_gz_roundtrip": lambda sf: extract.warc_gz_roundtrip(sf, CFG),
         # link graph: anchor extraction -> host degrees -> fixed-point
         # PageRank (broadcast-vector folds, hot host by construction)
         "link_extract": linkgraph.link_extract,
@@ -389,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "events_late_window": relational.events_late_window_sql(),
+        "user_activity_islands": relational.user_activity_islands_sql(),
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,
         "events_asof": relational.events_asof_sql(),
         "events_range_join": relational.events_range_join_sql(),
@@ -417,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "warc_roundtrip": extract.warc_roundtrip_sql(CFG),
         "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
+        "warc_gz_roundtrip": extract.warc_roundtrip_sql(CFG),
         "link_extract": linkgraph.link_extract_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),

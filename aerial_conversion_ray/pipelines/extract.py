@@ -451,7 +451,9 @@ select doc_id, lang, source, n_chars, text from documents
 WARC_SHARDS = 16
 
 
-def warc_roundtrip(sf_dir: str, cfg: EngineConfig | None = None) -> ray.data.Dataset:
+def warc_roundtrip(
+    sf_dir: str, cfg: EngineConfig | None = None, compress: bool = False
+) -> ray.data.Dataset:
     """Sharded-WARC sink + source round trip over the pages corpus
     (page_id, url, warc_ts, html): the crawl-archive format web-scale
     corpora actually arrive in.  Records are built with vectorized
@@ -477,7 +479,10 @@ def warc_roundtrip(sf_dir: str, cfg: EngineConfig | None = None) -> ray.data.Dat
         return t.append_column("shard_key", pa.array(k.astype(np.int64)))
 
     manifest = write_warc(
-        ds.map_batches(shard, batch_format="pyarrow"), out_dir, "shard_key"
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        compress=compress,
     )
     manifest.materialize()  # barrier: every shard committed
 
@@ -545,3 +550,10 @@ def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
 
 
 CSV_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL
+
+
+def warc_gz_roundtrip(sf_dir: str, cfg: EngineConfig | None = None) -> ray.data.Dataset:
+    """The compressed variant of :func:`warc_roundtrip` — one gzip
+    member per record (Common Crawl's wire layout), member-wise
+    inflate on read.  Same identity oracle."""
+    return warc_roundtrip(sf_dir, cfg, compress=True)

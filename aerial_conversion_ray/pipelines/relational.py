@@ -2674,3 +2674,98 @@ select user_id, window_start_s,
        cast(sum(late) as bigint) as n_late
 from f group by user_id, window_start_s
 """
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands interval merge (per-user activity sessions-as-intervals)
+# --------------------------------------------------------------------------
+
+ISLAND_GAP_S = 36_000  # 10 h: median per-user spacing is ~7.4 h, so
+                       # the corpus yields real multi-event islands
+
+
+def user_activity_islands(
+    sf_dir: str, gap_s: int = ISLAND_GAP_S
+) -> ray.data.Dataset:
+    """Merge each user's event stream into ACTIVITY ISLANDS (maximal
+    runs where consecutive events are <= ``gap_s`` apart) and report
+    per user: island count, total covered time, event count — the
+    gaps-and-islands interval merge behind uptime/engagement rollups
+    (a different aggregate from ``events_sessionize``'s per-session
+    rows: this is the interval-algebra reduction).
+
+    Scale shape: pruned read (user_id, event_id, ts), ONE shuffle by
+    user hash bucket, vectorized diff/cumsum/groupby kernels inside
+    each bucket.  Ties on ts break by event_id in BOTH engine and
+    oracle, so equal timestamps cannot diverge."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    gap_us = np.int64(gap_s) * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(u % np.int64(ASOF_BUCKETS)))
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy().astype("datetime64[us]").view("i8")
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        brk[1:] |= (t[1:] - t[:-1]) > gap_us
+        isl = np.cumsum(brk) - 1  # global island id (user-nested)
+        g = pd.DataFrame({"u": u, "isl": isl, "t": t}).groupby(
+            "isl", sort=False, as_index=False
+        ).agg(u=("u", "first"), lo=("t", "min"), hi=("t", "max"), n=("t", "size"))
+        g["span"] = g["hi"] - g["lo"]
+        out = g.groupby("u", sort=False, as_index=False).agg(
+            n_islands=("isl", "size"),
+            covered_us=("span", "sum"),
+            n_events=("n", "sum"),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["u"].to_numpy(np.int64),
+                "n_islands": out["n_islands"].to_numpy(np.int64),
+                "covered_us": out["covered_us"].to_numpy(np.int64),
+                "n_events": out["n_events"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+def user_activity_islands_sql(gap_s: int = ISLAND_GAP_S) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""
+with o as (
+  select user_id, event_id, epoch_us(ts) as t,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over
+                     (partition by user_id order by ts, event_id)
+                   > {gap_us}
+              then 1 else 0 end as brk
+  from events
+),
+g as (
+  -- cumulative order MUST match the lag's (ts, event_id) tie-break,
+  -- else equal-timestamp rows could land in different islands
+  select user_id, t,
+         sum(brk) over (partition by user_id order by t, event_id
+                        rows between unbounded preceding and current row)
+           as isl
+  from o
+),
+i as (
+  select user_id, isl, min(t) as lo, max(t) as hi, count(*) as n
+  from g group by user_id, isl
+)
+select user_id,
+       cast(count(*) as bigint) as n_islands,
+       cast(sum(hi - lo) as bigint) as covered_us,
+       cast(sum(n) as bigint) as n_events
+from i group by user_id
+"""

@@ -44,11 +44,17 @@ _REC_SEP = b"\r\n\r\n"
 
 
 class WarcShardWriter:
-    """map_groups callable: one .warc file per shard, atomic."""
+    """map_groups callable: one .warc / .warc.gz file per shard,
+    atomic.  ``compress=True`` writes ONE GZIP MEMBER PER RECORD —
+    Common Crawl's actual layout (members are independently seekable,
+    so a reader can fan out mid-file).  zlib's gzip wrapper emits a
+    fixed default header (mtime=0, os=255), so compressed shards are
+    byte-deterministic."""
 
-    def __init__(self, out_dir: str, shard_col: str):
+    def __init__(self, out_dir: str, shard_col: str, compress: bool = False):
         self.out_dir = out_dir
         self.shard_col = shard_col
+        self.compress = compress
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         key = df[self.shard_col].iloc[0]
@@ -80,15 +86,29 @@ class WarcShardWriter:
             "\r\n\r\n",
         )
         hdr_bytes = np.char.encode(headers, "utf-8")
-        chunks: list[bytes] = []
-        for h, p in zip(hdr_bytes, payloads):
-            chunks.append(h)
-            chunks.append(bytes(p))
-            chunks.append(_REC_SEP)
-        blob = b"".join(chunks)
+        if self.compress:
+            import zlib
+
+            members: list[bytes] = []
+            for h, p in zip(hdr_bytes, payloads):
+                c = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip wrapper
+                members.append(
+                    c.compress(h) + c.compress(bytes(p)) + c.compress(_REC_SEP)
+                    + c.flush()
+                )
+            blob = b"".join(members)
+        else:
+            chunks: list[bytes] = []
+            for h, p in zip(hdr_bytes, payloads):
+                chunks.append(h)
+                chunks.append(bytes(p))
+                chunks.append(_REC_SEP)
+            blob = b"".join(chunks)
         shard_dir = os.path.join(self.out_dir, f"shard={key}")
         os.makedirs(shard_dir, exist_ok=True)
-        path = os.path.join(shard_dir, "data.warc")
+        path = os.path.join(
+            shard_dir, "data.warc.gz" if self.compress else "data.warc"
+        )
         fd, tmp = tempfile.mkstemp(dir=shard_dir, suffix=".tmp")
         with os.fdopen(fd, "wb") as f:
             f.write(blob)
@@ -99,11 +119,11 @@ class WarcShardWriter:
 
 
 def write_warc(
-    ds: ray.data.Dataset, out_dir: str, shard_col: str
+    ds: ray.data.Dataset, out_dir: str, shard_col: str, compress: bool = False
 ) -> ray.data.Dataset:
     """Sharded WARC write; returns the (shard, n_records) manifest."""
     os.makedirs(out_dir, exist_ok=True)
-    writer = WarcShardWriter(out_dir, shard_col)
+    writer = WarcShardWriter(out_dir, shard_col, compress)
 
     def write_shard(df: pd.DataFrame) -> pd.DataFrame:
         return writer(df)
@@ -115,19 +135,31 @@ def read_warc(out_dir: str) -> ray.data.Dataset:
     """Read a sharded WARC dataset back to rows (page_id, url,
     warc_ts, html)."""
     paths = sorted(
-        os.path.join(out_dir, name, "data.warc")
+        os.path.join(out_dir, name, fname)
         for name in os.listdir(out_dir)
         if name.startswith("shard=")
+        for fname in os.listdir(os.path.join(out_dir, name))
+        if fname in ("data.warc", "data.warc.gz")
     )
     files = ray.data.read_binary_files(paths)
 
     def parse(t: pa.Table) -> pa.Table:
+        import zlib
+
         pids: list[int] = []
         urls: list[str] = []
         dates: list[str] = []
         payloads: list[bytes] = []
         for cell in t["bytes"]:
             data = cell.as_py()
+            if data[:2] == b"\x1f\x8b":  # gzip members -> plaintext
+                parts = []
+                rest = data
+                while rest:
+                    d = zlib.decompressobj(47)
+                    parts.append(d.decompress(rest))
+                    rest = d.unused_data
+                data = b"".join(parts)
             pos = 0
             n = len(data)
             while pos < n:

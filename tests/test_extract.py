@@ -222,3 +222,41 @@ def test_csv_roundtrip_quoting(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(back, df[["doc_id", "text"]])
+
+
+def test_warc_gz_member_per_record(tmp_path):
+    """Compressed shards contain one INDEPENDENT gzip member per
+    record (Common Crawl layout), and the reader inflates them all."""
+    import os
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from aerial_conversion_ray.sources.warc import read_warc, write_warc
+
+    df = pd.DataFrame(
+        {
+            "page_id": np.arange(5, dtype=np.int64),
+            "url": [f"https://x.example/{i}" for i in range(5)],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 5).astype("datetime64[us]"),
+            "html": [f"payload {i}".encode() for i in range(5)],
+            "shard_key": np.zeros(5, np.int64),
+        }
+    )
+    write_warc(
+        ray.data.from_pandas(df), str(tmp_path), "shard_key", compress=True
+    ).materialize()
+    path = os.path.join(str(tmp_path), "shard=0", "data.warc.gz")
+    data = open(path, "rb").read()
+    members = 0
+    rest = data
+    while rest:
+        d = zlib.decompressobj(47)
+        d.decompress(rest)
+        rest = d.unused_data
+        members += 1
+    assert members == 5
+    back = read_warc(str(tmp_path)).to_pandas().sort_values("page_id")
+    assert list(back["html"]) == list(df["html"])
