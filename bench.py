@@ -400,6 +400,13 @@ def run_benchmarks() -> dict:
         "warc_roundtrip": lambda: _consume(
             extract.warc_roundtrip(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),
+        "warc_gz_roundtrip": lambda: _consume(
+            extract.warc_gz_roundtrip(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "events_late_window": lambda: _consume(relational.events_late_window(SF_DIR)),
+        "user_activity_islands": lambda: _consume(
+            relational.user_activity_islands(SF_DIR)
+        ),
     }
 
     # warm-up (untimed): page cache + FULL Ray worker pool + imports —
