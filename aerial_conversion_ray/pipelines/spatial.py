@@ -20,6 +20,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import EngineConfig
@@ -1124,11 +1125,16 @@ def tile_point_join_shuffle(
     2. cells with count > hot_factor x mean are HOT: their rows get
        ``salt = page_id % salt_buckets``, splitting the hot group into
        ``salt_buckets`` shuffle partitions; cold cells keep salt 0;
-    3. ``groupby(hilbert_key, salt)`` shuffle — the HILBERT key of
-       cell_r7 (north rule "Hilbert-curve cell keys"): bijective per
-       cell, so partitioning is unchanged, but partition ORDER is
-       space-filling — spatially-adjacent cells co-locate, which is
-       the write-layout/locality property the plan exists for;
+    3. ``groupby(hilbert_range, salt)`` shuffle where ``hilbert_range
+       = hilbert_key >> 6`` — a CONTIGUOUS RANGE of the Hilbert curve
+       (north rule "Hilbert-curve cell keys").  A contiguous Hilbert
+       range is a spatially contiguous region, so the locality /
+       write-layout property is identical to grouping on the raw key,
+       but the group count drops from the cell domain (~2k at sf0.1,
+       unbounded at scale) to <=2**8 ranges — Ray's per-group
+       overhead (~3.5 ms/group, BASELINE.md lesson) made the raw-key
+       plan pay several seconds for nothing: the per-group kernel is
+       row-vectorized and never needed single-cell groups;
     4. per-group vectorized tile assignment; salt/key dropped on emit.
 
     The shuffle is NARROW: only (page_id, lon/lat, fp, cells, salt)
@@ -1204,16 +1210,19 @@ def tile_point_join_shuffle(
         # Hilbert-ordered partition key: spatially-adjacent cells get
         # adjacent keys, so range-partitioned shuffle outputs (and any
         # downstream write layout) are spatially clustered — the
-        # north-rule "Hilbert-curve cell keys" requirement.  Bijective
-        # per cell, so the (key, salt) partitioning is exactly the
-        # (cell, salt) partitioning.
-        return hilbert_batch(t, res=7)
+        # north-rule "Hilbert-curve cell keys" requirement.  The
+        # shuffle groups on key >> 6: a contiguous Hilbert range is a
+        # contiguous spatial region, so locality is preserved while
+        # the group count stays bounded (<=256) at any data scale.
+        t = hilbert_batch(t, res=7)
+        rng = pc.shift_right(t["hilbert_key"], 6)
+        return t.append_column("hilbert_range", rng)
 
     assigner = PointTileAssign(cfg)
 
     def join_group(t: pa.Table) -> pa.Table:
         out = assigner(t)
-        return out.drop_columns(["salt", "hilbert_key"])
+        return out.drop_columns(["salt", "hilbert_key", "hilbert_range"])
 
     def attach_payload(t: pa.Table) -> pa.Table:
         # rebuild url/warc_ts/text/lang/... from the broadcast docs
@@ -1228,7 +1237,7 @@ def tile_point_join_shuffle(
 
     return (
         ds.map_batches(salt, batch_format="pyarrow", batch_size=cfg.batch_size)
-        .groupby(["hilbert_key", "salt"])
+        .groupby(["hilbert_range", "salt"])
         .map_groups(join_group, batch_format="pyarrow")
         .map_batches(attach_payload, batch_format="pyarrow", batch_size=cfg.batch_size)
     )

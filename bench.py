@@ -409,6 +409,17 @@ def run_benchmarks() -> dict:
         ),
     }
 
+    # optional entry filter for fast single-pipeline iteration:
+    # GRAFT_BENCH_ONLY=tile_point_join,quantiles python bench.py
+    only = os.environ.get("GRAFT_BENCH_ONLY", "")
+    if only:
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        queries = {k: v for k, v in queries.items() if k in keep}
+        if "tile_point_join" not in queries:
+            queries["tile_point_join"] = lambda: _consume(
+                spatial.tile_point_join(SF_DIR, cfg)
+            )
+
     # warm-up (untimed): page cache + FULL Ray worker pool + imports —
     # a full-scale pipeline run so every worker process exists and has
     # imported numpy/pyarrow before the first timed query (lazy worker
