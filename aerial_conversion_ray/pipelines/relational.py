@@ -367,7 +367,7 @@ def semi_join_orders_with_lineitems(sf_dir: str) -> ray.data.Dataset:
 
     return read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
-    ).map_batches(Semi, batch_format="pyarrow", concurrency=2)
+    ).map_batches(Semi, batch_format="pyarrow", concurrency=pool_size())
 
 
 SEMI_JOIN_SQL = """
@@ -403,7 +403,7 @@ def anti_join_customers_without_orders(sf_dir: str) -> ray.data.Dataset:
 
     return read_table(
         sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
-    ).map_batches(Anti, batch_format="pyarrow", concurrency=2)
+    ).map_batches(Anti, batch_format="pyarrow", concurrency=pool_size())
 
 
 ANTI_JOIN_SQL = f"""
@@ -1669,7 +1669,7 @@ def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
 
     return read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
-    ).map_batches(Probe, batch_format="pyarrow", concurrency=2)
+    ).map_batches(Probe, batch_format="pyarrow", concurrency=pool_size())
 
 
 BLOOM_SEMI_JOIN_SQL = f"""
@@ -2480,7 +2480,7 @@ def q3_shipping(sf_dir: str) -> "pd.DataFrame":
 
     orders = (
         read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(OrderFilter, batch_format="pyarrow", concurrency=2)
+        .map_batches(OrderFilter, batch_format="pyarrow", concurrency=pool_size())
         .to_pandas()
     )
     okeys = np.sort(orders["o_orderkey"].to_numpy(np.int64))
@@ -2525,7 +2525,7 @@ def q3_shipping(sf_dir: str) -> "pd.DataFrame":
     li = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
-    ).map_batches(RevenueFold, batch_format="pyarrow", concurrency=2)
+    ).map_batches(RevenueFold, batch_format="pyarrow", concurrency=pool_size())
 
     def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["o_orderkey", "o_date_us"], as_index=False)["rev_c4"].sum()
