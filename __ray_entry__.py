@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real file-backed raster window read (S2): deterministic
         # GeoTIFF fixture written to /tmp, windowed Datasource read
         "raster_windows": geotiff.raster_windows,
+        # zonal statistics: raster x vector per-zone pixel aggregates
+        "zonal_stats": geotiff.zonal_stats,
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
         "wkt_roundtrip": lambda sf: spatial.wkt_roundtrip(sf, CFG),
         "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
@@ -360,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
         "multiring_clip_join": sql_oracle.multiring_clip_join_sql(CFG),
         "raster_windows": geotiff.RASTER_WINDOWS_SQL,
+        "zonal_stats": geotiff.ZONAL_STATS_SQL,
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "wkt_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),

@@ -353,3 +353,152 @@ select ('tile_' || cast(col_off as varchar) || '-' || cast(row_off as varchar)) 
        cast(sum(v) as bigint) as px_sum
 from px group by col_off, row_off
 """
+
+
+# --- zonal statistics (raster x vector) -----------------------------------
+#
+# The classic GIS aggregate the reference's raster<->vector interchange
+# implies but never ships (its tiles.py crops rasters per polygon one
+# file at a time, single-process): per-zone pixel count/sum/min/max/mean
+# over every zone polygon, computed WINDOW-WISE so the raster streams
+# through the object store and no task ever holds more than one tile.
+#
+# Plan (large raster x small zone table):
+#   1. zone rectangles (world coords) -> pixel bounds via the inverse
+#      affine (floor semantics, geo/tiles.py M4/M5) on the DRIVER —
+#      the zone table is the small side and broadcasts via ray.put;
+#   2. windowed raster scan (RasterWindowDatasource — byte-range strip
+#      reads, never the whole file);
+#   3. per batch: for each (window x intersecting zone), slice the
+#      pixel block and fold count/sum/min/max — numpy on the slice,
+#      zones outer loop is O(n_zones) per window;
+#   4. coarse-bucket fold of the (zone, window) partials -> one row
+#      per zone.  min/max/sum/count are all associative, so the fold
+#      is exact regardless of window boundaries.
+
+N_DEMO_ZONES = 40
+
+
+def _demo_zones() -> dict[str, np.ndarray]:
+    """Deterministic pixel-aligned zone rectangles over the demo
+    raster (no external data; shared by the engine and the SQL
+    oracle).  Zones overlap each other and straddle tile boundaries —
+    the cases that make window-wise zonal stats non-trivial."""
+    k = np.arange(N_DEMO_ZONES, dtype=np.int64)
+    c0 = (k * 97) % (DEMO_W - 200)
+    r0 = (k * 71) % (DEMO_H - 200)
+    c1 = np.minimum(c0 + 64 + (k * 53) % 192, DEMO_W)
+    r1 = np.minimum(r0 + 64 + (k * 37) % 192, DEMO_H)
+    return {"zone_id": k, "c0": c0, "c1": c1, "r0": r0, "r1": r1}
+
+
+def zonal_stats(sf_dir: str | None = None):
+    """Per-zone pixel stats over the demo GeoTIFF: (zone_id, n_px,
+    px_sum, px_min, px_max, px_mean).  ``sf_dir`` unused (raster +
+    synthesized zones are the inputs).  Mirrored by
+    :data:`ZONAL_STATS_SQL`."""
+    import os
+
+    import pandas as pd
+    import ray
+
+    spec = RasterSpec(x0=0.0, y_max=0.0, cell=0.5, ncols=DEMO_W, nrows=DEMO_H)
+    if not os.path.exists(_DEMO_PATH):
+        tmp = f"{_DEMO_PATH}.{os.getpid()}"
+        write_geotiff(tmp, _demo_array(), spec, rows_per_strip=64)
+        os.replace(tmp, _DEMO_PATH)
+
+    z = _demo_zones()
+    # world-coord zone rects -> pixel bounds via the inverse affine
+    # (x = x0 + cell*col, y = y_max - cell*row; floor semantics).
+    # Zones are pixel-aligned so the floats are exact halves and the
+    # round-trip is lossless.
+    minx = spec.x0 + z["c0"] * spec.cell
+    maxx = spec.x0 + z["c1"] * spec.cell
+    maxy = spec.y_max - z["r0"] * spec.cell
+    miny = spec.y_max - z["r1"] * spec.cell
+    pc0 = np.floor((minx - spec.x0) / spec.cell + 0.5).astype(np.int64)
+    pc1 = np.floor((maxx - spec.x0) / spec.cell + 0.5).astype(np.int64)
+    pr0 = np.floor((spec.y_max - maxy) / spec.cell + 0.5).astype(np.int64)
+    pr1 = np.floor((spec.y_max - miny) / spec.cell + 0.5).astype(np.int64)
+    zones_ref = ray.put((z["zone_id"], pc0, pc1, pr0, pr1))
+
+    class ZonalPartial:
+        def __init__(self):
+            self.zones = ray.get(zones_ref)
+
+        def __call__(self, t):
+            import pyarrow as pa
+            zid, c0, c1, r0, r1 = self.zones
+            out = {k: [] for k in ("zone_id", "n_px", "px_sum", "px_min", "px_max")}
+            for i in range(t.num_rows):
+                co = t["col_off"][i].as_py()
+                ro = t["row_off"][i].as_py()
+                w = t["width"][i].as_py()
+                h = t["height"][i].as_py()
+                px = np.frombuffer(t["pixels"][i].as_py(), np.uint8).reshape(h, w)
+                # zones intersecting this window
+                lo_c = np.maximum(c0, co) - co
+                hi_c = np.minimum(c1, co + w) - co
+                lo_r = np.maximum(r0, ro) - ro
+                hi_r = np.minimum(r1, ro + h) - ro
+                sel = np.nonzero((lo_c < hi_c) & (lo_r < hi_r))[0]
+                for j in sel:
+                    blk = px[lo_r[j]:hi_r[j], lo_c[j]:hi_c[j]]
+                    out["zone_id"].append(int(zid[j]))
+                    out["n_px"].append(blk.size)
+                    out["px_sum"].append(int(blk.sum(dtype=np.int64)))
+                    out["px_min"].append(int(blk.min()))
+                    out["px_max"].append(int(blk.max()))
+            tbl = {k: pa.array(v, pa.int64()) for k, v in out.items()}
+            tbl["bucket"] = pa.array(
+                [v % 8 for v in out["zone_id"]], pa.int64()
+            )
+            return pa.table(tbl)
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("zone_id", as_index=False).agg(
+            n_px=("n_px", "sum"),
+            px_sum=("px_sum", "sum"),
+            px_min=("px_min", "min"),
+            px_max=("px_max", "max"),
+        )
+        g["px_mean"] = g["px_sum"].to_numpy(np.float64) / g["n_px"].to_numpy(
+            np.float64
+        )
+        return g
+
+    grid = TileGridSpec(tile_width=DEMO_TILE, tile_height=DEMO_TILE)
+    return (
+        read_raster_windows(_DEMO_PATH, grid)
+        .map_batches(ZonalPartial, batch_format="pyarrow", concurrency=2)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _zones_values_sql() -> str:
+    z = _demo_zones()
+    return ", ".join(
+        f"({a}, {b}, {c}, {d}, {e})"
+        for a, b, c, d, e in zip(z["zone_id"], z["c0"], z["c1"], z["r0"], z["r1"])
+    )
+
+
+ZONAL_STATS_SQL = f"""
+with rows as (select unnest(range({DEMO_H})) as row),
+cols as (select unnest(range({DEMO_W})) as col),
+px as (select row, col, ((row * 31 + col * 17) % 251) as v from rows, cols),
+zones(zone_id, c0, c1, r0, r1) as (values {{zones}}),
+j as (select z.zone_id, px.v
+      from px join zones z
+        on px.col >= z.c0 and px.col < z.c1
+       and px.row >= z.r0 and px.row < z.r1)
+select cast(zone_id as bigint) as zone_id,
+       cast(count(*) as bigint) as n_px,
+       cast(sum(v) as bigint) as px_sum,
+       cast(min(v) as bigint) as px_min,
+       cast(max(v) as bigint) as px_max,
+       cast(sum(v) as double) / cast(count(*) as double) as px_mean
+from j group by zone_id
+""".replace("{zones}", _zones_values_sql())

@@ -133,6 +133,7 @@ def run_benchmarks() -> dict:
         text,
         vectorize,
     )
+    from aerial_conversion_ray.sources import geotiff
 
     cfg = EngineConfig(pages_rep=BENCH_REP)
 
@@ -366,6 +367,7 @@ def run_benchmarks() -> dict:
             multimodal.png_to_geotiff(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),
         # round-4 additions
+        "zonal_stats": lambda: _consume(geotiff.zonal_stats(SF_DIR)),
         "url_dedup": lambda: _consume(extract.url_dedup(SF_DIR)),
         "link_extract": lambda: _consume(
             __import__(

@@ -87,3 +87,31 @@ def test_datasource_overlap_grid(ray_session, fixture_tif):
             [exp[c][order] for c in ("col_off", "row_off", "width", "height")], axis=1
         ).tolist()
     )
+
+
+def test_zonal_stats_brute(ray_session):
+    """zonal_stats == brute-force numpy over the whole demo array."""
+    from aerial_conversion_ray.sources.geotiff import (
+        _demo_array,
+        _demo_zones,
+        zonal_stats,
+    )
+
+    got = (
+        zonal_stats(None)
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    arr = _demo_array()
+    z = _demo_zones()
+    assert len(got) == len(z["zone_id"])
+    for i, zid in enumerate(z["zone_id"]):
+        blk = arr[z["r0"][i]:z["r1"][i], z["c0"][i]:z["c1"][i]]
+        row = got.iloc[i]
+        assert row["zone_id"] == zid
+        assert row["n_px"] == blk.size
+        assert row["px_sum"] == int(blk.sum(dtype=np.int64))
+        assert row["px_min"] == int(blk.min())
+        assert row["px_max"] == int(blk.max())
+        assert row["px_mean"] == blk.sum(dtype=np.int64) / blk.size
