@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- spatial (forward path) --
         "geocode": lambda sf: spatial.geocode_pipeline(sf, CFG),
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
+        # H3 `compact` analog: minimal multi-res covering cell set
+        "cell_compact": lambda sf: spatial.cell_compact(sf, CFG),
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -340,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "geocode": sql_oracle.geocode_sql(CFG),
         "cell_index": sql_oracle.cell_index_sql(CFG),
+        "cell_compact": sql_oracle.cell_compact_sql(CFG),
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),

@@ -222,3 +222,17 @@ def geohash_sql_expr(lon_sql: str, lat_sql: str, precision: int = 6) -> str:
         idx = " + ".join(bits)
         chars.append(f"substr('{GEOHASH_BASE32}', cast({idx} as integer) + 1, 1)")
     return "(" + " || ".join(chars) + ")"
+
+
+def cell_parent(cell: np.ndarray, res: int) -> np.ndarray:
+    """Parent cell id one resolution up (quadtree: halve ix and iy).
+
+    Exact w.r.t. :func:`encode`: the res-1 grid has double the cell
+    width, so ``floor(x/2w) == floor(floor(x/w)/2)`` — the parent of
+    the encoded cell is the encoding at the parent resolution.
+    """
+    n = np.int64(1) << res
+    cell = np.asarray(cell, dtype=np.int64)
+    ix = cell % n
+    iy = cell // n
+    return (iy >> 1) * (n >> 1) + (ix >> 1)

@@ -2160,3 +2160,59 @@ g as (select doc_id, {SQL_EXPRS['lon']} as lon, {SQL_EXPRS['lat']} as lat
 select g.doc_id, z.zone_id from g join z
 on g.lon >= z.minx and g.lon < z.maxx and g.lat >= z.miny and g.lat < z.maxy
 """
+
+
+# --- cell-set compaction (H3 `compact` analog) ----------------------------
+
+
+def cell_compact(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    res_hi: int = 9,
+    res_lo: int = 7,
+) -> ray.data.Dataset:
+    """Minimal multi-resolution covering set of the corpus's occupied
+    cells — the H3 ``compact`` analog over the grid index (T3): any
+    sibling quad fully present at res r is replaced by its parent at
+    r-1, recursively down to ``res_lo``.  Output (res, cell) rows.
+
+    Scale plan: compaction is LOCAL to a ``res_lo`` ancestor (all
+    four siblings of any replaced quad share it), so one narrow
+    shuffle keyed by ancestor makes every decision bucket-local; the
+    per-bucket kernel is a vectorized unique/parent/count loop.  The
+    pages payload never moves (ids-only scan, per-batch distinct).
+    """
+    ids = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+
+    def cells_of(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        c = np.unique(cells.encode(g["lon"], g["lat"], res_hi))
+        anc = c
+        for r in range(res_hi, res_lo, -1):
+            anc = cells.cell_parent(anc, r)
+        return pa.table({"cell": pa.array(c), "bucket": pa.array(anc % 64)})
+
+    def compact(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        cur = np.unique(df["cell"].to_numpy(np.int64))
+        out_res, out_cell = [], []
+        for r in range(res_hi, res_lo, -1):
+            p = cells.cell_parent(cur, r)
+            up, cnt = np.unique(p, return_counts=True)
+            full = up[cnt == 4]
+            keep = ~np.isin(p, full)
+            out_res.append(np.full(int(keep.sum()), r, np.int64))
+            out_cell.append(cur[keep])
+            cur = full
+        out_res.append(np.full(len(cur), res_lo, np.int64))
+        out_cell.append(cur)
+        return pd.DataFrame(
+            {"res": np.concatenate(out_res), "cell": np.concatenate(out_cell)}
+        )
+
+    return (
+        ids.map_batches(cells_of, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(compact, batch_format="pandas")
+    )

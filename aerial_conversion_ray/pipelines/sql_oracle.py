@@ -426,3 +426,34 @@ def knn_sql(cfg: EngineConfig = DEFAULT_CFG, query_mod: int = 10) -> str:
         "from pairs) "
         f"select query_id, rank, neighbor_id from ranked where rank <= {cfg.knn_k}"
     )
+
+
+def cell_compact_sql(
+    cfg: EngineConfig = DEFAULT_CFG, res_hi: int = 9, res_lo: int = 7
+) -> str:
+    """Mirror of ``spatial.cell_compact``: iterative quadtree
+    compaction unrolled level-by-level (fixed depth, pure SQL)."""
+
+    def parent(col: str, r: int) -> str:
+        n = 1 << r
+        return f"(((({col}) // {n}) // 2) * {n // 2} + ((({col}) % {n}) // 2))"
+
+    e = cells.sql_expr("lon", "lat", res_hi)
+    ctes = [f"c{res_hi} as (select distinct {e} as cell from geo)"]
+    selects = []
+    for r in range(res_hi, res_lo, -1):
+        ctes.append(
+            f"p{r - 1} as (select {parent('cell', r)} as parent, count(*) as k "
+            f"from c{r} group by 1)"
+        )
+        ctes.append(f"f{r - 1} as (select parent as cell from p{r - 1} where k = 4)")
+        ctes.append(
+            f"k{r} as (select cell from c{r} where {parent('cell', r)} "
+            f"not in (select cell from f{r - 1}))"
+        )
+        ctes.append(f"c{r - 1} as (select cell from f{r - 1})")
+        selects.append(f"select cast({r} as bigint) as res, cell from k{r}")
+    selects.append(f"select cast({res_lo} as bigint) as res, cell from c{res_lo}")
+    return (
+        _pages_geo(cfg) + ", " + ", ".join(ctes) + " " + " union all ".join(selects)
+    )

@@ -118,3 +118,48 @@ def test_geohash_odd_precision_rejected():
 
     with pytest.raises(ValueError):
         cells.geohash_encode(np.array([0.0]), np.array([0.0]), 5)
+
+
+def test_cell_compact_reconstructs(ray_session):
+    """Expanding the compacted set back to res 9 reproduces the exact
+    occupied-cell set, and no complete sibling quad survives."""
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.geo import cells
+    from aerial_conversion_ray.pipelines import spatial
+    from aerial_conversion_ray.pipelines.spatial import pages_dataset, geocode_arrays
+
+    sf = "/root/testdata/sf0.001"
+    cfg = EngineConfig(pages_rep=5)
+    got = spatial.cell_compact(sf, cfg).to_pandas()
+
+    # truth: distinct r9 cells
+    ids = pages_dataset(sf, rep=cfg.pages_rep, columns=["page_id"]).to_pandas()
+    g = geocode_arrays(ids["page_id"].to_numpy(np.int64))
+    truth = np.unique(cells.encode(g["lon"], g["lat"], 9))
+
+    # expand each compacted cell down to res 9 children
+    expanded = []
+    for res, cell in zip(got["res"].to_numpy(np.int64), got["cell"].to_numpy(np.int64)):
+        cur = np.array([cell], np.int64)
+        for r in range(res, 9):
+            n = np.int64(1) << r
+            ix, iy = cur % n, cur // n
+            child_n = n << 1
+            cs = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    cs.append((iy * 2 + dy) * child_n + ix * 2 + dx)
+            cur = np.concatenate(cs)
+        expanded.append(cur)
+    expanded = np.unique(np.concatenate(expanded))
+    assert np.array_equal(expanded, truth)
+
+    # maximality: no quad of 4 siblings remains at res 9 or 8
+    for res in (9, 8):
+        lvl = got.loc[got["res"] == res, "cell"].to_numpy(np.int64)
+        if len(lvl):
+            p = cells.cell_parent(lvl, res)
+            _, cnt = np.unique(p, return_counts=True)
+            assert cnt.max() < 4
