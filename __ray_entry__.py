@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_index": lambda sf: spatial.cell_index_pipeline(sf, CFG),
         # H3 `compact` analog: minimal multi-res covering cell set
         "cell_compact": lambda sf: spatial.cell_compact(sf, CFG),
+        # 2D Pareto front: per-block staircase + one-partition merge
+        "skyline": relational.skyline,
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -343,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode": sql_oracle.geocode_sql(CFG),
         "cell_index": sql_oracle.cell_index_sql(CFG),
         "cell_compact": sql_oracle.cell_compact_sql(CFG),
+        "skyline": relational.SKYLINE_SQL,
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),

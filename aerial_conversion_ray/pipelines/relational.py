@@ -2769,3 +2769,57 @@ select user_id,
        cast(sum(n) as bigint) as n_events
 from i group by user_id
 """
+
+
+# --- 2D skyline (Pareto front) --------------------------------------------
+
+
+def skyline(sf_dir: str) -> ray.data.Dataset:
+    """2D skyline of lineitem: the Pareto front maximizing
+    ``l_quantity`` while minimizing ``l_extendedprice`` (rows no other
+    row beats on both axes; ties on both axes all survive).
+
+    Distributive plan: a globally non-dominated row is non-dominated
+    within its own block, so a vectorized per-block partial front
+    (suffix-min staircase over the distinct-quantity groups) shrinks
+    each block to its candidate staircase; ONE single-partition merge
+    re-runs the same kernel on the O(blocks x |front|) survivors.
+    The fact table itself never shuffles and never sorts globally.
+    """
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def front(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy()
+        p = t["l_extendedprice"].to_numpy()
+        uq, inv = np.unique(q, return_inverse=True)  # ascending qty groups
+        mp = np.full(len(uq), np.inf)
+        np.minimum.at(mp, inv, p)
+        # best (lowest) price among STRICTLY greater qty groups
+        best_gt = np.concatenate(
+            [np.minimum.accumulate(mp[::-1])[::-1][1:], [np.inf]]
+        )
+        keep = (best_gt[inv] > p) & (p == mp[inv])
+        return t.filter(pa.array(keep))
+
+    return (
+        li.map_batches(front, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(front, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SKYLINE_SQL = """
+with g as (select l_quantity as q, min(l_extendedprice) as mp
+           from lineitem group by 1),
+r as (select q, mp, min(mp) over (order by q desc
+        rows between unbounded preceding and 1 preceding) as best_gt
+      from g),
+keep as (select q, mp from r where best_gt is null or best_gt > mp)
+select l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
+from lineitem l join keep k
+  on l.l_quantity = k.q and l.l_extendedprice = k.mp
+"""

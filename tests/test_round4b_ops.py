@@ -90,3 +90,28 @@ def test_crawl_path_one_source_direct(sf_dir):
     assert out.loc[src, "n_legs"] == len(mm)
     assert out.loc[src, "dist_mm_total"] == mm.sum()
     assert out.loc[src, "dist_mm_max"] == mm.max()
+
+
+def test_skyline_matches_brute_dominance(sf_dir):
+    out = relational.skyline(sf_dir).to_pandas()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    q = li["l_quantity"].to_numpy()
+    p = li["l_extendedprice"].to_numpy()
+    # O(n^2) dominance in chunks (maximize q, minimize p)
+    keep = np.ones(len(q), bool)
+    for lo in range(0, len(q), 2000):
+        hi = min(lo + 2000, len(q))
+        dom = (
+            (q[None, :] > q[lo:hi, None]) & (p[None, :] <= p[lo:hi, None])
+        ) | ((q[None, :] == q[lo:hi, None]) & (p[None, :] < p[lo:hi, None]))
+        keep[lo:hi] = ~dom.any(axis=1)
+    exp = (
+        li[keep]
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
