@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_compact": lambda sf: spatial.cell_compact(sf, CFG),
         # 2D Pareto front: per-block staircase + one-partition merge
         "skyline": relational.skyline,
+        # distributed one-pass closed-form OLS per (lang, source)
+        "grouped_ols": text.grouped_ols,
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -346,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": sql_oracle.cell_index_sql(CFG),
         "cell_compact": sql_oracle.cell_compact_sql(CFG),
         "skyline": relational.SKYLINE_SQL,
+        "grouped_ols": text.GROUPED_OLS_SQL,
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),

@@ -4105,3 +4105,111 @@ select d.doc_id, d.lang, d.source
 from documents d join t using (lang)
 where ((d.doc_id * 2654435761 + 987654321) % 4294967296) % {MIX_RES} < t.thr
 """
+
+
+# --------------------------------------------------------------------------
+# grouped closed-form OLS (distributed one-pass linear regression)
+# --------------------------------------------------------------------------
+
+
+def grouped_ols(sf_dir: str) -> ray.data.Dataset:
+    """Per-(lang, source) least-squares fit of n_chars on whitespace
+    token count: (lang, source, n, slope, intercept) — the closed-form
+    "chars per token" model, trained distributed in ONE pass.
+
+    The sufficient statistics (n, Sx, Sy, Sxx, Sxy) are integer and
+    associative, so per-batch partials fold over the bounded
+    (lang, source) grid and the coefficients are one exact ratio at
+    the end — the numerator/denominator stay int64 (products < 2^34
+    per row, so group sums hold to ~2^29 rows per group; the n column
+    is the audit).  The float division order matches the SQL oracle
+    op-for-op, so the gate is bit-exact.
+    """
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (
+            pc.list_value_length(pc.split_pattern(t["text"], " "))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "source": t["source"].to_numpy(zero_copy_only=False),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def coeffs(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num_i = n * sxy - sx * sy
+        den_i = n * sxx - sx * sx
+        # identifiable fits only: a group with constant x (or n == 1)
+        # has no defined slope — dropped on BOTH sides of the gate
+        ok = den_i != 0
+        t = t.filter(pa.array(ok))
+        n, sx, sy = n[ok], sx[ok], sy[ok]
+        slope = num_i[ok].astype(np.float64) / den_i[ok].astype(np.float64)
+        intercept = (
+            sy.astype(np.float64) - slope * sx.astype(np.float64)
+        ) / n.astype(np.float64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "n": pa.array(n),
+                "slope": pa.array(slope),
+                "intercept": pa.array(intercept),
+            }
+        )
+
+    return folded.map_batches(coeffs, batch_format="pyarrow")
+
+
+GROUPED_OLS_SQL = """
+with m as (
+  select lang, source,
+         cast(count(*) as bigint) as n,
+         cast(sum(len(string_split(text, ' '))) as bigint) as sx,
+         cast(sum(n_chars) as bigint) as sy,
+         cast(sum(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+              as bigint) as sxx,
+         cast(sum(len(string_split(text, ' ')) * n_chars) as bigint) as sxy
+  from documents group by lang, source)
+select lang, source, n,
+       cast(n * sxy - sx * sy as double)
+         / cast(n * sxx - sx * sx as double) as slope,
+       (cast(sy as double)
+          - (cast(n * sxy - sx * sy as double)
+             / cast(n * sxx - sx * sx as double)) * cast(sx as double))
+         / cast(n as double) as intercept
+from m where n * sxx - sx * sx <> 0
+"""

@@ -115,3 +115,23 @@ def test_skyline_matches_brute_dominance(sf_dir):
     )
     got = out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_grouped_ols_matches_lstsq(sf_dir):
+    """Closed-form distributed coefficients == numpy lstsq per group."""
+    out = text.grouped_ols(sf_dir).to_pandas().set_index(["lang", "source"])
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "source", "text", "n_chars"],
+    ).to_pandas()
+    docs["x"] = docs["text"].str.split(" ").str.len()
+    for (lang, src), g in list(docs.groupby(["lang", "source"]))[:10]:
+        if g["x"].nunique() < 2:
+            assert (lang, src) not in out.index  # degenerate fit dropped
+            continue
+        A = np.stack([g["x"].to_numpy(float), np.ones(len(g))], axis=1)
+        coef, *_ = np.linalg.lstsq(A, g["n_chars"].to_numpy(float), rcond=None)
+        row = out.loc[(lang, src)]
+        assert row["n"] == len(g)
+        assert abs(row["slope"] - coef[0]) < 1e-6 * max(1, abs(coef[0]))
+        assert abs(row["intercept"] - coef[1]) < 1e-4 * max(1, abs(coef[1]))
