@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": relational.skyline,
         # distributed one-pass closed-form OLS per (lang, source)
         "grouped_ols": text.grouped_ols,
+        # last-touch attribution (purchase -> most recent prior click)
+        "attribution_last_touch": relational.attribution_last_touch,
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -349,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_compact": sql_oracle.cell_compact_sql(CFG),
         "skyline": relational.SKYLINE_SQL,
         "grouped_ols": text.GROUPED_OLS_SQL,
+        "attribution_last_touch": relational.ATTRIBUTION_SQL,
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),

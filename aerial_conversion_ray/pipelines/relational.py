@@ -2823,3 +2823,81 @@ select l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
 from lineitem l join keep k
   on l.l_quantity = k.q and l.l_extendedprice = k.mp
 """
+
+
+# --- last-touch attribution ------------------------------------------------
+
+
+def attribution_last_touch(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch marketing attribution: each 'purchase' event joined
+    to the SAME user's most recent preceding 'click' (strictly earlier
+    in (ts, event_id) order).  Purchases with no prior click are
+    dropped (unattributed).  Output one row per attributed purchase:
+    (purchase_event_id, user_id, purchase_ts, click_event_id,
+    click_ts, value).
+
+    Scale shape: the stream is pre-filtered to the two event types
+    and pruned at the read, shuffles ONCE by user bucket, and each
+    bucket resolves attribution with one vectorized sort +
+    grouped forward-fill (no per-user Python).  The (ts, event_id)
+    tiebreak makes equal-timestamp batches deterministic and
+    identical to the SQL window frame."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(u % np.int64(ASOF_BUCKETS)))
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        is_click = (d["event_type"] == "click").to_numpy()
+        cid = pd.Series(
+            np.where(is_click, d["event_id"].to_numpy(np.int64), np.nan),
+            index=d.index,
+        )
+        cts = pd.Series(
+            d["ts"].where(pd.Series(is_click, index=d.index)), index=d.index
+        )
+        g = d.groupby("user_id", sort=False)
+        d = d.assign(
+            click_event_id=cid.groupby(g.ngroup()).ffill(),
+            click_ts=cts.groupby(g.ngroup()).ffill(),
+        )
+        p = d[(d["event_type"] == "purchase") & d["click_event_id"].notna()]
+        return pd.DataFrame(
+            {
+                "purchase_event_id": p["event_id"].to_numpy(np.int64),
+                "user_id": p["user_id"].to_numpy(np.int64),
+                "purchase_ts": p["ts"].to_numpy(),
+                "click_event_id": p["click_event_id"].to_numpy(np.int64),
+                "click_ts": p["click_ts"].to_numpy(),
+                "value": p["value"].to_numpy(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas")
+    )
+
+
+ATTRIBUTION_SQL = """
+with e as (select event_id, ts, user_id, event_type, value
+           from events where event_type in ('click', 'purchase')),
+w as (select *,
+        last_value(case when event_type = 'click' then event_id end ignore nulls)
+          over (partition by user_id order by ts, event_id
+                rows between unbounded preceding and 1 preceding) as click_event_id,
+        last_value(case when event_type = 'click' then ts end ignore nulls)
+          over (partition by user_id order by ts, event_id
+                rows between unbounded preceding and 1 preceding) as click_ts
+      from e)
+select event_id as purchase_event_id, user_id, ts as purchase_ts,
+       click_event_id, click_ts, value
+from w where event_type = 'purchase' and click_event_id is not null
+"""

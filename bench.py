@@ -371,6 +371,9 @@ def run_benchmarks() -> dict:
         "cell_compact": lambda: _consume(spatial.cell_compact(SF_DIR, cfg)),
         "skyline": lambda: _consume(relational.skyline(SF_DIR)),
         "grouped_ols": lambda: _consume(text.grouped_ols(SF_DIR)),
+        "attribution_last_touch": lambda: _consume(
+            relational.attribution_last_touch(SF_DIR)
+        ),
         "url_dedup": lambda: _consume(extract.url_dedup(SF_DIR)),
         "link_extract": lambda: _consume(
             __import__(

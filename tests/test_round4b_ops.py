@@ -135,3 +135,31 @@ def test_grouped_ols_matches_lstsq(sf_dir):
         assert row["n"] == len(g)
         assert abs(row["slope"] - coef[0]) < 1e-6 * max(1, abs(coef[0]))
         assert abs(row["intercept"] - coef[1]) < 1e-4 * max(1, abs(coef[1]))
+
+
+def test_attribution_last_touch_brute(sf_dir):
+    """Engine attribution == per-purchase linear scan on the driver."""
+    out = (
+        relational.attribution_last_touch(sf_dir)
+        .to_pandas()
+        .set_index("purchase_event_id")
+        .sort_index()
+    )
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).to_pandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last_click = None
+        for row in g.itertuples():
+            if row.event_type == "click":
+                last_click = row
+            elif last_click is not None:
+                exp[row.event_id] = (last_click.event_id, last_click.ts)
+    assert set(out.index) == set(exp)
+    for pid, (cid, cts) in exp.items():
+        assert out.loc[pid, "click_event_id"] == cid
+        assert out.loc[pid, "click_ts"] == cts
