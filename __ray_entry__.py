@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_ols": text.grouped_ols,
         # last-touch attribution (purchase -> most recent prior click)
         "attribution_last_touch": relational.attribution_last_touch,
+        # snapshot row-level diff (CDC primitive)
+        "table_diff": relational.table_diff,
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -352,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline": relational.SKYLINE_SQL,
         "grouped_ols": text.GROUPED_OLS_SQL,
         "attribution_last_touch": relational.ATTRIBUTION_SQL,
+        "table_diff": relational.TABLE_DIFF_SQL,
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),

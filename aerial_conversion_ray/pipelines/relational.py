@@ -2901,3 +2901,127 @@ select event_id as purchase_event_id, user_id, ts as purchase_ts,
        click_event_id, click_ts, value
 from w where event_type = 'purchase' and click_event_id is not null
 """
+
+
+# --- snapshot table diff (CDC) ---------------------------------------------
+
+
+def table_diff(sf_dir: str) -> ray.data.Dataset:
+    """Row-level diff of two table snapshots — the change-data-capture
+    primitive: (doc_id, status) for every row that differs between
+    snapshot A (documents) and snapshot B (a deterministic mutation of
+    it: every 97th row deleted, every 101st row's text edited, every
+    103rd row re-inserted under a shifted id).  status in
+    ('added', 'removed', 'changed'); identical rows emit nothing.
+
+    Scale shape: both snapshots stream side-tagged through ONE narrow
+    key-bucket shuffle (text never moves — a 64-bit content
+    fingerprint is computed per batch and only (doc_id, fp, side)
+    shuffle); each bucket resolves its keys with one vectorized
+    merge.  Works identically when B is a real second table."""
+    a = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def fp_of(t: pa.Table, drop_mod97: bool, edit_mod101: bool, add_mod103: bool, side: int) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t["text"]
+        if drop_mod97:
+            keep = d % 97 != 3
+            t = t.filter(pa.array(keep))
+            d = d[keep]
+            txt = t["text"]
+        if edit_mod101:
+            ed = d % 101 == 7
+            if ed.any():
+                txt = pc.if_else(
+                    pa.array(ed), pc.binary_join_element_wise(txt, "!", ""), txt
+                )
+        # content fingerprint: text + lang + source + n_chars
+        joined = pc.binary_join_element_wise(
+            txt,
+            t["lang"],
+            t["source"],
+            pc.cast(t["n_chars"], pa.string()),
+            "\x1f",
+        )
+        from .text import _hash_arrow_strings
+
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        h = _hash_arrow_strings(joined).astype(np.int64)
+        out_d, out_h = [d], [h]
+        if add_mod103:
+            ad = d % 103 == 5
+            out_d.append(d[ad] + 1_000_000)
+            out_h.append(h[ad])
+        dd = np.concatenate(out_d)
+        hh = np.concatenate(out_h)
+        return pa.table(
+            {
+                "doc_id": pa.array(dd),
+                "fp": pa.array(hh),
+                "side": pa.array(np.full(len(dd), side, np.int64)),
+                "bucket": pa.array(dd % np.int64(64)),
+            }
+        )
+
+    side_a = a.map_batches(
+        lambda t: fp_of(t, False, False, False, 0), batch_format="pyarrow"
+    )
+    side_b = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).map_batches(lambda t: fp_of(t, True, True, True, 1), batch_format="pyarrow")
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        # exact int64 merge — a pivot would cast fp to float64 and
+        # silently truncate 64-bit fingerprints to 53 bits
+        a_side = df[df["side"] == 0][["doc_id", "fp"]].astype({"fp": "Int64"})
+        b_side = df[df["side"] == 1][["doc_id", "fp"]].astype({"fp": "Int64"})
+        m = a_side.merge(
+            b_side, on="doc_id", how="outer", suffixes=("_a", "_b"), indicator=True
+        )
+        status = np.where(
+            m["_merge"].to_numpy() == "left_only",
+            "removed",
+            np.where(m["_merge"].to_numpy() == "right_only", "added", "changed"),
+        )
+        # nullable Int64 keeps the 64-bit fingerprints exact through
+        # the outer merge (float64 promotion would truncate to 53 bits)
+        same = (m["fp_a"] == m["fp_b"]).fillna(False).to_numpy(bool)
+        out = pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(np.int64), "status": status}
+        )
+        return out[~same]
+
+    return (
+        side_a.union(side_b)
+        .groupby("bucket")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+TABLE_DIFF_SQL = """
+with b as (
+  select doc_id,
+         case when doc_id % 101 = 7 then text || '!' else text end as text,
+         lang, source, n_chars
+  from documents where doc_id % 97 <> 3
+  union all
+  select doc_id + 1000000 as doc_id,
+         case when doc_id % 101 = 7 then text || '!' else text end as text,
+         lang, source, n_chars
+  from documents where doc_id % 97 <> 3 and doc_id % 103 = 5
+),
+j as (select coalesce(a.doc_id, b.doc_id) as doc_id,
+             a.doc_id is not null as has_a,
+             b.doc_id is not null as has_b,
+             coalesce(a.text = b.text
+                      and a.lang = b.lang
+                      and a.source = b.source
+                      and a.n_chars = b.n_chars, false) as same
+      from documents a full outer join b on a.doc_id = b.doc_id)
+select doc_id,
+       case when has_a and not has_b then 'removed'
+            when has_b and not has_a then 'added'
+            else 'changed' end as status
+from j where not same
+"""

@@ -374,6 +374,7 @@ def run_benchmarks() -> dict:
         "attribution_last_touch": lambda: _consume(
             relational.attribution_last_touch(SF_DIR)
         ),
+        "table_diff": lambda: _consume(relational.table_diff(SF_DIR)),
         "url_dedup": lambda: _consume(extract.url_dedup(SF_DIR)),
         "link_extract": lambda: _consume(
             __import__(

@@ -163,3 +163,16 @@ def test_attribution_last_touch_brute(sf_dir):
     for pid, (cid, cts) in exp.items():
         assert out.loc[pid, "click_event_id"] == cid
         assert out.loc[pid, "click_ts"] == cts
+
+
+def test_table_diff_statuses(sf_dir):
+    out = relational.table_diff(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).to_pandas()
+    d = docs["doc_id"].to_numpy(np.int64)
+    removed = set(d[d % 97 == 3])
+    changed = set(d[(d % 101 == 7) & (d % 97 != 3)])
+    added = set((d[(d % 97 != 3) & (d % 103 == 5)] + 1_000_000))
+    got = out.groupby("status")["doc_id"].apply(set).to_dict()
+    assert got.get("removed", set()) == removed
+    assert got.get("changed", set()) == changed
+    assert got.get("added", set()) == added
