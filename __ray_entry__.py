@@ -85,6 +85,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": relational.attribution_last_touch,
         # snapshot row-level diff (CDC primitive)
         "table_diff": relational.table_diff,
+        # CDC apply side: MERGE INTO / last-write-wins upsert
+        "upsert_apply": relational.upsert_apply,
+        # SCD type-2 validity intervals from the event stream
+        "scd_intervals": relational.scd_intervals,
+        # nearest-facility (Voronoi) assignment + per-site fold
+        "nearest_facility": spatial.nearest_facility,
+        # grouped dense_rank (full per-language ranking)
+        "lang_rank": text.lang_rank,
+        # ordered string_agg of distinct sources per language
+        "lang_sources_agg": text.lang_sources_agg,
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -355,6 +365,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_ols": text.GROUPED_OLS_SQL,
         "attribution_last_touch": relational.ATTRIBUTION_SQL,
         "table_diff": relational.TABLE_DIFF_SQL,
+        "upsert_apply": relational.UPSERT_APPLY_SQL,
+        "scd_intervals": relational.SCD_INTERVALS_SQL,
+        "nearest_facility": spatial.nearest_facility_sql(),
+        "lang_rank": text.LANG_RANK_SQL,
+        "lang_sources_agg": text.LANG_SOURCES_AGG_SQL,
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),

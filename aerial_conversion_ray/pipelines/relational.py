@@ -3025,3 +3025,205 @@ select doc_id,
             else 'changed' end as status
 from j where not same
 """
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension build (validity intervals from an event stream)
+# --------------------------------------------------------------------------
+
+SCD_SENTINEL_US = int(np.datetime64("9999-01-01T00:00:00", "us").astype(np.int64))
+
+
+def scd_intervals(sf_dir: str) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 build: treat each user's
+    event stream as successive states of a dimension attribute
+    (``event_type``), collapse consecutive same-state runs, and emit
+    one validity interval per run — (user_id, event_type, valid_from,
+    valid_to, is_current), valid_to = next run's start (open-ended
+    sentinel 9999-01-01 for the current run).
+
+    The warehouse-side dual of :func:`table_diff`: diff derives a
+    change stream from snapshots, this derives dimension history from
+    a change stream.  One narrow coarse-bucket shuffle
+    (hash(user) % 64 — never one Ray group per user); the per-bucket
+    kernel is a vectorized sort + shift over int64 microseconds."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": t["event_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_type": t["event_type"],
+                "bucket": pa.array(u % np.int64(64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        same_user = np.empty(len(u), bool)
+        same_user[0] = False
+        same_user[1:] = u[1:] == u[:-1]
+        run_start = np.empty(len(u), bool)
+        run_start[0] = True
+        run_start[1:] = (~same_user[1:]) | (et[1:] != et[:-1])
+        su = u[run_start]
+        st = ts[run_start]
+        se = et[run_start]
+        # valid_to = next run start within the same user, else sentinel
+        vt = np.full(len(su), SCD_SENTINEL_US, np.int64)
+        nxt = np.empty(len(su), bool)
+        nxt[:-1] = su[1:] == su[:-1]
+        nxt[-1] = False
+        vt[nxt] = st[1:][su[1:] == su[:-1]]
+        return pd.DataFrame(
+            {
+                "user_id": su,
+                "event_type": se,
+                "valid_from": st.astype("datetime64[us]"),
+                "valid_to": vt.astype("datetime64[us]"),
+                "is_current": (~nxt).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+SCD_INTERVALS_SQL = """
+with o as (select user_id, ts, event_id, event_type,
+                  lag(event_type) over (partition by user_id
+                                        order by ts, event_id) as prev
+           from events),
+c as (select user_id, ts, event_id, event_type from o
+      where prev is null or prev <> event_type),
+i as (select user_id, event_type, ts as valid_from,
+             lead(ts) over (partition by user_id
+                            order by ts, event_id) as valid_to
+      from c)
+select user_id, event_type, valid_from,
+       coalesce(valid_to, timestamp '9999-01-01 00:00:00') as valid_to,
+       cast(case when valid_to is null then 1 else 0 end as bigint) as is_current
+from i
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC upsert apply (MERGE INTO: last-write-wins snapshot maintenance)
+# --------------------------------------------------------------------------
+
+
+def upsert_apply(sf_dir: str) -> ray.data.Dataset:
+    """Apply a change stream onto a base snapshot — the MERGE INTO /
+    last-write-wins upsert primitive completing the CDC pair with
+    :func:`table_diff` (which produces such a stream).  Base =
+    documents; the deterministic change stream carries updates
+    (doc_id % 11 = 4, n_chars incremented), tombstone deletes
+    (doc_id % 13 = 6, delete wins over update), and fresh inserts
+    (doc_id % 17 = 9, shifted key).  Output = the maintained
+    snapshot: highest-version row per key, tombstones dropped.
+
+    Scale shape: base and changes stream side-tagged through ONE
+    narrow key-bucket shuffle (doc_id, lang, n_chars, ver, del — the
+    text column never moves); each bucket resolves keys with one
+    vectorized sort + drop_duplicates.  Works identically when the
+    change stream is a real second table."""
+    base = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "ver": pa.array(np.ones(n, np.int64)),
+                "is_delete": pa.array(np.zeros(n, np.int64)),
+                "bucket": pa.array(d % np.int64(64)),
+            }
+        )
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        upd = (d % 11 == 4) & (d % 13 != 6)
+        dele = d % 13 == 6
+        ins = d % 17 == 9
+        out_d = np.concatenate([d[upd], d[dele], d[ins] + 2_000_000])
+        out_l = np.concatenate([lang[upd], lang[dele], lang[ins]])
+        out_n = np.concatenate([nc[upd] + 1, nc[dele], nc[ins]])
+        out_del = np.concatenate(
+            [np.zeros(int(upd.sum()), np.int64),
+             np.ones(int(dele.sum()), np.int64),
+             np.zeros(int(ins.sum()), np.int64)]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d),
+                "lang": pa.array(out_l),
+                "n_chars": pa.array(out_n),
+                "ver": pa.array(np.full(len(out_d), 2, np.int64)),
+                "is_delete": pa.array(out_del),
+                "bucket": pa.array(out_d % np.int64(64)),
+            }
+        )
+
+    changes = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(make_changes, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ver"], ascending=[True, False],
+                            kind="mergesort")
+        df = df.drop_duplicates("doc_id", keep="first")
+        df = df[df["is_delete"] == 0]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "lang": df["lang"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "ver": df["ver"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        base.map_batches(tag_base, batch_format="pyarrow")
+        .union(changes)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+UPSERT_APPLY_SQL = """
+with chg as (
+  select doc_id, lang, n_chars + 1 as n_chars, 2 as ver, 0 as is_delete
+  from documents where doc_id % 11 = 4 and doc_id % 13 <> 6
+  union all
+  select doc_id, lang, n_chars, 2 as ver, 1 as is_delete
+  from documents where doc_id % 13 = 6
+  union all
+  select doc_id + 2000000 as doc_id, lang, n_chars, 2 as ver, 0 as is_delete
+  from documents where doc_id % 17 = 9
+),
+allr as (
+  select doc_id, lang, n_chars, 1 as ver, 0 as is_delete from documents
+  union all
+  select * from chg
+),
+r as (select *, row_number() over (partition by doc_id
+                                   order by ver desc) as rn
+      from allr)
+select doc_id, lang, cast(n_chars as bigint) as n_chars,
+       cast(ver as bigint) as ver
+from r where rn = 1 and is_delete = 0
+"""

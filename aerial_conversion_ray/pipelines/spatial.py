@@ -2216,3 +2216,102 @@ def cell_compact(
         .groupby("bucket")
         .map_groups(compact, batch_format="pandas")
     )
+
+
+# --- nearest-facility assignment (1-NN to a broadcast site set) -----------
+
+# Deterministic facility sites: literal doubles so the engine (numpy)
+# and the DuckDB oracle parse the exact same IEEE-754 values.  One
+# site (10) sits beside the geocode hot cluster so the skewed 20% of
+# rows all route to it — the operator must stay balanced anyway
+# because the per-batch fold is facility-keyed, not row-keyed.
+FACILITIES: tuple = (
+    (0, -150.0, 60.0), (1, -120.0, 35.0), (2, -90.0, -10.0), (3, -60.0, -40.0),
+    (4, -30.0, 50.0), (5, 0.0, 0.0), (6, 30.0, -25.0), (7, 60.0, 45.0),
+    (8, 90.0, 20.0), (9, 120.0, -15.0), (10, 151.1, -33.8), (11, 170.0, 65.0),
+)
+
+
+def nearest_facility(sf_dir: str) -> ray.data.Dataset:
+    """Assign every geocoded document to its nearest facility site
+    (great-circle, ties to the lowest facility id) and fold to
+    per-facility stats — the nearest-centroid / Voronoi-assignment
+    join (reference analog: per-tile nearest-neighbourhood routing,
+    aerial_conversion/tiles.py:180-256).
+
+    Scale shape: the facility table is a 12-row module constant (at
+    real scale: ``ray.put`` once, read per actor); every batch
+    computes its n x 12 haversine matrix vectorized, argmins, and
+    folds to AT MOST 12 partial rows — the shuffle moves only
+    facility-keyed partials, never points.  Leg lengths floor to
+    integer mm BEFORE the sum so partials merge exactly."""
+    fid = np.array([f[0] for f in FACILITIES], np.int64)
+    flon = np.array([f[1] for f in FACILITIES], np.float64)
+    flat = np.array([f[2] for f in FACILITIES], np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["doc_id"].to_numpy(zero_copy_only=False))
+        lon, lat = g["lon"], g["lat"]
+        d = np.stack(
+            [_hav_np(lon, lat, flon[j], flat[j]) for j in range(len(fid))],
+            axis=1,
+        )
+        best = np.argmin(d, axis=1)  # first minimum = lowest fid
+        mm = np.floor(d[np.arange(len(best)), best] * 1000.0 + 0.5).astype(np.int64)
+        n = np.bincount(best, minlength=len(fid)).astype(np.int64)
+        s = np.bincount(best, weights=mm, minlength=len(fid)).astype(np.int64)
+        mx = np.full(len(fid), np.int64(-1))
+        np.maximum.at(mx, best, mm)
+        keep = n > 0
+        return pa.table(
+            {
+                "facility_id": pa.array(fid[keep]),
+                "n_pts": pa.array(n[keep]),
+                "dist_mm_sum": pa.array(s[keep]),
+                "dist_mm_max": pa.array(mx[keep]),
+            }
+        )
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("facility_id", as_index=False).agg(
+            n_pts=("n_pts", "sum"),
+            dist_mm_sum=("dist_mm_sum", "sum"),
+            dist_mm_max=("dist_mm_max", "max"),
+        )
+        return g.astype(
+            {"facility_id": "int64", "n_pts": "int64",
+             "dist_mm_sum": "int64", "dist_mm_max": "int64"}
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("facility_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def nearest_facility_sql() -> str:
+    from ..geocode import geocoded_documents_cte
+
+    vals = ", ".join(f"({i}, {lo!r}, {la!r})" for i, lo, la in FACILITIES)
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt(least(greatest("
+        "pow(sin(radians(f.lat - g.lat) * 0.5), 2) + "
+        "cos(radians(g.lat)) * cos(radians(f.lat)) * "
+        "pow(sin(radians(f.lon - g.lon) * 0.5), 2), 0.0), 1.0)))"
+    )
+    return f"""
+with g as ({geocoded_documents_cte()}),
+f(fid, lon, lat) as (values {vals}),
+d as (select g.doc_id, f.fid, {hav} as dm,
+             row_number() over (partition by g.doc_id
+                                order by {hav}, f.fid) as rn
+      from g cross join f),
+w as (select doc_id, fid, cast(floor(dm * 1000.0 + 0.5) as bigint) as mm
+      from d where rn = 1)
+select cast(fid as bigint) as facility_id, cast(count(*) as bigint) as n_pts,
+       cast(sum(mm) as bigint) as dist_mm_sum,
+       cast(max(mm) as bigint) as dist_mm_max
+from w group by fid
+"""

@@ -4213,3 +4213,113 @@ select lang, source, n,
          / cast(n as double) as intercept
 from m where n * sxx - sx * sx <> 0
 """
+
+
+# --------------------------------------------------------------------------
+# grouped dense_rank (full ranking output per partition)
+# --------------------------------------------------------------------------
+
+
+def lang_rank(sf_dir: str) -> ray.data.Dataset:
+    """Dense rank of every document within its language by length
+    (n_chars desc) — the grouped window-rank operator (global_rank's
+    per-partition sibling; top_docs_per_lang keeps only the head,
+    this emits the full ranking).
+
+    One narrow shuffle keyed hash(lang) % 64: a rank only needs its
+    own partition, so co-locating whole languages per bucket makes
+    the in-bucket pandas ``groupby.rank(method='dense')`` exact; the
+    text column never moves."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _hash_arrow_strings(t["lang"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rnk = (
+            df.groupby("lang")["n_chars"]
+            .rank(method="dense", ascending=False)
+            .to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "lang": df["lang"].to_numpy(),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "rnk": rnk,
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+LANG_RANK_SQL = """
+select doc_id, lang, n_chars,
+       cast(dense_rank() over (partition by lang order by n_chars desc)
+            as bigint) as rnk
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# ordered string_agg / list aggregation per group
+# --------------------------------------------------------------------------
+
+
+def lang_sources_agg(sf_dir: str) -> ray.data.Dataset:
+    """Per-language ordered list aggregation: the distinct sources a
+    language appears in, joined ','-separated in sorted order, plus
+    the distinct count — the string_agg / array_agg operator.
+
+    Scale shape: per-batch DISTINCT first (each batch emits its
+    unique (lang, source) pairs only — bounded by |langs| x |sources|
+    regardless of row count), then one coarse hash(lang)-bucket fold
+    assembles the sorted join.  The concatenation never sees raw
+    rows, so a trillion-row corpus still folds |pairs| items."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_numpy(zero_copy_only=False),
+             "source": t["source"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        h = _hash_arrow_strings(pa.array(df["lang"].to_numpy(dtype=object)))
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].to_numpy(dtype=object)),
+                "source": pa.array(df["source"].to_numpy(dtype=object)),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["lang", "source"]).sort_values(
+            ["lang", "source"], kind="mergesort"
+        )
+        g = df.groupby("lang", sort=False)["source"]
+        out = g.agg(lambda s: ",".join(s)).reset_index()
+        out.columns = ["lang", "sources"]
+        out["n_sources"] = g.size().to_numpy(np.int64)
+        return out
+
+    return ds.map_batches(pairs, batch_format="pyarrow").groupby("bucket").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+LANG_SOURCES_AGG_SQL = """
+with p as (select distinct lang, source from documents)
+select lang, string_agg(source, ',' order by source) as sources,
+       cast(count(*) as bigint) as n_sources
+from p group by lang
+"""
