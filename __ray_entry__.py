@@ -91,10 +91,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd_intervals": relational.scd_intervals,
         # nearest-facility (Voronoi) assignment + per-site fold
         "nearest_facility": spatial.nearest_facility,
+        # all-points k=3 nearest-site join (broadcast kNN, no shuffle)
+        "knn_join": spatial.knn_join,
         # grouped dense_rank (full per-language ranking)
         "lang_rank": text.lang_rank,
         # ordered string_agg of distinct sources per language
         "lang_sources_agg": text.lang_sources_agg,
+        # exact duplicated 5-gram mass (Lee et al. substring dedup signal)
+        "suffix_dedup": text.suffix_dedup,
+        # NTILE(4) quartile bucketing within language
+        "ntile_lang": text.ntile_lang,
         # standard base32 geohash + prefix parent (string-keyed T3)
         "geohash_index": spatial.geohash_index,
         # distance-band spatial self-join (cell ring probe + refine)
@@ -234,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link graph: anchor extraction -> host degrees -> fixed-point
         # PageRank (broadcast-vector folds, hot host by construction)
         "link_extract": linkgraph.link_extract,
+        # robots.txt-style prefix disallow gate (broadcast rule filter)
+        "robots_filter": linkgraph.robots_filter,
         "host_degree": linkgraph.host_degree,
         "pagerank_hosts": linkgraph.pagerank_hosts,
         "host_cocitation": linkgraph.host_cocitation,
@@ -368,8 +376,11 @@ def oracle_sql() -> dict[str, str]:
         "upsert_apply": relational.UPSERT_APPLY_SQL,
         "scd_intervals": relational.SCD_INTERVALS_SQL,
         "nearest_facility": spatial.nearest_facility_sql(),
+        "knn_join": spatial.knn_join_sql(),
         "lang_rank": text.LANG_RANK_SQL,
         "lang_sources_agg": text.LANG_SOURCES_AGG_SQL,
+        "suffix_dedup": text.SUFFIX_DEDUP_SQL,
+        "ntile_lang": text.NTILE_LANG_SQL,
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),
@@ -456,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
         "warc_gz_roundtrip": extract.warc_roundtrip_sql(CFG),
         "link_extract": linkgraph.link_extract_sql(),
+        "robots_filter": linkgraph.robots_filter_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),

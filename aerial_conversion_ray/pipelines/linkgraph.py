@@ -514,3 +514,54 @@ select a.src_id as a_id, b.src_id as b_id,
 from e a join e b on a.dst_id = b.dst_id and a.src_id < b.src_id
 group by a.src_id, b.src_id
 """
+
+
+# --- robots.txt-style prefix filtering ------------------------------------
+
+# Deterministic per-host disallow rules (module constant = the tiny
+# parsed-robots table; at real scale: parse the fetched robots.txt
+# corpus once, ``ray.put`` the compiled rule table).  TRUE string
+# prefixes — '/doc/2' blocks doc 2, 20-29, 200-299 ... — so the match
+# must be a real starts_with, not key arithmetic.
+ROBOTS_RULES: tuple = tuple(
+    f"https://src{k}.example/doc/{d}"
+    for k in range(20)
+    for d in ([(k * 7 + 1) % 10] + ([(k + 3) % 10] if k % 6 == 0 else []))
+    if k % 3 == 0
+)
+
+
+def robots_filter(sf_dir: str) -> ray.data.Dataset:
+    """Filter the page corpus by robots.txt-style path-prefix
+    disallow rules — the crawl-compliance gate every web pipeline
+    runs before processing (reference analog: the extension/path
+    filters of scripts/batch_geojson2coco.py:85).
+
+    Scale shape: the rule table is broadcast (tiny by nature — one
+    row per host x rule); each batch runs |rules| vectorized
+    ``starts_with`` kernels and keeps the rows no rule matches.  A
+    pure streaming filter: no shuffle, the text never moves, output
+    goes straight to the sink.  With millions of hosts the per-batch
+    loop becomes a per-host grouped probe (sort rules, binary-search
+    the url's host slice) — same broadcast shape."""
+    ds = pages_dataset(sf_dir, rep=1, columns=["page_id", "url"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        bad = np.zeros(len(t), dtype=bool)
+        for pre in ROBOTS_RULES:
+            bad |= pc.starts_with(url, pre).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~bad))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def robots_filter_sql() -> str:
+    vals = ", ".join(f"({p!r})" for p in ROBOTS_RULES)
+    return f"""
+with p as ({pages_cte(rep=1)}),
+r(pre) as (values {vals})
+select p.page_id, p.url
+from p
+where not exists (select 1 from r where starts_with(p.url, r.pre))
+"""

@@ -2315,3 +2315,70 @@ select cast(fid as bigint) as facility_id, cast(count(*) as bigint) as n_pts,
        cast(max(mm) as bigint) as dist_mm_max
 from w group by fid
 """
+
+
+def knn_join(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """k-nearest-neighbour JOIN: every geocoded document gets its k=3
+    nearest facility sites with rank and distance — the all-points
+    kNN join (nearest_facility emits only the argmin; this emits the
+    ranked neighbourhood a routing/assignment pipeline consumes).
+    Reference analog: per-annotation nearest-tile neighbourhood,
+    aerial_conversion/tiles.py:180-256.
+
+    Scale shape: the site table is tiny and broadcast (module
+    constant; ``ray.put`` at real scale), so this is a PURE
+    map_batches — n x 12 vectorized haversine matrix per batch, a
+    stable argsort per row (ties resolve to the lowest facility id,
+    matching the SQL ``order by dist, fid``), emit k rows per point.
+    No shuffle at any scale; output is k x |points| rows streamed
+    straight to the sink."""
+    fid = np.array([f[0] for f in FACILITIES], np.int64)
+    flon = np.array([f[1] for f in FACILITIES], np.float64)
+    flat = np.array([f[2] for f in FACILITIES], np.float64)
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = geocode_arrays(ids)
+        lon, lat = g["lon"], g["lat"]
+        d = np.stack(
+            [_hav_np(lon, lat, flon[j], flat[j]) for j in range(len(fid))],
+            axis=1,
+        )
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        rows = np.arange(len(ids))[:, None]
+        mm = np.floor(d[rows, order] * 1000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, k)),
+                "rnk": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))),
+                "facility_id": pa.array(fid[order].ravel()),
+                "dist_mm": pa.array(mm.ravel()),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+
+
+def knn_join_sql(k: int = 3) -> str:
+    from ..geocode import geocoded_documents_cte
+
+    vals = ", ".join(f"({i}, {lo!r}, {la!r})" for i, lo, la in FACILITIES)
+    hav = (
+        "2.0 * 6371000.0 * asin(sqrt(least(greatest("
+        "pow(sin(radians(f.lat - g.lat) * 0.5), 2) + "
+        "cos(radians(g.lat)) * cos(radians(f.lat)) * "
+        "pow(sin(radians(f.lon - g.lon) * 0.5), 2), 0.0), 1.0)))"
+    )
+    return f"""
+with g as ({geocoded_documents_cte()}),
+f(fid, lon, lat) as (values {vals}),
+d as (select g.doc_id, f.fid, {hav} as dm,
+             row_number() over (partition by g.doc_id
+                                order by {hav}, f.fid) as rn
+      from g cross join f)
+select doc_id, cast(rn as bigint) as rnk, cast(fid as bigint) as facility_id,
+       cast(floor(dm * 1000.0 + 0.5) as bigint) as dist_mm
+from d where rn <= {k}
+"""

@@ -4323,3 +4323,207 @@ select lang, string_agg(source, ',' order by source) as sources,
        cast(count(*) as bigint) as n_sources
 from p group by lang
 """
+
+
+# --------------------------------------------------------------------------
+# substring-level exact dedup signal (duplicated n-gram mass)
+# --------------------------------------------------------------------------
+
+SUFFIX_N = 5  # word n-gram width of the duplicated-span detector
+
+
+def suffix_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact duplicated word-5-gram mass per document — the
+    substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its 5-gram start positions carry a gram that occurs
+    more than once in the WHOLE corpus (in another document or
+    repeated within the same one).  ``dup_grams / n_grams`` is the
+    fraction of the document sitting inside a duplicated span.
+    (Reference analog: the winnowing ``shared_fingerprints`` entry is
+    the sampled approximation of this; this one is exact over ALL
+    grams.)
+
+    Scale shape: gram STRINGS never leave the batch — each batch
+    folds its grams to (g1, g2, doc_id, c) partials keyed by the
+    128-bit two-member polynomial gram key (token hashes combined
+    positionally; same collision budget as ``dedup_exact``).  ONE
+    shuffle keyed ``g1 % 64`` co-locates every occurrence of a gram,
+    so the corpus-total test (``sum c > 1``) is in-bucket exact; the
+    survivors fold to per-doc partials merged with the per-doc gram
+    counts in a second doc-keyed 64-bucket fold.  Like ``bm25_query``
+    this is two streaming passes over the text column; nothing
+    vocabulary-sized ever aggregates outside a bucket."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    W = SUFFIX_N
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, h2 = _hash_pair(flat)
+        T = len(h1)
+        if T < W:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "g1": pa.array([], pa.int64()),
+                    "g2": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+        with np.errstate(over="ignore"):
+            g1 = h1[: T - W + 1].copy()
+            g2 = h2[: T - W + 1].copy()
+            for j in range(1, W):
+                g1 = g1 * FNV_PRIME + h1[j : T - W + 1 + j]
+                g2 = g2 * PRIME_B + h2[j : T - W + 1 + j]
+        valid = doc_idx[: T - W + 1] == doc_idx[W - 1 :]
+        gd = doc[doc_idx[: T - W + 1][valid]]
+        df = pd.DataFrame(
+            {
+                "g1": g1[valid].astype(np.int64),
+                "g2": g2[valid].astype(np.int64),
+                "doc_id": gd,
+            }
+        )
+        agg = df.groupby(["g1", "g2", "doc_id"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (agg["g1"].to_numpy(np.int64).astype(np.uint64) % np.uint64(64)).astype(
+                        np.int64
+                    )
+                ),
+                "g1": pa.array(agg["g1"].to_numpy(np.int64)),
+                "g2": pa.array(agg["g2"].to_numpy(np.int64)),
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "c": pa.array(agg["c"].to_numpy(np.int64)),
+            }
+        )
+
+    def gram_fold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(["g1", "g2"], sort=False)["c"].transform("sum")
+        hit = df[tot > 1]
+        out = hit.groupby("doc_id", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_grams": np.zeros(len(out), np.int64),
+                "dup_grams": out["c"].to_numpy(np.int64),
+            }
+        )
+
+    def ng_rows(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        nt = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        ng = np.maximum(nt - (W - 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(ng),
+                "dup_grams": pa.array(np.zeros(len(ng), np.int64)),
+            }
+        )
+
+    dup = (
+        ds.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gram_fold, batch_format="pandas")
+    )
+    ng = ds.map_batches(ng_rows, batch_format="pyarrow")
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket", pa.array(d % 64))
+
+    def doc_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("n_grams", "sum"), dup_grams=("dup_grams", "sum")
+        )
+        return g.astype({"doc_id": "int64", "n_grams": "int64", "dup_grams": "int64"})
+
+    return (
+        dup.union(ng)
+        .map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_fold, batch_format="pandas")
+    )
+
+
+SUFFIX_DEDUP_SQL = """
+with t as (select doc_id, string_split(text, ' ') as l from documents),
+g as (select doc_id,
+             unnest(list_transform(range(1, len(l) - 3),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                         l[i+3] || ' ' || l[i+4])) as g
+      from t),
+tot as (select g, count(*) as c from g group by g),
+dup as (select g.doc_id, count(*) as dup_grams
+        from g join tot on g.g = tot.g where tot.c > 1 group by g.doc_id)
+select t.doc_id,
+       cast(greatest(len(t.l) - 4, 0) as bigint) as n_grams,
+       cast(coalesce(d.dup_grams, 0) as bigint) as dup_grams
+from t left join dup d on t.doc_id = d.doc_id
+"""
+
+
+def ntile_lang(sf_dir: str) -> ray.data.Dataset:
+    """NTILE(4) of every document within its language by length — the
+    quartile-bucketing window operator (lang_rank's sibling; the
+    balanced-bucket assignment a curriculum/mixture sampler uses).
+    DuckDB NTILE semantics reproduced exactly: the first ``m % 4``
+    buckets of an m-row partition get ``ceil(m/4)`` rows, ordering by
+    (n_chars, doc_id).
+
+    Same shuffle shape as lang_rank: ONE hash(lang) % 64 bucket fold,
+    whole languages co-located, vectorized in-bucket assignment."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = _hash_arrow_strings(t["lang"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"], kind="mergesort")
+        m = df.groupby("lang", sort=False)["doc_id"].transform("size").to_numpy(np.int64)
+        first = df.groupby("lang", sort=False).cumcount().to_numpy(np.int64)
+        q, r0 = m // 4, m % 4
+        big = (q + 1) * r0
+        inbig = first < big
+        tile = np.where(
+            inbig,
+            first // np.maximum(q + 1, 1) + 1,
+            r0 + np.where(q > 0, (first - big) // np.maximum(q, 1), 0) + 1,
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "lang": df["lang"].to_numpy(),
+                "tile4": tile,
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+NTILE_LANG_SQL = """
+select doc_id, lang,
+       cast(ntile(4) over (partition by lang order by n_chars, doc_id) as bigint)
+         as tile4
+from documents
+"""
