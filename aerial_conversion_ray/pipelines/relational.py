@@ -1842,6 +1842,96 @@ window win as (partition by user_id order by ts, event_id
 """
 
 
+TIME_WINDOW_S = 3600
+
+
+def events_time_window(sf_dir: str, w_s: int = TIME_WINDOW_S) -> ray.data.Dataset:
+    """Per-user TIME-RANGE moving aggregate: for each event, the count
+    and exact fixed-point sum of the user's events with ``ts`` in
+    ``[ts - w_s, ts]`` (both ends inclusive; equal-ts rows are peers —
+    SQL ``RANGE BETWEEN INTERVAL w SECOND PRECEDING AND CURRENT ROW``
+    semantics, so the answer is independent of tie order).  The
+    rows-between frame is ``events_moving_avg``; this is the
+    event-TIME frame the streaming trio (tumbling/hopping/session)
+    and the rows frame both miss.
+
+    One shuffle keyed by ``hash(user_id) % 64`` (coarse bucket, never
+    the raw unbounded user_id).  Per-bucket kernel is fully
+    vectorized: sort by (user, ts), then build a globally MONOTONE
+    timeline by offsetting each user's span so consecutive users are
+    separated by more than ``w_s`` — after that, one
+    ``np.searchsorted`` pair gives every row's window bounds at once
+    and a prefix-sum difference gives the exact sums, with no
+    per-user Python loop.  Overflow guard: the offset timeline needs
+    ``sum_per_bucket(user_range + w) < 2**63`` us — at w=1h that is
+    ~2e9 users PER BUCKET; asserted loudly rather than wrapped."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    n_buckets = 64
+    w_us = np.int64(w_s) * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int64))
+        )
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v = to_fixed(df["value"].to_numpy(), 1_000_000.0)
+        n = len(uid)
+        # gap to insert at each user boundary so a (ts - w) probe can
+        # never cross into the previous user's span
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        jump = np.zeros(n, dtype=np.int64)
+        jump[1:][new_user[1:]] = (
+            ts[:-1][new_user[1:]] - ts[1:][new_user[1:]] + w_us + 1
+        )
+        off = np.cumsum(np.maximum(jump, 0))
+        mono = ts + off
+        assert mono[-1] < np.iinfo(np.int64).max - w_us, (
+            "events_time_window: monotone-timeline offset would overflow "
+            "int64 — split this user bucket finer"
+        )
+        lo = np.searchsorted(mono, mono - w_us, side="left")
+        hi = np.searchsorted(mono, mono, side="right")
+        csum = np.concatenate([[0], np.cumsum(v)])
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": uid,
+                "n_w": (hi - lo).astype(np.int64),
+                "sum_w_u": (csum[hi] - csum[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+def events_time_window_sql(w_s: int = TIME_WINDOW_S) -> str:
+    return f"""
+with v as (select event_id, user_id, ts,
+                  cast(floor(value * 1000000.0 + 0.5) as bigint) as value_u
+           from events)
+select event_id, user_id,
+       cast(count(*) over win as bigint) as n_w,
+       cast(sum(value_u) over win as bigint) as sum_w_u
+from v
+window win as (partition by user_id order by ts
+               range between interval '{w_s}' second preceding
+                         and current row)
+"""
+
+
 # --------------------------------------------------------------------------
 # funnel analysis (ordered step conversion per user)
 # --------------------------------------------------------------------------
