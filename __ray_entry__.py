@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-between moving window (completes the window family)
         "events_moving_avg": relational.events_moving_avg,
         "events_time_window": relational.events_time_window,
+        "lang_heavy_hitters": text.lang_heavy_hitters,
         # ordered step conversion (view -> click -> purchase) per user
         "events_funnel": relational.events_funnel,
         # window-over-window distinct-user retention
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": relational.EVENTS_WINDOW_SQL,
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_time_window": relational.events_time_window_sql(),
+        "lang_heavy_hitters": text.lang_heavy_hitters_sql(),
         "events_funnel": relational.events_funnel_sql(),
         "events_retention": relational.events_retention_sql(),
         "customer_yoy": relational.CUSTOMER_YOY_SQL,

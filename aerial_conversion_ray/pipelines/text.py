@@ -2157,6 +2157,118 @@ group by token order by n desc, token limit {k}
 
 
 # --------------------------------------------------------------------------
+# grouped heavy hitters: exact top-k tokens PER LANGUAGE
+# --------------------------------------------------------------------------
+
+LANG_HH_K = 10
+
+
+def lang_heavy_hitters(sf_dir: str, k: int = LANG_HH_K) -> ray.data.Dataset:
+    """EXACT top-k tokens per language — the grouped counterpart of
+    ``heavy_hitters`` (per-lang vocabulary dashboards, stopword-list
+    induction per language).
+
+    Scale shape: per-batch exact (lang, token, n) partials (one
+    lexsort run-split, collision-proof exactly like
+    ``_batch_token_counts``), then ONE coarse fold keyed by
+    ``hash(token) % 64`` — every partial for a token lands in one
+    bucket, so the per-bucket pandas groupby yields that token's exact
+    GLOBAL per-lang counts; each bucket then keeps only its top-k rows
+    per lang (any global top-k token is, within its own bucket, among
+    that bucket's k best for its lang under the same deterministic
+    (n desc, token asc) order — so pruning is lossless).  The final
+    merge ranks <= 64*langs*k candidate rows in one group-task per
+    lang.  The vocabulary is never collected on the driver and never
+    broadcast (the BASELINE.md vocabulary lesson); the shuffle moves
+    per-batch distinct-token partial rows only — the tfidf plan."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    n_buckets = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        reps = np.diff(toks.offsets.to_numpy())
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lang_dict = lang.dictionary_encode()
+        lang_idx = np.repeat(
+            lang_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64), reps
+        )
+        h = _hash_arrow_strings(flat)
+        order = np.lexsort((h, lang_idx))
+        fs = flat.take(pa.array(order))
+        hs, ls = h[order], lang_idx[order]
+        new = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            sdiff = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = (ls[1:] != ls[:-1]) | (hs[1:] != hs[:-1]) | sdiff
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate([starts, [len(hs)]])).astype(np.int64)
+        tok_g = fs.take(pa.array(starts))
+        return pa.table(
+            {
+                "lang": lang_dict.dictionary.take(pa.array(ls[starts])),
+                "token": tok_g,
+                "n": pa.array(counts),
+                "bucket": pa.array(
+                    (_hash_arrow_strings(tok_g) % np.uint64(n_buckets)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["lang", "token"], as_index=False)["n"].sum()
+        c = c.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        c = c[c.groupby("lang").cumcount() < k]
+        return c[["lang", "token", "n"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        df["rank"] = df.groupby("lang").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return df.astype({"n": np.int64, "rank": np.int64})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def lang_heavy_hitters_sql(k: int = LANG_HH_K) -> str:
+    return f"""
+with toks as (select lang, unnest(string_split(text, ' ')) as token
+              from documents),
+c as (select lang, token, count(*) as n from toks group by lang, token)
+select lang, token, cast(n as bigint) as n, cast(rank as bigint) as rank
+from (select lang, token, n,
+             row_number() over (partition by lang
+                                order by n desc, token) as rank
+      from c)
+where rank <= {k}
+"""
+
+
+# --------------------------------------------------------------------------
 # within-document first-occurrence positions (C4-style repetition map)
 # --------------------------------------------------------------------------
 

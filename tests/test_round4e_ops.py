@@ -87,3 +87,39 @@ def test_events_time_window_tie_peers():
     assert list(got["sum_w_u"]) == [
         10_000_000, 30_000_000, 90_000_000, 90_000_000, 5_000_000
     ]
+
+
+def _brute_lang_hh(sf_dir, k):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for lang, text in zip(docs["lang"], docs["text"]):
+        per[lang].update(text.split(" "))
+    rows = []
+    for lang, ctr in per.items():
+        best = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (tok, n) in enumerate(best, 1):
+            rows.append((lang, tok, n, r))
+    return (
+        pd.DataFrame(rows, columns=["lang", "token", "n", "rank"])
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_lang_heavy_hitters_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    k = T.LANG_HH_K
+    want = _brute_lang_hh(sf_dir, k)
+    got = (
+        T.lang_heavy_hitters(sf_dir, k)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["lang", "token", "n", "rank"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert got.groupby("lang")["rank"].max().eq(k).all()
