@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "rank", "neighbor_id"]),
         "knn_kring": lambda sf: spatial.knn_pipeline(sf, CFG, method="kring")
         .select_columns(["query_id", "rank", "neighbor_id"]),
+        "dbscan_cells": lambda sf: spatial.dbscan_cells(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         # knn_kring is EXACT (adaptive ring expansion with a provable
         # coverage-radius stopping rule) — same oracle as brute kNN.
         "knn_kring": sql_oracle.knn_sql(CFG),
+        "dbscan_cells": sql_oracle.dbscan_cells_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

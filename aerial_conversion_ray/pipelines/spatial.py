@@ -2382,3 +2382,159 @@ select doc_id, cast(rn as bigint) as rnk, cast(fid as bigint) as facility_id,
        cast(floor(dm * 1000.0 + 0.5) as bigint) as dist_mm
 from d where rn <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# grid DBSCAN: density clustering over geocoded pages (cell-granular)
+# --------------------------------------------------------------------------
+
+DBSCAN_RES = 11
+DBSCAN_MINPTS = 2
+N_DBSCAN_BUCKETS = 64
+
+
+def dbscan_cells(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    res: int = DBSCAN_RES,
+    min_pts: int = DBSCAN_MINPTS,
+) -> ray.data.Dataset:
+    """Cell-granular DBSCAN over the geocoded page corpus: density
+    clustering at eps = one res-``res`` grid cell (~0.18 deg).  A CORE
+    cell holds >= ``min_pts`` pages; clusters are the connected
+    components of core cells under 8-neighbour (Chebyshev-1)
+    adjacency, labelled by the component's minimum cell id — the
+    deterministic grid formulation of DBSCAN (generalizing the
+    reference's tile-neighbourhood arithmetic,
+    ``aerial_conversion/tiles.py:180-256``, into a density clusterer;
+    hot-spot detection over a crawl's geocoded footprint).
+
+    Scale shape: one streaming pass emits per-batch (cell, n)
+    partials; ONE coarse fold keyed ``cell % 64`` yields exact global
+    cell counts and filters to core cells — the only rows that ever
+    exist after the fold are OCCUPIED-cell rows (bounded by corpus
+    size, usually tiny).  Neighbour edges are key arithmetic (no
+    search): each core cell probes its 8 Chebyshev neighbours with a
+    bucketed semi-join against the core set (no lon wrap, matching
+    the clamped encode).  Components are resolved by
+    ``cluster.connected_components`` — edge list only, vertices stay
+    distributed; driver pointer-jump fast path when the core-cell
+    graph is collectable.  Output: (cell, n, cluster_id) per core
+    cell."""
+    import pandas as pd
+
+    from .cluster import connected_components
+
+    n_side = np.int64(1 << res)
+    counts = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cell = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), res)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array((u % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def fold_core(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        g = g[g["n"] >= min_pts]
+        return g[["cell", "n"]].astype(np.int64)
+
+    core = (
+        counts.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_core, batch_format="pandas")
+        .materialize()  # consumed by 3 branches (probes, presence, labels)
+    )
+
+    def probes(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy, ix = c // n_side, c % n_side
+        outs = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = ix + dx, iy + dy
+                ok = (nx >= 0) & (nx < n_side) & (ny >= 0) & (ny < n_side // 2)
+                nb = ny[ok] * n_side + nx[ok]
+                outs.append((c[ok], nb))
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        keep = a < b  # each undirected edge probed from its low end only
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "kind": pa.array(np.zeros(keep.sum(), np.int64)),
+                "bucket": pa.array((b[keep] % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def presence(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(c),
+                "b": pa.array(c),
+                "kind": pa.array(np.ones(len(c), np.int64)),
+                "bucket": pa.array((c % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        have = df[df["kind"] == 1]["b"].unique()
+        e = df[df["kind"] == 0]
+        e = e[e["b"].isin(have)]
+        return e[["a", "b"]].astype(np.int64)
+
+    edges = (
+        core.map_batches(probes, batch_format="pyarrow")
+        .union(core.map_batches(presence, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(semi, batch_format="pandas")
+    )
+
+    nodes = core.map_batches(
+        lambda t: pa.table({"node": t["cell"]}), batch_format="pyarrow"
+    )
+    lab = connected_components(edges, nodes)  # (doc_id=cell, cluster_id)
+
+    def tag_lab(t: pa.Table) -> pa.Table:
+        c = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(c),
+                "val": t["cluster_id"],
+                "kind": pa.array(np.zeros(len(c), np.int64)),
+                "bucket": pa.array((c % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def tag_core(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(c),
+                "val": t["n"],
+                "kind": pa.array(np.ones(len(c), np.int64)),
+                "bucket": pa.array((c % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lab_d = df[df["kind"] == 0][["cell", "val"]].rename(columns={"val": "cluster_id"})
+        cor_d = df[df["kind"] == 1][["cell", "val"]].rename(columns={"val": "n"})
+        out = cor_d.merge(lab_d, on="cell", how="inner")
+        return out[["cell", "n", "cluster_id"]].astype(np.int64)
+
+    return (
+        lab.map_batches(tag_lab, batch_format="pyarrow")
+        .union(core.map_batches(tag_core, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+    )

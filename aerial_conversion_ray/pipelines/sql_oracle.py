@@ -457,3 +457,33 @@ def cell_compact_sql(
     return (
         _pages_geo(cfg) + ", " + ", ".join(ctes) + " " + " union all ".join(selects)
     )
+
+
+def dbscan_cells_sql(
+    cfg: EngineConfig = DEFAULT_CFG, res: int = 11, min_pts: int = 2
+) -> str:
+    """Oracle for pipelines.spatial.dbscan_cells: core-cell counts,
+    Chebyshev-1 adjacency self-join, recursive min-label components."""
+    n = 1 << res
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg).replace("with pages as", "with recursive pages as", 1)
+        + f""",
+cellt as (select {cell} as cell from geo),
+core as (select cell, count(*) as n from cellt group by cell
+         having count(*) >= {min_pts}),
+e as (select a.cell as src, b.cell as dst
+      from core a join core b on a.cell <> b.cell
+       and abs((a.cell % {n}) - (b.cell % {n})) <= 1
+       and abs((a.cell // {n}) - (b.cell // {n})) <= 1),
+cc(node, lbl) as (
+  select cell, cell from core
+  union
+  select e.dst, c.lbl from cc c join e on e.src = c.node
+  where c.lbl < e.dst
+),
+lab as (select node as cell, min(lbl) as cluster_id from cc group by node)
+select core.cell, cast(core.n as bigint) as n, lab.cluster_id
+from core join lab using (cell)
+"""
+    )

@@ -123,3 +123,70 @@ def test_lang_heavy_hitters_matches_brute(sf_dir):
     for c in ["lang", "token", "n", "rank"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert got.groupby("lang")["rank"].max().eq(k).all()
+
+
+def test_dbscan_cells_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import spatial
+    from aerial_conversion_ray.geo import cells as C
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.sources.pages import pages_cte
+    import duckdb
+
+    cfg = spatial.DEFAULT_CFG
+    res, minpts = spatial.DBSCAN_RES, spatial.DBSCAN_MINPTS
+    pages = duckdb.sql(
+        f"with documents as (select * from read_parquet('{sf_dir}/documents.parquet')), "
+        f"p as ({pages_cte(cfg.pages_rep)}) select page_id from p"
+    ).df()
+    g = geocode_arrays(pages["page_id"].to_numpy(np.int64))
+    cell = C.encode(g["lon"], g["lat"], res)
+    u, cnt = np.unique(cell, return_counts=True)
+    core = u[cnt >= minpts]
+    n_core = dict(zip(core.tolist(), cnt[cnt >= minpts].tolist()))
+    # brute union-find over Chebyshev-1 adjacency
+    n_side = 1 << res
+    parent = {c: c for c in core.tolist()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    core_set = set(core.tolist())
+    for c in core.tolist():
+        iy, ix = divmod(c, n_side)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                nx, ny = ix + dx, iy + dy
+                if 0 <= nx < n_side and 0 <= ny < n_side // 2:
+                    nb = ny * n_side + nx
+                    if nb in core_set:
+                        ra, rb = find(c), find(nb)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+    want = (
+        pd.DataFrame(
+            {
+                "cell": list(core_set),
+                "n": [n_core[c] for c in core_set],
+                "cluster_id": [find(c) for c in core_set],
+            }
+        )
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    got = (
+        spatial.dbscan_cells(sf_dir, cfg)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["cell", "n", "cluster_id"]:
+        assert (got[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
+    # the synthetic hot spot must produce one dominant multi-cell cluster
+    sizes = got.groupby("cluster_id").size()
+    assert sizes.max() >= 4
