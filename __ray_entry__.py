@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": relational.events_moving_avg,
         "events_time_window": relational.events_time_window,
         "lang_heavy_hitters": text.lang_heavy_hitters,
+        # rows-only: BPE merge application is not SQL-expressible;
+        # exact parity vs a pure-Python reference in pytest
+        "bpe_encode": text.bpe_encode,
         # ordered step conversion (view -> click -> purchase) per user
         "events_funnel": relational.events_funnel,
         # window-over-window distinct-user retention

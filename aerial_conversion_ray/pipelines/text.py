@@ -4639,3 +4639,125 @@ select doc_id, lang,
          as tile4
 from documents
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge application (deterministic single-pass-per-rank variant)
+# --------------------------------------------------------------------------
+
+# fixed merge table (rank order).  Pieces are lowercase-ascii; the
+# space separator appears in no merge, so merges can never cross word
+# boundaries by construction.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("a", "s"), ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("r", "o"), ("ro", "w"), ("h", "a"), ("s", "h"),
+    ("ha", "sh"), ("v", "a"), ("va", "l"), ("u", "e"),
+    ("val", "ue"), ("f", "as"), ("fas", "t"), ("k", "e"),
+    ("ke", "y"), ("s", "o"), ("so", "r"), ("sor", "t"),
+)
+
+
+def _bpe_ids() -> tuple[list[tuple[int, int, int]], dict[str, int]]:
+    """Resolve the string merge table into (left_id, right_id, new_id)
+    triples.  Single chars are their byte value; merged pieces get ids
+    256+rank.  A merge whose side names a piece no earlier merge
+    produced is a table bug -> loud KeyError at import."""
+    piece: dict[str, int] = {chr(c): c for c in range(256)}
+    out = []
+    for rank, (a, b) in enumerate(BPE_MERGES):
+        new_id = 256 + rank
+        out.append((piece[a], piece[b], new_id))
+        piece[a + b] = new_id
+    return out, piece
+
+
+_BPE_TRIPLES, _BPE_PIECE_IDS = _bpe_ids()
+_SPACE = 32
+
+
+def _bpe_apply_flat(
+    tok: np.ndarray, doc: np.ndarray, triples: list[tuple[int, int, int]] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Apply the merge table to a flat (token_id, doc_idx) stream:
+    each rank once, in order, greedy-LEFTMOST exhaustive (overlapping
+    matches resolved by keeping even positions within each maximal
+    run of consecutive matches — exactly leftmost-greedy).  Pure
+    numpy; no per-word Python."""
+    for a, b, new_id in (_BPE_TRIPLES if triples is None else triples):
+        if len(tok) < 2:
+            break
+        m = (tok[:-1] == a) & (tok[1:] == b) & (doc[:-1] == doc[1:])
+        if not m.any():
+            continue
+        # greedy-left within runs of consecutive matches
+        mi = np.flatnonzero(m)
+        run_start = np.ones(len(mi), dtype=bool)
+        run_start[1:] = mi[1:] != mi[:-1] + 1
+        run_id = np.cumsum(run_start) - 1
+        pos_in_run = np.arange(len(mi)) - np.flatnonzero(run_start)[run_id]
+        keep = mi[pos_in_run % 2 == 0]
+        tok = tok.copy()
+        tok[keep] = new_id
+        dead = np.zeros(len(tok), dtype=bool)
+        dead[keep + 1] = True
+        tok, doc = tok[~dead], doc[~dead]
+    return tok, doc
+
+
+def bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """Per-document BPE token counts under the fixed ``BPE_MERGES``
+    table — real byte-pair-encoding merge application (the tokenizer-
+    cost estimator a training-data pipeline runs before packing), not
+    a regex approximation.  Output: (doc_id, n_words, n_bpe) where
+    n_bpe counts the doc's pieces after all merges (spaces excluded).
+
+    Scale shape: zero shuffle — purely per-row semantics in one
+    ``map_batches`` pass.  The kernel never materializes per-word
+    Python objects: it reads the Arrow string column's data buffer
+    ZERO-COPY as a uint8 stream (doc boundaries from the offsets
+    buffer, word boundaries are the space bytes, which no merge
+    contains), then applies each merge rank once over the whole
+    batch's flat stream with vectorized match + run-parity overlap
+    resolution.  Cost is O(len(buffer) * n_merges) numpy ops per
+    batch, independent of word or doc count.
+
+    Semantics (pinned for the pytest oracle): single pass per rank in
+    table order, each exhaustive greedy-leftmost; later merges never
+    re-enable earlier ranks (their outputs are new ids no earlier
+    rank references)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_docs = len(col)
+        off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+            col.offset : col.offset + n_docs + 1
+        ].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        buf = data[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        tok = buf.astype(np.int32)
+        lens = np.diff(offs)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        n_words = np.zeros(n_docs, dtype=np.int64)
+        if len(tok):
+            np.add.at(n_words, doc[tok == _SPACE], 1)
+        n_words += (lens > 0).astype(np.int64)
+        tok2, doc2 = _bpe_apply_flat(tok, doc)
+        n_bpe = np.zeros(n_docs, dtype=np.int64)
+        live = doc2[tok2 != _SPACE]
+        if len(live):
+            np.add.at(n_bpe, live, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_bpe": pa.array(n_bpe),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

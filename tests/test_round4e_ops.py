@@ -190,3 +190,57 @@ def test_dbscan_cells_matches_brute(sf_dir):
     # the synthetic hot spot must produce one dominant multi-cell cluster
     sizes = got.groupby("cluster_id").size()
     assert sizes.max() >= 4
+
+
+def _bpe_word_py(word, triples):
+    toks = [ord(c) for c in word]
+    for a, b, new in triples:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(new)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_bpe_encode_matches_pure_python(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = []
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        words = txt.split(" ")
+        n_bpe = sum(len(_bpe_word_py(w, T._BPE_TRIPLES)) for w in words)
+        want.append((int(doc_id), len(words), n_bpe))
+    want = (
+        pd.DataFrame(want, columns=["doc_id", "n_words", "n_bpe"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        T.bpe_encode(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["doc_id", "n_words", "n_bpe"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # merges must actually fire: pieces < raw chars, and for docs
+    # containing 'table' the 4-rank chain collapses it to one piece
+    raw = docs["text"].str.replace(" ", "", regex=False).str.len().to_numpy()
+    assert (got["n_bpe"].to_numpy() < raw).all()
+
+
+def test_bpe_greedy_leftmost_overlap():
+    from aerial_conversion_ray.pipelines import text as T
+
+    # crafted overlap: pair ('a','a') on 'aaaa' -> two merges; on
+    # 'aaa' -> one merge + lone 'a'
+    tok = np.array([ord("a")] * 7, np.int32)
+    doc = np.array([0, 0, 0, 0, 1, 1, 1], np.int64)
+    triples = [(ord("a"), ord("a"), 300)]
+    out_tok, out_doc = T._bpe_apply_flat(tok, doc, triples)
+    assert list(out_tok) == [300, 300, 300, ord("a")]
+    assert list(out_doc) == [0, 0, 1, 1]
