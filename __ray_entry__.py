@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_kring": lambda sf: spatial.knn_pipeline(sf, CFG, method="kring")
         .select_columns(["query_id", "rank", "neighbor_id"]),
         "dbscan_cells": lambda sf: spatial.dbscan_cells(sf, CFG),
+        "line_cells": lambda sf: spatial.line_cells(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         # coverage-radius stopping rule) — same oracle as brute kNN.
         "knn_kring": sql_oracle.knn_sql(CFG),
         "dbscan_cells": sql_oracle.dbscan_cells_sql(CFG),
+        "line_cells": sql_oracle.line_cells_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

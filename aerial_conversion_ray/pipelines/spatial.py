@@ -2538,3 +2538,91 @@ def dbscan_cells(
         .groupby("bucket")
         .map_groups(attach, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# line-segment supercover: cells crossed by a per-page segment
+# --------------------------------------------------------------------------
+
+LINE_CELLS_RES = 11
+
+
+def line_cells(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = LINE_CELLS_RES
+) -> ray.data.Dataset:
+    """Vector polyline -> raster cell coverage (supercover): every
+    res-``res`` grid cell whose box the page's synthetic line segment
+    intersects — the linear-feature analog of the footprint clip join
+    (roads/edges rasterized onto the tile grid; generalizes the
+    reference's polygon-to-pixel path, ``aerial_conversion/
+    coordinates.py:170-203``, from areas to lines).
+
+    Segment: from the page point toward the origin by (100r, 50r)
+    deg — a pure function of page_id, so the DuckDB oracle mirrors it
+    bit-for-bit.  EXACT coverage test per candidate cell (candidates
+    = the segment's bbox cells, a <=~5x4 expansion): a segment
+    intersects an axis box iff the box's corners straddle the
+    segment's line (min cross <= 0 <= max cross) — bbox overlap holds
+    by construction.  All double ops appear in the same order as the
+    SQL, so boundary-touching cells cannot diverge.
+
+    Scale shape: zero shuffle — one map_batches pass, per-batch
+    vectorized candidate expansion (np.repeat + cumulative offsets)
+    and cross-product test; output is the (page_id, cell) explode."""
+    n_side = np.int64(1 << res)
+    w = 360.0 / float(1 << res)
+    ds = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = t["lon"].to_numpy()
+        y0 = t["lat"].to_numpy()
+        r = (t["fp_maxx"].to_numpy() - x0)  # = geocode r, rebuilt not re-shipped
+        sx = np.where(x0 >= 0.0, 1.0, -1.0)
+        sy = np.where(y0 >= 0.0, 1.0, -1.0)
+        x1 = x0 - sx * (100.0 * r)
+        y1 = y0 - sy * (50.0 * r)
+        ix0 = np.floor((x0 + 180.0) / w).astype(np.int64)
+        ix1 = np.floor((x1 + 180.0) / w).astype(np.int64)
+        iy0 = np.floor((y0 + 90.0) / w).astype(np.int64)
+        iy1 = np.floor((y1 + 90.0) / w).astype(np.int64)
+        lox, hix = np.minimum(ix0, ix1), np.maximum(ix0, ix1)
+        loy, hiy = np.minimum(iy0, iy1), np.maximum(iy0, iy1)
+        nx = hix - lox + 1
+        ny = hiy - loy + 1
+        cnt = nx * ny
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {"page_id": pa.array([], pa.int64()), "cell": pa.array([], pa.int64())}
+            )
+        ridx = np.repeat(np.arange(len(pid)), cnt)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        k = np.arange(total) - starts[ridx]
+        vx = k % nx[ridx]
+        vy = k // nx[ridx]
+        ix = lox[ridx] + vx
+        iy = loy[ridx] + vy
+        bxmin = ix.astype(np.float64) * w - 180.0
+        bxmax = (ix + 1).astype(np.float64) * w - 180.0
+        bymin = iy.astype(np.float64) * w - 90.0
+        bymax = (iy + 1).astype(np.float64) * w - 90.0
+        dx = x1[ridx] - x0[ridx]
+        dy = y1[ridx] - y0[ridx]
+        px = x0[ridx]
+        py = y0[ridx]
+        d1 = dx * (bymin - py) - dy * (bxmin - px)
+        d2 = dx * (bymax - py) - dy * (bxmin - px)
+        d3 = dx * (bymin - py) - dy * (bxmax - px)
+        d4 = dx * (bymax - py) - dy * (bxmax - px)
+        dmin = np.minimum(np.minimum(d1, d2), np.minimum(d3, d4))
+        dmax = np.maximum(np.maximum(d1, d2), np.maximum(d3, d4))
+        keep = (dmin <= 0.0) & (dmax >= 0.0)
+        return pa.table(
+            {
+                "page_id": pa.array(pid[ridx][keep]),
+                "cell": pa.array((iy * n_side + ix)[keep]),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -487,3 +487,42 @@ select core.cell, cast(core.n as bigint) as n, lab.cluster_id
 from core join lab using (cell)
 """
     )
+
+
+def line_cells_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = 11) -> str:
+    """Oracle for pipelines.spatial.line_cells — identical double ops
+    in identical order (segment build, bbox candidates, corner-cross
+    straddle test)."""
+    n = 1 << res
+    w = repr(360.0 / n)
+    r = "(fp_maxx - lon)"
+    return (
+        _pages_geo(cfg)
+        + f""",
+seg as (select page_id, lon as x0, lat as y0,
+  lon - (case when lon >= 0.0 then 1.0 else -1.0 end) * (100.0 * {r}) as x1,
+  lat - (case when lat >= 0.0 then 1.0 else -1.0 end) * (50.0 * {r}) as y1
+  from geo),
+b as (select *,
+  least(cast(floor((x0 + 180.0) / {w}) as bigint),
+        cast(floor((x1 + 180.0) / {w}) as bigint)) as lox,
+  greatest(cast(floor((x0 + 180.0) / {w}) as bigint),
+           cast(floor((x1 + 180.0) / {w}) as bigint)) as hix,
+  least(cast(floor((y0 + 90.0) / {w}) as bigint),
+        cast(floor((y1 + 90.0) / {w}) as bigint)) as loy,
+  greatest(cast(floor((y0 + 90.0) / {w}) as bigint),
+           cast(floor((y1 + 90.0) / {w}) as bigint)) as hiy
+  from seg),
+ex as (select *, unnest(generate_series(lox, hix)) as ix from b),
+ey as (select *, unnest(generate_series(loy, hiy)) as iy from ex),
+c as (select page_id, ix, iy,
+  (x1 - x0) * ((iy * {w} - 90.0) - y0) - (y1 - y0) * ((ix * {w} - 180.0) - x0) as d1,
+  (x1 - x0) * (((iy + 1) * {w} - 90.0) - y0) - (y1 - y0) * ((ix * {w} - 180.0) - x0) as d2,
+  (x1 - x0) * ((iy * {w} - 90.0) - y0) - (y1 - y0) * (((ix + 1) * {w} - 180.0) - x0) as d3,
+  (x1 - x0) * (((iy + 1) * {w} - 90.0) - y0) - (y1 - y0) * (((ix + 1) * {w} - 180.0) - x0) as d4
+  from ey)
+select page_id, (iy * {n} + ix) as cell from c
+where least(least(d1, d2), least(d3, d4)) <= 0.0
+  and greatest(greatest(d1, d2), greatest(d3, d4)) >= 0.0
+"""
+    )

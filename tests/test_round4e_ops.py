@@ -244,3 +244,30 @@ def test_bpe_greedy_leftmost_overlap():
     out_tok, out_doc = T._bpe_apply_flat(tok, doc, triples)
     assert list(out_tok) == [300, 300, 300, ord("a")]
     assert list(out_doc) == [0, 0, 1, 1]
+
+
+def test_line_cells_supercover_properties(sf_dir):
+    from aerial_conversion_ray.pipelines import spatial
+    from aerial_conversion_ray.geo import cells as C
+    from aerial_conversion_ray.geocode import geocode_arrays
+
+    cfg = spatial.DEFAULT_CFG
+    res = spatial.LINE_CELLS_RES
+    got = spatial.line_cells(sf_dir, cfg).to_pandas()
+    # both segment endpoints' cells must be covered for every page
+    pages = got["page_id"].unique()
+    g = geocode_arrays(pages.astype(np.int64))
+    r = (g["lon"] + g["r"]) - g["lon"]
+    sx = np.where(g["lon"] >= 0.0, 1.0, -1.0)
+    sy = np.where(g["lat"] >= 0.0, 1.0, -1.0)
+    x1 = g["lon"] - sx * (100.0 * r)
+    y1 = g["lat"] - sy * (50.0 * r)
+    c0 = C.encode(g["lon"], g["lat"], res)
+    c1 = C.encode(x1, y1, res)
+    have = set(zip(got["page_id"].to_numpy(), got["cell"].to_numpy()))
+    for pid, a, b in zip(pages, c0, c1):
+        assert (pid, a) in have and (pid, b) in have
+    # coverage is a contiguous-ish explode: every page covers >= 1 cell
+    # and the mean is small (bbox candidates pruned by the line test)
+    per = got.groupby("page_id").size()
+    assert per.min() >= 1 and per.mean() < 12
