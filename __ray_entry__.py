@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         .select_columns(["query_id", "rank", "neighbor_id"]),
         "dbscan_cells": lambda sf: spatial.dbscan_cells(sf, CFG),
         "line_cells": lambda sf: spatial.line_cells(sf, CFG),
+        "focal_stats": lambda sf: spatial.focal_stats(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: BPE merge application is not SQL-expressible;
         # exact parity vs a pure-Python reference in pytest
         "bpe_encode": text.bpe_encode,
+        "token_diversity": text.token_diversity,
         # ordered step conversion (view -> click -> purchase) per user
         "events_funnel": relational.events_funnel,
         # window-over-window distinct-user retention
@@ -426,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_kring": sql_oracle.knn_sql(CFG),
         "dbscan_cells": sql_oracle.dbscan_cells_sql(CFG),
         "line_cells": sql_oracle.line_cells_sql(CFG),
+        "focal_stats": sql_oracle.focal_stats_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),
@@ -438,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": relational.events_moving_avg_sql(),
         "events_time_window": relational.events_time_window_sql(),
         "lang_heavy_hitters": text.lang_heavy_hitters_sql(),
+        "token_diversity": text.TOKEN_DIVERSITY_SQL,
         "events_funnel": relational.events_funnel_sql(),
         "events_retention": relational.events_retention_sql(),
         "customer_yoy": relational.CUSTOMER_YOY_SQL,

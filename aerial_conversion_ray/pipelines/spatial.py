@@ -2626,3 +2626,99 @@ def line_cells(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+# --------------------------------------------------------------------------
+# focal statistics: 3x3 neighbourhood aggregate over the cell raster
+# --------------------------------------------------------------------------
+
+FOCAL_RES = 11
+
+
+def focal_stats(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = FOCAL_RES
+) -> ray.data.Dataset:
+    """Focal (moving-window) statistics over the implicit page-count
+    raster: for every OCCUPIED res-``res`` cell, its own page count
+    ``n`` and the 3x3 Chebyshev-ring sum ``ring_n`` — the raster
+    convolution / kernel-smoothing primitive (GIS focal sum),
+    expressed over a sparse cell table instead of a dense grid so
+    empty oceans cost nothing.
+
+    Scale shape: one streaming pass -> per-batch (cell, n) partials ->
+    ONE coarse ``cell % 64`` fold for exact counts (sparse,
+    output-sized); then each occupied cell SCATTERS its count to its
+    9 Chebyshev targets by key arithmetic (no search, no wrap —
+    matching the clamped encode) and a second coarse fold gathers
+    ``ring_n``, inner-joined against occupancy so only real cells
+    emerge.  Both shuffles carry int64 pairs only."""
+    import pandas as pd
+
+    n_side = np.int64(1 << res)
+    counts = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cell = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), res)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array((u % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        return g[["cell", "n"]].astype(np.int64)
+
+    occ = (
+        counts.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # consumed twice (scatter + occupancy)
+    )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy, ix = c // n_side, c % n_side
+        tgt, contrib, kind = [], [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nx, ny = ix + dx, iy + dy
+                ok = (nx >= 0) & (nx < n_side) & (ny >= 0) & (ny < n_side // 2)
+                tgt.append(ny[ok] * n_side + nx[ok])
+                contrib.append(n[ok])
+        tgt.append(c)
+        contrib.append(n)
+        t_all = np.concatenate(tgt)
+        c_all = np.concatenate(contrib)
+        k_all = np.concatenate(
+            [np.zeros(len(t_all) - len(c), np.int64), np.ones(len(c), np.int64)]
+        )
+        return pa.table(
+            {
+                "cell": pa.array(t_all),
+                "v": pa.array(c_all),
+                "kind": pa.array(k_all),
+                "bucket": pa.array((t_all % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def gather(df: pd.DataFrame) -> pd.DataFrame:
+        own = df[df["kind"] == 1][["cell", "v"]].rename(columns={"v": "n"})
+        ring = (
+            df[df["kind"] == 0]
+            .groupby("cell", as_index=False)["v"]
+            .sum()
+            .rename(columns={"v": "ring_n"})
+        )
+        out = own.merge(ring, on="cell", how="inner")
+        return out[["cell", "n", "ring_n"]].astype(np.int64)
+
+    return (
+        occ.map_batches(scatter, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gather, batch_format="pandas")
+    )

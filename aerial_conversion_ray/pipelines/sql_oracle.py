@@ -526,3 +526,22 @@ where least(least(d1, d2), least(d3, d4)) <= 0.0
   and greatest(greatest(d1, d2), greatest(d3, d4)) >= 0.0
 """
     )
+
+
+def focal_stats_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = 11) -> str:
+    """Oracle for pipelines.spatial.focal_stats: sparse cell counts,
+    Chebyshev<=1 self-join ring sum."""
+    n = 1 << res
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg)
+        + f""",
+cellt as (select {cell} as cell from geo),
+cnt as (select cell, count(*) as n from cellt group by cell)
+select a.cell, cast(a.n as bigint) as n, cast(sum(b.n) as bigint) as ring_n
+from cnt a join cnt b
+  on abs((a.cell % {n}) - (b.cell % {n})) <= 1
+ and abs((a.cell // {n}) - (b.cell // {n})) <= 1
+group by a.cell, a.n
+"""
+    )

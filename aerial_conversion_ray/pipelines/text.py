@@ -4761,3 +4761,75 @@ def bpe_encode(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# token diversity (Simpson / repeat-probability index, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def token_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Per-document lexical diversity as EXACT integers: n_tokens,
+    n_distinct, and ``rep2 = sum_i n_i * (n_i - 1)`` over the doc's
+    token histogram — the Simpson / repeat-probability numerator
+    (P[two draws equal] = rep2 / (n*(n-1))), the integer-exact
+    diversity signal a quality filter uses where Shannon entropy
+    would drag in libm floats the oracle can't pin down.
+
+    Scale shape: zero shuffle — purely per-row; one map_batches pass.
+    Kernel is the ``_batch_token_counts`` lexsort-run trick extended
+    with the doc key: flatten all tokens, lexsort (doc, hash), split
+    runs on string inequality (collision-proof: splits never merge),
+    then per-doc segment sums — no per-doc Python."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten()
+        n_docs = len(text)
+        reps = np.diff(toks.offsets.to_numpy())
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), reps)
+        n_tokens = reps.astype(np.int64)
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        rep2 = np.zeros(n_docs, dtype=np.int64)
+        if len(flat):
+            h = _hash_arrow_strings(flat)
+            order = np.lexsort((h, doc_idx))
+            fs = flat.take(pa.array(order))
+            hs, ds_ = h[order], doc_idx[order]
+            new = np.ones(len(hs), dtype=bool)
+            if len(hs) > 1:
+                sdiff = pc.not_equal(
+                    fs.slice(1), fs.slice(0, len(fs) - 1)
+                ).to_numpy(zero_copy_only=False)
+                new[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1]) | sdiff
+            starts = np.nonzero(new)[0]
+            counts = np.diff(np.concatenate([starts, [len(hs)]])).astype(np.int64)
+            gdoc = ds_[starts]
+            np.add.at(n_distinct, gdoc, 1)
+            np.add.at(rep2, gdoc, counts * (counts - 1))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_distinct": pa.array(n_distinct),
+                "rep2": pa.array(rep2),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+TOKEN_DIVERSITY_SQL = """
+with toks as (select doc_id, unnest(string_split(text, ' ')) as token
+              from documents),
+h as (select doc_id, token, count(*) as c from toks group by doc_id, token)
+select doc_id,
+       cast(sum(c) as bigint) as n_tokens,
+       cast(count(*) as bigint) as n_distinct,
+       cast(sum(c * (c - 1)) as bigint) as rep2
+from h group by doc_id
+"""

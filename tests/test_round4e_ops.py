@@ -271,3 +271,38 @@ def test_line_cells_supercover_properties(sf_dir):
     # and the mean is small (bbox candidates pruned by the line test)
     per = got.groupby("page_id").size()
     assert per.min() >= 1 and per.mean() < 12
+
+
+def test_token_diversity_matches_brute(sf_dir):
+    from collections import Counter
+
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = []
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        c = Counter(txt.split(" "))
+        want.append(
+            (
+                int(doc_id),
+                sum(c.values()),
+                len(c),
+                sum(v * (v - 1) for v in c.values()),
+            )
+        )
+    want = (
+        pd.DataFrame(want, columns=["doc_id", "n_tokens", "n_distinct", "rep2"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        T.token_diversity(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # template-soup corpus repeats tokens: rep2 must be nonzero somewhere
+    assert got["rep2"].sum() > 0
