@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_cells": lambda sf: spatial.dbscan_cells(sf, CFG),
         "line_cells": lambda sf: spatial.line_cells(sf, CFG),
         "focal_stats": lambda sf: spatial.focal_stats(sf, CFG),
+        "corridor_join": lambda sf: spatial.corridor_join(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_cells": sql_oracle.dbscan_cells_sql(CFG),
         "line_cells": sql_oracle.line_cells_sql(CFG),
         "focal_stats": sql_oracle.focal_stats_sql(CFG),
+        "corridor_join": sql_oracle.corridor_join_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -2722,3 +2722,63 @@ def focal_stats(
         .groupby("bucket")
         .map_groups(gather, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# corridor join: pages within distance of a route segment
+# --------------------------------------------------------------------------
+
+# (route_id, x0, y0, x1, y1) — two through the hot spot, two cold
+ROUTES: tuple[tuple[int, float, float, float, float], ...] = (
+    (0, 150.8, -34.1, 151.4, -33.6),
+    (1, -120.0, 35.0, -100.0, 40.0),
+    (2, 10.0, 45.0, 30.0, 55.0),
+    (3, 151.0, -34.0, 151.2, -33.8),
+)
+CORRIDOR_D2 = 0.25  # squared degrees (corridor half-width 0.5 deg)
+
+
+def corridor_join(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, d2: float = CORRIDOR_D2
+) -> ray.data.Dataset:
+    """Route-corridor containment join: every (page, route) pair whose
+    point lies within sqrt(``d2``) degrees of the route SEGMENT —
+    exact point-to-segment distance (projection parameter clamped to
+    [0, 1]), the linear-feature proximity query (pages along a road/
+    cable/transect) that the k-ring kNN and distance-band joins don't
+    cover.
+
+    Scale shape: the route table is a constant broadcast (closure
+    constant, not re-shipped per batch); ONE map_batches pass
+    computes all R distances vectorized per batch and emits matches —
+    zero shuffle, the big side streams.  Distance is reported as
+    fixed-point ``dist2_e12`` so the DuckDB oracle (same double ops,
+    same order) hashes identically."""
+    ds = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = t["lon"].to_numpy()
+        py = t["lat"].to_numpy()
+        out_pid, out_rid, out_d = [], [], []
+        for rid, x0, y0, x1, y1 in ROUTES:
+            dx, dy = x1 - x0, y1 - y0
+            len2 = dx * dx + dy * dy
+            tnum = (px - x0) * dx + (py - y0) * dy
+            tt = np.minimum(np.maximum(tnum / len2, 0.0), 1.0)
+            cx = x0 + tt * dx
+            cy = y0 + tt * dy
+            dist2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            ok = dist2 <= d2
+            out_pid.append(pid[ok])
+            out_rid.append(np.full(ok.sum(), rid, np.int64))
+            out_d.append(np.floor(dist2[ok] * 1e12 + 0.5).astype(np.int64))
+        return pa.table(
+            {
+                "page_id": pa.array(np.concatenate(out_pid)),
+                "route_id": pa.array(np.concatenate(out_rid)),
+                "dist2_e12": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)

@@ -545,3 +545,36 @@ from cnt a join cnt b
 group by a.cell, a.n
 """
     )
+
+
+def corridor_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Oracle for pipelines.spatial.corridor_join — same clamped
+    point-to-segment projection, op-for-op."""
+    from .spatial import CORRIDOR_D2, ROUTES
+
+    # literals MUST be cast: DuckDB parses 151.4 as DECIMAL, which
+    # constant-folds (x1 - x0) exactly instead of in double
+    vals = ", ".join(
+        f"({rid}, {x0!r}::double, {y0!r}::double, "
+        f"{x1!r}::double, {y1!r}::double)"
+        for rid, x0, y0, x1, y1 in ROUTES
+    )
+    return (
+        _pages_geo(cfg)
+        + f""",
+routes(route_id, x0, y0, x1, y1) as (values {vals}),
+d as (select page_id, route_id,
+  least(greatest((((lon - x0) * (x1 - x0)) + ((lat - y0) * (y1 - y0)))
+                 / (((x1 - x0) * (x1 - x0)) + ((y1 - y0) * (y1 - y0))),
+                 0.0), 1.0) as tt,
+  lon, lat, x0, y0, x1, y1
+  from geo cross join routes),
+e as (select page_id, route_id,
+  (lon - (x0 + tt * (x1 - x0))) * (lon - (x0 + tt * (x1 - x0)))
+  + (lat - (y0 + tt * (y1 - y0))) * (lat - (y0 + tt * (y1 - y0))) as dist2
+  from d)
+select page_id, cast(route_id as bigint) as route_id,
+       cast(floor(dist2 * 1e12 + 0.5) as bigint) as dist2_e12
+from e where dist2 <= {CORRIDOR_D2!r}
+"""
+    )

@@ -306,3 +306,45 @@ def test_token_diversity_matches_brute(sf_dir):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     # template-soup corpus repeats tokens: rep2 must be nonzero somewhere
     assert got["rep2"].sum() > 0
+
+
+def test_corridor_join_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import spatial
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.sources.pages import pages_cte
+    import duckdb
+
+    cfg = spatial.DEFAULT_CFG
+    pages = duckdb.sql(
+        f"with documents as (select * from read_parquet('{sf_dir}/documents.parquet')), "
+        f"p as ({pages_cte(cfg.pages_rep)}) select page_id from p"
+    ).df()
+    pid = pages["page_id"].to_numpy(np.int64)
+    g = geocode_arrays(pid)
+    rows = []
+    for rid, x0, y0, x1, y1 in spatial.ROUTES:
+        dx, dy = x1 - x0, y1 - y0
+        tnum = (g["lon"] - x0) * dx + (g["lat"] - y0) * dy
+        tt = np.clip(tnum / (dx * dx + dy * dy), 0.0, 1.0)
+        cx, cy = x0 + tt * dx, y0 + tt * dy
+        d2 = (g["lon"] - cx) ** 2 + (g["lat"] - cy) ** 2
+        ok = d2 <= spatial.CORRIDOR_D2
+        for p, d in zip(pid[ok], d2[ok]):
+            rows.append((int(p), rid, int(np.floor(d * 1e12 + 0.5))))
+    want = (
+        pd.DataFrame(rows, columns=["page_id", "route_id", "dist2_e12"])
+        .sort_values(["route_id", "page_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        spatial.corridor_join(sf_dir, cfg)
+        .to_pandas()
+        .sort_values(["route_id", "page_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # hot-spot routes must dominate the matches
+    per_route = got.groupby("route_id").size()
+    assert per_route.loc[0] > per_route.loc[1]
