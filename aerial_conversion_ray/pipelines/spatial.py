@@ -2391,6 +2391,8 @@ from d where rn <= {k}
 DBSCAN_RES = 11
 DBSCAN_MINPTS = 2
 N_DBSCAN_BUCKETS = 64
+# driver fast-path gate: core-cell rows collectable at ~16 B/row
+DBSCAN_SMALL_CELLS = 4_000_000
 
 
 def dbscan_cells(
@@ -2450,6 +2452,53 @@ def dbscan_cells(
         .map_groups(fold_core, batch_format="pandas")
         .materialize()  # consumed by 3 branches (probes, presence, labels)
     )
+
+    # driver fast path (the _cc_small precedent): the CORE-CELL table
+    # is the sparse occupied-cell set, already bounded far below the
+    # corpus; when it is collectable (16 B/cell -> 64 MB at the gate),
+    # resolve components with one vectorized union-find instead of the
+    # ~6 small Ray jobs the generic edge+CC chain costs.  Larger core
+    # sets take the distributed path below unchanged.
+    if core.count() <= DBSCAN_SMALL_CELLS:
+        df = core.to_pandas()
+        c = np.sort(df["cell"].to_numpy(np.int64))
+        n_by_cell = df.set_index("cell")["n"].loc[c].to_numpy(np.int64)
+        iy, ix = c // n_side, c % n_side
+        lbl = np.arange(len(c), dtype=np.int64)
+        ei, ej = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = ix + dx, iy + dy
+                ok = (nx >= 0) & (nx < n_side) & (ny >= 0) & (ny < n_side // 2)
+                nb = ny[ok] * n_side + nx[ok]
+                pos = np.searchsorted(c, nb)
+                pos_c = np.minimum(pos, len(c) - 1)
+                hit = c[pos_c] == nb
+                ei.append(np.flatnonzero(ok)[hit])
+                ej.append(pos_c[hit])
+        si = np.concatenate(ei) if ei else np.empty(0, np.int64)
+        di = np.concatenate(ej) if ej else np.empty(0, np.int64)
+        for _ in range(64):  # pointer jumping: O(log diameter) rounds
+            new = lbl.copy()
+            if len(di):
+                np.minimum.at(new, di, lbl[si])
+            new = np.minimum(new, new[new])
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
+        else:  # pragma: no cover
+            raise RuntimeError("dbscan_cells: no fixpoint in 64 jump rounds")
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cell": pa.array(c),
+                    "n": pa.array(n_by_cell),
+                    "cluster_id": pa.array(c[lbl]),
+                }
+            )
+        )
 
     def probes(t: pa.Table) -> pa.Table:
         c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -416,6 +416,15 @@ def run_benchmarks() -> dict:
         "user_activity_islands": lambda: _consume(
             relational.user_activity_islands(SF_DIR)
         ),
+        # round-4e additions
+        "events_time_window": lambda: _consume(relational.events_time_window(SF_DIR)),
+        "lang_heavy_hitters": lambda: _consume(text.lang_heavy_hitters(SF_DIR)),
+        "bpe_encode": lambda: _consume(text.bpe_encode(SF_DIR)),
+        "token_diversity": lambda: _consume(text.token_diversity(SF_DIR)),
+        "dbscan_cells": lambda: _consume(spatial.dbscan_cells(SF_DIR, cfg)),
+        "line_cells": lambda: _consume(spatial.line_cells(SF_DIR, cfg)),
+        "focal_stats": lambda: _consume(spatial.focal_stats(SF_DIR, cfg)),
+        "corridor_join": lambda: _consume(spatial.corridor_join(SF_DIR, cfg)),
     }
 
     # optional entry filter for fast single-pipeline iteration:
