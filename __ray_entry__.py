@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_cells": lambda sf: spatial.line_cells(sf, CFG),
         "focal_stats": lambda sf: spatial.focal_stats(sf, CFG),
         "corridor_join": lambda sf: spatial.corridor_join(sf, CFG),
+        "embed_quantize": embeddings.embed_quantize,
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "line_cells": sql_oracle.line_cells_sql(CFG),
         "focal_stats": sql_oracle.focal_stats_sql(CFG),
         "corridor_join": sql_oracle.corridor_join_sql(CFG),
+        "embed_quantize": embeddings.EMBED_QUANTIZE_SQL,
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

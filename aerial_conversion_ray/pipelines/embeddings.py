@@ -28,8 +28,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+from ray.data.aggregate import Max, Min
 
 from ..sources.pages import read_table
+from ..util import pool_size
 
 DIM = 64
 K = 10
@@ -1117,3 +1119,104 @@ def pca_power_iteration(sf_dir: str, iters: int = 500) -> pa.Table:
             "eigenvalue": pa.array(np.full(DIM, lam)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (corpus-calibrated, integer-exact digests)
+# ---------------------------------------------------------------------------
+
+
+def embed_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-calibrated INT8 quantization of the embedding column —
+    the 8x memory-compression pass an ANN index build runs before
+    sharding (float32 -> int8 with per-DIMENSION min/max ranges).
+    ``q_d = clamp(floor((v_d - min_d) / (max_d - min_d) * 254 + 0.5)
+    - 127, -127, 127)``.
+
+    Output is the quantized vector pinned by three integer digests
+    per row — sum, sum of squares, position-weighted sum — so the
+    DuckDB oracle (same double ops, same order) hashes the full
+    vector content without a list column.
+
+    Scale shape: pass 1 streams per-batch per-dim min/max partials
+    (DIM rows per batch) into one tiny fold, broadcast via
+    ``ray.put``; pass 2 quantizes per batch with the broadcast ranges
+    resolved once per actor.  Zero all-to-all; the corpus never
+    shuffles.  Constant-dimension guard: a zero range raises loudly
+    rather than dividing by zero."""
+    import ray
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(t.num_rows, -1)
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(mat.shape[1], dtype=np.int64)),
+                "mn": pa.array(mat.min(axis=0)),
+                "mx": pa.array(mat.max(axis=0)),
+            }
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("idx")
+    )
+    mn = mm["mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    if not (mx > mn).all():
+        raise ValueError("embed_quantize: constant dimension (zero range)")
+    rng_ref = ray.put((mn, mx))
+
+    class Quantize:
+        def __init__(self):
+            self.mn, self.mx = ray.get(rng_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = mat.reshape(t.num_rows, -1)
+            q = np.floor((mat - self.mn) / (self.mx - self.mn) * 254.0 + 0.5) - 127.0
+            q = np.clip(q, -127.0, 127.0).astype(np.int64)
+            pos = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "q_sum": pa.array(q.sum(axis=1)),
+                    "q_sq": pa.array((q * q).sum(axis=1)),
+                    "q_pos": pa.array((q * pos).sum(axis=1)),
+                }
+            )
+
+    return ds.map_batches(Quantize, batch_format="pyarrow", concurrency=pool_size())
+
+
+EMBED_QUANTIZE_SQL = """
+with flat as (
+  select vec_id,
+         unnest(range(len(embedding))) as idx,
+         unnest(cast(embedding as double[])) as vd
+  from embeddings
+),
+mm as (select idx, min(vd) as mn, max(vd) as mx from flat group by idx),
+q as (
+  select vec_id, idx,
+         least(greatest(floor((vd - mn) / (mx - mn) * 254.0 + 0.5) - 127.0,
+                        -127.0), 127.0) as qv
+  from flat join mm using (idx)
+)
+select vec_id,
+       cast(sum(qv) as bigint) as q_sum,
+       cast(sum(qv * qv) as bigint) as q_sq,
+       cast(sum(qv * (idx + 1)) as bigint) as q_pos
+from q group by vec_id
+"""

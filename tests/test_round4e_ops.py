@@ -348,3 +348,30 @@ def test_corridor_join_matches_numpy(sf_dir):
     # hot-spot routes must dominate the matches
     per_route = got.groupby("route_id").size()
     assert per_route.loc[0] > per_route.loc[1]
+
+
+def test_embed_quantize_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import embeddings as E
+
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    q = np.floor((mat - mn) / (mx - mn) * 254.0 + 0.5) - 127.0
+    q = np.clip(q, -127.0, 127.0).astype(np.int64)
+    pos = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+    want = pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "q_sum": q.sum(axis=1),
+            "q_sq": (q * q).sum(axis=1),
+            "q_pos": (q * pos).sum(axis=1),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+    got = (
+        E.embed_quantize(sf_dir).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # quantization must exercise the full int8 range at the extremes
+    assert got["q_sq"].max() > 0
