@@ -3317,3 +3317,78 @@ select doc_id, lang, cast(n_chars as bigint) as n_chars,
        cast(ver as bigint) as ver
 from r where rn = 1 and is_delete = 0
 """
+
+
+# --------------------------------------------------------------------------
+# winsorized mean per group (robust aggregate, single pass)
+# --------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_mean(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang WINSORIZED sum/count of documents.n_chars: values
+    clamped to the lang's exact [P5, P95] (quantile_disc semantics)
+    before summing — the robust mean a quality dashboard reports when
+    raw means are outlier-dominated.  ONE corpus pass: the bounded
+    integer domain reduces each batch to (lang, value, cnt) histogram
+    triples (the grouped_quantiles partial); each lang group solves
+    its quantiles AND the clamped sum from the same histogram — no
+    second scan, integer-exact.  Output (lang, lo, hi, n, wsum)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        lu, linv = np.unique(lang, return_inverse=True)
+        key = linv.astype(np.int64) * (1 << 32) | v.astype(np.int64)
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(lu[(ku >> 32).astype(np.int64)]),
+                "value": pa.array((ku & 0xFFFFFFFF).astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("value")["cnt"].sum().sort_index()
+        vals = g.index.to_numpy(np.int64)
+        cnts = g.to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+
+        def disc(p: float) -> int:
+            r = max(0, int(np.ceil(p * n)) - 1)
+            return int(vals[np.searchsorted(cum, r + 1)])
+
+        lo, hi = disc(WINSOR_LO), disc(WINSOR_HI)
+        wsum = int((np.clip(vals, lo, hi) * cnts).sum())
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "lo": np.int64(lo),
+                "hi": np.int64(hi),
+                "n": np.int64(n),
+                "wsum": np.int64(wsum),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+WINSORIZED_MEAN_SQL = f"""
+with q as (select lang,
+  cast(quantile_disc(n_chars, {WINSOR_LO!r}) as bigint) as lo,
+  cast(quantile_disc(n_chars, {WINSOR_HI!r}) as bigint) as hi,
+  cast(count(*) as bigint) as n
+  from documents group by lang)
+select d.lang, q.lo, q.hi, q.n,
+       cast(sum(least(greatest(d.n_chars, q.lo), q.hi)) as bigint) as wsum
+from documents d join q using (lang)
+group by d.lang, q.lo, q.hi, q.n
+"""

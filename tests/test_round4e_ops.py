@@ -375,3 +375,30 @@ def test_embed_quantize_matches_numpy(sf_dir):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     # quantization must exercise the full int8 range at the extremes
     assert got["q_sq"].max() > 0
+
+
+def test_winsorized_mean_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import relational as R
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(v)
+        lo = int(v[max(0, int(np.ceil(R.WINSOR_LO * n)) - 1)])
+        hi = int(v[max(0, int(np.ceil(R.WINSOR_HI * n)) - 1)])
+        rows.append((lang, lo, hi, n, int(np.clip(v, lo, hi).sum())))
+    want = (
+        pd.DataFrame(rows, columns=["lang", "lo", "hi", "n", "wsum"])
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    got = (
+        R.winsorized_mean(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # clamping must bite: winsorized sum differs from the raw sum
+    raw = docs.groupby("lang")["n_chars"].sum().sort_index().to_numpy(np.int64)
+    assert (got["wsum"].to_numpy() != raw).any()
