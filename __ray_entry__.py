@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corridor_join": lambda sf: spatial.corridor_join(sf, CFG),
         "embed_quantize": embeddings.embed_quantize,
         "winsorized_mean": relational.winsorized_mean,
+        "source_overlap": text.source_overlap,
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "corridor_join": sql_oracle.corridor_join_sql(CFG),
         "embed_quantize": embeddings.EMBED_QUANTIZE_SQL,
         "winsorized_mean": relational.WINSORIZED_MEAN_SQL,
+        "source_overlap": text.source_overlap_sql(),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

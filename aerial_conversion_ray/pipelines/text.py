@@ -4833,3 +4833,102 @@ select doc_id,
        cast(sum(c * (c - 1)) as bigint) as rep2
 from h group by doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# cross-source template overlap audit (distinct shared prefixes)
+# --------------------------------------------------------------------------
+
+OVERLAP_PFX_TOKENS = 5
+
+
+def source_overlap(sf_dir: str, w: int = OVERLAP_PFX_TOKENS) -> ray.data.Dataset:
+    """Corpus provenance audit: for every unordered pair of sources,
+    how many DISTINCT ``w``-token document prefixes they share — the
+    cross-source contamination / template-reuse matrix a curation team
+    reads before mixing crawl sources (two "independent" feeds sharing
+    many templates are not independent).
+
+    Scale shape: per-batch distinct (source, prefix) partials, ONE
+    coarse fold keyed ``hash(prefix) % 64`` — all rows for a prefix
+    co-locate, so each bucket computes its prefixes' exact source sets
+    and expands the (src_a < src_b) pairs with one in-bucket pandas
+    self-merge; the second fold aggregates the tiny pair-count
+    partials (bounded by sources^2 per bucket).  The corpus text
+    never shuffles — only (source, prefix-hash-bounded) rows do."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        pfx = pc.binary_join(pc.list_slice(toks, 0, w), " ")
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        df = pd.DataFrame(
+            {
+                "source": src.to_numpy(zero_copy_only=False),
+                "pfx": pfx.to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        h = _hash_arrow_strings(pa.array(df["pfx"]))
+        return pa.table(
+            {
+                "source": pa.array(df["source"]),
+                "pfx": pa.array(df["pfx"]),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[["source", "pfx"]].drop_duplicates()
+        m = u.merge(u, on="pfx")
+        m = m[m["source_x"] < m["source_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "src_a": pd.Series([], dtype=object),
+                    "src_b": pd.Series([], dtype=object),
+                    "n_shared": pd.Series([], dtype=np.int64),
+                    "bucket2": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = (
+            m.groupby(["source_x", "source_y"], as_index=False)
+            .size()
+            .rename(columns={"source_x": "src_a", "source_y": "src_b", "size": "n_shared"})
+        )
+        g["n_shared"] = g["n_shared"].astype(np.int64)
+        g["bucket2"] = (
+            _hash_arrow_strings(pa.array(g["src_a"] + "|" + g["src_b"]))
+            % np.uint64(16)
+        ).astype(np.int64)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src_a", "src_b"], as_index=False)["n_shared"].sum()
+        g["n_shared"] = g["n_shared"].astype(np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def source_overlap_sql(w: int = OVERLAP_PFX_TOKENS) -> str:
+    return f"""
+with d as (select source,
+  array_to_string((string_split(text, ' '))[1:{w + 1}], ' ') as pfx
+  from documents),
+u as (select distinct source, pfx from d)
+select a.source as src_a, b.source as src_b,
+       cast(count(*) as bigint) as n_shared
+from u a join u b on a.pfx = b.pfx and a.source < b.source
+group by a.source, b.source
+"""

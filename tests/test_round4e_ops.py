@@ -402,3 +402,37 @@ def test_winsorized_mean_matches_numpy(sf_dir):
     # clamping must bite: winsorized sum differs from the raw sum
     raw = docs.groupby("lang")["n_chars"].sum().sort_index().to_numpy(np.int64)
     assert (got["wsum"].to_numpy() != raw).any()
+
+
+def test_source_overlap_matches_brute(sf_dir):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    by_pfx = defaultdict(set)
+    for src, txt in zip(docs["source"], docs["text"]):
+        by_pfx[" ".join(txt.split(" ")[: T.OVERLAP_PFX_TOKENS])].add(src)
+    cnt = defaultdict(int)
+    for srcs in by_pfx.values():
+        for a, b in combinations(sorted(srcs), 2):
+            cnt[(a, b)] += 1
+    want = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in cnt.items()],
+            columns=["src_a", "src_b", "n_shared"],
+        )
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        T.source_overlap(sf_dir)
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert got["n_shared"].sum() > 0
