@@ -425,6 +425,9 @@ def run_benchmarks() -> dict:
         "line_cells": lambda: _consume(spatial.line_cells(SF_DIR, cfg)),
         "focal_stats": lambda: _consume(spatial.focal_stats(SF_DIR, cfg)),
         "corridor_join": lambda: _consume(spatial.corridor_join(SF_DIR, cfg)),
+        "embed_quantize": lambda: _consume(embeddings.embed_quantize(SF_DIR)),
+        "winsorized_mean": lambda: _consume(relational.winsorized_mean(SF_DIR)),
+        "source_overlap": lambda: _consume(text.source_overlap(SF_DIR)),
     }
 
     # optional entry filter for fast single-pipeline iteration:
