@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": embeddings.embed_quantize,
         "winsorized_mean": relational.winsorized_mean,
         "source_overlap": text.source_overlap,
+        "trending_tokens": lambda sf: text.trending_tokens(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -437,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_quantize": embeddings.EMBED_QUANTIZE_SQL,
         "winsorized_mean": relational.WINSORIZED_MEAN_SQL,
         "source_overlap": text.source_overlap_sql(),
+        "trending_tokens": text.trending_tokens_sql(CFG.pages_rep),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -4932,3 +4932,115 @@ select a.source as src_a, b.source as src_b,
 from u a join u b on a.pfx = b.pfx and a.source < b.source
 group by a.source, b.source
 """
+
+
+# --------------------------------------------------------------------------
+# trending tokens: exact top-k tokens per time window
+# --------------------------------------------------------------------------
+
+TREND_WINDOW_S = 1800
+TREND_K = 10
+
+
+def trending_tokens(
+    sf_dir: str, cfg=None, window_s: int = TREND_WINDOW_S, k: int = TREND_K
+) -> ray.data.Dataset:
+    """EXACT top-k tokens per crawl-time window (``warc_ts`` bucketed
+    to ``window_s``) over the PAGES stream — the trending-terms
+    dashboard: what vocabulary dominates each ingest window.  Same
+    lossless bucket-pruning plan as ``lang_heavy_hitters`` with the
+    time window as the group key: per-batch exact (win, token, n)
+    partials, one ``hash(token) % 64`` fold (exact global counts per
+    token — every partial for a token lands in one bucket), per-bucket
+    per-win top-k pruning (lossless under the deterministic
+    (n desc, token asc) order), final merge over <= 64*wins*k rows.
+    warc_ts >= epoch guarantees floor==truncate window ids, matching
+    the SQL ``//``."""
+    from ..config import EngineConfig
+    from ..sources.pages import pages_dataset
+
+    cfg = cfg or EngineConfig()
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["warc_ts", "text"])
+    w_us = np.int64(window_s) * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "win": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = np.repeat(ts // w_us, np.diff(toks.offsets.to_numpy()))
+        h = _hash_arrow_strings(flat)
+        order = np.lexsort((h, win))
+        fs = flat.take(pa.array(order))
+        hs, ws = h[order], win[order]
+        new = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            sdiff = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = (ws[1:] != ws[:-1]) | (hs[1:] != hs[:-1]) | sdiff
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.concatenate([starts, [len(hs)]])).astype(np.int64)
+        tok_g = fs.take(pa.array(starts))
+        return pa.table(
+            {
+                "win": pa.array(ws[starts]),
+                "token": tok_g,
+                "n": pa.array(counts),
+                "bucket": pa.array(
+                    (_hash_arrow_strings(tok_g) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["win", "token"], as_index=False)["n"].sum()
+        c = c.sort_values(["win", "n", "token"], ascending=[True, False, True])
+        c = c[c.groupby("win").cumcount() < k]
+        return c[["win", "token", "n"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["win", "n", "token"], ascending=[True, False, True])
+        df["rank"] = df.groupby("win").cumcount() + 1
+        df = df[df["rank"] <= k]
+        return df.astype({"win": np.int64, "n": np.int64, "rank": np.int64})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .groupby("win")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def trending_tokens_sql(
+    rep: int, window_s: int = TREND_WINDOW_S, k: int = TREND_K
+) -> str:
+    from ..sources.pages import pages_cte
+
+    return f"""
+with pages as ({pages_cte(rep)}),
+toks as (select epoch_us(warc_ts) // {window_s * 1_000_000} as win,
+                unnest(string_split(text, ' ')) as token
+         from pages),
+c as (select win, token, count(*) as n from toks group by win, token)
+select cast(win as bigint) as win, token, cast(n as bigint) as n,
+       cast(rank as bigint) as rank
+from (select win, token, n,
+             row_number() over (partition by win
+                                order by n desc, token) as rank
+      from c)
+where rank <= {k}
+"""

@@ -436,3 +436,44 @@ def test_source_overlap_matches_brute(sf_dir):
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert got["n_shared"].sum() > 0
+
+
+def test_trending_tokens_matches_brute(sf_dir):
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from aerial_conversion_ray.pipelines import text as T
+    from aerial_conversion_ray.pipelines.spatial import DEFAULT_CFG
+    from aerial_conversion_ray.sources.pages import pages_cte
+
+    cfg = DEFAULT_CFG
+    pages = duckdb.sql(
+        f"with documents as (select * from read_parquet('{sf_dir}/documents.parquet')), "
+        f"p as ({pages_cte(cfg.pages_rep)}) select warc_ts, text from p"
+    ).df()
+    w_us = T.TREND_WINDOW_S * 1_000_000
+    wins = pages["warc_ts"].to_numpy("datetime64[us]").astype(np.int64) // w_us
+    per = defaultdict(Counter)
+    for w, txt in zip(wins, pages["text"]):
+        per[int(w)].update(txt.split(" "))
+    rows = []
+    for w, ctr in per.items():
+        best = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[: T.TREND_K]
+        for r, (tok, n) in enumerate(best, 1):
+            rows.append((w, tok, n, r))
+    want = (
+        pd.DataFrame(rows, columns=["win", "token", "n", "rank"])
+        .sort_values(["win", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        T.trending_tokens(sf_dir, cfg)
+        .to_pandas()
+        .sort_values(["win", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert got["win"].nunique() == len(per)
