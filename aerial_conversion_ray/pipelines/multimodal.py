@@ -1007,3 +1007,114 @@ def media_byte_stats_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "select page_id, sum(o) / count(*) as mean_byte, "
         "cast(max(o) as bigint) as max_byte from b group by page_id"
     )
+
+
+# --------------------------------------------------------------------------
+# heatmap rasterize: per-cell page density -> real GeoTIFF -> windowed read
+# --------------------------------------------------------------------------
+
+HEATMAP_RES = 9           # 512 x 256 px world raster (one px per res-9 cell)
+HEATMAP_TILE = 128
+HEATMAP_DIR = "/tmp/aerial_conversion_heatmap"
+
+
+def heatmap_geotiff(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = HEATMAP_RES
+) -> ray.data.Dataset:
+    """The full rasterize loop: geocoded pages -> EXACT per-cell counts
+    -> a real uint8 density GeoTIFF on disk (first-party writer,
+    atomic tmp+rename) -> read BACK through the windowed strip-range
+    reader as one row per tile window with its pixel sum.  The
+    vector->raster direction of the engine's raster story (the
+    reference's rasterize analog next to raster_windows' read side).
+
+    Scale shape: counts come from the streaming coarse fold (exact,
+    sparse).  The DENSE raster assembly is collected on the driver by
+    construction — bounded by the GRID (2^res * 2^(res-1) px = 128 Kpx
+    here), never by the corpus; a higher-res export would shard the
+    write per tile row through the lineage writer, same code shape.
+    Pixel law: v = min(count, 255); empty cells 0.  The read-back
+    dataset streams per-window strip ranges (never the whole file) and
+    includes EMPTY tiles with px_sum 0 — the oracle mirrors that with
+    a generated tile table."""
+    import os
+
+    from .spatial import geocode_pipeline
+    from ..config import RasterSpec, TileGridSpec
+    from ..geo import cells
+    from ..sources.geotiff import read_raster_windows, write_geotiff
+
+    n_side = 1 << res
+    counts = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cell = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), res)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array((u % 64).astype(np.int64)),
+            }
+        )
+
+    def fold(df):
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        return g[["cell", "n"]].astype(np.int64)
+
+    occ = (
+        counts.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    img = np.zeros((n_side // 2, n_side), dtype=np.uint8)
+    c = occ["cell"].to_numpy(np.int64)
+    iy, ix = c // n_side, c % n_side
+    img[(n_side // 2 - 1) - iy, ix] = np.minimum(
+        occ["n"].to_numpy(np.int64), 255
+    ).astype(np.uint8)
+    spec = RasterSpec(
+        x0=-180.0, y_max=90.0, cell=360.0 / n_side, ncols=n_side, nrows=n_side // 2
+    )
+    os.makedirs(HEATMAP_DIR, exist_ok=True)
+    path = f"{HEATMAP_DIR}/heatmap_r{res}_{cfg.pages_rep}.tif"
+    tmp = f"{path}.{os.getpid()}"
+    write_geotiff(tmp, img, spec, rows_per_strip=32)
+    os.replace(tmp, path)
+
+    grid = TileGridSpec(tile_width=HEATMAP_TILE, tile_height=HEATMAP_TILE)
+    return read_raster_windows(path, grid).select_columns(
+        ["tile_id", "col_off", "row_off", "width", "height", "px_sum"]
+    )
+
+
+def heatmap_geotiff_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = HEATMAP_RES) -> str:
+    from .sql_oracle import _pages_geo
+    from ..geo import cells
+
+    n = 1 << res
+    t = HEATMAP_TILE
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg)
+        + f""",
+cellt as (select {cell} as cell from geo),
+cnt as (select cell, count(*) as n from cellt group by cell),
+px as (select cell % {n} as ix, ({n // 2 - 1}) - (cell // {n}) as iy,
+              least(n, 255) as v from cnt),
+sums as (select (ix // {t}) * {t} as col_off, (iy // {t}) * {t} as row_off,
+                sum(v) as s from px group by 1, 2),
+tiles as (select cx.v as col_off, ry.v as row_off from
+  (select unnest(range(0, {n}, {t})) as v) cx,
+  (select unnest(range(0, {n // 2}, {t})) as v) ry)
+select ('tile_' || cast(tiles.col_off as varchar) || '-' ||
+        cast(tiles.row_off as varchar)) as tile_id,
+       cast(tiles.col_off as bigint) as col_off,
+       cast(tiles.row_off as bigint) as row_off,
+       cast({t} as bigint) as width, cast({t} as bigint) as height,
+       cast(coalesce(s, 0) as bigint) as px_sum
+from tiles left join sums
+  on sums.col_off = tiles.col_off and sums.row_off = tiles.row_off
+"""
+    )

@@ -477,3 +477,28 @@ def test_trending_tokens_matches_brute(sf_dir):
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert got["win"].nunique() == len(per)
+
+
+def test_heatmap_geotiff_real_file_roundtrip(sf_dir):
+    import os
+
+    from aerial_conversion_ray.pipelines import multimodal as M
+    from aerial_conversion_ray.pipelines.spatial import DEFAULT_CFG
+    from aerial_conversion_ray.sources.geotiff import read_info, read_window
+
+    got = (
+        M.heatmap_geotiff(sf_dir, DEFAULT_CFG)
+        .to_pandas()
+        .sort_values(["col_off", "row_off"])
+        .reset_index(drop=True)
+    )
+    n = 1 << M.HEATMAP_RES
+    assert len(got) == (n // M.HEATMAP_TILE) * (n // 2 // M.HEATMAP_TILE)
+    assert (got["width"] == M.HEATMAP_TILE).all()
+    # a real file landed and its FULL pixel sum equals the tile sums
+    path = f"{M.HEATMAP_DIR}/heatmap_r{M.HEATMAP_RES}_{DEFAULT_CFG.pages_rep}.tif"
+    assert os.path.exists(path)
+    info = read_info(path)
+    full = read_window(path, info, 0, 0, info.width, info.height)
+    assert int(full.sum(dtype=np.int64)) == int(got["px_sum"].sum())
+    assert got["px_sum"].sum() > 0  # the hot spot burned in
