@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": text.source_overlap,
         "trending_tokens": lambda sf: text.trending_tokens(sf, CFG),
         "heatmap_geotiff": lambda sf: multimodal.heatmap_geotiff(sf, CFG),
+        "token_drift": text.token_drift,
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": text.source_overlap_sql(),
         "trending_tokens": text.trending_tokens_sql(CFG.pages_rep),
         "heatmap_geotiff": multimodal.heatmap_geotiff_sql(CFG),
+        "token_drift": text.token_drift_sql(),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

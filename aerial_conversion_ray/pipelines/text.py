@@ -5044,3 +5044,146 @@ from (select win, token, n,
       from c)
 where rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# token drift between crawl halves (A/B vocabulary shift, integer-exact)
+# --------------------------------------------------------------------------
+
+DRIFT_K = 20
+
+
+def token_drift(sf_dir: str, k: int = DRIFT_K) -> ray.data.Dataset:
+    """Vocabulary DRIFT detection between two corpus slices (side =
+    doc_id % 2 — the A/B snapshot comparison a recrawl QA runs): for
+    each token, its count in each side and the integer cross-
+    multiplied drift ``|n0*T1 - n1*T0|`` (T_s = side s total tokens —
+    the exact numerator of |n0/T0 - n1/T1| scaled by T0*T1, so no
+    float ratios), top-k by drift.
+
+    Scale shape: pass 1 folds the two side totals (2 partial rows per
+    batch, one tiny aggregate, broadcast as closure constants); pass 2
+    emits per-batch exact (token, n0, n1) partials into ONE
+    ``hash(token) % 64`` fold — exact global per-side counts per
+    bucket — then per-bucket top-k by drift (lossless: drift is exact
+    within the owning bucket, same argument as lang_heavy_hitters) and
+    a final merge over <= 64*k rows.  int64 guard: requires
+    max(n)*T < 2^63 — asserted loudly; past that the oracle's HUGEINT
+    and numpy's wraparound would silently diverge (the bm25 lesson),
+    so the engine refuses instead."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        reps = np.diff(toks.offsets.to_numpy())
+        side = (t["doc_id"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        return pa.table(
+            {
+                "t0": pa.array([int(reps[side == 0].sum())], pa.int64()),
+                "t1": pa.array([int(reps[side == 1].sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(tot_partial, batch_format="pyarrow")
+        .sum(["t0", "t1"])
+    )
+    t0, t1 = int(tot["sum(t0)"]), int(tot["sum(t1)"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n0": pa.array([], pa.int64()),
+                    "n1": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        reps = np.diff(toks.offsets.to_numpy())
+        side = np.repeat(
+            (t["doc_id"].to_numpy(zero_copy_only=False) % 2).astype(np.int64), reps
+        )
+        h = _hash_arrow_strings(flat)
+        order = np.argsort(h, kind="stable")
+        fs = flat.take(pa.array(order))
+        hs, ss = h[order], side[order]
+        new = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            sdiff = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            new[1:] = (hs[1:] != hs[:-1]) | sdiff
+        gid = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        n0 = np.zeros(len(starts), np.int64)
+        n1 = np.zeros(len(starts), np.int64)
+        np.add.at(n0, gid[ss == 0], 1)
+        np.add.at(n1, gid[ss == 1], 1)
+        tok_g = fs.take(pa.array(starts))
+        return pa.table(
+            {
+                "token": tok_g,
+                "n0": pa.array(n0),
+                "n1": pa.array(n1),
+                "bucket": pa.array(
+                    (_hash_arrow_strings(tok_g) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("token", as_index=False)[["n0", "n1"]].sum()
+        nmax = int(max(c["n0"].max(), c["n1"].max())) if len(c) else 0
+        if nmax and nmax > (2**63 - 1) // max(t0, t1, 1):
+            raise OverflowError("token_drift: n*T exceeds int64 — shrink slices")
+        c["drift"] = np.abs(
+            c["n0"].to_numpy(np.int64) * t1 - c["n1"].to_numpy(np.int64) * t0
+        )
+        c = c.sort_values(["drift", "token"], ascending=[False, True]).head(k)
+        return c[["token", "n0", "n1", "drift"]].astype(
+            {"n0": np.int64, "n1": np.int64, "drift": np.int64}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["drift", "token"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def token_drift_sql(k: int = DRIFT_K) -> str:
+    return f"""
+with toks as (select doc_id % 2 as side,
+                     unnest(string_split(text, ' ')) as token
+              from documents),
+tot as (select sum(case when side = 0 then 1 else 0 end) as t0,
+               sum(case when side = 1 then 1 else 0 end) as t1 from toks),
+c as (select token,
+             sum(case when side = 0 then 1 else 0 end) as n0,
+             sum(case when side = 1 then 1 else 0 end) as n1
+      from toks group by token),
+d as (select token, n0, n1, abs(n0 * t1 - n1 * t0) as drift
+      from c cross join tot)
+select token, cast(n0 as bigint) as n0, cast(n1 as bigint) as n1,
+       cast(drift as bigint) as drift, cast(rank as bigint) as rank
+from (select *, row_number() over (order by drift desc, token) as rank
+      from d)
+where rank <= {k}
+"""

@@ -502,3 +502,31 @@ def test_heatmap_geotiff_real_file_roundtrip(sf_dir):
     full = read_window(path, info, 0, 0, info.width, info.height)
     assert int(full.sum(dtype=np.int64)) == int(got["px_sum"].sum())
     assert got["px_sum"].sum() > 0  # the hot spot burned in
+
+
+def test_token_drift_matches_brute(sf_dir):
+    from collections import Counter
+
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    c0, c1 = Counter(), Counter()
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        (c0 if did % 2 == 0 else c1).update(txt.split(" "))
+    t0, t1 = sum(c0.values()), sum(c1.values())
+    toks = set(c0) | set(c1)
+    d = sorted(
+        ((abs(c0[t] * t1 - c1[t] * t0), t) for t in toks),
+        key=lambda x: (-x[0], x[1]),
+    )[: T.DRIFT_K]
+    want = pd.DataFrame(
+        [(t, c0[t], c1[t], dr, r + 1) for r, (dr, t) in enumerate(d)],
+        columns=["token", "n0", "n1", "drift", "rank"],
+    )
+    got = (
+        T.token_drift(sf_dir).to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert got["drift"].iloc[0] > 0
