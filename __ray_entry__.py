@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_tokens": lambda sf: text.trending_tokens(sf, CFG),
         "heatmap_geotiff": lambda sf: multimodal.heatmap_geotiff(sf, CFG),
         "token_drift": text.token_drift,
+        "embed_top_components": embeddings.embed_top_components,
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -443,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_tokens": text.trending_tokens_sql(CFG.pages_rep),
         "heatmap_geotiff": multimodal.heatmap_geotiff_sql(CFG),
         "token_drift": text.token_drift_sql(),
+        "embed_top_components": embeddings.embed_top_components_sql(),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -1220,3 +1220,69 @@ select vec_id,
        cast(sum(qv * (idx + 1)) as bigint) as q_pos
 from q group by vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-vector top-m components (sparse feature extraction)
+# ---------------------------------------------------------------------------
+
+TOPCOMP_M = 3
+
+
+def embed_top_components(sf_dir: str, m: int = TOPCOMP_M) -> ray.data.Dataset:
+    """Per-embedding TOP-``m`` components by |value| (ties: lower index
+    first) — the sparsification step that turns a dense vector into
+    its dominant-feature signature (routing keys, interpretable
+    feature audits).  Output one row per (vec_id, rank): the component
+    index and its fixed-point value.
+
+    Scale shape: zero shuffle, one map_batches pass; the kernel is a
+    whole-batch ``np.argsort`` over (-|v|, index) composite order — no
+    per-row Python.  Values are fixed-pointed (1e6, floor+0.5 on the
+    float64 widening of the float32 column) so the DuckDB oracle
+    (zipped unnest + row_number) hashes identically."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(t.num_rows, -1)
+        n, d = mat.shape
+        a = np.abs(mat)
+        # lexicographic (-|v|, idx): stable argsort on -|v| keeps index order
+        order = np.argsort(-a, axis=1, kind="stable")[:, :m]
+        rows = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), m)
+        ranks = np.tile(np.arange(1, m + 1, dtype=np.int64), n)
+        comp = order.ravel().astype(np.int64)
+        vals = np.take_along_axis(mat, order, axis=1).ravel()
+        return pa.table(
+            {
+                "vec_id": pa.array(rows.astype(np.int64)),
+                "rank": pa.array(ranks),
+                "component": pa.array(comp),
+                "val_e6": pa.array(np.floor(vals * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def embed_top_components_sql(m: int = TOPCOMP_M) -> str:
+    return f"""
+with flat as (
+  select vec_id,
+         unnest(range(len(embedding))) as component,
+         unnest(cast(embedding as double[])) as vd
+  from embeddings
+),
+r as (select vec_id, component, vd,
+             row_number() over (partition by vec_id
+                                order by abs(vd) desc, component) as rank
+      from flat)
+select vec_id, cast(rank as bigint) as rank,
+       cast(component as bigint) as component,
+       cast(floor(vd * 1e6 + 0.5) as bigint) as val_e6
+from r where rank <= {m}
+"""

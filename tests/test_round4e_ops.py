@@ -530,3 +530,29 @@ def test_token_drift_matches_brute(sf_dir):
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert got["drift"].iloc[0] > 0
+
+
+def test_embed_top_components_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import embeddings as E
+
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    rows = []
+    for vid, v in zip(df["vec_id"].to_numpy(np.int64), mat):
+        order = sorted(range(len(v)), key=lambda i: (-abs(v[i]), i))[: E.TOPCOMP_M]
+        for r, comp in enumerate(order, 1):
+            rows.append((int(vid), r, comp, int(np.floor(v[comp] * 1e6 + 0.5))))
+    want = (
+        pd.DataFrame(rows, columns=["vec_id", "rank", "component", "val_e6"])
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        E.embed_top_components(sf_dir)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
