@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heatmap_geotiff": lambda sf: multimodal.heatmap_geotiff(sf, CFG),
         "token_drift": text.token_drift,
         "embed_top_components": embeddings.embed_top_components,
+        "tile_occupancy_hist": lambda sf: spatial.tile_occupancy_hist(sf, CFG),
+        "host_reciprocity": linkgraph.host_reciprocity,
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -445,6 +447,8 @@ def oracle_sql() -> dict[str, str]:
         "heatmap_geotiff": multimodal.heatmap_geotiff_sql(CFG),
         "token_drift": text.token_drift_sql(),
         "embed_top_components": embeddings.embed_top_components_sql(),
+        "tile_occupancy_hist": sql_oracle.tile_occupancy_hist_sql(CFG),
+        "host_reciprocity": linkgraph.host_reciprocity_sql(),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -42,6 +42,7 @@ DuckDB mirror uses the same ``//`` integer division.  Max magnitude
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -565,3 +566,77 @@ select p.page_id, p.url
 from p
 where not exists (select 1 from r where starts_with(p.url, r.pre))
 """
+
+
+# --- reciprocity (mutual-link structure) ----------------------------------
+
+
+def host_reciprocity(sf_dir: str, rep: int = LG_REP) -> ray.data.Dataset:
+    """Per-host link reciprocity: of each host's distinct out-
+    neighbours (self-loops excluded), how many link BACK — the
+    mutual-citation structure metric next to degree/PageRank/
+    co-citation.  Output (host_id, n_out, n_reciprocal).
+
+    Scale shape: rides the weighted edge table (already a bounded
+    host-pair aggregate, never the page stream); one fold keyed by
+    the UNORDERED pair bucket co-locates both directions of every
+    pair, decides mutuality vectorized, and emits per-host partials;
+    a final host fold sums them.  All shuffles carry int64 triples."""
+    edges = host_edges(sf_dir, rep)
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "src": pa.array(s),
+                "dst": pa.array(d),
+                "bucket": pa.array(((lo * NH + hi) % 64).astype(np.int64)),
+            }
+        )
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        # edge table is already distinct per (src, dst); mutuality =
+        # the reversed pair exists in the same bucket by construction
+        key = df["src"].to_numpy(np.int64) * NH + df["dst"].to_numpy(np.int64)
+        rkey = df["dst"].to_numpy(np.int64) * NH + df["src"].to_numpy(np.int64)
+        ks = np.sort(key)
+        pos = np.searchsorted(ks, rkey)
+        pos_c = np.minimum(pos, len(ks) - 1)
+        rec = (ks[pos_c] == rkey).astype(np.int64)
+        out = pd.DataFrame(
+            {"host_id": df["src"].to_numpy(np.int64), "n_out": 1, "n_rec": rec}
+        )
+        g = out.groupby("host_id", as_index=False)[["n_out", "n_rec"]].sum()
+        return g.astype(np.int64)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host_id", as_index=False)[["n_out", "n_rec"]].sum()
+        return g.astype(np.int64)
+
+    return (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mutual, batch_format="pandas")
+        .groupby("host_id")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def host_reciprocity_sql(rep: int = LG_REP) -> str:
+    return (
+        "with edges as (" + _edges_sql(rep) + ")"
+        + """
+, ed as (select src_id, dst_id from edges where src_id <> dst_id)
+select e.src_id as host_id,
+       cast(count(*) as bigint) as n_out,
+       cast(sum(case when r.src_id is null then 0 else 1 end) as bigint)
+           as n_rec
+from ed e left join ed r
+  on r.src_id = e.dst_id and r.dst_id = e.src_id
+group by e.src_id
+"""
+    )

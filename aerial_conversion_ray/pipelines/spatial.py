@@ -2831,3 +2831,64 @@ def corridor_join(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+# --------------------------------------------------------------------------
+# tile occupancy histogram (skew diagnostic)
+# --------------------------------------------------------------------------
+
+
+def tile_occupancy_hist(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = 9
+) -> ray.data.Dataset:
+    """Skew diagnostic over the cell raster: how many occupied cells
+    hold ~2^b pages (bin = bit length of the count) — the load
+    histogram that tells a partitioner whether hot-cell salting is
+    needed BEFORE the join runs (the engine's own hot-spot pre-pass,
+    surfaced as a query).  Output (bin, n_cells, n_pages).
+
+    Scale shape: per-batch (cell, n) partials -> one coarse cell fold
+    (exact counts) -> per-bucket bit-length histogram partials (<= 64
+    rows each) -> one tiny bin fold.  Bit length is computed via
+    ``np.frexp`` (exact for counts < 2^53) and mirrored in SQL as
+    ``length(bin(n))`` — integer semantics, no float log2 boundaries."""
+    import pandas as pd
+
+    counts = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cell = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), res)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array((u % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def fold_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        n = g["n"].to_numpy(np.int64)
+        assert (n < (1 << 53)).all(), "tile_occupancy_hist: frexp exactness bound"
+        bl = np.frexp(n.astype(np.float64))[1].astype(np.int64)  # floor(log2)+1
+        u, idx = np.unique(bl, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "bin": u.astype(np.int64),
+                "n_cells": np.bincount(idx).astype(np.int64),
+                "n_pages": np.bincount(idx, weights=n).astype(np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False)[["n_cells", "n_pages"]].sum()
+        return g.astype(np.int64)
+
+    return (
+        counts.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_hist, batch_format="pandas")
+        .groupby("bin")
+        .map_groups(final, batch_format="pandas")
+    )

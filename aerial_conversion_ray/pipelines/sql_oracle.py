@@ -578,3 +578,18 @@ select page_id, cast(route_id as bigint) as route_id,
 from e where dist2 <= {CORRIDOR_D2!r}
 """
     )
+
+
+def tile_occupancy_hist_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = 9) -> str:
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg)
+        + f""",
+cellt as (select {cell} as cell from geo),
+cnt as (select cell, count(*) as n from cellt group by cell)
+select cast(length(bin(n)) as bigint) as bin,
+       cast(count(*) as bigint) as n_cells,
+       cast(sum(n) as bigint) as n_pages
+from cnt group by bin
+"""
+    )

@@ -556,3 +556,48 @@ def test_embed_top_components_matches_numpy(sf_dir):
     assert len(got) == len(want)
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_tile_occupancy_hist_consistent(sf_dir):
+    from aerial_conversion_ray.pipelines import spatial
+
+    got = spatial.tile_occupancy_hist(sf_dir, spatial.DEFAULT_CFG).to_pandas()
+    # total pages across bins == pages count; bins are bit lengths
+    from aerial_conversion_ray.sources.pages import pages_cte
+    import duckdb
+
+    n_pages = duckdb.sql(
+        f"with documents as (select * from read_parquet('{sf_dir}/documents.parquet')), "
+        f"p as ({pages_cte(spatial.DEFAULT_CFG.pages_rep)}) select count(*) n from p"
+    ).df()["n"].iloc[0]
+    assert got["n_pages"].sum() == n_pages
+    assert (got["bin"] >= 1).all()
+    # hot cell must land in a high bin (count >= 2^5 at rep 20)
+    assert got["bin"].max() >= 6
+
+
+def test_host_reciprocity_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph as L
+
+    e = L.host_edges(sf_dir).to_pandas()
+    e = e[e["src_id"] != e["dst_id"]]
+    pairs = set(zip(e["src_id"], e["dst_id"]))
+    rows = []
+    for h, g in e.groupby("src_id"):
+        rec = sum((d, s) in pairs for s, d in zip(g["src_id"], g["dst_id"]))
+        rows.append((int(h), len(g), rec))
+    want = (
+        pd.DataFrame(rows, columns=["host_id", "n_out", "n_rec"])
+        .sort_values("host_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        L.host_reciprocity(sf_dir)
+        .to_pandas()
+        .sort_values("host_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert got["n_rec"].sum() > 0
