@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_top_components": embeddings.embed_top_components,
         "tile_occupancy_hist": lambda sf: spatial.tile_occupancy_hist(sf, CFG),
         "host_reciprocity": linkgraph.host_reciprocity,
+        "curation_pipeline": text.curation_pipeline,
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -449,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_top_components": embeddings.embed_top_components_sql(),
         "tile_occupancy_hist": sql_oracle.tile_occupancy_hist_sql(CFG),
         "host_reciprocity": linkgraph.host_reciprocity_sql(),
+        "curation_pipeline": text.curation_pipeline_sql(),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -5187,3 +5187,87 @@ from (select *, row_number() over (order by drift desc, token) as rank
       from d)
 where rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation pipeline (quality -> dedup -> decontaminate)
+# --------------------------------------------------------------------------
+
+
+def curation_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """The C4-style curation chain as ONE lazy composition — the
+    switch-over proof that the oracle-proven stages stack: a document
+    survives iff it (a) passes the Gopher-style quality rules, (b) is
+    its text group's dedup REPRESENTATIVE (min doc_id), and (c) shares
+    no eval 3-gram (decontamination; eval docs themselves are held
+    out).  Output (doc_id, n_grams) per surviving document.
+
+    Scale shape: the three stages each stream the corpus ONCE with
+    their own proven plans (integer rule flags / 128-bit-key fold /
+    broadcast eval-gram probe); the composition exchanges only tagged
+    (doc_id, val) int64 pairs through one ``doc_id % 64`` fold that
+    keeps ids present in all three streams.  No stage re-tokenizes
+    another's text; no raw rows move."""
+    n_buckets = 64
+
+    def tag(kind: int, val_col: str | None):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = (
+                t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                if val_col
+                else np.zeros(len(d), np.int64)
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(d),
+                    "val": pa.array(v),
+                    "kind": pa.array(np.full(len(d), kind, np.int64)),
+                    "bucket": pa.array((d % n_buckets).astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    def keep_eq(col: str, v: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t[col], v))
+
+        return fn
+
+    q = (
+        quality_filter(sf_dir)
+        .map_batches(keep_eq("keep", 1), batch_format="pyarrow")
+        .map_batches(tag(0, None), batch_format="pyarrow")
+    )
+    d = dedup_exact(sf_dir).map_batches(tag(1, None), batch_format="pyarrow")
+    c = (
+        decontaminate(sf_dir)
+        .map_batches(keep_eq("contaminated", 0), batch_format="pyarrow")
+        .map_batches(tag(2, "n_grams"), batch_format="pyarrow")
+    )
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id").agg(
+            kinds=("kind", "nunique"), n_grams=("val", "sum")
+        )
+        g = g[g["kinds"] == 3].reset_index()
+        return g[["doc_id", "n_grams"]].astype(np.int64)
+
+    return (
+        q.union(d)
+        .union(c)
+        .groupby("bucket")
+        .map_groups(survivors, batch_format="pandas")
+    )
+
+
+def curation_pipeline_sql() -> str:
+    return f"""
+with q as ({QUALITY_FILTER_SQL}),
+d as ({DEDUP_EXACT_SQL}),
+c as ({decontaminate_sql()})
+select c.doc_id, c.n_grams
+from c join q using (doc_id) join d using (doc_id)
+where q.keep = 1 and c.contaminated = 0
+"""

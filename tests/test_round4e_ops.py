@@ -601,3 +601,27 @@ def test_host_reciprocity_matches_brute(sf_dir):
     for c in want.columns:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert got["n_rec"].sum() > 0
+
+
+def test_curation_pipeline_composition(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    got = (
+        T.curation_pipeline(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    q = T.quality_filter(sf_dir).to_pandas()
+    d = T.dedup_exact(sf_dir).to_pandas()
+    c = T.decontaminate(sf_dir).to_pandas()
+    want_ids = (
+        set(q[q["keep"] == 1]["doc_id"])
+        & set(d["doc_id"])
+        & set(c[c["contaminated"] == 0]["doc_id"])
+    )
+    assert set(got["doc_id"]) == want_ids
+    # survival must be a strict subset at every stage (stages bite)
+    assert 0 < len(got) < len(q)
+    cg = c.set_index("doc_id")["n_grams"]
+    assert (got.set_index("doc_id")["n_grams"] == cg.loc[got["doc_id"]]).all()
