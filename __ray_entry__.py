@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_occupancy_hist": lambda sf: spatial.tile_occupancy_hist(sf, CFG),
         "host_reciprocity": linkgraph.host_reciprocity,
         "curation_pipeline": text.curation_pipeline,
+        "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
+        "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -451,6 +453,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_occupancy_hist": sql_oracle.tile_occupancy_hist_sql(CFG),
         "host_reciprocity": linkgraph.host_reciprocity_sql(),
         "curation_pipeline": text.curation_pipeline_sql(),
+        "audio_resample": multimodal.audio_resample_sql(CFG),
+        "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -1118,3 +1118,176 @@ from tiles left join sums
   on sums.col_off = tiles.col_off and sums.row_off = tiles.row_off
 """
     )
+
+
+# --------------------------------------------------------------------------
+# audio resample (2x decimation through the real WAV codec, both ways)
+# --------------------------------------------------------------------------
+
+
+class WavResample:
+    """REAL resample actor: decode the WAV blob, 2x-decimate by exact
+    pairwise floor-mean (``floor((s0 + s1) / 2)`` — floor, NOT
+    truncate: the SQL mirror uses ``floor((s0+s1)/2.0)`` because
+    DuckDB ``//`` truncates toward zero and samples go negative, the
+    events_retention lesson), RE-ENCODE the half-rate stream through
+    the same first-party codec, decode THAT back, and emit integer
+    stats of the round-tripped result."""
+
+    def __init__(self):
+        from ..functions import wav
+
+        self.decode, self.encode = wav.decode_wav, wav.encode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["wav"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ns, sums, peaks = [], [], []
+        for buf in col:
+            arr, rate = self.decode(buf.as_py())
+            a = arr[:, 0].astype(np.int64)
+            half = len(a) // 2
+            pair = a[: half * 2].reshape(half, 2)
+            r = np.floor((pair[:, 0] + pair[:, 1]) / 2.0).astype(np.int64)
+            back, _ = self.decode(self.encode(r.astype(np.int16), rate // 2))
+            b = back[:, 0].astype(np.int64)
+            ns.append(len(b))
+            sums.append(int(b.sum()))
+            peaks.append(int(np.abs(b).max()) if len(b) else 0)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "n_out": pa.array(ns, pa.int64()),
+                "sum_r": pa.array(sums, pa.int64()),
+                "peak_r": pa.array(peaks, pa.int64()),
+            }
+        )
+
+
+def audio_resample(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """2x audio decimation as a real codec round trip: WAV synth ->
+    decode -> exact pairwise floor-mean -> RE-ENCODE at half rate ->
+    decode back -> integer stats.  The resample stage every audio
+    training pipeline runs before feature extraction, with the
+    int16 clamp semantics pinned by the closed-form SQL mirror
+    (samples stay within int16 by construction, so re-encode is
+    lossless and the oracle needs no clamp branch).
+
+    Actor-pool stage: codec state in ``__init__``; per-row Python is
+    the file loop (each row IS a whole audio file), the sample math
+    inside stays numpy."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(WavSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        WavResample,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def audio_resample_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        f"dims as (select page_id, ({WAV_BASE} + page_id % 64) // 2 as half from pages), "
+        "smp as (select page_id, half, "
+        f"cast(floor((((page_id * 5 + (2 * t.v) * 11) % {WAV_MOD}) - {WAV_MOD // 2} "
+        f"+ ((page_id * 5 + (2 * t.v + 1) * 11) % {WAV_MOD}) - {WAV_MOD // 2}) / 2.0) as bigint) as r "
+        "from dims, unnest(range(half)) t(v)) "
+        "select page_id, cast(half as bigint) as n_out, "
+        "cast(sum(r) as bigint) as sum_r, cast(max(abs(r)) as bigint) as peak_r "
+        "from smp group by page_id, half"
+    )
+
+
+# --------------------------------------------------------------------------
+# video temporal difference / scene-cut flags (all frames decoded)
+# --------------------------------------------------------------------------
+
+CUT_NUM = 8000  # is_cut iff diff_sum * 251 > CUT_NUM * pixels (integer)
+
+
+class VideoDiff:
+    """REAL temporal-difference actor: parse the container, decode
+    EVERY frame with the first-party PNG codec, emit per consecutive
+    frame pair the exact absolute pixel-difference mass and the
+    integer cross-multiplied cut flag (no float threshold)."""
+
+    def __init__(self):
+        from ..functions import png
+
+        self.decode = png.decode_png
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import struct
+
+        pid = t["page_id"]
+        col = t["video"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pids, fidx, diffs, cuts = [], [], [], []
+        for p, buf in zip(pid.to_numpy(zero_copy_only=False), col):
+            raw = buf.as_py()
+            if raw[:4] != VID_MAGIC:
+                raise ValueError("bad frame container")
+            (n,) = struct.unpack("<I", raw[4:8])
+            offs = struct.unpack(f"<{n}I", raw[8 : 8 + 4 * n])
+            ends = list(offs[1:]) + [len(raw)]
+            frames = [
+                self.decode(raw[offs[f] : ends[f]]).astype(np.int64)
+                for f in range(n)
+            ]
+            for f in range(n - 1):
+                d = int(np.abs(frames[f + 1] - frames[f]).sum())
+                px = frames[f].size
+                pids.append(int(p))
+                fidx.append(f)
+                diffs.append(d)
+                cuts.append(int(d * 251 > CUT_NUM * px))
+        return pa.table(
+            {
+                "page_id": pa.array(pids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "diff_sum": pa.array(diffs, pa.int64()),
+                "is_cut": pa.array(cuts, pa.int64()),
+            }
+        )
+
+
+def video_scene_cuts(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Scene-cut detection over the binary video column: decode all
+    frames (real codec), per consecutive pair emit the exact absolute
+    temporal-difference mass and an integer-predicate cut flag — the
+    shot-boundary pass a video curation pipeline runs before frame
+    sampling.  Actor-pool stage; per-row Python is the file/frame
+    loop (each row is a whole container), pixel math stays numpy."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(VideoSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        VideoDiff,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def video_scene_cuts_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    law = "((page_id * 3 + {f} * 17 + i.v * 7 + j.v * 13) % " + str(PNG_MOD) + ")"
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        "dims as (select page_id, 16 + page_id % 8 as w, 12 + page_id % 5 as h, "
+        "2 + page_id % 3 as nf from pages), "
+        "fr as (select page_id, w, h, f.v as frame_idx from dims, "
+        "unnest(range(nf - 1)) f(v)), "
+        "px as (select page_id, frame_idx, w, h, "
+        f"abs({law.format(f='(frame_idx + 1)')} - {law.format(f='frame_idx')}) as d "
+        "from fr, unnest(range(h)) i(v), unnest(range(w)) j(v)) "
+        "select page_id, frame_idx, cast(sum(d) as bigint) as diff_sum, "
+        f"cast(sum(d) * 251 > {CUT_NUM} * (w * h) as bigint) as is_cut "
+        "from px group by page_id, frame_idx, w, h"
+    )

@@ -625,3 +625,66 @@ def test_curation_pipeline_composition(sf_dir):
     assert 0 < len(got) < len(q)
     cg = c.set_index("doc_id")["n_grams"]
     assert (got.set_index("doc_id")["n_grams"] == cg.loc[got["doc_id"]]).all()
+
+
+def test_audio_resample_matches_codec_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import multimodal as M
+    from aerial_conversion_ray.functions.wav import decode_wav, encode_wav
+    from aerial_conversion_ray.pipelines.spatial import DEFAULT_CFG
+    import duckdb
+    from aerial_conversion_ray.sources.pages import pages_cte
+
+    pages = duckdb.sql(
+        f"with documents as (select * from read_parquet('{sf_dir}/documents.parquet')), "
+        f"p as ({pages_cte(DEFAULT_CFG.pages_rep)}) select page_id from p limit 200"
+    ).df()
+    # brute: synth law -> pairwise floor-mean -> stats (no codec)
+    rows = []
+    for pid in pages["page_id"].to_numpy(np.int64):
+        n = M.WAV_BASE + pid % 64
+        t = np.arange(n, dtype=np.int64)
+        s = ((pid * 5 + t * 11) % M.WAV_MOD) - M.WAV_MOD // 2
+        half = n // 2
+        pair = s[: half * 2].reshape(half, 2)
+        r = np.floor((pair[:, 0] + pair[:, 1]) / 2.0).astype(np.int64)
+        rows.append((int(pid), half, int(r.sum()), int(np.abs(r).max())))
+    want = (
+        pd.DataFrame(rows, columns=["page_id", "n_out", "sum_r", "peak_r"])
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        M.audio_resample(sf_dir, DEFAULT_CFG)
+        .to_pandas()
+        .merge(want[["page_id"]], on="page_id")
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the re-encode leg is honest: codec roundtrip of a known stream
+    buf = encode_wav(np.array([-3, 5, 7], np.int16), 8000)
+    arr, rate = decode_wav(buf)
+    assert rate == 8000 and list(arr[:, 0]) == [-3, 5, 7]
+
+
+def test_video_scene_cuts_law(sf_dir):
+    from aerial_conversion_ray.pipelines import multimodal as M
+    from aerial_conversion_ray.pipelines.spatial import DEFAULT_CFG
+
+    got = M.video_scene_cuts(sf_dir, DEFAULT_CFG).to_pandas()
+    # brute on a few pages: decode-free law replication
+    sub = got[got["page_id"] < 50]
+    for _, row in sub.iterrows():
+        p, f = int(row["page_id"]), int(row["frame_idx"])
+        w, h = 16 + p % 8, 12 + p % 5
+        i = np.arange(h)[:, None]
+        j = np.arange(w)[None, :]
+        a = (p * 3 + f * 17 + i * 7 + j * 13) % 251
+        b = (p * 3 + (f + 1) * 17 + i * 7 + j * 13) % 251
+        d = int(np.abs(b - a).sum())
+        assert d == row["diff_sum"]
+        assert int(d * 251 > M.CUT_NUM * w * h) == row["is_cut"]
+    # both flag values occur (the predicate bites)
+    assert got["is_cut"].nunique() == 2
