@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_cells": lambda sf: spatial.line_cells(sf, CFG),
         "focal_stats": lambda sf: spatial.focal_stats(sf, CFG),
         "corridor_join": lambda sf: spatial.corridor_join(sf, CFG),
+        "corridor_join_shp": lambda sf: spatial.corridor_join_shp(sf, CFG),
         "embed_quantize": embeddings.embed_quantize,
         "winsorized_mean": relational.winsorized_mean,
         "source_overlap": text.source_overlap,
@@ -443,6 +444,9 @@ def oracle_sql() -> dict[str, str]:
         "line_cells": sql_oracle.line_cells_sql(CFG),
         "focal_stats": sql_oracle.focal_stats_sql(CFG),
         "corridor_join": sql_oracle.corridor_join_sql(CFG),
+        # same oracle as corridor_join: route geometry round-trips the
+        # polyline shapefile byte-exactly (float64 LE in both directions)
+        "corridor_join_shp": sql_oracle.corridor_join_sql(CFG),
         "embed_quantize": embeddings.EMBED_QUANTIZE_SQL,
         "winsorized_mean": relational.WINSORIZED_MEAN_SQL,
         "source_overlap": text.source_overlap_sql(),

@@ -2892,3 +2892,87 @@ def tile_occupancy_hist(
         .groupby("bin")
         .map_groups(final, batch_format="pandas")
     )
+
+
+ROUTES_SHP_DIR = "/tmp/aerial_conversion_routes"
+
+
+def corridor_join_shp(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, d2: float = CORRIDOR_D2
+) -> ray.data.Dataset:
+    """``corridor_join`` with the routes loaded from a REAL polyline
+    shapefile (type-3 records + dBASE route ids) instead of the
+    in-code constant — S1 as load-bearing input for the linear-
+    feature join, the same upgrade ``shapefile_zone_join`` gave the
+    polygon path.  The file is written once (first-party writer,
+    atomic) then read back through the first-party parser; route
+    geometry used by the join kernel comes FROM THE FILE, so the
+    oracle (the corridor constants) doubles as the codec's
+    value-equality proof.
+
+    Scale shape: identical to corridor_join — the route table is the
+    SMALL side (one driver read + broadcast via closure), the page
+    stream never shuffles."""
+    import os
+
+    from ..sources.shapefile import (
+        polyline_content,
+        read_dbf_bytes,
+        read_shp_bytes,
+        write_dbf,
+        write_shp,
+    )
+
+    os.makedirs(ROUTES_SHP_DIR, exist_ok=True)
+    base = f"{ROUTES_SHP_DIR}/routes"
+    if not os.path.exists(base + ".shp"):
+        contents = [
+            polyline_content([np.array([[x0, y0], [x1, y1]])])
+            for _, x0, y0, x1, y1 in ROUTES
+        ]
+        write_shp(base, contents)
+        import pandas as pd
+
+        write_dbf(
+            base,
+            pd.DataFrame({"route_id": [r[0] for r in ROUTES]}),
+            [("route_id", "N", 10, 0)],
+        )
+
+    recs = read_shp_bytes(open(base + ".shp", "rb").read())
+    attrs = read_dbf_bytes(open(base + ".dbf", "rb").read())
+    routes = []
+    for rec, rid in zip(recs, attrs["route_id"].astype(int)):
+        p = rec["parts"][0]
+        routes.append(
+            (int(rid), float(p[0, 0]), float(p[0, 1]), float(p[1, 0]), float(p[1, 1]))
+        )
+
+    ds = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = t["lon"].to_numpy()
+        py = t["lat"].to_numpy()
+        out_pid, out_rid, out_d = [], [], []
+        for rid, x0, y0, x1, y1 in routes:
+            dx, dy = x1 - x0, y1 - y0
+            len2 = dx * dx + dy * dy
+            tnum = (px - x0) * dx + (py - y0) * dy
+            tt = np.minimum(np.maximum(tnum / len2, 0.0), 1.0)
+            cx = x0 + tt * dx
+            cy = y0 + tt * dy
+            dist2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            ok = dist2 <= d2
+            out_pid.append(pid[ok])
+            out_rid.append(np.full(ok.sum(), rid, np.int64))
+            out_d.append(np.floor(dist2[ok] * 1e12 + 0.5).astype(np.int64))
+        return pa.table(
+            {
+                "page_id": pa.array(np.concatenate(out_pid)),
+                "route_id": pa.array(np.concatenate(out_rid)),
+                "dist2_e12": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)

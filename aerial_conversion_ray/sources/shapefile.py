@@ -45,6 +45,7 @@ import ray.data
 
 SHAPE_NULL = 0
 SHAPE_POINT = 1
+SHAPE_POLYLINE = 3
 SHAPE_POLYGON = 5
 
 _HDR = 100
@@ -81,6 +82,27 @@ def polygon_content(parts: list[np.ndarray]) -> bytes:
     )
     buf += box.tobytes()
     buf += np.array([len(rings), len(pts)], "<i4").tobytes()
+    buf += offs.tobytes()
+    buf += pts.astype("<f8").tobytes()
+    return bytes(buf)
+
+
+def polyline_content(parts: list[np.ndarray]) -> bytes:
+    """Shape content bytes for one polyline record (type 3): same
+    layout as polygon but parts are open paths — no ring closing, no
+    orientation rule (ESRI spec: PolyLine = bbox, NumParts, NumPoints,
+    Parts[], Points[])."""
+    paths = [np.asarray(r, np.float64) for r in parts]
+    pts = np.vstack(paths)
+    offs = np.cumsum([0] + [len(r) for r in paths[:-1]]).astype("<i4")
+    buf = bytearray()
+    buf += np.array([SHAPE_POLYLINE], "<i4").tobytes()
+    box = np.array(
+        [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()],
+        "<f8",
+    )
+    buf += box.tobytes()
+    buf += np.array([len(paths), len(pts)], "<i4").tobytes()
     buf += offs.tobytes()
     buf += pts.astype("<f8").tobytes()
     return bytes(buf)
@@ -135,7 +157,7 @@ def write_shp(path: str, contents: list[bytes]) -> None:
     bboxes = []
     for c in contents:
         st = int(np.frombuffer(c[:4], "<i4")[0])
-        if st == SHAPE_POLYGON:
+        if st in (SHAPE_POLYGON, SHAPE_POLYLINE):
             bboxes.append(np.frombuffer(c[4:36], "<f8"))
         elif st == SHAPE_POINT:
             x, y = np.frombuffer(c[4:20], "<f8")
@@ -228,7 +250,7 @@ def read_shp_bytes(data: bytes) -> list[dict]:
         if st == SHAPE_POINT:
             x, y = np.frombuffer(c[4:20], "<f8")
             out.append({"type": st, "x": float(x), "y": float(y)})
-        elif st == SHAPE_POLYGON:
+        elif st in (SHAPE_POLYGON, SHAPE_POLYLINE):
             nparts, npts = np.frombuffer(c[36:44], "<i4")
             offs = np.frombuffer(c[44 : 44 + 4 * nparts], "<i4")
             pts = np.frombuffer(

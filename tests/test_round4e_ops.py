@@ -688,3 +688,40 @@ def test_video_scene_cuts_law(sf_dir):
         assert int(d * 251 > M.CUT_NUM * w * h) == row["is_cut"]
     # both flag values occur (the predicate bites)
     assert got["is_cut"].nunique() == 2
+
+
+def test_polyline_shapefile_roundtrip():
+    import tempfile
+
+    from aerial_conversion_ray.sources import shapefile as S
+
+    d = tempfile.mkdtemp()
+    paths = [
+        [np.array([[0.25, -1.5], [3.75, 2.5]])],
+        [np.array([[5.0, 5.0], [6.0, 7.0], [8.0, 7.5]]),
+         np.array([[9.0, 9.0], [10.0, 11.0]])],  # multipart
+    ]
+    S.write_shp(d + "/r", [S.polyline_content(p) for p in paths])
+    recs = S.read_shp_bytes(open(d + "/r.shp", "rb").read())
+    assert [r["type"] for r in recs] == [3, 3]
+    assert len(recs[1]["parts"]) == 2
+    for want, got in zip(paths[0] + paths[1], recs[0]["parts"] + recs[1]["parts"]):
+        assert (np.asarray(want) == got).all()
+
+
+def test_corridor_join_shp_matches_constant_variant(sf_dir):
+    from aerial_conversion_ray.pipelines import spatial
+
+    a = (
+        spatial.corridor_join(sf_dir, spatial.DEFAULT_CFG)
+        .to_pandas()
+        .sort_values(["route_id", "page_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        spatial.corridor_join_shp(sf_dir, spatial.DEFAULT_CFG)
+        .to_pandas()
+        .sort_values(["route_id", "page_id"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # file round-trip is value-exact (float64 LE)
