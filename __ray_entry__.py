@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": text.curation_pipeline,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
+        "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -459,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": text.curation_pipeline_sql(),
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
+        "raster_equalize": multimodal.raster_equalize_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ray.data.aggregate import Sum
 
 from ..config import EngineConfig
 from ..sources.pages import pages_dataset
@@ -1290,4 +1291,142 @@ def video_scene_cuts_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "select page_id, frame_idx, cast(sum(d) as bigint) as diff_sum, "
         f"cast(sum(d) * 251 > {CUT_NUM} * (w * h) as bigint) as is_cut "
         "from px group by page_id, frame_idx, w, h"
+    )
+
+
+# --------------------------------------------------------------------------
+# raster histogram equalization (two windowed passes over the real file)
+# --------------------------------------------------------------------------
+
+
+def raster_equalize(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = HEATMAP_RES
+) -> ray.data.Dataset:
+    """Global histogram equalization over the heatmap GeoTIFF — the
+    classic raster contrast transform, run the way a raster engine
+    must at scale: pass 1 streams tile WINDOWS of the real file
+    (strip-range reads) into a 256-bin histogram fold; the driver
+    derives the integer remap table ``eq(v) = (cdf(v) - cdf_min) *
+    255 // (N - cdf_min)`` (all non-negative integers, so numpy
+    floor == SQL truncate); pass 2 re-streams the windows and applies
+    the broadcast LUT, emitting per-tile equalized stats.  The DENSE
+    raster never sits in one process; only 256-bin partials and the
+    LUT move.
+
+    Output (tile_id, col_off, row_off, eq_sum, eq_max) per window."""
+    import ray
+
+    from ..config import TileGridSpec
+    from ..sources.geotiff import read_raster_windows
+
+    # ensure the heatmap exists (idempotent atomic write inside)
+    heatmap_geotiff(sf_dir, cfg, res)
+    path = f"{HEATMAP_DIR}/heatmap_r{res}_{cfg.pages_rep}.tif"
+    grid = TileGridSpec(tile_width=HEATMAP_TILE, tile_height=HEATMAP_TILE)
+
+    win = read_raster_windows(path, grid)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        col = t["pixels"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = np.zeros(256, np.int64)
+        for buf in col:
+            px = np.frombuffer(buf.as_py(), np.uint8)
+            h += np.bincount(px, minlength=256)
+        return pa.table(
+            {"v": pa.array(np.arange(256, dtype=np.int64)), "n": pa.array(h)}
+        )
+
+    hist = (
+        win.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    n_arr = np.zeros(256, np.int64)
+    n_arr[hist["v"].to_numpy(np.int64)] = hist["n"].to_numpy(np.int64)
+    cdf = np.cumsum(n_arr)
+    nz = np.nonzero(n_arr)[0]
+    cdf_min = int(cdf[nz[0]]) if len(nz) else 0
+    total = int(cdf[-1])
+    denom = max(total - cdf_min, 1)
+    lut = ((cdf - cdf_min).clip(min=0) * 255 // denom).astype(np.int64)
+    lut_ref = ray.put(lut)
+
+    class Remap:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t["pixels"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            sums, maxs = [], []
+            for buf in col:
+                px = self.lut[np.frombuffer(buf.as_py(), np.uint8)]
+                sums.append(int(px.sum()))
+                maxs.append(int(px.max()))
+            return pa.table(
+                {
+                    "tile_id": t["tile_id"],
+                    "col_off": t["col_off"],
+                    "row_off": t["row_off"],
+                    "eq_sum": pa.array(sums, pa.int64()),
+                    "eq_max": pa.array(maxs, pa.int64()),
+                }
+            )
+
+    return read_raster_windows(path, grid).map_batches(
+        Remap, batch_format="pyarrow", concurrency=2
+    )
+
+
+def raster_equalize_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = HEATMAP_RES) -> str:
+    from .sql_oracle import _pages_geo
+    from ..geo import cells
+
+    n = 1 << res
+    t = HEATMAP_TILE
+    total_px = n * (n // 2)
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg)
+        + f""",
+cellt as (select {cell} as cell from geo),
+cnt as (select cell, count(*) as cn from cellt group by cell),
+px as (select cell % {n} as ix, ({n // 2 - 1}) - (cell // {n}) as iy,
+              least(cn, 255) as v from cnt),
+hist0 as (select v, count(*) as hn from px group by v),
+hist as (select v, hn from hist0
+         union all
+         select 0 as v, {total_px} - (select sum(hn) from hist0) as hn),
+h as (select v, sum(hn) as hn from hist group by v),
+c as (select v, hn, sum(hn) over (order by v) as cdf from h),
+params as (select min(cdf) filter (where hn > 0) as cdf_min,
+                  {total_px} as total from c),
+lut as (select v, greatest(cdf - cdf_min, 0) * 255
+                  // greatest(total - cdf_min, 1) as eq
+        from c cross join params),
+tiles as (select cx.v as col_off, ry.v as row_off from
+  (select unnest(range(0, {n}, {t})) as v) cx,
+  (select unnest(range(0, {n // 2}, {t})) as v) ry),
+occ as (select (ix // {t}) * {t} as col_off, (iy // {t}) * {t} as row_off,
+               sum(l.eq) as occ_sum, count(*) as occ_n, max(l.eq) as occ_max
+        from px join lut l using (v) group by 1, 2),
+z as (select eq as zero_eq from lut where v = 0)
+select ('tile_' || cast(tiles.col_off as varchar) || '-' ||
+        cast(tiles.row_off as varchar)) as tile_id,
+       cast(tiles.col_off as bigint) as col_off,
+       cast(tiles.row_off as bigint) as row_off,
+       cast(coalesce(occ_sum, 0)
+            + ({t * t} - coalesce(occ_n, 0)) * z.zero_eq as bigint) as eq_sum,
+       cast(greatest(coalesce(occ_max, 0),
+                     case when coalesce(occ_n, 0) < {t * t} then z.zero_eq
+                          else 0 end) as bigint) as eq_max
+from tiles left join occ
+  on occ.col_off = tiles.col_off and occ.row_off = tiles.row_off
+cross join z
+"""
     )

@@ -725,3 +725,16 @@ def test_corridor_join_shp_matches_constant_variant(sf_dir):
         .reset_index(drop=True)
     )
     assert a.equals(b)  # file round-trip is value-exact (float64 LE)
+
+
+def test_raster_equalize_stretches_contrast(sf_dir):
+    from aerial_conversion_ray.pipelines import multimodal as M
+    from aerial_conversion_ray.pipelines.spatial import DEFAULT_CFG
+
+    got = M.raster_equalize(sf_dir, DEFAULT_CFG).to_pandas()
+    n = 1 << M.HEATMAP_RES
+    assert len(got) == (n // M.HEATMAP_TILE) * (n // 2 // M.HEATMAP_TILE)
+    # equalization maps the max-population value to a high code and
+    # keeps every output in [0, 255]
+    assert got["eq_max"].max() == 255
+    assert (got["eq_sum"] >= 0).all()
