@@ -5008,19 +5008,24 @@ def trending_tokens(
         c = df.groupby(["win", "token"], as_index=False)["n"].sum()
         c = c.sort_values(["win", "n", "token"], ascending=[True, False, True])
         c = c[c.groupby("win").cumcount() < k]
-        return c[["win", "token", "n"]]
+        c = c[["win", "token", "n"]].copy()
+        # final merge folds by win % 16, NOT the raw window id — a
+        # year of 30-min windows is 17k group-tasks otherwise (the
+        # per-group-overhead lesson in BASELINE.md)
+        c["wbucket"] = (c["win"].to_numpy(np.int64) % 16).astype(np.int64)
+        return c
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["win", "n", "token"], ascending=[True, False, True])
         df["rank"] = df.groupby("win").cumcount() + 1
-        df = df[df["rank"] <= k]
+        df = df[df["rank"] <= k][["win", "token", "n", "rank"]]
         return df.astype({"win": np.int64, "n": np.int64, "rank": np.int64})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_topk, batch_format="pandas")
-        .groupby("win")
+        .groupby("wbucket")
         .map_groups(final, batch_format="pandas")
     )
 

@@ -428,6 +428,30 @@ def run_benchmarks() -> dict:
         "embed_quantize": lambda: _consume(embeddings.embed_quantize(SF_DIR)),
         "winsorized_mean": lambda: _consume(relational.winsorized_mean(SF_DIR)),
         "source_overlap": lambda: _consume(text.source_overlap(SF_DIR)),
+        "trending_tokens": lambda: _consume(text.trending_tokens(SF_DIR, cfg)),
+        "token_drift": lambda: _consume(text.token_drift(SF_DIR)),
+        "curation_pipeline": lambda: _consume(text.curation_pipeline(SF_DIR)),
+        "heatmap_geotiff": lambda: _consume(multimodal.heatmap_geotiff(SF_DIR, cfg)),
+        "raster_equalize": lambda: _consume(multimodal.raster_equalize(SF_DIR, cfg)),
+        "audio_resample": lambda: _consume(
+            multimodal.audio_resample(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "video_scene_cuts": lambda: _consume(
+            multimodal.video_scene_cuts(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "embed_top_components": lambda: _consume(
+            embeddings.embed_top_components(SF_DIR)
+        ),
+        "tile_occupancy_hist": lambda: _consume(
+            spatial.tile_occupancy_hist(SF_DIR, cfg)
+        ),
+        "host_reciprocity": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_reciprocity"],
+            ).host_reciprocity(SF_DIR)
+        ),
+        "corridor_join_shp": lambda: _consume(spatial.corridor_join_shp(SF_DIR, cfg)),
     }
 
     # optional entry filter for fast single-pipeline iteration:
