@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_occupancy_hist": lambda sf: spatial.tile_occupancy_hist(sf, CFG),
         "host_reciprocity": linkgraph.host_reciprocity,
         "curation_pipeline": text.curation_pipeline,
+        "k_anonymity": text.k_anonymity,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_occupancy_hist": sql_oracle.tile_occupancy_hist_sql(CFG),
         "host_reciprocity": linkgraph.host_reciprocity_sql(),
         "curation_pipeline": text.curation_pipeline_sql(),
+        "k_anonymity": text.k_anonymity_sql(),
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),

@@ -5276,3 +5276,74 @@ select c.doc_id, c.n_grams
 from c join q using (doc_id) join d using (doc_id)
 where q.keep = 1 and c.contaminated = 0
 """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy QA over quasi-identifiers)
+# --------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_CHARS_BIN = 100
+
+
+def k_anonymity(sf_dir: str, k: int = KANON_K) -> ray.data.Dataset:
+    """Privacy audit: group documents by the quasi-identifier tuple
+    (lang, source, n_chars // 100) and report every equivalence class
+    SMALLER than ``k`` — the k-anonymity violation list a release
+    review runs before publishing corpus metadata (small classes
+    re-identify).  Output (lang, source, chars_bin, n) per violating
+    class.
+
+    Scale shape: per-batch exact class partials (one composite
+    factorize), ONE coarse fold keyed by the class hash — the only
+    rows that survive the fold are class rows (bounded by distinct
+    quasi-identifier tuples, not corpus rows); the < k filter happens
+    inside the owning bucket with exact global counts."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        cb = (
+            t["n_chars"].to_numpy(zero_copy_only=False) // KANON_CHARS_BIN
+        ).astype(np.int64)
+        df = pd.DataFrame({"lang": lang, "source": src, "chars_bin": cb})
+        g = df.groupby(["lang", "source", "chars_bin"], as_index=False).size()
+        key = pa.array(
+            g["lang"].astype(str) + "|" + g["source"].astype(str)
+            + "|" + g["chars_bin"].astype(str)
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"]),
+                "source": pa.array(g["source"]),
+                "chars_bin": pa.array(g["chars_bin"].to_numpy(np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "bucket": pa.array(
+                    (_hash_arrow_strings(key) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def violations(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source", "chars_bin"], as_index=False)["n"].sum()
+        g = g[g["n"] < k]
+        g["chars_bin"] = g["chars_bin"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["lang", "source", "chars_bin", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(violations, batch_format="pandas")
+    )
+
+
+def k_anonymity_sql(k: int = KANON_K) -> str:
+    return f"""
+select lang, source, cast(n_chars // {KANON_CHARS_BIN} as bigint) as chars_bin,
+       cast(count(*) as bigint) as n
+from documents
+group by lang, source, chars_bin
+having count(*) < {k}
+"""

@@ -738,3 +738,29 @@ def test_raster_equalize_stretches_contrast(sf_dir):
     # keeps every output in [0, 255]
     assert got["eq_max"].max() == 255
     assert (got["eq_sum"] >= 0).all()
+
+
+def test_k_anonymity_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    docs["chars_bin"] = docs["n_chars"] // T.KANON_CHARS_BIN
+    g = docs.groupby(["lang", "source", "chars_bin"], as_index=False).size()
+    want = (
+        g[g["size"] < T.KANON_K]
+        .rename(columns={"size": "n"})
+        .sort_values(["lang", "source", "chars_bin"])
+        .reset_index(drop=True)
+    )
+    got = (
+        T.k_anonymity(sf_dir)
+        .to_pandas()
+        .sort_values(["lang", "source", "chars_bin"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["lang", "source", "chars_bin", "n"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["n"] < T.KANON_K).all() and len(got) > 0
