@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": linkgraph.host_reciprocity,
         "curation_pipeline": text.curation_pipeline,
         "k_anonymity": text.k_anonymity,
+        "ip_range_join": relational.ip_range_join,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reciprocity": linkgraph.host_reciprocity_sql(),
         "curation_pipeline": text.curation_pipeline_sql(),
         "k_anonymity": text.k_anonymity_sql(),
+        "ip_range_join": relational.ip_range_join_sql(CFG.pages_rep),
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),

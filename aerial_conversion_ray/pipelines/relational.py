@@ -3392,3 +3392,65 @@ select d.lang, q.lo, q.hi, q.n,
 from documents d join q using (lang)
 group by d.lang, q.lo, q.hi, q.n
 """
+
+
+# --------------------------------------------------------------------------
+# range-lookup join (IP-geolocation shape: value BETWEEN lo AND hi)
+# --------------------------------------------------------------------------
+
+IP_N_RANGES = 256
+IP_SPAN = 1 << 32
+
+
+def ip_range_join(sf_dir: str, n_ranges: int = IP_N_RANGES) -> ray.data.Dataset:
+    """The IP-geolocation join shape: each page derives a synthetic
+    uint32 address (a pure hash of page_id — the crawler's peer IP
+    stand-in), looked up in a SMALL sorted table of non-overlapping
+    [lo, hi] ranges -> range_id (a MaxMind-style geo table).  The
+    interval table is deterministic: range k covers
+    [k * 2^32/N, (k+1) * 2^32/N) with id k*7 % N — non-trivial ids so
+    an off-by-one maps to a WRONG id, not a shifted one.
+
+    Scale shape: the range table is broadcast (closure constant);
+    the page stream maps through ONE ``np.searchsorted`` probe per
+    batch — zero shuffle, the canonical broadcast-interval-join plan
+    (the same small-side pattern as nearest_facility/decontaminate).
+    Output (page_id, ip, range_id)."""
+    from ..sources.pages import pages_dataset
+
+    width = IP_SPAN // n_ranges
+    lows = np.arange(n_ranges, dtype=np.int64) * width
+    ids = (np.arange(n_ranges, dtype=np.int64) * 7) % n_ranges
+
+    ds = pages_dataset(sf_dir, rep=20, columns=["page_id"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (pid * 2654435761 + 40503) % IP_SPAN
+        k = np.searchsorted(lows, ip, side="right") - 1
+        return pa.table(
+            {
+                "page_id": pa.array(pid),
+                "ip": pa.array(ip),
+                "range_id": pa.array(ids[k]),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def ip_range_join_sql(rep: int = 20, n_ranges: int = IP_N_RANGES) -> str:
+    from ..sources.pages import pages_cte
+
+    width = IP_SPAN // n_ranges
+    return f"""
+with pages as ({pages_cte(rep)}),
+r as (select v as k, v * {width} as lo, (v + 1) * {width} - 1 as hi,
+             (v * 7) % {n_ranges} as range_id
+      from (select unnest(range({n_ranges})) as v)),
+a as (select page_id, (page_id * 2654435761 + 40503) % {IP_SPAN} as ip
+      from pages)
+select a.page_id, cast(a.ip as bigint) as ip,
+       cast(r.range_id as bigint) as range_id
+from a join r on a.ip between r.lo and r.hi
+"""

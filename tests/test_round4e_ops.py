@@ -764,3 +764,16 @@ def test_k_anonymity_matches_brute(sf_dir):
     for c in ["lang", "source", "chars_bin", "n"]:
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert (got["n"] < T.KANON_K).all() and len(got) > 0
+
+
+def test_ip_range_join_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import relational as R
+
+    got = R.ip_range_join(sf_dir).to_pandas()
+    width = R.IP_SPAN // R.IP_N_RANGES
+    ip = got["ip"].to_numpy(np.int64)
+    k = ip // width
+    assert (got["range_id"].to_numpy(np.int64) == (k * 7) % R.IP_N_RANGES).all()
+    assert (ip >= 0).all() and (ip < R.IP_SPAN).all()
+    # addresses spread across many ranges (the probe isn't degenerate)
+    assert got["range_id"].nunique() > R.IP_N_RANGES // 2
