@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": text.curation_pipeline,
         "k_anonymity": text.k_anonymity,
         "ip_range_join": relational.ip_range_join,
+        "bootstrap_mean": relational.bootstrap_mean,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),
@@ -462,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": text.curation_pipeline_sql(),
         "k_anonymity": text.k_anonymity_sql(),
         "ip_range_join": relational.ip_range_join_sql(CFG.pages_rep),
+        "bootstrap_mean": relational.bootstrap_mean_sql(),
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),

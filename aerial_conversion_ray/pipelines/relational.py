@@ -3454,3 +3454,64 @@ select a.page_id, cast(a.ip as bigint) as ip,
        cast(r.range_id as bigint) as range_id
 from a join r on a.ip between r.lo and r.hi
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic bootstrap (distributed resampling without RNG state)
+# --------------------------------------------------------------------------
+
+BOOT_B = 32
+BOOT_P1 = 2654435761
+BOOT_P2 = 40503
+
+
+def bootstrap_mean(sf_dir: str, n_boot: int = BOOT_B) -> ray.data.Dataset:
+    """Distributed BOOTSTRAP of the mean of documents.n_chars with NO
+    RNG state: replicate ``b`` weights each doc by
+    ``w = ((doc_id * P1 + b * P2) % 2^32) % 4`` (mean 1.5, variance
+    1.25 — a multinomial-style resample that is a pure function of
+    (doc_id, b), so any worker recomputes it identically and the
+    DuckDB oracle mirrors it).  Output one row per replicate:
+    (b, n_w, sum_w) — exact integer numerator/denominator pairs; the
+    caller derives the CI from the ratio ranks, float-free.
+
+    Scale shape: ONE corpus pass; each batch emits ``n_boot`` partial
+    rows (the weight matrix is a vectorized outer product over the
+    batch), folded by replicate id — shuffle volume is
+    n_boot * blocks rows, corpus-size-independent."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    b_ids = np.arange(n_boot, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = ((d[:, None] * BOOT_P1 + b_ids[None, :] * BOOT_P2) % (1 << 32)) % 4
+        return pa.table(
+            {
+                "b": pa.array(b_ids),
+                "n_w": pa.array(w.sum(axis=0).astype(np.int64)),
+                "sum_w": pa.array((w * x[:, None]).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("b", as_index=False)[["n_w", "sum_w"]].sum()
+        return g.astype(np.int64)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def bootstrap_mean_sql(n_boot: int = BOOT_B) -> str:
+    return f"""
+with reps as (select unnest(range({n_boot})) as b),
+w as (select r.b, ((d.doc_id * {BOOT_P1} + r.b * {BOOT_P2}) % {1 << 32}) % 4 as w,
+             d.n_chars
+      from documents d cross join reps r)
+select b, cast(sum(w) as bigint) as n_w,
+       cast(sum(w * n_chars) as bigint) as sum_w
+from w group by b
+"""

@@ -777,3 +777,22 @@ def test_ip_range_join_matches_brute(sf_dir):
     assert (ip >= 0).all() and (ip < R.IP_SPAN).all()
     # addresses spread across many ranges (the probe isn't degenerate)
     assert got["range_id"].nunique() > R.IP_N_RANGES // 2
+
+
+def test_bootstrap_mean_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import relational as R
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    d = docs["doc_id"].to_numpy(np.int64)
+    x = docs["n_chars"].to_numpy(np.int64)
+    got = R.bootstrap_mean(sf_dir).to_pandas().sort_values("b").reset_index(drop=True)
+    assert len(got) == R.BOOT_B
+    for b in range(R.BOOT_B):
+        w = ((d * R.BOOT_P1 + b * R.BOOT_P2) % (1 << 32)) % 4
+        assert got["n_w"].iloc[b] == w.sum()
+        assert got["sum_w"].iloc[b] == (w * x).sum()
+    # replicate means vary (the resample isn't degenerate) and bracket
+    # the plain mean
+    means = got["sum_w"] / got["n_w"]
+    assert means.std() > 0
+    assert means.min() <= x.mean() <= means.max()
