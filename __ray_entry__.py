@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": text.k_anonymity,
         "ip_range_join": relational.ip_range_join,
         "bootstrap_mean": relational.bootstrap_mean,
+        # rows-only: iterative peeling (data-dependent rounds) is not
+        # SQL-expressible; exact brute-peel parity in pytest
+        "kcore": cluster.kcore,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),

@@ -38,6 +38,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..sources.pages import read_table
@@ -792,3 +793,158 @@ corners as (
 select doc_id, cast(count(*) as bigint) as n_triangles
 from corners group by doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# k-core membership of the near-dup graph (iterative peeling)
+# --------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_THRESHOLD = 0.5
+
+
+def kcore(
+    sf_dir: str,
+    k: int = KCORE_K,
+    threshold: float = KCORE_THRESHOLD,
+    max_df: int | None = DEFAULT_MAX_DF,
+    small_gate: int = SMALL_EDGE_ROWS,
+) -> ray.data.Dataset:
+    """Members of the ``k``-core of the Jaccard >= ``threshold``
+    near-dup graph: the maximal subgraph where every node keeps >= k
+    neighbours — the density stratum BETWEEN pairwise similarity
+    (jaccard_pairs) and full cliques (triangle_count); template
+    families survive the core, incidental matches peel away.  Output
+    (doc_id, deg_core): each member with its degree inside the core.
+
+    Plans (the triangle_count precedent):
+    - driver fast path, gated on the EDGE count (never the corpus):
+      vectorized numpy peeling — each round drops every node under
+      degree k at once (round count <= core depth, not node count);
+    - distributed fallback for edge lists past the gate: the same
+      peel as dataset rounds — degree bucket-fold, alive-node
+      presence rows, one bucketed semi-join per endpoint — every
+      shuffle carries int64 pairs only."""
+    import ray
+
+    edges = (
+        text_pipelines.jaccard_pairs(sf_dir, threshold, max_df)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    if edges.count() <= small_gate:
+        srcs, dsts = [], []
+        for t in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            srcs.append(t["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+            dsts.append(t["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+        a = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        b = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a) :]
+        alive_e = np.ones(len(ai), dtype=bool)
+        alive_n = np.ones(len(uniq), dtype=bool)
+        while True:
+            deg = np.zeros(len(uniq), np.int64)
+            np.add.at(deg, ai[alive_e], 1)
+            np.add.at(deg, bi[alive_e], 1)
+            drop = alive_n & (deg < k)
+            if not drop.any():
+                out_n = np.flatnonzero(alive_n & (deg >= k))
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(uniq[out_n]),
+                            "deg_core": pa.array(deg[out_n]),
+                        }
+                    )
+                )
+            alive_n &= ~drop
+            alive_e &= alive_n[ai] & alive_n[bi]
+
+    # distributed peel: edges stay a dataset; rounds fold degrees and
+    # semi-join survivors (bucketed, int64-only)
+    cur = edges
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        aa = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.concatenate([aa, bb])
+        u, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array(_bucketed(u)),
+            }
+        )
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["n"].sum()
+        return g.astype(np.int64)
+
+    prev = None
+    for _ in range(10_000):  # rounds bounded by core depth
+        degs = (
+            cur.map_batches(tag_deg, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(deg_fold, batch_format="pandas")
+            .materialize()
+        )
+        keep = degs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], k)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_alive = keep.count()
+        if n_alive == prev:
+            return keep.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t["node"], "deg_core": t["n"]}
+                ),
+                batch_format="pyarrow",
+            )
+        prev = n_alive
+
+        def tag_edge(t: pa.Table, end: str) -> pa.Table:
+            key = t[end].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "kind": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "bucket": pa.array(_bucketed(key)),
+                }
+            )
+
+        def tag_alive(t: pa.Table) -> pa.Table:
+            nn = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "a": pa.array(nn),
+                    "b": pa.array(nn),
+                    "kind": pa.array(np.ones(len(nn), np.int64)),
+                    "bucket": pa.array(_bucketed(nn)),
+                }
+            )
+
+        def semi(df: pd.DataFrame, end: str) -> pd.DataFrame:
+            have = set(df[df["kind"] == 1]["a"].tolist())
+            e = df[df["kind"] == 0]
+            e = e[e[end].isin(have)]
+            return e[["a", "b"]].astype(np.int64)
+
+        import functools
+
+        for end in ("a", "b"):
+            cur = (
+                cur.map_batches(
+                    functools.partial(tag_edge, end=end), batch_format="pyarrow"
+                )
+                .union(keep.map_batches(tag_alive, batch_format="pyarrow"))
+                .groupby("bucket")
+                .map_groups(
+                    functools.partial(semi, end=end), batch_format="pandas"
+                )
+                .materialize()
+            )
+    raise RuntimeError("kcore: no fixpoint")  # pragma: no cover

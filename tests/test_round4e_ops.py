@@ -796,3 +796,45 @@ def test_bootstrap_mean_matches_brute(sf_dir):
     means = got["sum_w"] / got["n_w"]
     assert means.std() > 0
     assert means.min() <= x.mean() <= means.max()
+
+
+def _brute_kcore(edges_df, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in zip(edges_df["a"], edges_df["b"]):
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_kcore_matches_brute_peel(sf_dir):
+    from aerial_conversion_ray.pipelines import cluster as C
+    from aerial_conversion_ray.pipelines import text as T
+
+    edges = T.jaccard_pairs(sf_dir, C.KCORE_THRESHOLD, C.DEFAULT_MAX_DF).to_pandas()
+    want = _brute_kcore(edges, C.KCORE_K)
+    got = C.kcore(sf_dir).to_pandas()
+    assert dict(zip(got["doc_id"], got["deg_core"])) == want
+    assert len(got) > 0 and (got["deg_core"] >= C.KCORE_K).all()
+
+
+def test_kcore_distributed_path_matches_driver(sf_dir):
+    from aerial_conversion_ray.pipelines import cluster as C
+
+    drv = C.kcore(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        C.kcore(sf_dir, small_gate=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(dist)
