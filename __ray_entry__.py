@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative peeling (data-dependent rounds) is not
         # SQL-expressible; exact brute-peel parity in pytest
         "kcore": cluster.kcore,
+        "embed_truncate_audit": embeddings.embed_truncate_audit,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),
@@ -467,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": text.k_anonymity_sql(),
         "ip_range_join": relational.ip_range_join_sql(CFG.pages_rep),
         "bootstrap_mean": relational.bootstrap_mean_sql(),
+        "embed_truncate_audit": embeddings.embed_truncate_audit_sql(),
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),

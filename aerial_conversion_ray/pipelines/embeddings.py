@@ -1286,3 +1286,59 @@ select vec_id, cast(rank as bigint) as rank,
        cast(floor(vd * 1e6 + 0.5) as bigint) as val_e6
 from r where rank <= {m}
 """
+
+
+# ---------------------------------------------------------------------------
+# truncation audit (Matryoshka-style prefix-dimension quality)
+# ---------------------------------------------------------------------------
+
+TRUNC_D = 16
+
+
+def embed_truncate_audit(sf_dir: str, d: int = TRUNC_D) -> ray.data.Dataset:
+    """Matryoshka-truncation audit: how much of each vector's energy
+    survives keeping only the first ``d`` of DIM dimensions.  Because
+    ``dot(v, truncate(v)) == dot(truncate(v), truncate(v))``, the
+    squared cosine between full and truncated is exactly
+    ``dot_d / dot_full`` — so the audit emits the two dot products
+    and never touches sqrt/libm.  Elements are fixed-pointed (1e6)
+    BEFORE the dot so the sums are order-free int64 (float sums
+    depend on reduction order, which a SQL GROUP BY does not pin).
+
+    Zero shuffle; one map_batches pass.  Output
+    (vec_id, dot_trunc_q, dot_full_q)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(t.num_rows, -1)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "dot_trunc_q": pa.array((q[:, :d] * q[:, :d]).sum(axis=1)),
+                "dot_full_q": pa.array((q * q).sum(axis=1)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def embed_truncate_audit_sql(d: int = TRUNC_D) -> str:
+    return f"""
+with flat as (
+  select vec_id,
+         unnest(range(len(embedding))) as idx,
+         cast(floor(unnest(cast(embedding as double[])) * 1e6 + 0.5)
+              as bigint) as q
+  from embeddings
+)
+select vec_id,
+       cast(sum(case when idx < {d} then q * q else 0 end) as bigint)
+           as dot_trunc_q,
+       cast(sum(q * q) as bigint) as dot_full_q
+from flat group by vec_id
+"""

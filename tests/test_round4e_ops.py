@@ -838,3 +838,29 @@ def test_kcore_distributed_path_matches_driver(sf_dir):
         .reset_index(drop=True)
     )
     assert drv.equals(dist)
+
+
+def test_embed_truncate_audit_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import embeddings as E
+
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+    want = pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "dot_trunc_q": (q[:, : E.TRUNC_D] ** 2).sum(axis=1),
+            "dot_full_q": (q**2).sum(axis=1),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+    got = (
+        E.embed_truncate_audit(sf_dir)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in want.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # truncation keeps a strict, nonzero fraction of the energy
+    frac = got["dot_trunc_q"] / got["dot_full_q"]
+    assert (frac > 0).all() and (frac < 1).all()
