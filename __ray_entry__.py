@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": extract.url_dedup,
         # JSONL interchange sink+source round trip (sources/jsonl.py)
         "jsonl_roundtrip": extract.jsonl_roundtrip,
+        "ipc_roundtrip": extract.ipc_roundtrip,
         # WARC crawl-archive sink+source round trip (sources/warc.py)
         "warc_roundtrip": lambda sf: extract.warc_roundtrip(sf, CFG),
         "csv_roundtrip": extract.csv_roundtrip,
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": extract.url_canonical_sql(),
         "url_dedup": extract.url_dedup_sql(),
         "jsonl_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
+        "ipc_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "warc_roundtrip": extract.warc_roundtrip_sql(CFG),
         "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
         "warc_gz_roundtrip": extract.warc_roundtrip_sql(CFG),

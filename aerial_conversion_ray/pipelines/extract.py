@@ -557,3 +557,40 @@ def warc_gz_roundtrip(sf_dir: str, cfg: EngineConfig | None = None) -> ray.data.
     member per record (Common Crawl's wire layout), member-wise
     inflate on read.  Same identity oracle."""
     return warc_roundtrip(sf_dir, cfg, compress=True)
+
+
+def ipc_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded Arrow-IPC (Feather v2) sink + source round trip over
+    the documents table — the zero-parse columnar interchange member
+    next to jsonl/warc/csv.  Write ``shard=<doc_id % 16>/data.arrow``
+    atomically, read back via ``read_binary_files`` + the in-band
+    schema (asserted against the pinned one), return the original
+    columns bit-exactly; oracle is the identity select."""
+    import tempfile
+
+    from ..sources.ipc import read_ipc, write_ipc
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_ipc_")
+    ds = read_table(sf_dir, "documents", columns=_JSONL_COLS)
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % JSONL_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    manifest = write_ipc(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        _JSONL_COLS,
+    )
+    manifest.materialize()  # barrier: every shard committed
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+    return read_ipc(out_dir, schema)

@@ -864,3 +864,23 @@ def test_embed_truncate_audit_matches_numpy(sf_dir):
     # truncation keeps a strict, nonzero fraction of the energy
     frac = got["dot_trunc_q"] / got["dot_full_q"]
     assert (frac > 0).all() and (frac < 1).all()
+
+
+def test_ipc_roundtrip_bit_exact(sf_dir):
+    from aerial_conversion_ray.pipelines import extract as X
+
+    want = (
+        pd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars", "text"],
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        X.ipc_roundtrip(sf_dir)
+        .to_pandas()[["doc_id", "lang", "source", "n_chars", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
