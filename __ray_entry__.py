@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": text.k_anonymity,
         "ip_range_join": relational.ip_range_join,
         "bootstrap_mean": relational.bootstrap_mean,
+        "funnel_latency": relational.funnel_latency,
         # rows-only: iterative peeling (data-dependent rounds) is not
         # SQL-expressible; exact brute-peel parity in pytest
         "kcore": cluster.kcore,
@@ -470,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "ip_range_join": relational.ip_range_join_sql(CFG.pages_rep),
         "bootstrap_mean": relational.bootstrap_mean_sql(),
         "embed_truncate_audit": embeddings.embed_truncate_audit_sql(),
+        "funnel_latency": relational.FUNNEL_LATENCY_SQL,
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),

@@ -3515,3 +3515,101 @@ select b, cast(sum(w) as bigint) as n_w,
        cast(sum(w * n_chars) as bigint) as sum_w
 from w group by b
 """
+
+
+# --------------------------------------------------------------------------
+# funnel latency percentiles (view -> purchase conversion time)
+# --------------------------------------------------------------------------
+
+
+def funnel_latency(sf_dir: str) -> "pd.DataFrame":
+    """Conversion-latency distribution: for every user whose first
+    'purchase' comes strictly after their first 'view', the latency
+    in whole seconds — reported as one row (n_users, p50_s, p90_s)
+    with EXACT quantile_disc semantics.  The product-analytics
+    companion to events_funnel (how fast do conversions happen, not
+    just whether).
+
+    Scale shape: the stream is pre-filtered to the two step types and
+    pruned at the read; ONE ``hash(user) % 64`` bucket fold resolves
+    each user's first-view / first-purchase-after-view pair
+    vectorized (two groupby-min passes, no per-user Python) and emits
+    (latency_s, count) HISTOGRAM partials; the final quantile reads
+    off the merged histogram — bounded by distinct latencies, never
+    user count."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_buckets = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(["view", "purchase"]))
+        t = t.filter(m)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts_us": t["ts"].cast(pa.int64()),
+                "is_p": pc.equal(t["event_type"], "purchase").cast(pa.int8()),
+                "bucket": pa.array((uid % n_buckets).astype(np.int64)),
+            }
+        )
+
+    def latency_hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            df[df["is_p"] == 0]
+            .groupby("user_id", as_index=False)["ts_us"]
+            .min()
+            .rename(columns={"ts_us": "vts"})
+        )
+        p = df[df["is_p"] == 1].merge(v, on="user_id")
+        p = p[p["ts_us"] > p["vts"]]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"lat_s": pd.Series(dtype=np.int64), "n": pd.Series(dtype=np.int64)}
+            )
+        first_p = p.groupby("user_id", as_index=False).agg(
+            pts=("ts_us", "min"), vts=("vts", "min")
+        )
+        lat = (first_p["pts"].to_numpy(np.int64) - first_p["vts"].to_numpy(np.int64)) // 1_000_000
+        u, c = np.unique(lat, return_counts=True)
+        return pd.DataFrame({"lat_s": u.astype(np.int64), "n": c.astype(np.int64)})
+
+    hist = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(latency_hist, batch_format="pandas")
+        .to_pandas()
+    )
+    g = hist.groupby("lat_s")["n"].sum().sort_index()
+    vals = g.index.to_numpy(np.int64)
+    cum = g.to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+
+    def disc(p: float) -> int:
+        r = max(0, int(np.ceil(p * n)) - 1)
+        return int(vals[np.searchsorted(cum, r + 1)])
+
+    return pd.DataFrame(
+        {
+            "n_users": np.array([n], np.int64),
+            "p50_s": np.array([disc(0.5) if n else 0], np.int64),
+            "p90_s": np.array([disc(0.9) if n else 0], np.int64),
+        }
+    )
+
+
+FUNNEL_LATENCY_SQL = """
+with e as (select user_id, ts, event_type from events
+           where event_type in ('view', 'purchase')),
+v as (select user_id, min(ts) as vts from e
+      where event_type = 'view' group by user_id),
+p as (select e.user_id,
+             min(e.ts) as pts, min(v.vts) as vts
+      from e join v using (user_id)
+      where e.event_type = 'purchase' and e.ts > v.vts
+      group by e.user_id),
+l as (select (epoch_us(pts) - epoch_us(vts)) // 1000000 as lat_s from p)
+select cast(count(*) as bigint) as n_users,
+       cast(quantile_disc(lat_s, 0.5) as bigint) as p50_s,
+       cast(quantile_disc(lat_s, 0.9) as bigint) as p90_s
+from l
+"""

@@ -884,3 +884,31 @@ def test_ipc_roundtrip_bit_exact(sf_dir):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_funnel_latency_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import relational as R
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    ev["ts_us"] = ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    lats = []
+    for _, g in ev.groupby("user_id"):
+        vs = g[g["event_type"] == "view"]["ts_us"]
+        if not len(vs):
+            continue
+        vts = vs.min()
+        ps = g[(g["event_type"] == "purchase") & (g["ts_us"] > vts)]["ts_us"]
+        if len(ps):
+            lats.append((ps.min() - vts) // 1_000_000)
+    lats = np.sort(np.array(lats, np.int64))
+    n = len(lats)
+
+    def disc(p):
+        return int(lats[max(0, int(np.ceil(p * n)) - 1)])
+
+    got = R.funnel_latency(sf_dir)
+    assert got["n_users"].iloc[0] == n and n > 0
+    assert got["p50_s"].iloc[0] == disc(0.5)
+    assert got["p90_s"].iloc[0] == disc(0.9)
