@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative peeling (data-dependent rounds) is not
         # SQL-expressible; exact brute-peel parity in pytest
         "kcore": cluster.kcore,
+        "degree_assortativity": cluster.degree_assortativity,
         "embed_truncate_audit": embeddings.embed_truncate_audit,
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_mean": relational.bootstrap_mean_sql(),
         "embed_truncate_audit": embeddings.embed_truncate_audit_sql(),
         "funnel_latency": relational.FUNNEL_LATENCY_SQL,
+        "degree_assortativity": cluster.degree_assortativity_sql(),
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),

@@ -948,3 +948,156 @@ def kcore(
                 .materialize()
             )
     raise RuntimeError("kcore: no fixpoint")  # pragma: no cover
+
+
+# --------------------------------------------------------------------------
+# degree assortativity moments (edge-endpoint degree correlation)
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(
+    sf_dir: str,
+    threshold: float = KCORE_THRESHOLD,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> ray.data.Dataset:
+    """Degree-assortativity MOMENTS of the near-dup graph: over every
+    directed orientation of every edge, the exact integer sums
+    (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) of the endpoint-degree
+    pairs (x = source degree, y = destination degree) — the Pearson
+    numerator/denominator pieces.  Emitting moments instead of the
+    float r is the grouped_ols trick: the answer is exact, shuffles
+    are int64-only, and the caller (or the SQL oracle's consumer)
+    derives r = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2))
+    however it likes.
+
+    Scale shape: one degree bucket-fold, then each edge is stamped
+    with both endpoint degrees via two bucketed joins (the
+    triangle_count degree-attach plan), then a single 6-value moment
+    reduce (1 row per block, one tiny sum)."""
+    import ray
+
+    edges = (
+        text_pipelines.jaccard_pairs(sf_dir, threshold, max_df)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        u, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u),
+                "deg": pa.array(c.astype(np.int64)),
+                "kind": pa.array(np.ones(len(u), np.int64)),
+                "other": pa.array(np.zeros(len(u), np.int64)),
+                "bucket": pa.array(_bucketed(u)),
+            }
+        )
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 1].groupby("node", as_index=False)["deg"].sum()
+        d["kind"] = np.int64(1)
+        d["other"] = np.int64(0)
+        d["bucket"] = _bucketed(d["node"].to_numpy(np.int64))
+        return d.astype(np.int64)
+
+    degs = (
+        edges.map_batches(deg_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_fold, batch_format="pandas")
+        # back to Arrow blocks: union() requires uniform block types
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def dir_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "node": pa.array(src),
+                "deg": pa.array(np.zeros(len(src), np.int64)),
+                "kind": pa.array(np.zeros(len(src), np.int64)),
+                "other": pa.array(dst),
+                "bucket": pa.array(_bucketed(src)),
+            }
+        )
+
+    def stamp_src(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 1][["node", "deg"]]
+        e = df[df["kind"] == 0][["node", "other"]]
+        m = e.merge(d, on="node")
+        out = pd.DataFrame(
+            {
+                "node": m["other"].to_numpy(np.int64),  # re-key by dst
+                "deg": np.zeros(len(m), np.int64),
+                "kind": np.zeros(len(m), np.int64),
+                "other": m["deg"].to_numpy(np.int64),  # src degree rides
+                "bucket": _bucketed(m["other"].to_numpy(np.int64)),
+            }
+        )
+        return out.astype(np.int64)
+
+    def stamp_dst_moments(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 1][["node", "deg"]]
+        e = df[df["kind"] == 0][["node", "other"]]
+        m = e.merge(d, on="node")
+        x = m["other"].to_numpy(np.int64)  # src degree
+        y = m["deg"].to_numpy(np.int64)   # dst degree
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(m))],
+                "sum_x": [x.sum()],
+                "sum_y": [y.sum()],
+                "sum_xx": [(x * x).sum()],
+                "sum_yy": [(y * y).sum()],
+                "sum_xy": [(x * y).sum()],
+            }
+        ).astype(np.int64)
+
+    stamped = (
+        edges.map_batches(dir_rows, batch_format="pyarrow")
+        .union(degs)
+        .groupby("bucket")
+        .map_groups(stamp_src, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .union(degs)
+        .groupby("bucket")
+        .map_groups(stamp_dst_moments, batch_format="pandas")
+    )
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: [np.int64(df[c].sum())] for c in
+             ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")}
+        )
+
+    return stamped.repartition(1).map_batches(total, batch_format="pandas")
+
+
+def degree_assortativity_sql(
+    threshold: float = KCORE_THRESHOLD, max_df: int | None = DEFAULT_MAX_DF
+) -> str:
+    return _jaccard_edges_cte(threshold, max_df) + """
+, und as (select a as src, b as dst from pairs
+          union all select b as src, a as dst from pairs),
+deg as (select src as node, count(*) as d from und group by src),
+st as (select da.d as x, db.d as y
+       from und join deg da on da.node = und.src
+                join deg db on db.node = und.dst)
+select cast(count(*) as bigint) as n,
+       cast(sum(x) as bigint) as sum_x,
+       cast(sum(y) as bigint) as sum_y,
+       cast(sum(x * x) as bigint) as sum_xx,
+       cast(sum(y * y) as bigint) as sum_yy,
+       cast(sum(x * y) as bigint) as sum_xy
+from st
+"""

@@ -912,3 +912,28 @@ def test_funnel_latency_matches_brute(sf_dir):
     assert got["n_users"].iloc[0] == n and n > 0
     assert got["p50_s"].iloc[0] == disc(0.5)
     assert got["p90_s"].iloc[0] == disc(0.9)
+
+
+def test_degree_assortativity_matches_brute(sf_dir):
+    from collections import Counter
+
+    from aerial_conversion_ray.pipelines import cluster as C
+    from aerial_conversion_ray.pipelines import text as T
+
+    edges = T.jaccard_pairs(sf_dir, C.KCORE_THRESHOLD, C.DEFAULT_MAX_DF).to_pandas()
+    deg = Counter()
+    for a, b in zip(edges["a"], edges["b"]):
+        deg[int(a)] += 1
+        deg[int(b)] += 1
+    xs, ys = [], []
+    for a, b in zip(edges["a"], edges["b"]):
+        xs += [deg[int(a)], deg[int(b)]]
+        ys += [deg[int(b)], deg[int(a)]]
+    x, y = np.array(xs, np.int64), np.array(ys, np.int64)
+    got = C.degree_assortativity(sf_dir).to_pandas().iloc[0]
+    assert got["n"] == len(x)
+    assert got["sum_x"] == x.sum() and got["sum_y"] == y.sum()
+    assert got["sum_xx"] == (x * x).sum() and got["sum_yy"] == (y * y).sum()
+    assert got["sum_xy"] == (x * y).sum()
+    # symmetric orientation: x and y moments must agree
+    assert got["sum_x"] == got["sum_y"] and got["sum_xx"] == got["sum_yy"]
