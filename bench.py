@@ -452,6 +452,25 @@ def run_benchmarks() -> dict:
             ).host_reciprocity(SF_DIR)
         ),
         "corridor_join_shp": lambda: _consume(spatial.corridor_join_shp(SF_DIR, cfg)),
+        "k_anonymity": lambda: _consume(text.k_anonymity(SF_DIR)),
+        "ip_range_join": lambda: _consume(relational.ip_range_join(SF_DIR)),
+        "bootstrap_mean": lambda: _consume(relational.bootstrap_mean(SF_DIR)),
+        "funnel_latency": lambda: len(relational.funnel_latency(SF_DIR)),
+        "ipc_roundtrip": lambda: _consume(extract.ipc_roundtrip(SF_DIR)),
+        "embed_truncate_audit": lambda: _consume(
+            embeddings.embed_truncate_audit(SF_DIR)
+        ),
+        "kcore": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.cluster", fromlist=["kcore"]
+            ).kcore(SF_DIR)
+        ),
+        "degree_assortativity": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.cluster",
+                fromlist=["degree_assortativity"],
+            ).degree_assortativity(SF_DIR)
+        ),
     }
 
     # optional entry filter for fast single-pipeline iteration:
