@@ -959,6 +959,7 @@ def degree_assortativity(
     sf_dir: str,
     threshold: float = KCORE_THRESHOLD,
     max_df: int | None = DEFAULT_MAX_DF,
+    small_gate: int = SMALL_EDGE_ROWS,
 ) -> ray.data.Dataset:
     """Degree-assortativity MOMENTS of the near-dup graph: over every
     directed orientation of every edge, the exact integer sums
@@ -981,6 +982,34 @@ def degree_assortativity(
         .select_columns(["a", "b"])
         .materialize()
     )
+
+    # driver fast path (the _tri_small/kcore precedent): collect the
+    # EDGE ENDPOINTS only (bounded by the SMALL_EDGE_ROWS gate, never
+    # the corpus) and compute the six moments in one numpy pass
+    if edges.count() <= small_gate:
+        srcs, dsts = [], []
+        for t in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            srcs.append(t["a"].to_numpy(zero_copy_only=False).astype(np.int64))
+            dsts.append(t["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+        a = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        b = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        ai, bi = inv[: len(a)], inv[len(a) :]
+        x = np.concatenate([deg[ai], deg[bi]])
+        y = np.concatenate([deg[bi], deg[ai]])
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n": pa.array([np.int64(len(x))]),
+                    "sum_x": pa.array([x.sum()]),
+                    "sum_y": pa.array([y.sum()]),
+                    "sum_xx": pa.array([(x * x).sum()]),
+                    "sum_yy": pa.array([(y * y).sum()]),
+                    "sum_xy": pa.array([(x * y).sum()]),
+                }
+            )
+        )
 
     def deg_rows(t: pa.Table) -> pa.Table:
         n = np.concatenate(

@@ -937,3 +937,11 @@ def test_degree_assortativity_matches_brute(sf_dir):
     assert got["sum_xy"] == (x * y).sum()
     # symmetric orientation: x and y moments must agree
     assert got["sum_x"] == got["sum_y"] and got["sum_xx"] == got["sum_yy"]
+
+
+def test_degree_assortativity_distributed_matches_driver(sf_dir):
+    from aerial_conversion_ray.pipelines import cluster as C
+
+    drv = C.degree_assortativity(sf_dir).to_pandas()
+    dist = C.degree_assortativity(sf_dir, small_gate=0).to_pandas()
+    assert drv.iloc[0].equals(dist.iloc[0])
