@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_dist_join": spatial.within_dist_join,
         # zoom-pyramid cell counts (res 7/9/11 in one pass)
         "cell_pyramid": spatial.cell_pyramid,
+        # global Moran's I moments (queen contiguity, integer-exact)
+        "moran_i": spatial.moran_i,
         # real-shapefile-fed point-in-zone join (S1 as load-bearing input)
         "shapefile_zone_join": spatial.shapefile_zone_join,
         # one-pass distributed Gram matrix (PCA building block) +
@@ -418,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_index": spatial.geohash_index_sql(),
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),
+        "moran_i": spatial.moran_i_sql(),
         "shapefile_zone_join": spatial.shapefile_zone_join_sql(),
         "embed_gram": embeddings.embed_gram_sql(),
         "full_outer_join": relational.FULL_OUTER_JOIN_SQL,

@@ -2976,3 +2976,157 @@ def corridor_join_shp(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+# --- global Moran's I (spatial autocorrelation) -----------------------------
+
+_MORAN_RES = 9
+_MORAN_REP = 5
+_MORAN_BUCKETS = 64
+
+
+def moran_i(sf_dir: str, rep: int = _MORAN_REP, res: int = _MORAN_RES) -> ray.data.Dataset:
+    """Global Moran's I moments over per-cell page counts with queen
+    (8-neighbour) contiguity at grid resolution ``res`` — the standard
+    spatial-autocorrelation diagnostic a tiling/heat-map pipeline runs
+    to quantify clustering (reference analog: the tile-neighbourhood
+    key arithmetic of aerial_conversion/tiles.py:180-256 applied as a
+    contiguity weight matrix).
+
+    Emits ONE row of integer-exact moments that fully determine
+    Moran's I (``I = (n_cells / w_pairs) * (sum_xy - ...) / ...`` is a
+    pure function of them); keeping the output integral keeps the
+    DuckDB oracle bit-exact.
+
+    Plan (fully distributed, no driver materialization, no broadcast):
+      1. per-block combiner: geocode -> cell -> unique-count partials;
+      2. ONE coarse-bucket fold (hash(cell) % 64) -> exact per-cell
+         counts, each emitting both its resident row and its 8
+         directed neighbour probes keyed by the NEIGHBOUR cell;
+      3. ONE more coarse-bucket fold joins probes to residents within
+         the owning bucket (sum x_i * x_j over directed adjacent
+         occupied pairs) and reduces to per-bucket partial moments;
+      4. a single-partition sum of the <=64 partial rows.
+    Both shuffles move only int64 triples — cardinality is bounded by
+    the OCCUPIED cell count (itself <= 2**(2*res-1), independent of
+    corpus size), so the plan is flat in the number of pages.
+    Neighbour semantics: Chebyshev-1 offsets, no lon wraparound,
+    clipped to the grid bounds (matches cells.encode clamping).
+    """
+    n = 1 << res
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        cell = cells.encode(g["lon"], g["lat"], res)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "x": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array(u % _MORAN_BUCKETS),
+            }
+        )
+
+    def fold_emit(df):
+        """Exact per-cell counts for this bucket -> resident + probe rows."""
+        import pandas as pd
+
+        cc = df.groupby("cell", as_index=False)["x"].sum()
+        cell = cc["cell"].to_numpy()
+        x = cc["x"].to_numpy()
+        iy, ix = cell // n, cell % n
+        keys = [cell]
+        vals = [x]
+        kinds = [np.zeros(len(cell), np.int64)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n // 2)
+                keys.append(jy[ok] * n + jx[ok])
+                vals.append(x[ok])
+                kinds.append(np.ones(ok.sum(), np.int64))
+        key = np.concatenate(keys)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "val": np.concatenate(vals),
+                "kind": np.concatenate(kinds),
+                "bucket2": key % _MORAN_BUCKETS,
+            }
+        )
+
+    def fold_moments(df):
+        """Join probes to residents within the bucket; partial moments."""
+        import pandas as pd
+
+        res_rows = df[df["kind"] == 0]
+        probes = df[df["kind"] == 1]
+        rk = res_rows["key"].to_numpy()
+        rx = res_rows["val"].to_numpy()
+        order = np.argsort(rk, kind="stable")
+        rk, rx = rk[order], rx[order]
+        pk = probes["key"].to_numpy()
+        pv = probes["val"].to_numpy()
+        pos = np.searchsorted(rk, pk)
+        pos_c = np.minimum(pos, len(rk) - 1) if len(rk) else pos
+        hit = (len(rk) > 0) & (pos < len(rk))
+        if len(rk):
+            hit = hit & (rk[pos_c] == pk)
+        xj = rx[pos_c][hit] if len(rk) else np.array([], np.int64)
+        xi = pv[hit] if len(rk) else np.array([], np.int64)
+        return pd.DataFrame(
+            {
+                "n_cells": [np.int64(len(rk))],
+                "sum_x": [rx.sum() if len(rx) else np.int64(0)],
+                "sum_x2": [(rx * rx).sum() if len(rx) else np.int64(0)],
+                "w_pairs": [np.int64(hit.sum())],
+                "sum_xy": [(xi * xj).sum() if len(xi) else np.int64(0)],
+            }
+        )
+
+    def total(t: pa.Table) -> pa.Table:
+        cols = ("n_cells", "sum_x", "sum_x2", "w_pairs", "sum_xy")
+        return pa.table(
+            {c: pa.array([t[c].to_numpy(zero_copy_only=False).sum()], pa.int64()) for c in cols}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_emit, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(fold_moments, batch_format="pandas")
+        .repartition(1)
+        .map_batches(total, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def moran_i_sql(rep: int = _MORAN_REP, res: int = _MORAN_RES) -> str:
+    from ..geocode import SQL_EXPRS
+
+    n = 1 << res
+    lon = SQL_EXPRS["lon"].replace("doc_id", "page_id")
+    lat = SQL_EXPRS["lat"].replace("doc_id", "page_id")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    )
+    return (
+        f"with pages as ({pages_cte(rep)}), "
+        f"g as (select page_id, {lon} as lon, {lat} as lat from pages), "
+        f"cc as (select {cells.sql_expr('lon', 'lat', res)} as cell, "
+        "cast(count(*) as bigint) as x from g group by 1), "
+        f"c2 as (select cell, x, cell // {n} as iy, cell % {n} as ix from cc), "
+        f"offs(dx, dy) as (values {offs}), "
+        "pairs as (select a.x as xi, b.x as xj from c2 a "
+        "join offs on a.ix + dx >= 0 and a.ix + dx < "
+        f"{n} and a.iy + dy >= 0 and a.iy + dy < {n // 2} "
+        f"join c2 b on b.cell = (a.iy + dy) * {n} + (a.ix + dx)) "
+        "select (select cast(count(*) as bigint) from cc) as n_cells, "
+        "(select cast(sum(x) as bigint) from cc) as sum_x, "
+        "(select cast(sum(x * x) as bigint) from cc) as sum_x2, "
+        "(select cast(count(*) as bigint) from pairs) as w_pairs, "
+        "(select cast(coalesce(sum(xi * xj), 0) as bigint) from pairs) as sum_xy"
+    )

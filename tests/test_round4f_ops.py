@@ -1,0 +1,56 @@
+"""Round-4 sixth block: ops added in the round-4f continuation —
+engine vs brute numpy oracles (the exact DuckDB oracles run in
+tools/check.py and the driver gate)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+
+def _brute_moran(sf_dir, rep, res):
+    """Brute-force queen-contiguity moments over per-cell page counts."""
+    from aerial_conversion_ray.geo import cells
+    from aerial_conversion_ray.geocode import geocode_arrays
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    doc_id = np.sort(docs["doc_id"].to_numpy())
+    page_id = (doc_id[:, None] * rep + np.arange(rep)[None, :]).ravel()
+    g = geocode_arrays(page_id)
+    cell = cells.encode(g["lon"], g["lat"], res)
+    u, cnt = np.unique(cell, return_counts=True)
+    x = dict(zip(u.tolist(), cnt.tolist()))
+    n = 1 << res
+    w_pairs = 0
+    sum_xy = 0
+    for c, xi in x.items():
+        iy, ix = divmod(c, n)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                if not (0 <= jx < n and 0 <= jy < n // 2):
+                    continue
+                xj = x.get(jy * n + jx)
+                if xj is not None:
+                    w_pairs += 1
+                    sum_xy += xi * xj
+    return {
+        "n_cells": len(u),
+        "sum_x": int(cnt.sum()),
+        "sum_x2": int((cnt.astype(np.int64) ** 2).sum()),
+        "w_pairs": w_pairs,
+        "sum_xy": sum_xy,
+    }
+
+
+def test_moran_i_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import spatial
+
+    got = spatial.moran_i(sf_dir).to_pandas()
+    assert len(got) == 1
+    want = _brute_moran(sf_dir, spatial._MORAN_REP, spatial._MORAN_RES)
+    row = got.iloc[0]
+    for k, v in want.items():
+        assert int(row[k]) == v, k
+    assert row["w_pairs"] > 0 and row["sum_x2"] >= row["sum_x"]
