@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_pyramid": spatial.cell_pyramid,
         # global Moran's I moments (queen contiguity, integer-exact)
         "moran_i": spatial.moran_i,
+        # proper segment crossings: crawl legs x broadcast routes
+        "segment_crossings": spatial.segment_crossings,
         # real-shapefile-fed point-in-zone join (S1 as load-bearing input)
         "shapefile_zone_join": spatial.shapefile_zone_join,
         # one-pass distributed Gram matrix (PCA building block) +
@@ -421,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),
         "moran_i": spatial.moran_i_sql(),
+        "segment_crossings": spatial.segment_crossings_sql(),
         "shapefile_zone_join": spatial.shapefile_zone_join_sql(),
         "embed_gram": embeddings.embed_gram_sql(),
         "full_outer_join": relational.FULL_OUTER_JOIN_SQL,

@@ -3130,3 +3130,111 @@ def moran_i_sql(rep: int = _MORAN_REP, res: int = _MORAN_RES) -> str:
         "(select cast(count(*) as bigint) from pairs) as w_pairs, "
         "(select cast(coalesce(sum(xi * xj), 0) as bigint) from pairs) as sum_xy"
     )
+
+
+# --- segment-intersection join (crawl legs x routes) ------------------------
+
+_SC_REP = 5
+
+
+def segment_crossings(sf_dir: str, rep: int = _SC_REP) -> ray.data.Dataset:
+    """Line-segment intersection join: every (crawl leg, route) pair
+    that PROPERLY crosses — the vector-overlay primitive (road x
+    transect / cable x boundary crossing detection) that the corridor
+    and containment joins don't cover (reference analog: the polygon
+    edge tests of aerial_conversion/coordinates.py applied to linear
+    features).
+
+    Legs are the per-source consecutive-page segments of
+    :func:`crawl_path` (ONE coarse-bucket shuffle keyed
+    ``hash(source) % 64``, in-bucket vectorized sort + shift); the
+    route table is a broadcast closure constant.  The crossing
+    predicate is the standard two-sided orientation test —
+    ``cross(b-a, c-a) * cross(b-a, d-a) < 0`` both ways — evaluated
+    with the same IEEE double expression the DuckDB oracle uses, so
+    signs (and therefore rows) match bit-for-bit.  Proper crossings
+    only: touches / collinear overlaps are excluded by the strict
+    inequality on both products.
+    """
+    from .text import _hash_arrow_strings
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        h = _hash_arrow_strings(t["source"])
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "source": t["source"],
+                "lon": pa.array(g["lon"]),
+                "lat": pa.array(g["lat"]),
+                "bucket": pa.array((h % np.uint64(64)).astype(np.int64)),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        df = df.sort_values(["source", "page_id"], kind="mergesort")
+        src_all = df["source"].to_numpy()
+        same = src_all[1:] == src_all[:-1]
+        pid = df["page_id"].to_numpy()
+        lon = df["lon"].to_numpy()
+        lat = df["lat"].to_numpy()
+        lx0, ly0 = lon[:-1][same], lat[:-1][same]
+        lx1, ly1 = lon[1:][same], lat[1:][same]
+        page_a, page_b = pid[:-1][same], pid[1:][same]
+        src = src_all[1:][same]
+        out_src, out_a, out_b, out_r = [], [], [], []
+        for rid, cx0, cy0, cx1, cy1 in ROUTES:
+            d1 = (lx1 - lx0) * (cy0 - ly0) - (ly1 - ly0) * (cx0 - lx0)
+            d2 = (lx1 - lx0) * (cy1 - ly0) - (ly1 - ly0) * (cx1 - lx0)
+            d3 = (cx1 - cx0) * (ly0 - cy0) - (cy1 - cy0) * (lx0 - cx0)
+            d4 = (cx1 - cx0) * (ly1 - cy0) - (cy1 - cy0) * (lx1 - cx0)
+            ok = (d1 * d2 < 0.0) & (d3 * d4 < 0.0)
+            out_src.append(src[ok])
+            out_a.append(page_a[ok])
+            out_b.append(page_b[ok])
+            out_r.append(np.full(int(ok.sum()), rid, np.int64))
+        return pd.DataFrame(
+            {
+                "source": np.concatenate(out_src),
+                "page_a": np.concatenate(out_a).astype(np.int64),
+                "page_b": np.concatenate(out_b).astype(np.int64),
+                "route_id": np.concatenate(out_r),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby("bucket").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+def segment_crossings_sql(rep: int = _SC_REP) -> str:
+    from ..geocode import SQL_EXPRS
+
+    lon = SQL_EXPRS["lon"].replace("doc_id", "page_id")
+    lat = SQL_EXPRS["lat"].replace("doc_id", "page_id")
+    routes = ", ".join(
+        f"({rid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})" for rid, x0, y0, x1, y1 in ROUTES
+    )
+    return f"""
+with pages as ({pages_cte(rep)}),
+g as (select page_id, source, {lon} as lon, {lat} as lat from pages),
+w as (select source, page_id, lon, lat,
+             lag(page_id) over (partition by source order by page_id) as pa,
+             lag(lon) over (partition by source order by page_id) as plon,
+             lag(lat) over (partition by source order by page_id) as plat
+      from g),
+legs as (select source, pa as page_a, page_id as page_b,
+                plon as lx0, plat as ly0, lon as lx1, lat as ly1
+         from w where pa is not null),
+routes(route_id, cx0, cy0, cx1, cy1) as (values {routes})
+select l.source, l.page_a, l.page_b, cast(r.route_id as bigint) as route_id
+from legs l cross join routes r
+where ((lx1 - lx0) * (cy0 - ly0) - (ly1 - ly0) * (cx0 - lx0))
+    * ((lx1 - lx0) * (cy1 - ly0) - (ly1 - ly0) * (cx1 - lx0)) < 0.0
+  and ((cx1 - cx0) * (ly0 - cy0) - (cy1 - cy0) * (lx0 - cx0))
+    * ((cx1 - cx0) * (ly1 - cy0) - (cy1 - cy0) * (lx1 - cx0)) < 0.0
+"""

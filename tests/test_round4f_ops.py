@@ -54,3 +54,36 @@ def test_moran_i_matches_brute(sf_dir):
     for k, v in want.items():
         assert int(row[k]) == v, k
     assert row["w_pairs"] > 0 and row["sum_x2"] >= row["sum_x"]
+
+
+def test_segment_crossings_matches_brute(sf_dir):
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.pipelines import spatial
+
+    rep = spatial._SC_REP
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    pages = docs.loc[docs.index.repeat(rep)].reset_index(drop=True)
+    pages["page_id"] = (
+        docs["doc_id"].to_numpy()[:, None] * rep + np.arange(rep)[None, :]
+    ).ravel()
+    g = geocode_arrays(pages["page_id"].to_numpy())
+    pages["lon"], pages["lat"] = g["lon"], g["lat"]
+    pages = pages.sort_values(["source", "page_id"], kind="mergesort")
+    want = set()
+    for _, grp in pages.groupby("source"):
+        x, y = grp["lon"].to_numpy(), grp["lat"].to_numpy()
+        pid = grp["page_id"].to_numpy()
+        for i in range(1, len(grp)):
+            ax, ay, bx, by = x[i - 1], y[i - 1], x[i], y[i]
+            for rid, cx0, cy0, cx1, cy1 in spatial.ROUTES:
+                d1 = (bx - ax) * (cy0 - ay) - (by - ay) * (cx0 - ax)
+                d2 = (bx - ax) * (cy1 - ay) - (by - ay) * (cx1 - ax)
+                d3 = (cx1 - cx0) * (ay - cy0) - (cy1 - cy0) * (ax - cx0)
+                d4 = (cx1 - cx0) * (by - cy0) - (cy1 - cy0) * (bx - cx0)
+                if d1 * d2 < 0.0 and d3 * d4 < 0.0:
+                    want.add((grp["source"].iloc[0], int(pid[i - 1]), int(pid[i]), rid))
+    got = spatial.segment_crossings(sf_dir).to_pandas()
+    got_set = set(
+        zip(got["source"], got["page_a"].astype(int), got["page_b"].astype(int), got["route_id"].astype(int))
+    )
+    assert got_set == want and len(got) == len(want)
