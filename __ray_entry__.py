@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # WARC crawl-archive sink+source round trip (sources/warc.py)
         "warc_roundtrip": lambda sf: extract.warc_roundtrip(sf, CFG),
         "csv_roundtrip": extract.csv_roundtrip,
+        # TFRecord (training-export) sink+source, CRC32C-verified
+        "tfrecord_roundtrip": extract.tfrecord_roundtrip,
         "warc_gz_roundtrip": lambda sf: extract.warc_gz_roundtrip(sf, CFG),
         # link graph: anchor extraction -> host degrees -> fixed-point
         # PageRank (broadcast-vector folds, hot host by construction)
@@ -535,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "ipc_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "warc_roundtrip": extract.warc_roundtrip_sql(CFG),
         "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
+        "tfrecord_roundtrip": extract.TFRECORD_ROUNDTRIP_SQL,
         "warc_gz_roundtrip": extract.warc_roundtrip_sql(CFG),
         "link_extract": linkgraph.link_extract_sql(),
         "robots_filter": linkgraph.robots_filter_sql(),

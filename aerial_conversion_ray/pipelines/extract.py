@@ -594,3 +594,44 @@ def ipc_roundtrip(sf_dir: str) -> ray.data.Dataset:
         ]
     )
     return read_ipc(out_dir, schema)
+
+
+# --------------------------------------------------------------------------
+# TFRecord round trip (sources/tfrecord.py)
+# --------------------------------------------------------------------------
+
+
+def tfrecord_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded-TFRecord sink + source round trip over the documents
+    table — the training-export leg: engine columns out to the record
+    format a TF/torch data loader mounts, parsed back by the
+    first-party framing walker with BOTH masked CRC32Cs verified per
+    record.  Identity oracle (same as the JSONL/CSV round trips); the
+    codec itself is pinned by public test vectors in
+    ``tests/test_round4f_ops.py``."""
+    import tempfile
+
+    from ..sources.tfrecord import read_tfrecord, write_tfrecord
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_tfrecord_")
+    ds = read_table(sf_dir, "documents", columns=_JSONL_COLS)
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % JSONL_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    int_cols = ["doc_id", "n_chars"]
+    str_cols = ["lang", "source", "text"]
+    manifest = write_tfrecord(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        int_cols,
+        str_cols,
+    )
+    manifest.materialize()  # barrier: every shard committed
+    out = read_tfrecord(out_dir, int_cols, str_cols)
+    return out.select_columns(_JSONL_COLS)
+
+
+TFRECORD_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL

@@ -400,6 +400,7 @@ def run_benchmarks() -> dict:
         "cell_pyramid": lambda: _consume(spatial.cell_pyramid(SF_DIR)),
         "moran_i": lambda: _consume(spatial.moran_i(SF_DIR)),
         "segment_crossings": lambda: _consume(spatial.segment_crossings(SF_DIR)),
+        "tfrecord_roundtrip": lambda: _consume(extract.tfrecord_roundtrip(SF_DIR)),
         "split_leakage": lambda: _consume(text.split_leakage(SF_DIR)),
         "media_embed": lambda: _consume(
             multimodal.media_embed(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

@@ -87,3 +87,60 @@ def test_segment_crossings_matches_brute(sf_dir):
         zip(got["source"], got["page_a"].astype(int), got["page_b"].astype(int), got["route_id"].astype(int))
     )
     assert got_set == want and len(got) == len(want)
+
+
+def test_crc32c_public_vectors():
+    """CRC32C pinned by the public Castagnoli test vectors (RFC 3720
+    B.4 / kernel crypto testmgr)."""
+    from aerial_conversion_ray.sources.tfrecord import crc32c_many, masked_crc
+
+    vecs = {
+        b"123456789": 0xE3069283,
+        b"": 0x00000000,
+        b"\x00" * 32: 0x8A9136AA,
+        b"\xff" * 32: 0x62A8AB43,
+    }
+    got = crc32c_many(list(vecs))
+    assert [int(x) for x in got] == list(vecs.values())
+    # TFRecord mask law: ((crc >> 15) | (crc << 17)) + 0xa282ead8
+    m = masked_crc(np.array([0xE3069283], np.uint32))
+    assert int(m[0]) == ((0xE3069283 >> 15 | (0xE3069283 << 17 & 0xFFFFFFFF)) + 0xA282EAD8) % (1 << 32)
+
+
+def test_tfrecord_example_codec_roundtrip():
+    from aerial_conversion_ray.sources.tfrecord import decode_example, encode_examples
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, -1, 2**62],
+            "n_chars": [0, 300, 7],
+            "text": ["", "é" * 200, "plain"],
+            "lang": ["en", "zh", ""],
+        }
+    )
+    recs = encode_examples(df, ["doc_id", "n_chars"], ["text", "lang"])
+    for i, r in enumerate(recs):
+        d = decode_example(r)
+        assert d["doc_id"] == df["doc_id"].iloc[i]
+        assert d["n_chars"] == df["n_chars"].iloc[i]
+        assert d["text"].decode() == df["text"].iloc[i]
+        assert d["lang"].decode() == df["lang"].iloc[i]
+
+
+def test_tfrecord_roundtrip_corrupt_detected(tmp_path, sf_dir):
+    """Flipping one payload byte must fail the masked-CRC check."""
+    import pytest
+    import ray.data
+
+    from aerial_conversion_ray.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"], "shard_key": [0, 0]})
+    )
+    write_tfrecord(ds, str(tmp_path), "shard_key", ["doc_id"], ["text"]).materialize()
+    path = tmp_path / "shard=0" / "data.tfrecord"
+    raw = bytearray(path.read_bytes())
+    raw[14] ^= 0x01  # inside the first Example payload
+    path.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="CRC"):
+        read_tfrecord(str(tmp_path), ["doc_id"], ["text"]).materialize()
