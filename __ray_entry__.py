@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": text.approx_distinct_tokens,
         "kmeans": embeddings.kmeans,
         "tfidf": text.tfidf_scores,
+        # DSIR importance weights (integer-exact target/raw ratio)
+        "dsir_weights": text.dsir_weights,
         "decontaminate": text.decontaminate,
         "pack_sequences": text.pack_sequences,
         # exact top-k tokens via Count-Min pruning (no vocab groupby)
@@ -553,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers": text.zscore_outliers_sql(),
         "ppjoin_pairs": text.jaccard_pairs_sql(threshold=0.5, max_df=None),
         "tfidf": text.TFIDF_SQL,
+        "dsir_weights": text.DSIR_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),
         "heavy_hitters": text.heavy_hitters_sql(),

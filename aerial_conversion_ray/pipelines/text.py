@@ -5378,3 +5378,122 @@ from documents
 group by lang, source, chars_bin
 having count(*) < {k}
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (data selection for LM training)
+# --------------------------------------------------------------------------
+
+DSIR_SCALE = 1000
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(sf_dir: str, target_lang: str = DSIR_TARGET_LANG) -> ray.data.Dataset:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) re-expressed integer-exact: per-document
+    importance score against a TARGET distribution (here: the
+    ``lang = target_lang`` slice) relative to the RAW corpus.
+
+    The paper's per-feature log-ratio ``log p_t(f)/p_r(f)`` is
+    replaced by the integer ratio ``w(f) = ((cnt_t(f) + 1) * SCALE)
+    // (cnt_r(f) + 1)`` (add-one smoothing, floor division) and the
+    document score is ``sum_f c_doc(f) * w(f)`` — rank-equivalent for
+    selection, and bit-exact against the DuckDB oracle (no float log
+    parity risk).
+
+    Scale shape (the :func:`tfidf_scores` law): token counts explode
+    once per batch (run-length fold, multiplicity kept); ONE
+    token-bucket shuffle computes both corpus counts per token via
+    transform and re-emits per-doc partial scores (the vocabulary
+    never broadcasts and never groups per-token); ONE doc-bucket fold
+    sums.  Both shuffles carry int64-dominated narrow rows.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n)
+        is_t = np.repeat(
+            pc.equal(t["lang"], target_lang).to_numpy(zero_copy_only=False), n
+        )
+        order = np.lexsort((flat, doc))
+        d_s, t_s, f_s = doc[order], flat[order], is_t[order]
+        new = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[starts]),
+                "token": pa.array(t_s[starts]),
+                "c": pa.array(c),
+                "c_t": pa.array(np.where(f_s[starts], c, 0)),
+            }
+        )
+
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        th = _hash_arrow_strings(t["token"])
+        return t.append_column(
+            "tok_bucket",
+            pa.array((th % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)),
+        )
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)
+        cnt_r = g["c"].transform("sum").to_numpy(np.int64)
+        cnt_t = g["c_t"].transform("sum").to_numpy(np.int64)
+        w = ((cnt_t + 1) * DSIR_SCALE) // (cnt_r + 1)
+        part = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "score": df["c"].to_numpy(np.int64) * w,
+                }
+            )
+            .groupby("doc_id", sort=False, as_index=False)["score"]
+            .sum()
+        )
+        part["bucket"] = part["doc_id"].to_numpy(np.int64) % N_PAIR_BUCKETS
+        return part
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["score"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "score": g["score"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("tok_bucket")
+        .map_groups(weight, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(doc_sum, batch_format="pandas")
+    )
+
+
+DSIR_SQL = f"""
+with toks0 as (
+  select doc_id, unnest(string_split(text, ' ')) as token from documents
+), tok as (
+  select doc_id, token, cast(count(*) as bigint) as c from toks0 group by 1, 2
+), tgt as (
+  select doc_id, (lang = '{DSIR_TARGET_LANG}') as is_t from documents
+), cnt as (
+  select token, sum(c) as cnt_r,
+         sum(case when is_t then c else 0 end) as cnt_t
+  from tok join tgt using (doc_id) group by token
+), w as (
+  select token, ((cnt_t + 1) * {DSIR_SCALE}) // (cnt_r + 1) as w from cnt
+)
+select t.doc_id, cast(sum(t.c * w.w) as bigint) as score
+from tok t join w using (token) group by t.doc_id
+"""

@@ -144,3 +144,39 @@ def test_tfrecord_roundtrip_corrupt_detected(tmp_path, sf_dir):
     path.write_bytes(bytes(raw))
     with pytest.raises(Exception, match="CRC"):
         read_tfrecord(str(tmp_path), ["doc_id"], ["text"]).materialize()
+
+
+def test_dsir_weights_matches_brute(sf_dir):
+    """Engine vs a brute pandas reimplementation of the integer DSIR
+    scoring law, plus the selection property: target-lang docs must
+    rank above the corpus median on average."""
+    from collections import Counter
+
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    cnt_r: Counter = Counter()
+    cnt_t: Counter = Counter()
+    per_doc = {}
+    for _, r in docs.iterrows():
+        c = Counter(r["text"].split(" "))
+        per_doc[int(r["doc_id"])] = c
+        cnt_r.update(c)
+        if r["lang"] == T.DSIR_TARGET_LANG:
+            cnt_t.update(c)
+    want = {
+        d: sum(
+            c * (((cnt_t.get(tok, 0) + 1) * T.DSIR_SCALE) // (cnt_r[tok] + 1))
+            for tok, c in cd.items()
+        )
+        for d, cd in per_doc.items()
+    }
+    got = T.dsir_weights(sf_dir).to_pandas()
+    got_map = dict(zip(got["doc_id"].astype(int), got["score"].astype(int)))
+    assert got_map == want
+    # selection property (normalize by token count: score is a sum)
+    n_tok = {d: sum(c.values()) for d, c in per_doc.items()}
+    tgt = docs["lang"] == T.DSIR_TARGET_LANG
+    mean_t = np.mean([want[d] / n_tok[d] for d in docs["doc_id"][tgt]])
+    mean_o = np.mean([want[d] / n_tok[d] for d in docs["doc_id"][~tgt]])
+    assert mean_t > mean_o
