@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": lambda sf: multimodal.audio_resample(sf, CFG),
         "video_scene_cuts": lambda sf: multimodal.video_scene_cuts(sf, CFG),
         "raster_equalize": lambda sf: multimodal.raster_equalize(sf, CFG),
+        # overview (pyramid level) build: 2x box downsample -> real GeoTIFF
+        "raster_downsample": lambda sf: multimodal.raster_downsample(sf, CFG),
         # -- relational (joins / aggregates / windows) --
         "q1_pricing": relational.q1_pricing_summary,
         "region_revenue": relational.region_revenue,
@@ -487,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": multimodal.audio_resample_sql(CFG),
         "video_scene_cuts": multimodal.video_scene_cuts_sql(CFG),
         "raster_equalize": multimodal.raster_equalize_sql(CFG),
+        "raster_downsample": multimodal.raster_downsample_sql(CFG),
         "q1_pricing": relational.Q1_SQL,
         "region_revenue": relational.REGION_REVENUE_SQL,
         "top_orders": relational.top_orders_sql(),

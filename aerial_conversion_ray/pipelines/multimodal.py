@@ -1430,3 +1430,142 @@ from tiles left join occ
 cross join z
 """
     )
+
+
+# --------------------------------------------------------------------------
+# raster overview build (2x box downsample through the real GeoTIFF)
+# --------------------------------------------------------------------------
+
+
+def raster_downsample(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = HEATMAP_RES
+) -> ray.data.Dataset:
+    """Overview (pyramid-level) build over the heatmap GeoTIFF — the
+    ``gdaladdo`` analog every raster store runs after ingest: stream
+    tile WINDOWS of the full-res file (strip-range reads, never the
+    whole raster in one task), 2x2 box-downsample each window
+    independently (``v' = (a+b+c+d) // 4``, non-negative so numpy
+    floor == SQL truncate), assemble the HALF-RES overview (driver
+    collection bounded by the overview grid — corpus-independent,
+    the heatmap_geotiff justification), write it as a REAL GeoTIFF
+    (doubled cell size, atomic tmp+rename), and read THAT back
+    through the windowed reader as per-tile integer stats.
+
+    Window edges can't straddle a 2x2 block: the full-res grid is an
+    exact multiple of HEATMAP_TILE and the tile size is even.
+
+    Output (tile_id, col_off, row_off, width, height, px_sum, px_max)
+    per overview window."""
+    import os
+
+    from ..config import RasterSpec, TileGridSpec
+    from ..sources.geotiff import read_raster_windows, write_geotiff
+
+    heatmap_geotiff(sf_dir, cfg, res)
+    n = 1 << res
+    base = f"{HEATMAP_DIR}/heatmap_r{res}_{cfg.pages_rep}.tif"
+    grid = TileGridSpec(tile_width=HEATMAP_TILE, tile_height=HEATMAP_TILE)
+
+    def down(t: pa.Table) -> pa.Table:
+        col = t["pixels"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        w = t["width"].to_numpy(zero_copy_only=False)
+        h = t["height"].to_numpy(zero_copy_only=False)
+        blocks = []
+        for i, buf in enumerate(col):
+            px = np.frombuffer(buf.as_py(), np.uint8).reshape(h[i], w[i])
+            d = (
+                px.astype(np.int64)
+                .reshape(h[i] // 2, 2, w[i] // 2, 2)
+                .sum(axis=(1, 3))
+                // 4
+            ).astype(np.uint8)
+            blocks.append(d.tobytes())
+        return pa.table(
+            {
+                "col_off2": pc.divide(t["col_off"], 2),
+                "row_off2": pc.divide(t["row_off"], 2),
+                "w2": pa.array((w // 2).astype(np.int64)),
+                "h2": pa.array((h // 2).astype(np.int64)),
+                "block": pa.array(blocks, pa.binary()),
+            }
+        )
+
+    blocks = read_raster_windows(base, grid).map_batches(
+        down, batch_format="pyarrow"
+    ).to_pandas()  # bounded by the OVERVIEW grid, not the corpus
+    img2 = np.zeros((n // 4, n // 2), np.uint8)
+    for _, r in blocks.iterrows():
+        b = np.frombuffer(r["block"], np.uint8).reshape(r["h2"], r["w2"])
+        img2[r["row_off2"] : r["row_off2"] + r["h2"], r["col_off2"] : r["col_off2"] + r["w2"]] = b
+    spec2 = RasterSpec(
+        x0=-180.0, y_max=90.0, cell=720.0 / n, ncols=n // 2, nrows=n // 4
+    )
+    os.makedirs(HEATMAP_DIR, exist_ok=True)
+    path2 = f"{HEATMAP_DIR}/heatmap_r{res}_{cfg.pages_rep}_ov2.tif"
+    tmp = f"{path2}.{os.getpid()}"
+    write_geotiff(tmp, img2, spec2, rows_per_strip=16)
+    os.replace(tmp, path2)
+
+    grid2 = TileGridSpec(tile_width=HEATMAP_TILE // 2, tile_height=HEATMAP_TILE // 2)
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t["pixels"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sums, maxs = [], []
+        for buf in col:
+            px = np.frombuffer(buf.as_py(), np.uint8)
+            sums.append(int(px.sum()))
+            maxs.append(int(px.max()))
+        return pa.table(
+            {
+                "tile_id": t["tile_id"],
+                "col_off": t["col_off"],
+                "row_off": t["row_off"],
+                "width": t["width"],
+                "height": t["height"],
+                "px_sum": pa.array(sums, pa.int64()),
+                "px_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return read_raster_windows(path2, grid2).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def raster_downsample_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = HEATMAP_RES) -> str:
+    from .sql_oracle import _pages_geo
+    from ..geo import cells
+
+    n = 1 << res
+    t = HEATMAP_TILE // 2
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg)
+        + f""",
+cellt as (select {cell} as cell from geo),
+cnt as (select cell, count(*) as cn from cellt group by cell),
+px as (select cell % {n} as ix, ({n // 2 - 1}) - (cell // {n}) as iy,
+              least(cn, 255) as v from cnt),
+px2 as (select ix // 2 as jx, iy // 2 as jy, sum(v) // 4 as v
+        from px group by 1, 2),
+tiles as (select cx.v as col_off, ry.v as row_off from
+  (select unnest(range(0, {n // 2}, {t})) as v) cx,
+  (select unnest(range(0, {n // 4}, {t})) as v) ry),
+occ as (select (jx // {t}) * {t} as col_off, (jy // {t}) * {t} as row_off,
+               sum(v) as occ_sum, max(v) as occ_max
+        from px2 group by 1, 2)
+select ('tile_' || cast(tiles.col_off as varchar) || '-' ||
+        cast(tiles.row_off as varchar)) as tile_id,
+       cast(tiles.col_off as bigint) as col_off,
+       cast(tiles.row_off as bigint) as row_off,
+       cast({t} as bigint) as width, cast({t} as bigint) as height,
+       cast(coalesce(occ_sum, 0) as bigint) as px_sum,
+       cast(coalesce(occ_max, 0) as bigint) as px_max
+from tiles left join occ
+  on occ.col_off = tiles.col_off and occ.row_off = tiles.row_off
+"""
+    )

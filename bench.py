@@ -402,6 +402,7 @@ def run_benchmarks() -> dict:
         "segment_crossings": lambda: _consume(spatial.segment_crossings(SF_DIR)),
         "tfrecord_roundtrip": lambda: _consume(extract.tfrecord_roundtrip(SF_DIR)),
         "dsir_weights": lambda: _consume(text.dsir_weights(SF_DIR)),
+        "raster_downsample": lambda: _consume(multimodal.raster_downsample(SF_DIR, cfg)),
         "split_leakage": lambda: _consume(text.split_leakage(SF_DIR)),
         "media_embed": lambda: _consume(
             multimodal.media_embed(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

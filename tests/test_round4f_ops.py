@@ -180,3 +180,28 @@ def test_dsir_weights_matches_brute(sf_dir):
     mean_t = np.mean([want[d] / n_tok[d] for d in docs["doc_id"][tgt]])
     mean_o = np.mean([want[d] / n_tok[d] for d in docs["doc_id"][~tgt]])
     assert mean_t > mean_o
+
+
+def test_raster_downsample_box_law(sf_dir):
+    """The overview GeoTIFF's pixels must equal the exact 2x2 box
+    floor-mean of the base heatmap raster, window streaming and all."""
+    from aerial_conversion_ray.config import EngineConfig, TileGridSpec
+    from aerial_conversion_ray.pipelines import multimodal as M
+    from aerial_conversion_ray.sources.geotiff import read_raster_windows
+
+    cfg = EngineConfig()
+    M.raster_downsample(sf_dir, cfg).materialize()
+    n = 1 << M.HEATMAP_RES
+    base = f"{M.HEATMAP_DIR}/heatmap_r{M.HEATMAP_RES}_{cfg.pages_rep}.tif"
+    ov = f"{M.HEATMAP_DIR}/heatmap_r{M.HEATMAP_RES}_{cfg.pages_rep}_ov2.tif"
+
+    def full(path, w, h):
+        t = read_raster_windows(path, TileGridSpec(tile_width=w, tile_height=h)).to_pandas()
+        assert len(t) == 1
+        return np.frombuffer(t["pixels"].iloc[0], np.uint8).reshape(h, w)
+
+    img = full(base, n, n // 2).astype(np.int64)
+    got = full(ov, n // 2, n // 4)
+    want = img.reshape(n // 4, 2, n // 2, 2).sum(axis=(1, 3)) // 4
+    assert np.array_equal(got, want.astype(np.uint8))
+    assert got.sum() > 0
