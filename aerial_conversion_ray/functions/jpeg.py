@@ -134,6 +134,12 @@ _k = np.arange(8.0)
 DCT_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.sqrt(0.25)
 DCT_M[0] *= np.sqrt(0.5)
 
+# the greedy einsum path for the (8,8)x(n,8,8)x(8,8) contraction is
+# [(0,1),(0,1)] for every n (verified 1..500); pinning it skips the
+# per-call einsum_path search (~35% of decode wall time on small
+# images) with bit-identical numerics
+_EINSUM_PATH = ["einsum_path", (0, 1), (0, 1)]
+
 
 def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """IJG quality scaling of the Annex-K tables (1..100)."""
@@ -247,12 +253,12 @@ def _dct_blocks(plane: np.ndarray) -> np.ndarray:
     blocks in raster order.  One einsum for the whole plane."""
     h, w = plane.shape
     b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return np.einsum("ij,njk,lk->nil", DCT_M, b, DCT_M, optimize=True)
+    return np.einsum("ij,njk,lk->nil", DCT_M, b, DCT_M, optimize=_EINSUM_PATH)
 
 
 def _idct_blocks(coef: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """(n, 8, 8) coefficients -> (bh*8, bw*8) plane (inverse einsum)."""
-    px = np.einsum("ji,njk,kl->nil", DCT_M, coef, DCT_M, optimize=True)
+    px = np.einsum("ji,njk,kl->nil", DCT_M, coef, DCT_M, optimize=_EINSUM_PATH)
     return px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 
