@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moran_i": spatial.moran_i,
         # proper segment crossings: crawl legs x broadcast routes
         "segment_crossings": spatial.segment_crossings,
+        # IDW gap-fill over the cell raster (exact integer fraction)
+        "idw_fill": spatial.idw_fill,
         # real-shapefile-fed point-in-zone join (S1 as load-bearing input)
         "shapefile_zone_join": spatial.shapefile_zone_join,
         # one-pass distributed Gram matrix (PCA building block) +
@@ -430,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_pyramid": spatial.cell_pyramid_sql(),
         "moran_i": spatial.moran_i_sql(),
         "segment_crossings": spatial.segment_crossings_sql(),
+        "idw_fill": spatial.idw_fill_sql(),
         "shapefile_zone_join": spatial.shapefile_zone_join_sql(),
         "embed_gram": embeddings.embed_gram_sql(),
         "full_outer_join": relational.FULL_OUTER_JOIN_SQL,

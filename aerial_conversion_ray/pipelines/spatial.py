@@ -3238,3 +3238,132 @@ where ((lx1 - lx0) * (cy0 - ly0) - (ly1 - ly0) * (cx0 - lx0))
   and ((cx1 - cx0) * (ly0 - cy0) - (cy1 - cy0) * (lx0 - cx0))
     * ((cx1 - cx0) * (ly1 - cy0) - (cy1 - cy0) * (lx1 - cx0)) < 0.0
 """
+
+
+# --- IDW gap-fill interpolation over the cell raster -------------------------
+
+_IDW_SCALE = 10_000
+
+
+def idw_fill(sf_dir: str, rep: int = _MORAN_REP, res: int = _MORAN_RES) -> ray.data.Dataset:
+    """Inverse-distance-weighted gap fill over the per-cell page-count
+    raster: every EMPTY cell within Chebyshev distance 2 of at least
+    one occupied cell gets the classic IDW value from its occupied
+    k-ring-2 neighbours with ``1/d^2`` weights — the interpolation
+    step of any density-surface product (reference analog: the tile
+    neighbourhood arithmetic, aerial_conversion/tiles.py:180-256).
+
+    Integer-exact law: ``w = SCALE // d2`` (d2 = dx^2 + dy^2 in cell
+    units), emitted as the exact fraction ``(iw_num, iw_den) =
+    (sum x_i * w_i, sum w_i)`` so the oracle is bit-exact and the
+    consumer divides at display time.
+
+    Same fully-distributed probe shape as :func:`moran_i`: exact cell
+    counts from one coarse fold, each occupied cell emits its 24
+    ring-2 probes keyed by the TARGET cell, one more fold keeps
+    targets with no resident (empty cells) and sums the fraction.
+    Both shuffles bounded by the occupied-cell space, not the corpus.
+    """
+    n = 1 << res
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+    offs = [
+        (dx, dy)
+        for dx in (-2, -1, 0, 1, 2)
+        for dy in (-2, -1, 0, 1, 2)
+        if (dx, dy) != (0, 0)
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        cell = cells.encode(g["lon"], g["lat"], res)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "x": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array(u % _MORAN_BUCKETS),
+            }
+        )
+
+    def fold_emit(df):
+        import pandas as pd
+
+        cc = df.groupby("cell", as_index=False)["x"].sum()
+        cell = cc["cell"].to_numpy()
+        x = cc["x"].to_numpy()
+        iy, ix = cell // n, cell % n
+        keys = [cell]
+        nums = [np.zeros(len(cell), np.int64)]
+        dens = [np.zeros(len(cell), np.int64)]
+        kinds = [np.zeros(len(cell), np.int64)]
+        for dx, dy in offs:
+            w = _IDW_SCALE // (dx * dx + dy * dy)
+            jx, jy = ix + dx, iy + dy
+            ok = (jx >= 0) & (jx < n) & (jy >= 0) & (jy < n // 2)
+            keys.append(jy[ok] * n + jx[ok])
+            nums.append(x[ok] * w)
+            dens.append(np.full(int(ok.sum()), w, np.int64))
+            kinds.append(np.ones(int(ok.sum()), np.int64))
+        key = np.concatenate(keys)
+        return pd.DataFrame(
+            {
+                "key": key,
+                "num": np.concatenate(nums),
+                "den": np.concatenate(dens),
+                "kind": np.concatenate(kinds),
+                "bucket2": key % _MORAN_BUCKETS,
+            }
+        )
+
+    def fold_fill(df):
+        import pandas as pd
+
+        occupied = set(df.loc[df["kind"] == 0, "key"].tolist())
+        probes = df[df["kind"] == 1]
+        empty = probes[~probes["key"].isin(occupied)]
+        g = empty.groupby("key", as_index=False)[["num", "den"]].sum()
+        return pd.DataFrame(
+            {
+                "cell": g["key"].to_numpy(np.int64),
+                "iw_num": g["num"].to_numpy(np.int64),
+                "iw_den": g["den"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_emit, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(fold_fill, batch_format="pandas")
+    )
+
+
+def idw_fill_sql(rep: int = _MORAN_REP, res: int = _MORAN_RES) -> str:
+    from ..geocode import SQL_EXPRS
+
+    n = 1 << res
+    lon = SQL_EXPRS["lon"].replace("doc_id", "page_id")
+    lat = SQL_EXPRS["lat"].replace("doc_id", "page_id")
+    offs = ", ".join(
+        f"({dx}, {dy}, {_IDW_SCALE // (dx * dx + dy * dy)})"
+        for dx in (-2, -1, 0, 1, 2)
+        for dy in (-2, -1, 0, 1, 2)
+        if (dx, dy) != (0, 0)
+    )
+    return (
+        f"with pages as ({pages_cte(rep)}), "
+        f"g as (select page_id, {lon} as lon, {lat} as lat from pages), "
+        f"cc as (select {cells.sql_expr('lon', 'lat', res)} as cell, "
+        "cast(count(*) as bigint) as x from g group by 1), "
+        f"c2 as (select cell, x, cell // {n} as iy, cell % {n} as ix from cc), "
+        f"offs(dx, dy, w) as (values {offs}), "
+        "probe as (select (a.iy + dy) * "
+        f"{n} + (a.ix + dx) as cell, a.x * w as num, cast(w as bigint) as den "
+        "from c2 a join offs on a.ix + dx >= 0 and a.ix + dx < "
+        f"{n} and a.iy + dy >= 0 and a.iy + dy < {n // 2}) "
+        "select p.cell, cast(sum(p.num) as bigint) as iw_num, "
+        "cast(sum(p.den) as bigint) as iw_den "
+        "from probe p where p.cell not in (select cell from cc) "
+        "group by p.cell"
+    )

@@ -205,3 +205,41 @@ def test_raster_downsample_box_law(sf_dir):
     want = img.reshape(n // 4, 2, n // 2, 2).sum(axis=(1, 3)) // 4
     assert np.array_equal(got, want.astype(np.uint8))
     assert got.sum() > 0
+
+
+def test_idw_fill_matches_brute(sf_dir):
+    from aerial_conversion_ray.geo import cells
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.pipelines import spatial
+
+    rep, res = spatial._MORAN_REP, spatial._MORAN_RES
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    doc_id = np.sort(docs["doc_id"].to_numpy())
+    page_id = (doc_id[:, None] * rep + np.arange(rep)[None, :]).ravel()
+    g = geocode_arrays(page_id)
+    cell = cells.encode(g["lon"], g["lat"], res)
+    u, cnt = np.unique(cell, return_counts=True)
+    x = dict(zip(u.tolist(), cnt.tolist()))
+    n = 1 << res
+    want = {}
+    for c, xi in x.items():
+        iy, ix = divmod(c, n)
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                if (dx, dy) == (0, 0):
+                    continue
+                jx, jy = ix + dx, iy + dy
+                if not (0 <= jx < n and 0 <= jy < n // 2):
+                    continue
+                tgt = jy * n + jx
+                if tgt in x:
+                    continue
+                w = spatial._IDW_SCALE // (dx * dx + dy * dy)
+                nm, dn = want.get(tgt, (0, 0))
+                want[tgt] = (nm + xi * w, dn + w)
+    got = spatial.idw_fill(sf_dir).to_pandas()
+    got_map = {
+        int(r["cell"]): (int(r["iw_num"]), int(r["iw_den"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == want
