@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": text.tfidf_scores,
         # DSIR importance weights (integer-exact target/raw ratio)
         "dsir_weights": text.dsir_weights,
+        # BPE tokenizer TRAINING (iterative; rows-only, pytest-pinned)
+        "bpe_train": text.bpe_train,
         "decontaminate": text.decontaminate,
         "pack_sequences": text.pack_sequences,
         # exact top-k tokens via Count-Min pruning (no vocab groupby)

@@ -5497,3 +5497,210 @@ with toks0 as (
 select t.doc_id, cast(sum(t.c * w.w) as bigint) as score
 from tok t join w using (token) group by t.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# distributed BPE TRAINING (merge-rule induction, not just application)
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 16
+_BPE_SEP = "\x1f"  # pair-key separator (numpy U-dtype drops NULs, so
+#                    use the ASCII unit separator; corpus tokens are
+#                    alphanumeric and never contain it)
+
+
+def _bpe_loop_local(wc: dict[str, int], n_merges: int) -> list[tuple[str, str, int]]:
+    """In-process merge loop over a (word -> count) dict — the driver
+    fast path for vocabulary-bounded word tables (same winner rule as
+    the distributed rounds; parity pinned by
+    ``test_bpe_train_distributed_matches_driver``)."""
+    state = {w: tuple(w) for w in wc}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc_: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            c = wc[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc_[k] = pc_.get(k, 0) + c
+        if not pc_:
+            break
+        (a, b), nbest = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        if nbest < 2:
+            break
+        merges.append((a, b, nbest))
+        for w, syms in state.items():
+            r, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    r.append(a + b)
+                    i += 2
+                else:
+                    r.append(syms[i])
+                    i += 1
+            state[w] = tuple(r)
+    return merges
+
+
+BPE_SMALL_GATE = 200_000  # distinct words; ~tens of MB of driver state
+
+
+def bpe_train(
+    sf_dir: str, n_merges: int = BPE_TRAIN_MERGES, small_gate: int = BPE_SMALL_GATE
+) -> ray.data.Dataset:
+    """Byte-pair-encoding TRAINER (Sennrich et al. 2016) run the way a
+    cluster trains a tokenizer: the corpus folds once into the
+    vocabulary-bounded WORD-FREQUENCY table (the classic reduction —
+    pair statistics are a pure function of (word, count), so the
+    10^12-page corpus collapses to |vocab| rows before any iteration),
+    then each merge round is a distributed adjacent-pair count
+    (weighted by word count, ONE 64-bucket fold, each bucket emitting
+    its top candidate) + a distributed merge application.  Winner rule
+    is deterministic: max count, then lexicographically smallest
+    (left, right).  Rounds stop early when the best pair count is < 2.
+
+    Per-round driver traffic is <= 64 candidate rows (bucket bests) —
+    never the pair table.  The word table is re-materialized each
+    round (checkpointed state, exactly how iterative Ray Data loops
+    persist between rounds).
+
+    Output: one row per learned merge (rank, left, right, pair_count).
+    No SQL oracle — the loop is iterative/stateful; exactness is
+    pinned by a brute single-process trainer in pytest (rows-only
+    driver gate)."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        u, c = np.unique(flat, return_counts=True)
+        t2 = pa.table({"word": pa.array(u), "count": pa.array(c.astype(np.int64))})
+        h = _hash_arrow_strings(t2["word"])
+        return t2.append_column(
+            "bucket", pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
+        )
+
+    def wc_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["count"].sum()
+        return g
+
+    words = (
+        ds.map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wc_fold, batch_format="pandas")
+    )
+
+    def _as_result(merges: list[tuple[str, str, int]]) -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+                    "left": pa.array([m[0] for m in merges], pa.string()),
+                    "right": pa.array([m[1] for m in merges], pa.string()),
+                    "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+                }
+            )
+        )
+
+    words = words.materialize()
+    if words.count() <= small_gate:
+        # vocabulary-bounded word table: the per-round Ray job overhead
+        # dominates any compute, so run the identical loop in-process
+        # (the degree_assortativity/_tri_small fast-path convention)
+        df = words.to_pandas()
+        wc = dict(zip(df["word"], df["count"].astype(int)))
+        return _as_result(_bpe_loop_local(wc, n_merges))
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        w = t["word"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "syms": pa.array([list(x) for x in w], pa.list_(pa.string())),
+                "count": t["count"],
+            }
+        )
+
+    state = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        col = t["syms"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+        offs = offs - offs[0]  # slice-safe relative offsets
+        cnt = t["count"].to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        # adjacent positions that do not straddle a word boundary
+        is_start = np.zeros(len(flat), bool)
+        is_start[offs[:-1]] = True
+        pos = np.flatnonzero(~is_start[1:])  # pair (pos, pos+1) within a word
+        word_of = np.searchsorted(offs, pos, side="right") - 1
+        pairs = np.char.add(
+            np.char.add(flat[pos].astype(str), _BPE_SEP), flat[pos + 1].astype(str)
+        )
+        w = cnt[word_of]
+        u, inv = np.unique(pairs, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, w)
+        t2 = pa.table({"pair": pa.array(u), "n": pa.array(tot)})
+        h = _hash_arrow_strings(t2["pair"])
+        return t2.append_column(
+            "bucket", pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
+        )
+
+    def bucket_best(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort")
+        return g.head(1)[["pair", "n"]]
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        cand = (
+            state.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_best, batch_format="pandas")
+            .to_pandas()  # <= 64 rows: one best per bucket
+        )
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["n", "pair"], ascending=[False, True], kind="mergesort"
+        )
+        best_pair, best_n = cand["pair"].iloc[0], int(cand["n"].iloc[0])
+        if best_n < 2:
+            break
+        left, right = best_pair.split(_BPE_SEP)
+        merges.append((left, right, best_n))
+
+        def apply(t: pa.Table, a=left, b=right) -> pa.Table:
+            col = t["syms"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = []
+            for seq in col.to_pylist():
+                r = []
+                i = 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        r.append(a + b)
+                        i += 2
+                    else:
+                        r.append(seq[i])
+                        i += 1
+                out.append(r)
+            return pa.table(
+                {"syms": pa.array(out, pa.list_(pa.string())), "count": t["count"]}
+            )
+
+        state = state.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return _as_result(merges)

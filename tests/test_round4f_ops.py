@@ -243,3 +243,58 @@ def test_idw_fill_matches_brute(sf_dir):
         for _, r in got.iterrows()
     }
     assert got_map == want
+
+
+def _brute_bpe(texts, n_merges):
+    """Single-process reference BPE trainer (same deterministic rule)."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(t.split(" "))
+    state = {w: tuple(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc_ = Counter()
+        for w, syms in state.items():
+            c = wc[w]
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += c
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        for w, syms in list(state.items()):
+            r, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    r.append(a + b)
+                    i += 2
+                else:
+                    r.append(syms[i])
+                    i += 1
+            state[w] = tuple(r)
+    return merges
+
+
+def test_bpe_train_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    want = _brute_bpe(docs["text"].tolist(), T.BPE_TRAIN_MERGES)
+    got = T.bpe_train(sf_dir).to_pandas()
+    got_list = list(zip(got["left"], got["right"], got["pair_count"].astype(int)))
+    assert got_list == want
+    assert list(got["rank"]) == list(range(len(want)))
+    assert len(want) > 4  # the corpus genuinely trains several merges
+
+
+def test_bpe_train_distributed_matches_driver(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    drv = T.bpe_train(sf_dir).to_pandas()
+    dist = T.bpe_train(sf_dir, small_gate=0).to_pandas()
+    assert drv.equals(dist)
