@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": linkgraph.robots_filter,
         "host_degree": linkgraph.host_degree,
         "pagerank_hosts": linkgraph.pagerank_hosts,
+        # BFS hop distances from the seed host (broadcast frontier)
+        "host_bfs": linkgraph.host_bfs,
         "host_cocitation": linkgraph.host_cocitation,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
@@ -553,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": linkgraph.robots_filter_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
+        "host_bfs": linkgraph.host_bfs_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),

@@ -640,3 +640,82 @@ from ed e left join ed r
 group by e.src_id
 """
     )
+
+
+# --- BFS hop distances from a seed host ------------------------------------
+
+BFS_SEED = 0
+
+
+def host_bfs(sf_dir: str, rep: int = LG_REP, seed: int = BFS_SEED) -> "pa.Table":
+    """Unweighted BFS hop distance from the seed host over the host
+    link graph — the reachability/radius primitive (crawl frontier
+    depth, link-spam blast radius) next to PageRank's centrality.
+
+    Same execution law as :func:`pagerank_hosts`: the weighted edge
+    Dataset stays distributed; each round broadcasts the |hosts|-
+    length int64 distance vector (``ray.put``, read once per task)
+    and every edge block emits one partial candidate vector
+    ``min(dist[src] + 1)`` per destination; the driver folds the few
+    block vectors and stops at the fixpoint (<= diameter rounds, <=
+    |hosts| worst case).  Distances never shuffle; the hot host (40%
+    in-degree by construction) costs nothing extra.
+
+    Output: (host, dist) for hosts reachable from the seed.  Oracle:
+    a recursive CTE over the distinct edge list (min hop per host).
+    """
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()  # |hosts|^2-bounded
+    hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
+    n = len(hosts)
+    BIG = np.int64(1) << np.int64(40)
+    dist = np.full(n, BIG, dtype=np.int64)
+    sidx = int(np.searchsorted(hosts, seed))
+    if sidx < n and hosts[sidx] == seed:
+        dist[sidx] = 0
+    hosts_ref = ray.put(hosts)
+
+    def relax(t: pa.Table, d_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        dv = ray.get(d_ref)
+        s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
+        cand = np.full(len(hs), BIG, dtype=np.int64)
+        np.minimum.at(cand, d, np.minimum(dv[s] + 1, BIG))
+        return pa.table({f"c{i}": pa.array(cand[i : i + 1]) for i in range(len(hs))})
+
+    for _ in range(n):
+        d_ref = ray.put(dist)
+        parts = edges.map_batches(
+            lambda t, dr=d_ref: relax(t, dr), batch_format="pyarrow"
+        )
+        new = dist.copy()
+        for row in parts.take_all():
+            new = np.minimum(
+                new, np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
+            )
+        if np.array_equal(new, dist):
+            break
+        dist = new
+
+    keep = dist < BIG
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts[keep]), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "dist": pa.array(dist[keep])})
+
+
+def host_bfs_sql(rep: int = LG_REP, seed: int = BFS_SEED) -> str:
+    return (
+        f"with recursive e as ({_edges_sql(rep)}), "
+        "ed as (select distinct src_id, dst_id from e), "
+        "bfs(hid, d) as ("
+        f"select cast({seed} as bigint), cast(0 as bigint) "
+        "union "
+        "select ed.dst_id, bfs.d + 1 from bfs join ed on ed.src_id = bfs.hid "
+        f"where bfs.d < {NH}) "
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        "cast(min(d) as bigint) as dist from bfs group by hid"
+    )

@@ -386,6 +386,11 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["pagerank_hosts"]
             ).pagerank_hosts(SF_DIR)
         ),
+        "host_bfs": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_bfs"]
+            ).host_bfs(SF_DIR)
+        ),
         "geohash_index": lambda: _consume(spatial.geohash_index(SF_DIR)),
         "within_dist_join": lambda: _consume(spatial.within_dist_join(SF_DIR)),
         "crawl_path": lambda: _consume(spatial.crawl_path(SF_DIR)),

@@ -298,3 +298,27 @@ def test_bpe_train_distributed_matches_driver(sf_dir):
     drv = T.bpe_train(sf_dir).to_pandas()
     dist = T.bpe_train(sf_dir, small_gate=0).to_pandas()
     assert drv.equals(dist)
+
+
+def test_host_bfs_matches_brute(sf_dir):
+    from collections import deque
+
+    from aerial_conversion_ray.pipelines import linkgraph as L
+
+    edges = L.host_edges(sf_dir).to_pandas()
+    adj: dict[int, set] = {}
+    for s, d in zip(edges["src_id"].astype(int), edges["dst_id"].astype(int)):
+        adj.setdefault(s, set()).add(d)
+    want = {L.BFS_SEED: 0}
+    q = deque([L.BFS_SEED])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    got = L.host_bfs(sf_dir).to_pandas()
+    got_map = {
+        int(h[1:].split(".")[0]): int(d) for h, d in zip(got["host"], got["dist"])
+    }
+    assert got_map == want
