@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid_scores,
         # -- similarity search / embeddings --
         "ann_brute": embeddings.ann_brute,
+        # contrastive hard-negative mining (top-1 other-label cosine)
+        "hard_negatives": embeddings.hard_negatives,
         "ann_lsh": embeddings.ann_lsh,
         # shuffle-partitioned ANN (no broadcast index): rows-only,
         # recall vs ann_brute asserted in tests/test_embeddings.py
@@ -590,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_fingerprints": text.shared_fingerprints_sql(),
         "length_outliers": text.length_outliers_sql(),
         "ann_brute": embeddings.ann_brute_sql(),
+        "hard_negatives": embeddings.HARD_NEGATIVES_SQL,
         "embed_dup": embeddings.embed_dup_sql(),
         "label_centroids": embeddings.label_centroids_sql(),
         "embed_outliers": embeddings.embed_outliers_sql(),

@@ -1342,3 +1342,96 @@ select vec_id,
        cast(sum(q * q) as bigint) as dot_full_q
 from flat group by vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def _load_labeled_index(sf_dir: str):
+    import pyarrow.parquet as pq_
+    import ray
+
+    tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids, mat = _matrix(tbl)
+    labels = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.put({"ids": ids, "mat": mat, "labels": labels})
+
+
+class HardNegative:
+    """Actor-pool stage: for every vector, the most-cosine-similar
+    vector with a DIFFERENT label — the hard negative a contrastive
+    trainer pairs it with.  Broadcast labeled index resolves once per
+    actor; per batch one matmul + same-label mask + fixed-point
+    tie-break (sim_e9 desc, id asc) matching the SQL row_number."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+        self.ids = idx["ids"]
+        self.mat = idx["mat"]
+        self.labels = idx["labels"]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids, qmat = _matrix(t)
+        qlab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qmat @ self.mat.T
+        sims[qlab[:, None] == self.labels[None, :]] = -np.inf
+        best = sims.max(axis=1)
+        rows, cols = np.nonzero(sims >= (best - 2e-9)[:, None])
+        sv = sims[rows, cols]
+        fin = np.isfinite(sv)
+        rows, cols, sv = rows[fin], cols[fin], sv[fin]
+        se9 = _sim_e9(sv)
+        nid = self.ids[cols]
+        order = np.lexsort((nid, -se9, rows))
+        r_s, n_s, s_s = rows[order], nid[order], se9[order]
+        first = np.ones(len(r_s), bool)
+        if len(r_s) > 1:
+            first[1:] = r_s[1:] != r_s[:-1]
+        return pa.table(
+            {
+                "vec_id": pa.array(qids[r_s[first]]),
+                "label": pa.array(qlab[r_s[first]]),
+                "neg_id": pa.array(n_s[first]),
+                "neg_sim_e9": pa.array(s_s[first]),
+            }
+        )
+
+
+def hard_negatives(sf_dir: str) -> ray.data.Dataset:
+    """Per-vector hardest negative (top-1 cosine among OTHER-label
+    vectors) over the embeddings table — the mining pass contrastive
+    fine-tuning runs before building training pairs.  Exact; same
+    broadcast-index actor-pool law as :func:`ann_brute` (at 10^12
+    rows the index side swaps to the PQ/IVF shards, same interface).
+    """
+    ref = _load_labeled_index(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return ds.map_batches(
+        HardNegative,
+        fn_constructor_kwargs={"index_ref": ref},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=_pool_size(),
+    )
+
+
+HARD_NEGATIVES_SQL = """
+with sims as (
+  select a.vec_id, cast(a.label as bigint) as label, b.vec_id as neg_id,
+         cast(floor(list_cosine_similarity(cast(a.embedding as double[]),
+                                           cast(b.embedding as double[]))
+                    * 1000000000.0 + 0.5) as bigint) as neg_sim_e9
+  from embeddings a join embeddings b on a.label != b.label
+), ranked as (
+  select *, row_number() over (partition by vec_id
+                               order by neg_sim_e9 desc, neg_id) as rn
+  from sims
+)
+select vec_id, label, neg_id, neg_sim_e9 from ranked where rn = 1
+"""

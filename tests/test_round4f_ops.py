@@ -322,3 +322,29 @@ def test_host_bfs_matches_brute(sf_dir):
         int(h[1:].split(".")[0]): int(d) for h, d in zip(got["host"], got["dist"])
     }
     assert got_map == want
+
+
+def test_hard_negatives_matches_numpy(sf_dir):
+    from aerial_conversion_ray.pipelines import embeddings as E
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids, mat = E._matrix(tbl)
+    lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sims = mat @ mat.T
+    sims[lab[:, None] == lab[None, :]] = -np.inf
+    se9 = np.floor(sims * 1e9 + 0.5)
+    want = {}
+    for i in range(len(ids)):
+        best = se9[i].max()
+        cand = np.flatnonzero(se9[i] == best)
+        j = cand[np.argmin(ids[cand])]
+        want[int(ids[i])] = (int(lab[i]), int(ids[j]), int(se9[i, j]))
+    got = E.hard_negatives(sf_dir).to_pandas()
+    got_map = {
+        int(r["vec_id"]): (int(r["label"]), int(r["neg_id"]), int(r["neg_sim_e9"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == want
+    # every negative really has a different label
+    lab_of = dict(zip(ids.tolist(), lab.tolist()))
+    assert all(lab_of[n] != l for l, n, _ in got_map.values())
