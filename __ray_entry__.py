@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": text.dsir_weights,
         # BPE tokenizer TRAINING (iterative; rows-only, pytest-pinned)
         "bpe_train": text.bpe_train,
+        # per-column catalog stats (n / nulls / exact ndv / min / max)
+        "table_profile": text.table_profile,
         "decontaminate": text.decontaminate,
         "pack_sequences": text.pack_sequences,
         # exact top-k tokens via Count-Min pruning (no vocab groupby)
@@ -569,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_pairs": text.jaccard_pairs_sql(threshold=0.5, max_df=None),
         "tfidf": text.TFIDF_SQL,
         "dsir_weights": text.DSIR_SQL,
+        "table_profile": text.TABLE_PROFILE_SQL,
         "decontaminate": text.decontaminate_sql(),
         "pack_sequences": text.pack_sequences_sql(),
         "heavy_hitters": text.heavy_hitters_sql(),

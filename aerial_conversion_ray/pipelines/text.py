@@ -5704,3 +5704,151 @@ def bpe_train(
         state = state.map_batches(apply, batch_format="pyarrow").materialize()
 
     return _as_result(merges)
+
+
+# --------------------------------------------------------------------------
+# table profiler (per-column n / nulls / exact ndv / min / max)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+_PROFILE_INT = {"doc_id", "n_chars"}
+
+
+def table_profile(sf_dir: str) -> ray.data.Dataset:
+    """Column profiler over the documents table — the stats-collection
+    pass every warehouse/catalog runs at ingest: per column row count,
+    null count, EXACT distinct count, min and max.
+
+    Two streaming passes, both corpus-shaped:
+      * pass 1 folds per-batch (n, n_null, typed min/max) partials —
+        O(columns) rows per block — through one single-partition
+        reduce (int columns reduce numerically, strings bytewise,
+        stringified only at the end so cross-batch order is right);
+      * pass 2 counts distincts exactly: per-batch distinct
+        (col, h1, h2) triples (the 128-bit content identity of
+        dedup_exact — birthday-safe at 10^12 rows), ONE 64-bucket
+        fold dedupes and counts per column (a triple lives in exactly
+        one bucket, so bucket counts add).
+    Driver traffic: O(columns) + O(64 x columns) rows."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=_PROFILE_COLS)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        rows = {"col": [], "n": [], "n_null": [], "min_num": [], "max_num": [],
+                "min_str": [], "max_str": []}
+        for c in _PROFILE_COLS:
+            col = t[c]
+            rows["col"].append(c)
+            rows["n"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            mm = pc.min_max(col).as_py()
+            if c in _PROFILE_INT:
+                rows["min_num"].append(mm["min"])
+                rows["max_num"].append(mm["max"])
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            else:
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(mm["min"])
+                rows["max_str"].append(mm["max"])
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_num": pa.array(rows["min_num"], pa.int64()),
+                "max_num": pa.array(rows["max_num"], pa.int64()),
+                "min_str": pa.array(rows["min_str"], pa.string()),
+                "max_str": pa.array(rows["max_str"], pa.string()),
+            }
+        )
+
+    def stat_reduce(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = []
+        for c in _PROFILE_COLS:
+            g = df[df["col"] == c]
+            if c in _PROFILE_INT:
+                v = g["min_num"].dropna()
+                w = g["max_num"].dropna()
+                mn = str(int(v.min())) if len(v) else None
+                mx = str(int(w.max())) if len(w) else None
+            else:
+                v = g["min_str"].dropna()
+                w = g["max_str"].dropna()
+                mn = v.min() if len(v) else None
+                mx = w.max() if len(w) else None
+            out.append((c, int(g["n"].sum()), int(g["n_null"].sum()), mn, mx))
+        return pa.table(
+            {
+                "col": pa.array([o[0] for o in out], pa.string()),
+                "n_rows": pa.array([o[1] for o in out], pa.int64()),
+                "n_null": pa.array([o[2] for o in out], pa.int64()),
+                "min_v": pa.array([o[3] for o in out], pa.string()),
+                "max_v": pa.array([o[4] for o in out], pa.string()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stat_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(stat_reduce, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+
+    def ndv_partial(t: pa.Table) -> pa.Table:
+        cids, h1s, h2s = [], [], []
+        for ci, c in enumerate(_PROFILE_COLS):
+            col = pc.drop_null(t[c])  # count(distinct) excludes nulls
+            if c in _PROFILE_INT:
+                col = pc.cast(col, pa.string())
+            h1, h2 = _hash_pair(col)
+            order = np.lexsort((h2, h1))
+            h1, h2 = h1[order], h2[order]
+            keep = np.ones(len(h1), bool)
+            if len(h1) > 1:
+                keep[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            cids.append(np.full(int(keep.sum()), ci, np.int64))
+            h1s.append(h1[keep].astype(np.int64))
+            h2s.append(h2[keep].astype(np.int64))
+        h1a = np.concatenate(h1s)
+        return pa.table(
+            {
+                "cid": pa.array(np.concatenate(cids)),
+                "h1": pa.array(h1a),
+                "h2": pa.array(np.concatenate(h2s)),
+                "bucket": pa.array(h1a % 64),
+            }
+        )
+
+    def ndv_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["cid", "h1", "h2"])
+        g = d.groupby("cid", as_index=False).size()
+        return pd.DataFrame(
+            {"cid": g["cid"].to_numpy(np.int64), "ndv": g["size"].to_numpy(np.int64)}
+        )
+
+    ndv = (
+        ds.map_batches(ndv_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ndv_fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("cid", as_index=False)["ndv"]
+        .sum()
+    )
+    ndv_map = dict(zip(ndv["cid"].astype(int), ndv["ndv"].astype(int)))
+    stats["ndv"] = [ndv_map.get(i, 0) for i in range(len(_PROFILE_COLS))]
+    out = stats[["col", "n_rows", "n_null", "ndv", "min_v", "max_v"]]
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+TABLE_PROFILE_SQL = " union all ".join(
+    f"select '{c}' as col, cast(count(*) as bigint) as n_rows, "
+    f"cast(count(*) - count({c}) as bigint) as n_null, "
+    f"cast(count(distinct {c}) as bigint) as ndv, "
+    f"cast(min({c}) as varchar) as min_v, cast(max({c}) as varchar) as max_v "
+    "from documents"
+    for c in _PROFILE_COLS
+)

@@ -411,6 +411,7 @@ def run_benchmarks() -> dict:
         "idw_fill": lambda: _consume(spatial.idw_fill(SF_DIR)),
         "bpe_train": lambda: _consume(text.bpe_train(SF_DIR)),
         "hard_negatives": lambda: _consume(embeddings.hard_negatives(SF_DIR)),
+        "table_profile": lambda: _consume(text.table_profile(SF_DIR)),
         "split_leakage": lambda: _consume(text.split_leakage(SF_DIR)),
         "media_embed": lambda: _consume(
             multimodal.media_embed(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

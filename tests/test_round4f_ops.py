@@ -348,3 +348,47 @@ def test_hard_negatives_matches_numpy(sf_dir):
     # every negative really has a different label
     lab_of = dict(zip(ids.tolist(), lab.tolist()))
     assert all(lab_of[n] != l for l, n, _ in got_map.values())
+
+
+def test_table_profile_matches_pandas(sf_dir):
+    from aerial_conversion_ray.pipelines import text as T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = T.table_profile(sf_dir).to_pandas().set_index("col")
+    for c in T._PROFILE_COLS:
+        r = got.loc[c]
+        assert int(r["n_rows"]) == len(docs)
+        assert int(r["n_null"]) == int(docs[c].isna().sum())
+        assert int(r["ndv"]) == docs[c].nunique()
+        assert r["min_v"] == str(docs[c].min())
+        assert r["max_v"] == str(docs[c].max())
+
+
+def test_table_profile_ndv_exact_under_nulls():
+    """Nulls are excluded from ndv and counted in n_null (engine law
+    == SQL count(distinct) law), checked on a synthetic batch."""
+    import pyarrow as pa
+
+    from aerial_conversion_ray.pipelines import text as T
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2, 3], pa.int64()),
+            "lang": pa.array(["en", None, "en", "zh"]),
+            "source": pa.array(["a", "a", "a", "a"]),
+            "n_chars": pa.array([5, 5, 7, None], pa.int64()),
+            "text": pa.array(["x", "y", "x", ""]),
+        }
+    )
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    d = tempfile.mkdtemp()
+    pq_.write_table(t, f"{d}/documents.parquet")
+    got = T.table_profile(d).to_pandas().set_index("col")
+    assert int(got.loc["lang", "n_null"]) == 1
+    assert int(got.loc["lang", "ndv"]) == 2
+    assert int(got.loc["n_chars", "n_null"]) == 1
+    assert int(got.loc["n_chars", "ndv"]) == 2
+    assert got.loc["doc_id", "min_v"] == "1" and got.loc["doc_id", "max_v"] == "3"
