@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": spatial.segment_crossings,
         # IDW gap-fill over the cell raster (exact integer fraction)
         "idw_fill": spatial.idw_fill,
+        # zonal majority: modal lang per cell (deterministic tie-break)
+        "tile_mode_lang": spatial.tile_mode_lang,
         # real-shapefile-fed point-in-zone join (S1 as load-bearing input)
         "shapefile_zone_join": spatial.shapefile_zone_join,
         # one-pass distributed Gram matrix (PCA building block) +
@@ -159,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
         "utm_reproject": lambda sf: spatial.utm_reproject(sf, CFG),
         "utm_footprint_area": lambda sf: spatial.utm_footprint_area(sf, CFG),
+        # exact spherical (geodesic) footprint area, no projection
+        "footprint_area_sphere": lambda sf: spatial.footprint_area_sphere(sf, CFG),
         "tile_clip_join_metric": lambda sf: spatial.tile_clip_join_metric(sf, CFG),
         # dist_m is engine-internal: numpy vs DuckDB libm differ ~1e-10,
         # which never flips ranks here but would fail the value hash.
@@ -441,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_i": spatial.moran_i_sql(),
         "segment_crossings": spatial.segment_crossings_sql(),
         "idw_fill": spatial.idw_fill_sql(),
+        "tile_mode_lang": spatial.tile_mode_lang_sql(),
         "shapefile_zone_join": spatial.shapefile_zone_join_sql(),
         "embed_gram": embeddings.embed_gram_sql(),
         "full_outer_join": relational.FULL_OUTER_JOIN_SQL,
@@ -469,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "utm_reproject": sql_oracle.utm_reproject_sql(CFG),
         "utm_footprint_area": sql_oracle.utm_footprint_area_sql(CFG),
+        "footprint_area_sphere": spatial.footprint_area_sphere_sql(CFG),
         "tile_clip_join_metric": sql_oracle.tile_clip_join_metric_sql(CFG),
         "knn": sql_oracle.knn_sql(CFG),
         # knn_kring is EXACT (adaptive ring expansion with a provable

@@ -3367,3 +3367,129 @@ def idw_fill_sql(rep: int = _MORAN_REP, res: int = _MORAN_RES) -> str:
         "from probe p where p.cell not in (select cell from cc) "
         "group by p.cell"
     )
+
+
+# --- spherical footprint area -----------------------------------------------
+
+_SPHERE_R = 6371000.0
+
+
+def footprint_area_sphere(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """TRUE spherical area of every page footprint rectangle — the
+    geodesic complement to ``utm_footprint_area``'s planar projection
+    (reference analog: the metric area filter of
+    aerial_conversion/coordinates.py:194-198, here with no projection
+    error at any latitude).
+
+    A lon/lat-aligned rectangle has the closed-form spherical area
+    ``R^2 * (lam2 - lam1) * (sin(phi2) - sin(phi1))`` (the exact
+    integral of the cos(phi) area element).  Emitted fixed-point
+    (floor(area_m2 * 1e3 + 0.5)) with THE SAME double expression the
+    DuckDB oracle evaluates, so values hash identically.  One
+    streaming map — no shuffle, no state."""
+    ds = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        minx = t["fp_minx"].to_numpy()
+        miny = t["fp_miny"].to_numpy()
+        maxx = t["fp_maxx"].to_numpy()
+        maxy = t["fp_maxy"].to_numpy()
+        area = (
+            (_SPHERE_R * _SPHERE_R)
+            * (np.radians(maxx) - np.radians(minx))
+            * (np.sin(np.radians(maxy)) - np.sin(np.radians(miny)))
+        )
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "area_e3": pa.array(np.floor(area * 1e3 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def footprint_area_sphere_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from .sql_oracle import _pages_geo
+
+    rr = repr(_SPHERE_R * _SPHERE_R)
+    return (
+        _pages_geo(cfg)
+        + f" select page_id, cast(floor({rr} * (radians(fp_maxx) - radians(fp_minx))"
+        " * (sin(radians(fp_maxy)) - sin(radians(fp_miny))) * 1000.0 + 0.5) as bigint)"
+        " as area_e3 from geo"
+    )
+
+
+# --- zonal majority: modal language per cell --------------------------------
+
+_MODE_RES = 7
+_MODE_REP = 5
+
+
+def tile_mode_lang(sf_dir: str, rep: int = _MODE_REP, res: int = _MODE_RES) -> ray.data.Dataset:
+    """Zonal majority: the modal ``lang`` of every occupied res-7 cell
+    (deterministic tie-break: highest count, then lexicographically
+    smallest lang) — the categorical zonal statistic next to
+    zonal_stats' numeric ones (majority resampling / dominant-class
+    rasterization in GIS terms).
+
+    Per-batch (cell, lang) combiner, ONE coarse-bucket fold
+    (hash(cell) % 64 — a cell's rows land in one bucket, so the
+    in-bucket argmax is the global argmax).  Output cardinality is
+    bounded by the occupied cell space."""
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = geocode_arrays(t["page_id"].to_numpy(zero_copy_only=False))
+        cell = cells.encode(g["lon"], g["lat"], res)
+        df = pd.DataFrame({"cell": cell, "lang": t["lang"].to_numpy(zero_copy_only=False)})
+        p = df.groupby(["cell", "lang"], as_index=False).size()
+        return pa.table(
+            {
+                "cell": pa.array(p["cell"].to_numpy(np.int64)),
+                "lang": pa.array(p["lang"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(p["size"].to_numpy(np.int64)),
+                "bucket": pa.array(p["cell"].to_numpy(np.int64) % 64),
+            }
+        )
+
+    def fold(df):
+        import pandas as pd
+
+        g = df.groupby(["cell", "lang"], as_index=False)["n"].sum()
+        g = g.sort_values(["cell", "n", "lang"], ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby("cell", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "cell": top["cell"].to_numpy(np.int64),
+                "mode_lang": top["lang"].to_numpy(dtype=object),
+                "n_pages": top["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def tile_mode_lang_sql(rep: int = _MODE_REP, res: int = _MODE_RES) -> str:
+    from ..geocode import SQL_EXPRS
+
+    lon = SQL_EXPRS["lon"].replace("doc_id", "page_id")
+    lat = SQL_EXPRS["lat"].replace("doc_id", "page_id")
+    return (
+        f"with pages as ({pages_cte(rep)}), "
+        f"g as (select page_id, lang, {lon} as lon, {lat} as lat from pages), "
+        f"cnt as (select {cells.sql_expr('lon', 'lat', res)} as cell, lang, "
+        "count(*) as n from g group by 1, 2), "
+        "r as (select *, row_number() over (partition by cell "
+        "order by n desc, lang) as rn from cnt) "
+        "select cell, lang as mode_lang, cast(n as bigint) as n_pages "
+        "from r where rn = 1"
+    )

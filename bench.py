@@ -412,6 +412,10 @@ def run_benchmarks() -> dict:
         "bpe_train": lambda: _consume(text.bpe_train(SF_DIR)),
         "hard_negatives": lambda: _consume(embeddings.hard_negatives(SF_DIR)),
         "table_profile": lambda: _consume(text.table_profile(SF_DIR)),
+        "footprint_area_sphere": lambda: _consume(
+            spatial.footprint_area_sphere(SF_DIR, cfg)
+        ),
+        "tile_mode_lang": lambda: _consume(spatial.tile_mode_lang(SF_DIR)),
         "split_leakage": lambda: _consume(text.split_leakage(SF_DIR)),
         "media_embed": lambda: _consume(
             multimodal.media_embed(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

@@ -392,3 +392,45 @@ def test_table_profile_ndv_exact_under_nulls():
     assert int(got.loc["n_chars", "n_null"]) == 1
     assert int(got.loc["n_chars", "ndv"]) == 2
     assert got.loc["doc_id", "min_v"] == "1" and got.loc["doc_id", "max_v"] == "3"
+
+
+def test_footprint_area_sphere_law(sf_dir):
+    """Spherical rect area: positive, monotone with footprint size,
+    and equal to the closed-form numpy evaluation."""
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import spatial
+
+    got = spatial.footprint_area_sphere(sf_dir, EngineConfig()).to_pandas()
+    geo = spatial.geocode_pipeline(sf_dir, EngineConfig()).to_pandas()
+    m = geo.set_index("page_id")
+    R2 = spatial._SPHERE_R ** 2
+    area = (
+        R2
+        * (np.radians(m["fp_maxx"]) - np.radians(m["fp_minx"]))
+        * (np.sin(np.radians(m["fp_maxy"])) - np.sin(np.radians(m["fp_miny"])))
+    )
+    want = np.floor(area * 1e3 + 0.5).astype(np.int64)
+    gm = got.set_index("page_id")["area_e3"]
+    assert (gm.reindex(want.index) == want).all()
+    assert (gm > 0).all()
+
+
+def test_tile_mode_lang_matches_brute(sf_dir):
+    from aerial_conversion_ray.geo import cells
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.pipelines import spatial
+
+    rep, res = spatial._MODE_REP, spatial._MODE_RES
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pid = (docs["doc_id"].to_numpy()[:, None] * rep + np.arange(rep)[None, :]).ravel()
+    lang = docs["lang"].to_numpy().repeat(rep)
+    g = geocode_arrays(pid)
+    cell = cells.encode(g["lon"], g["lat"], res)
+    df = pd.DataFrame({"cell": cell, "lang": lang})
+    cnt = df.groupby(["cell", "lang"], as_index=False).size()
+    cnt = cnt.sort_values(["cell", "size", "lang"], ascending=[True, False, True])
+    want = cnt.groupby("cell").head(1).set_index("cell")
+    got = spatial.tile_mode_lang(sf_dir).to_pandas().set_index("cell")
+    assert len(got) == len(want)
+    assert (got["mode_lang"].sort_index() == want["lang"].sort_index()).all()
+    assert (got["n_pages"].sort_index() == want["size"].sort_index()).all()
