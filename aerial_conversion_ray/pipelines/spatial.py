@@ -3493,3 +3493,59 @@ def tile_mode_lang_sql(rep: int = _MODE_REP, res: int = _MODE_RES) -> str:
         "select cell, lang as mode_lang, cast(n as bigint) as n_pages "
         "from r where rn = 1"
     )
+
+
+# --- leakage-safe spatial block split ---------------------------------------
+
+_SPLIT_RES = 5          # block resolution: ~11 deg blocks
+_SPLIT_MULT = 2654435761  # Knuth multiplicative constant (public)
+
+
+def spatial_split(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, res: int = _SPLIT_RES) -> ray.data.Dataset:
+    """Leakage-safe train/val/test assignment by SPATIAL BLOCK: every
+    page in the same coarse res-5 cell gets the same split, so
+    spatially-autocorrelated neighbours can never straddle train and
+    eval — the block-splitting practice geospatial ML uses instead of
+    row hashing (the reference's train/test splits are row-random,
+    scripts/coco_split; this is the spatial upgrade).
+
+    Split law (pure integer arithmetic, SQL-mirrored): ``h = (cell *
+    KNUTH) mod 2^32``; h < 0.8*2^32 -> train, < 0.9*2^32 -> val,
+    else test.  Zero shuffle — one streaming map; blocks are assigned
+    independently per batch because the law is a pure function of the
+    cell id."""
+    ds = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+    lim = 1 << 32
+    t_train = int(0.8 * lim)
+    t_val = int(0.9 * lim)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        cell = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), res)
+        h = (cell * _SPLIT_MULT) % lim
+        split = np.where(h < t_train, "train", np.where(h < t_val, "val", "test"))
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "block_cell": pa.array(cell),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def spatial_split_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = _SPLIT_RES) -> str:
+    from .sql_oracle import _pages_geo
+
+    lim = 1 << 32
+    t_train = int(0.8 * lim)
+    t_val = int(0.9 * lim)
+    cell = cells.sql_expr("lon", "lat", res)
+    return (
+        _pages_geo(cfg)
+        + f", c as (select page_id, {cell} as block_cell from geo) "
+        f"select page_id, block_cell, case "
+        f"when (block_cell * {_SPLIT_MULT}) % {lim} < {t_train} then 'train' "
+        f"when (block_cell * {_SPLIT_MULT}) % {lim} < {t_val} then 'val' "
+        "else 'test' end as split from c"
+    )

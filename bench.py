@@ -416,6 +416,7 @@ def run_benchmarks() -> dict:
             spatial.footprint_area_sphere(SF_DIR, cfg)
         ),
         "tile_mode_lang": lambda: _consume(spatial.tile_mode_lang(SF_DIR)),
+        "spatial_split": lambda: _consume(spatial.spatial_split(SF_DIR, cfg)),
         "split_leakage": lambda: _consume(text.split_leakage(SF_DIR)),
         "media_embed": lambda: _consume(
             multimodal.media_embed(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

@@ -434,3 +434,20 @@ def test_tile_mode_lang_matches_brute(sf_dir):
     assert len(got) == len(want)
     assert (got["mode_lang"].sort_index() == want["lang"].sort_index()).all()
     assert (got["n_pages"].sort_index() == want["size"].sort_index()).all()
+
+
+def test_spatial_split_block_coherent(sf_dir):
+    """Every page in one block cell gets one split; fractions are
+    sane; the law matches the arithmetic."""
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import spatial
+
+    got = spatial.spatial_split(sf_dir, EngineConfig()).to_pandas()
+    per_block = got.groupby("block_cell")["split"].nunique()
+    assert (per_block == 1).all()
+    lim = 1 << 32
+    h = (got["block_cell"].to_numpy(np.int64) * spatial._SPLIT_MULT) % lim
+    want = np.where(h < int(0.8 * lim), "train", np.where(h < int(0.9 * lim), "val", "test"))
+    assert (got["split"].to_numpy() == want).all()
+    fr = got["split"].value_counts(normalize=True)
+    assert fr.get("train", 0) > 0.5
