@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": text.lang_stats,
         "dedup_exact": text.dedup_exact,
         "segment_dedup": text.segment_dedup,
+        # overlapping token-window chunking (RAG prep): byte-exact
+        # chunk strings, row-local explode, zero shuffle
+        "chunk_windows": text.chunk_windows,
         # same semantics through a shared mutable index (sharded
         # actors) — the incremental-ingest mechanism
         "streaming_dedup": text.streaming_dedup,
@@ -365,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact re-rank): rows-only, recall gated in tests
         "ann_pq": embeddings.ann_pq,
         "embed_dup": embeddings.embed_dup,
+        # SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup,
+        # keep-the-least-prototypical drop rule, fixed-point exact
+        "semdedup": embeddings.semdedup,
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
         "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),
@@ -549,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": text.LANG_STATS_SQL,
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
+        "chunk_windows": text.chunk_windows_sql(),
         "streaming_dedup": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),
@@ -606,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute": embeddings.ann_brute_sql(),
         "hard_negatives": embeddings.HARD_NEGATIVES_SQL,
         "embed_dup": embeddings.embed_dup_sql(),
+        "semdedup": embeddings.semdedup_sql(),
         "label_centroids": embeddings.label_centroids_sql(),
         "embed_outliers": embeddings.embed_outliers_sql(),
         # ann_lsh: approximate scale path — rows-only; recall vs

@@ -1435,3 +1435,148 @@ with sims as (
 )
 select vec_id, label, neg_id, neg_sim_e9 from ranked where rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication (cluster -> intra-cluster cosine)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_EPS_E9 = 300_000_000  # cosine >= 0.30 within a cluster => semantic dup
+
+
+class SemDedupMark:
+    """Actor-pool stage for :func:`semdedup`: marks each vector
+    kept/dropped against the broadcast cluster-annotated index.
+
+    ``__init__`` resolves the broadcast index ONCE per actor and
+    pre-computes each index vector's cluster assignment + similarity
+    to its assigned centroid (one k x n matmul, deterministic), so
+    ``__call__`` is a single batch x index matmul + boolean masks."""
+
+    def __init__(self, index_ref, lut_ref, eps_e9: int = SEMDEDUP_EPS_E9):
+        import ray
+
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+        lut = ray.get(lut_ref) if not isinstance(lut_ref, np.ndarray) else lut_ref
+        self.ids = idx["ids"]
+        self.nmat = idx["mat"]  # row-normalized (unit) vectors
+        self.eps = eps_e9
+        self.lut = lut  # (k, DIM) raw centroid matrix, row i = label i
+        self.cluster, self.cent = _assign_clusters(self.nmat, lut)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qids, qmat = _matrix(t)
+        qcl, qcent = _assign_clusters(qmat, self.lut)
+        sims = _sim_e9(qmat @ self.nmat.T)  # (nq, n) pair cosines
+        same = qcl[:, None] == self.cluster[None, :]
+        dup = same & (sims >= self.eps) & (qids[:, None] != self.ids[None, :])
+        # j outranks i when (cent_j, id_j) < (cent_i, id_i): the paper's
+        # keep-the-least-prototypical rule with a deterministic id tie
+        outranked = (self.cent[None, :] < qcent[:, None]) | (
+            (self.cent[None, :] == qcent[:, None]) & (self.ids[None, :] < qids[:, None])
+        )
+        kept = ~(dup & outranked).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(qids),
+                "cluster": pa.array(qcl),
+                "cent_e9": pa.array(qcent),
+                "kept": pa.array(kept.astype(np.int64)),
+            }
+        )
+
+
+def _assign_clusters(nmat: np.ndarray, lut: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster int64[n], cent_e9 int64[n]): argmax fixed-point cosine
+    against the centroid matrix, ties to the LOWEST cluster id (the
+    SQL oracle's ``order by sim_e9 desc, label asc`` rank-1 row).
+    ``nmat`` rows are unit vectors, so cosine = dot / |centroid|."""
+    nc = np.linalg.norm(lut, axis=1)
+    nc[nc == 0.0] = 1.0
+    sims = _sim_e9((nmat @ lut.T) / nc[None, :])  # (n, k)
+    cluster = np.argmax(sims, axis=1).astype(np.int64)  # first max = lowest label
+    cent = sims[np.arange(len(cluster)), cluster]
+    return cluster, cent
+
+
+def _centroid_lut(sf_dir: str) -> np.ndarray:
+    """(k, DIM) raw-mean centroid matrix from the exact fixed-point
+    grouped mean of :func:`label_centroids` (tiny: k rows)."""
+    cent = label_centroids(sf_dir).to_pandas()
+    labels = cent["label"].to_numpy(np.int64)
+    cmat = cent[[f"c{d}" for d in range(DIM)]].to_numpy(np.float64)
+    lut = np.zeros((int(labels.max()) + 1, DIM), dtype=np.float64)
+    lut[labels] = cmat
+    return lut
+
+
+def semdedup(sf_dir: str, eps_e9: int = SEMDEDUP_EPS_E9) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a coarse quantizer,
+    then dropping, within each cluster, every vector that has a
+    semantic duplicate (cosine >= eps) ranked more keep-worthy.  The
+    published keep rule — retain the duplicate LEAST similar to its
+    centroid (keeps the informative outlier, drops the prototypical
+    copies) — expressed pairwise so it is order-free and exactly
+    SQL-checkable: drop i iff some same-cluster j has
+    ``sim(i, j) >= eps`` and ``(cent_e9_j, vec_id_j) < (cent_e9_i,
+    vec_id_i)``.
+
+    Ray shape: the k-row centroid table comes from the exact
+    distributed grouped mean (:func:`label_centroids` — the corpus
+    streams, only k x DIM floats return); cluster assignment is a
+    per-batch matmul against the broadcast centroids; the dup test is
+    the :func:`embed_dup` broadcast-index law (index vectors annotated
+    with (cluster, cent_e9) once per actor in ``__init__``).  At
+    10^12 rows the paper's regime applies: k scales like n/1e5 so
+    clusters stay small, and the broadcast index swaps for
+    cluster-sharded shards co-located by a single groupby shuffle
+    (the ``ann_ivf`` pattern) — per-cluster all-pairs never crosses
+    shards.  Generalizes the reference's duplicate-removal step
+    (aerial_conversion/scripts/coco_balance.py) to embedding space.
+    """
+    lut_ref = ray.put(_centroid_lut(sf_dir))
+    ref = load_index(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        SemDedupMark,
+        fn_constructor_kwargs={"index_ref": ref, "lut_ref": lut_ref, "eps_e9": eps_e9},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=_pool_size(),
+    )
+
+
+def semdedup_sql(eps_e9: int = SEMDEDUP_EPS_E9) -> str:
+    clist = ", ".join(f"c.c{d}" for d in range(DIM))
+    return f"""
+with cent as ({label_centroids_sql()}),
+sims as (
+  select e.vec_id, c.label as cl,
+         cast(floor(list_cosine_similarity(cast(e.embedding as double[]),
+              list_value({clist})) * 1000000000.0 + 0.5) as bigint) as sim_e9
+  from embeddings e cross join cent c
+),
+ranked as (
+  select vec_id, cl, sim_e9,
+         row_number() over (partition by vec_id
+                            order by sim_e9 desc, cl asc) as rn
+  from sims
+),
+a as (select vec_id, cl as cluster, sim_e9 as cent_e9 from ranked where rn = 1),
+dropped as (
+  select distinct x.vec_id
+  from a x
+  join a y on x.cluster = y.cluster and x.vec_id <> y.vec_id
+  join embeddings ex on ex.vec_id = x.vec_id
+  join embeddings ey on ey.vec_id = y.vec_id
+  where cast(floor(list_cosine_similarity(cast(ex.embedding as double[]),
+                                          cast(ey.embedding as double[]))
+                   * 1000000000.0 + 0.5) as bigint) >= {eps_e9}
+    and (y.cent_e9 < x.cent_e9
+         or (y.cent_e9 = x.cent_e9 and y.vec_id < x.vec_id))
+)
+select a.vec_id, a.cluster, a.cent_e9,
+       cast(case when d.vec_id is null then 1 else 0 end as bigint) as kept
+from a left join dropped d on d.vec_id = a.vec_id
+"""

@@ -5852,3 +5852,86 @@ TABLE_PROFILE_SQL = " union all ".join(
     "from documents"
     for c in _PROFILE_COLS
 )
+
+
+# --------------------------------------------------------------------------
+# overlapping token-window chunking (RAG / context-window prep)
+# --------------------------------------------------------------------------
+
+CHUNK_W = 12  # window width in tokens
+CHUNK_S = 6  # stride in tokens (50% overlap)
+
+
+def chunk_windows(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> ray.data.Dataset:
+    """Split every document into OVERLAPPING ``w``-token windows at
+    stride ``s`` (the retrieval-chunking / long-context packing prep
+    step; ``segment_dedup`` is the non-overlapping special case
+    ``s == w``).  Emits the actual chunk strings — byte-exact vs the
+    SQL oracle's ``list_slice`` + ``array_to_string``.
+
+    One vectorized pass per batch over the flat Arrow string buffer:
+    space positions -> token starts -> per-doc window starts by
+    integer arithmetic -> one gather builds every chunk's bytes ->
+    the output string column is assembled directly from (offsets,
+    data) buffers.  No per-row Python, no shuffle at all (purely
+    row-local 1->N explode), so the stage streams at scan speed and
+    the ~w/s x byte expansion is bounded per batch, never held
+    corpus-wide."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        buf, offs = _string_buffer(t["text"])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        sp = np.flatnonzero(buf == 32)
+        tok_start = np.sort(np.concatenate([offs[:-1], sp + 1]))
+        tok_doc = np.searchsorted(offs, tok_start, side="right") - 1
+        n_tok = np.bincount(tok_doc, minlength=n).astype(np.int64)
+        first_tok = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        m = (n_tok + s - 1) // s  # windows per doc (n_tok >= 1 always)
+        c_first = np.concatenate([[0], np.cumsum(m)[:-1]])
+        total = int(m.sum())
+        cdoc = np.repeat(np.arange(n), m)
+        cidx = np.arange(total, dtype=np.int64) - c_first[cdoc]
+        st = cidx * s  # doc-local start token
+        en = np.minimum(st + w, n_tok[cdoc])  # exclusive end token
+        gs = first_tok[cdoc] + st
+        ge = first_tok[cdoc] + en - 1  # global last token of the chunk
+        b_start = tok_start[gs]
+        last_in_doc = en == n_tok[cdoc]
+        # byte end: the doc's end for doc-final chunks, else the byte
+        # before the separator space after the chunk's last token
+        nxt = tok_start[np.minimum(ge + 1, len(tok_start) - 1)] - 1
+        b_end = np.where(last_in_doc, offs[1:][cdoc], nxt)
+        lens = b_end - b_start
+        out_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            out_offs[:-1].astype(np.int64), lens
+        )
+        data = buf[np.repeat(b_start, lens) + pos]
+        content = pa.Array.from_buffers(
+            pa.string(),
+            total,
+            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[cdoc]),
+                "chunk_idx": pa.array(cidx),
+                "n_tokens": pa.array(en - st),
+                "content": content,
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_windows_sql(w: int = CHUNK_W, s: int = CHUNK_S) -> str:
+    return f"""
+with t as (select doc_id, string_split(text, ' ') as l from documents)
+select doc_id, cast(u.i as bigint) as chunk_idx,
+       cast(least({w}, len(l) - u.i * {s}) as bigint) as n_tokens,
+       array_to_string(list_slice(l, u.i * {s} + 1, u.i * {s} + {w}), ' ')
+         as content
+from t, unnest(range((len(l) + {s} - 1) // {s})) u(i)
+"""

@@ -357,6 +357,8 @@ def run_benchmarks() -> dict:
         "bigram_score": lambda: _consume(text.bigram_score(SF_DIR)),
         "streaming_dedup": lambda: _consume(text.streaming_dedup(SF_DIR)),
         "embed_outliers": lambda: _consume(embeddings.embed_outliers(SF_DIR)),
+        "semdedup": lambda: _consume(embeddings.semdedup(SF_DIR)),
+        "chunk_windows": lambda: _consume(text.chunk_windows(SF_DIR)),
         "audio_decode": lambda: _consume(
             multimodal.audio_decode(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),

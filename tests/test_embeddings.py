@@ -116,3 +116,55 @@ def test_kmeans_matches_reference(sf_dir):
     assert (got["cluster"].to_numpy() == ref_assign[order]).all()
     # clusters are non-degenerate: more than one in use
     assert got["cluster"].nunique() > 1
+
+
+def test_semdedup_numpy_parity(sf_dir):
+    """semdedup vs an independent numpy brute recompute of the whole
+    rule (assign -> pair sims -> pairwise keep test): exact match on
+    (cluster, cent_e9, kept) for every vec_id."""
+    import pyarrow.parquet as pq
+
+    res = (
+        embeddings.semdedup(sf_dir)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids, nmat = embeddings._matrix(t)
+    order = np.argsort(ids)
+    ids, nmat = ids[order], nmat[order]
+    lut = embeddings._centroid_lut(sf_dir)
+    cl, cent = embeddings._assign_clusters(nmat, lut)
+    sims = embeddings._sim_e9(nmat @ nmat.T)
+    kept = np.ones(len(ids), dtype=bool)
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i == j or cl[i] != cl[j]:
+                continue
+            if sims[i, j] >= embeddings.SEMDEDUP_EPS_E9 and (
+                (cent[j], ids[j]) < (cent[i], ids[i])
+            ):
+                kept[i] = False
+                break
+    assert (res["vec_id"].to_numpy() == ids).all()
+    assert (res["cluster"].to_numpy() == cl).all()
+    assert (res["cent_e9"].to_numpy() == cent).all()
+    assert (res["kept"].to_numpy().astype(bool) == kept).all()
+    # non-trivial on the synthetic corpus: both classes present
+    assert kept.any() and (~kept).any()
+
+
+def test_semdedup_cluster_minimum_always_kept(sf_dir):
+    """Keep-worthiness is a total order within a cluster, so the
+    cluster's minimum-(cent_e9, vec_id) element has no outranking dup
+    and MUST be kept — every cluster retains a representative."""
+    res = embeddings.semdedup(sf_dir).to_pandas()
+    top = (
+        res.sort_values(["cent_e9", "vec_id"], kind="mergesort")
+        .groupby("cluster", as_index=False)
+        .first()
+    )
+    assert (top["kept"] == 1).all()
+    # and drops happen on the synthetic corpus (rule is non-vacuous)
+    assert (res["kept"] == 0).any()

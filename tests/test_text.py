@@ -381,3 +381,28 @@ def test_pack_sequences_contiguous(sf_dir):
     assert len(got) == len(exp)
     for c in got.columns:
         assert (got[c].to_numpy(np.int64) == exp[c].to_numpy(np.int64)).all(), c
+
+
+def test_chunk_windows_overlap_and_coverage(sf_dir):
+    """Window algebra: ceil(n_tok/s) chunks per doc, chunk i holds
+    tokens [i*s, min(i*s+w, n)), adjacent chunks overlap by w-s
+    tokens, and chunk 0 is a prefix of the document."""
+    import pyarrow.parquet as pq
+
+    from aerial_conversion_ray.pipelines.text import CHUNK_S, CHUNK_W, chunk_windows
+
+    res = chunk_windows(sf_dir).to_pandas()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    text = dict(zip(docs["doc_id"], docs["text"]))
+    per_doc = res.groupby("doc_id")
+    for doc_id, g in list(per_doc)[:50]:
+        toks = text[doc_id].split(" ")
+        n = len(toks)
+        g = g.sort_values("chunk_idx")
+        assert len(g) == -(-n // CHUNK_S)
+        for i, row in zip(g["chunk_idx"], g.itertuples()):
+            lo, hi = i * CHUNK_S, min(i * CHUNK_S + CHUNK_W, n)
+            assert row.content == " ".join(toks[lo:hi])
+            assert row.n_tokens == hi - lo
