@@ -371,6 +371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup,
         # keep-the-least-prototypical drop rule, fixed-point exact
         "semdedup": embeddings.semdedup,
+        # perceptual image dedup: real PNG decode -> integer-exact
+        # dHash; pairs via pigeonhole banding (no all-pairs)
+        "image_phash": lambda sf: multimodal.image_phash(sf, CFG),
+        "phash_pairs": lambda sf: multimodal.phash_pairs(sf, CFG),
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
         "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),
@@ -614,6 +618,8 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": embeddings.HARD_NEGATIVES_SQL,
         "embed_dup": embeddings.embed_dup_sql(),
         "semdedup": embeddings.semdedup_sql(),
+        "image_phash": multimodal.image_phash_sql(CFG),
+        "phash_pairs": multimodal.phash_pairs_sql(CFG),
         "label_centroids": embeddings.label_centroids_sql(),
         "embed_outliers": embeddings.embed_outliers_sql(),
         # ann_lsh: approximate scale path — rows-only; recall vs

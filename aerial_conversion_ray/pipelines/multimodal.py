@@ -1569,3 +1569,200 @@ from tiles left join occ
   on occ.col_off = tiles.col_off and occ.row_off = tiles.row_off
 """
     )
+
+
+# --------------------------------------------------------------------------
+# perceptual image hashing (dHash) + near-dup pairs
+# --------------------------------------------------------------------------
+
+PHASH_MOD = 31  # 1 page in 31 carries an image through the phash path
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAM_D = 3  # pigeonhole: d+1 bands of the 64-bit hash
+
+
+class PngDHash:
+    """Decode each PNG with the first-party codec and compute its
+    64-bit dHash (difference hash): box-bucket the grayscale image
+    onto a 9 x 8 mean grid, bit (r, c) = mean(r, c) > mean(r, c+1).
+    Bucket means are compared by integer cross-multiplication
+    (``s_l * n_r > s_r * n_l``) so the hash is integer-exact and the
+    SQL oracle reproduces it bit for bit.  Emitted as two int64
+    halves (bits 0-31 / 32-63) to stay sign-safe."""
+
+    def __init__(self):
+        from ..functions import png
+
+        self.decode = png.decode_png
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["png"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        w32 = (np.uint64(1) << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+        ws, hs, los, his = [], [], [], []
+        for buf in col:
+            img = self.decode(buf.as_py()).astype(np.int64)
+            h, w = img.shape
+            r = (np.arange(h) * 8) // h
+            c = (np.arange(w) * 9) // w
+            rs = np.zeros((8, w), dtype=np.int64)
+            np.add.at(rs, r, img)
+            s = np.zeros((9, 8), dtype=np.int64)
+            np.add.at(s, c, rs.T)
+            s = s.T  # (8, 9) bucket pixel sums
+            n = np.outer(np.bincount(r, minlength=8), np.bincount(c, minlength=9))
+            bits = (s[:, :8] * n[:, 1:] > s[:, 1:] * n[:, :8]).flatten()
+            los.append(int((bits[:32] * w32).sum()))
+            his.append(int((bits[32:] * w32).sum()))
+            hs.append(h)
+            ws.append(w)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "img_w": pa.array(ws, pa.int64()),
+                "img_h": pa.array(hs, pa.int64()),
+                "h_lo": pa.array(los, pa.int64()),
+                "h_hi": pa.array(his, pa.int64()),
+            }
+        )
+
+
+def _phash_ds(sf_dir: str, cfg: EngineConfig) -> ray.data.Dataset:
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pid % PHASH_MOD == 0))
+
+    ds = ds.map_batches(sample, batch_format="pyarrow")
+    ds = ds.map_batches(PngImageSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        PngDHash,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def image_phash(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Per-image perceptual hash over the sampled media column: real
+    PNG synth -> real decode -> integer-exact dHash.  Row-local
+    (zero shuffle); the codec actor pool is the stateful stage."""
+    return _phash_ds(sf_dir, cfg)
+
+
+def _phash_px_cte(cfg: EngineConfig) -> str:
+    from ..sources.pages import pages_cte
+
+    return f"""
+pages as ({pages_cte(cfg.pages_rep)}),
+dims as (select page_id, 16 + page_id % 8 as w, 12 + page_id % 5 as h
+         from pages where page_id % {PHASH_MOD} = 0),
+px as (select page_id, w, h, i.v as i, j.v as j,
+              ((page_id * 3 + i.v * 7 + j.v * 13) % {PNG_MOD}) as v
+       from dims, unnest(range(h)) i(v), unnest(range(w)) j(v)),
+cells as (select page_id, w, h, (i * 8) // h as r, (j * 9) // w as c,
+                 count(*) as n, sum(v) as s
+          from px group by 1, 2, 3, 4, 5),
+bits as (select a.page_id, a.w, a.h, a.r * 8 + a.c as idx,
+                case when a.s * b.n > b.s * a.n then 1 else 0 end as bit
+         from cells a join cells b
+           on b.page_id = a.page_id and b.r = a.r and b.c = a.c + 1
+         where a.c < 8),
+phash as (
+  select page_id, cast(w as bigint) as img_w, cast(h as bigint) as img_h,
+         cast(sum(case when idx < 32 then bit * (1::bigint << idx)
+                       else 0 end) as bigint) as h_lo,
+         cast(sum(case when idx >= 32 then bit * (1::bigint << (idx - 32))
+                       else 0 end) as bigint) as h_hi
+  from bits group by page_id, w, h)
+"""
+
+
+def image_phash_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    return f"with {_phash_px_cte(cfg)} select * from phash"
+
+
+def phash_pairs(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, d: int = PHASH_HAM_D
+) -> ray.data.Dataset:
+    """ALL sampled-image pairs with dHash Hamming distance <= ``d`` —
+    exactly, via the ``simhash_pairs`` law: d+1 = 4 bands of 16 bits,
+    any pair within distance d agrees on a full band (pigeonhole), a
+    band-bucket groupby yields the guaranteed candidate superset and a
+    vectorized popcount verifies.  First-equal-band dedup keeps each
+    pair exactly once without a distinct pass.  Near-identical images
+    (brightness-shifted copies of the same layout) land in the same
+    bucket; a pathological identical-image clique would be df-capped
+    like ``jaccard_pairs``.  Output (a, b, hamming), a < b."""
+    assert d == PHASH_HAM_D, "band split is compile-time for the SQL mirror"
+    from .text import _popcount64
+
+    bb = PHASH_BAND_BITS
+    mask = np.uint64((1 << bb) - 1)
+    ds = _phash_ds(sf_dir, cfg)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = t["h_lo"].to_numpy(zero_copy_only=False).astype(np.uint64) | (
+            t["h_hi"].to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(32)
+        )
+        n = len(ids)
+        band = np.tile(np.arange(PHASH_BANDS, dtype=np.int64), n)
+        rid = np.repeat(ids, PHASH_BANDS)
+        rfp = np.repeat(fp, PHASH_BANDS)
+        key = ((rfp >> (band.astype(np.uint64) * np.uint64(bb))) & mask).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "key": pa.array(key),
+                "page_id": pa.array(rid),
+                "phash": pa.array(rfp.view(np.int64)),
+            }
+        )
+
+    def pairs(df):
+        import pandas as pd
+
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        b0 = int(df["band"].iloc[0])
+        ids = df["page_id"].to_numpy(np.int64)
+        fp = df["phash"].to_numpy(np.int64).view(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = fp[iu] ^ fp[ju]
+        ham = _popcount64(x)
+        keep = ham <= d
+        for earlier in range(b0):
+            seg = (x >> np.uint64(earlier * bb)) & mask
+            keep &= seg != 0
+        a = np.minimum(ids[iu], ids[ju])[keep]
+        b = np.maximum(ids[iu], ids[ju])[keep]
+        out = pd.DataFrame({"a": a, "b": b, "hamming": ham[keep].astype(np.int64)})
+        return out[out["a"] != out["b"]]
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def phash_pairs_sql(cfg: EngineConfig = DEFAULT_CFG, d: int = PHASH_HAM_D) -> str:
+    return f"""
+with {_phash_px_cte(cfg)}
+select x.page_id as a, y.page_id as b,
+       cast(bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi))
+            as bigint) as hamming
+from phash x join phash y on x.page_id < y.page_id
+where bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi)) <= {d}
+"""

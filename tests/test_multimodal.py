@@ -67,3 +67,62 @@ def test_media_embed_shape_and_determinism(sf_dir):
     a = emb.sort_values("page_id").reset_index(drop=True)
     b = again.sort_values("page_id").reset_index(drop=True)
     np.testing.assert_array_equal(a[ecols].to_numpy(), b[ecols].to_numpy())
+
+
+def test_phash_pairs_complete_vs_brute(sf_dir):
+    """Banded pair mining must equal the brute-force hamming<=d sweep
+    over the per-image hashes (pigeonhole guarantees the candidate
+    superset; popcount verify makes it exact), each pair exactly once."""
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import multimodal
+
+    cfg = EngineConfig(pages_rep=20)
+    ph = multimodal.image_phash(sf_dir, cfg).to_pandas()
+    fp = ph["h_lo"].to_numpy(np.int64).astype(np.uint64) | (
+        ph["h_hi"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32)
+    )
+    ids = ph["page_id"].to_numpy(np.int64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    x = fp[iu] ^ fp[ju]
+    ham = np.zeros(len(x), dtype=np.int64)
+    for k in range(64):
+        ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+    keep = ham <= multimodal.PHASH_HAM_D
+    brute = {
+        (min(a, b), max(a, b)): h
+        for a, b, h in zip(ids[iu][keep], ids[ju][keep], ham[keep])
+    }
+    got = multimodal.phash_pairs(sf_dir, cfg).to_pandas()
+    assert len(got) == len(brute)  # exactly once each
+    for a, b, h in zip(got["a"], got["b"], got["hamming"]):
+        assert brute[(a, b)] == h
+
+
+def test_phash_dhash_semantics(sf_dir):
+    """dHash definition check on one decoded image: bit (r,c) set iff
+    the 9x8 box-bucket mean at (r,c) exceeds the mean at (r,c+1)."""
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.functions.png import decode_png, encode_png
+    from aerial_conversion_ray.pipelines import multimodal
+
+    cfg = EngineConfig(pages_rep=20)
+    ph = multimodal.image_phash(sf_dir, cfg).to_pandas().iloc[0]
+    pid = int(ph["page_id"])
+    w, h = 16 + pid % 8, 12 + pid % 5
+    i, j = np.mgrid[0:h, 0:w]
+    img = ((pid * 3 + i * 7 + j * 13) % multimodal.PNG_MOD).astype(np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+    means = np.zeros((8, 9))
+    for r in range(8):
+        for c in range(9):
+            rows = (np.arange(h) * 8) // h == r
+            cols = (np.arange(w) * 9) // w == c
+            means[r, c] = img[np.ix_(rows, cols)].mean()
+    bits = (means[:, :8] > means[:, 1:]).flatten()
+    w32 = 1 << np.arange(32, dtype=np.uint64)
+    assert int((bits[:32] * w32).sum()) == ph["h_lo"]
+    assert int((bits[32:] * w32).sum()) == ph["h_hi"]
