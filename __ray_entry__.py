@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # overlapping token-window chunking (RAG prep): byte-exact
         # chunk strings, row-local explode, zero shuffle
         "chunk_windows": text.chunk_windows,
+        # segment dedup that emits the CLEANED text bytes (Lee et al.
+        # 2022 shape); byte-exact clean_text vs string_agg oracle
+        "dedup_clean_text": text.dedup_clean_text,
         # same semantics through a shared mutable index (sharded
         # actors) — the incremental-ingest mechanism
         "streaming_dedup": text.streaming_dedup,
@@ -560,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
         "chunk_windows": text.chunk_windows_sql(),
+        "dedup_clean_text": text.DEDUP_CLEAN_TEXT_SQL,
         "streaming_dedup": text.DEDUP_EXACT_SQL,
         "jaccard_pairs": text.jaccard_pairs_sql(),
         "jaccard_capped": text.jaccard_pairs_sql(max_df=400),

@@ -5935,3 +5935,198 @@ select doc_id, cast(u.i as bigint) as chunk_idx,
          as content
 from t, unnest(range((len(l) + {s} - 1) // {s})) u(i)
 """
+
+
+# --------------------------------------------------------------------------
+# corpus-dedup with byte-exact cleaned text output (Lee et al. 2022 shape)
+# --------------------------------------------------------------------------
+
+
+def dedup_clean_text(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide duplicate-segment REMOVAL that emits the cleaned
+    document text itself (``segment_dedup`` reports counts; training
+    pipelines need the deduplicated bytes — 'Deduplicating Training
+    Data Makes Language Models Better', Lee et al. 2022).  Every
+    ``SEG_TOKENS``-token segment is kept only at its first global
+    occurrence (min ``(doc_id, seg_idx)``); ``clean_text`` is the
+    doc's surviving segments space-joined in order — byte-exact vs
+    the SQL oracle's ``string_agg``.
+
+    Two narrow exchanges: (1) segment identities (40 B/seg, text never
+    leaves the scan) shuffle into hash buckets where first-wins runs
+    vectorized; (2) winner coordinates (16 B) + the doc text co-locate
+    by COARSE doc bucket (tagged union, the ``left_outer_join`` law)
+    where the rebuild is pure Arrow-buffer arithmetic: token starts ->
+    segment byte spans -> kept spans overwrite a space-prefilled
+    output buffer.  No per-row Python anywhere; doc text crosses the
+    wire exactly once (it must — it IS the output)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seg_ids(t: pa.Table) -> pa.Table:
+        buf, offs = _string_buffer(t["text"])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        sp = np.flatnonzero(buf == 32)
+        tok_start = np.sort(np.concatenate([offs[:-1], sp + 1]))
+        tok_doc = np.searchsorted(offs, tok_start, side="right") - 1
+        n_tok = np.bincount(tok_doc, minlength=n)
+        first_tok = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        tok_idx = np.arange(len(tok_start)) - first_tok[tok_doc]
+        segm = tok_idx % SEG_TOKENS == 0
+        seg_start = tok_start[segm]
+        seg_doc = tok_doc[segm]
+        seg_idx = tok_idx[segm] // SEG_TOKENS
+        nxt = np.empty_like(seg_start)
+        nxt[:-1] = seg_start[1:]
+        nxt[-1] = 0
+        same = np.zeros(len(seg_start), dtype=bool)
+        same[:-1] = seg_doc[:-1] == seg_doc[1:]
+        seg_end = np.where(same, nxt - 1, offs[1:][seg_doc])
+        seg_len = seg_end - seg_start
+        g_offs = np.concatenate([[0], np.cumsum(seg_len)])
+        pos = np.arange(int(seg_len.sum()), dtype=np.int64) - np.repeat(
+            g_offs[:-1], seg_len
+        )
+        gathered = buf[np.repeat(seg_start, seg_len) + pos]
+        h1 = _poly_hash_segments(gathered, g_offs)
+        h2 = _poly_hash_segments(gathered, g_offs, prime=PRIME_B, offset=OFFSET_B)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[seg_doc]),
+                "seg_idx": pa.array(seg_idx.astype(np.int64)),
+                "h1": pa.array(h1.astype(np.int64)),
+                "h2": pa.array(h2.astype(np.int64)),
+                "bucket": pa.array((h1 % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    def first_wins(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["h1", "h2", "doc_id", "seg_idx"], kind="mergesort")
+        wins = df.drop_duplicates(["h1", "h2"], keep="first")
+        ids = wins["doc_id"].to_numpy(np.int64)
+        # arrow output so the tagged union has one block type
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "seg_idx": pa.array(wins["seg_idx"].to_numpy(np.int64)),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "tag": pa.array(np.zeros(len(ids), np.int64)),
+                "db": pa.array(ids % np.int64(N_DEDUP_BUCKETS)),
+            }
+        )
+
+    winners = (
+        ds.map_batches(seg_ids, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "seg_idx": pa.array(np.full(len(k), -1, np.int64)),
+                "text": t["text"],
+                "tag": pa.array(np.ones(len(k), np.int64)),
+                "db": pa.array(k % np.int64(N_DEDUP_BUCKETS)),
+            }
+        )
+
+    tagged = winners.union(ds.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["tag"] == 1].sort_values("doc_id", kind="mergesort")
+        wins = df[df["tag"] == 0]
+        doc_ids = docs["doc_id"].to_numpy(np.int64)
+        n = len(doc_ids)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "clean_text": pd.Series([], dtype=object),
+                    "n_kept": pd.Series([], dtype=np.int64),
+                }
+            )
+        buf, offs = _string_buffer(pa.array(docs["text"].tolist(), pa.string()))
+        sp = np.flatnonzero(buf == 32)
+        tok_start = np.sort(np.concatenate([offs[:-1], sp + 1]))
+        tok_doc = np.searchsorted(offs, tok_start, side="right") - 1
+        n_tok = np.bincount(tok_doc, minlength=n)
+        first_tok = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        tok_idx = np.arange(len(tok_start)) - first_tok[tok_doc]
+        segm = tok_idx % SEG_TOKENS == 0
+        seg_start = tok_start[segm]
+        seg_doc = tok_doc[segm]
+        nxt = np.empty_like(seg_start)
+        nxt[:-1] = seg_start[1:]
+        nxt[-1] = 0
+        same = np.zeros(len(seg_start), dtype=bool)
+        same[:-1] = seg_doc[:-1] == seg_doc[1:]
+        seg_end = np.where(same, nxt - 1, offs[1:][seg_doc])
+        n_seg = np.bincount(seg_doc, minlength=n)
+        seg_first = np.concatenate([[0], np.cumsum(n_seg)[:-1]])
+        # map winner (doc_id, seg_idx) -> global segment slot
+        widx = np.searchsorted(doc_ids, wins["doc_id"].to_numpy(np.int64))
+        kept = np.zeros(len(seg_start), dtype=bool)
+        kept[seg_first[widx] + wins["seg_idx"].to_numpy(np.int64)] = True
+        k_start = seg_start[kept]
+        k_len = (seg_end - seg_start)[kept]
+        k_doc = seg_doc[kept]
+        n_kept = np.bincount(k_doc, minlength=n)
+        # join with single spaces: all but each doc's FIRST kept span
+        # get a one-byte space prefix; spans overwrite a space-filled
+        # output buffer at their computed offsets
+        k_first = np.concatenate([[0], np.cumsum(n_kept)[:-1]])
+        prefix = np.ones(len(k_start), dtype=np.int64)
+        prefix[k_first[n_kept > 0]] = 0
+        out_start = np.cumsum(prefix + k_len) - k_len
+        total = int((prefix + k_len).sum())
+        out = np.full(total, 32, dtype=np.uint8)
+        pos = np.arange(int(k_len.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(k_len) - k_len, k_len
+        )
+        out[np.repeat(out_start, k_len) + pos] = buf[np.repeat(k_start, k_len) + pos]
+        doc_bytes = np.bincount(k_doc, weights=(prefix + k_len), minlength=n).astype(
+            np.int64
+        )
+        d_offs = np.concatenate([[0], np.cumsum(doc_bytes)])
+        texts = out.tobytes()
+        clean = [
+            texts[d_offs[i] : d_offs[i + 1]].decode("utf-8") for i in range(n)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "clean_text": clean,
+                "n_kept": n_kept.astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("db").map_groups(rebuild, batch_format="pandas")
+
+
+DEDUP_CLEAN_TEXT_SQL = f"""
+with segs as (
+  select doc_id, t.i as seg_idx,
+         array_to_string(
+           list_slice(string_split(text, ' '),
+                      t.i * {SEG_TOKENS} + 1, t.i * {SEG_TOKENS} + {SEG_TOKENS}),
+           ' ') as content
+  from documents,
+       unnest(range((len(string_split(text, ' ')) + {SEG_TOKENS} - 1)
+                    // {SEG_TOKENS})) t(i)
+),
+wins as (
+  select doc_id, seg_idx, content from (
+    select doc_id, seg_idx, content,
+           row_number() over (partition by content
+                              order by doc_id, seg_idx) as rn
+    from segs) where rn = 1
+)
+select d.doc_id,
+       coalesce(string_agg(w.content, ' ' order by w.seg_idx), '') as clean_text,
+       cast(count(w.seg_idx) as bigint) as n_kept
+from documents d left join wins w using (doc_id)
+group by d.doc_id
+"""

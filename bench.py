@@ -359,6 +359,7 @@ def run_benchmarks() -> dict:
         "embed_outliers": lambda: _consume(embeddings.embed_outliers(SF_DIR)),
         "semdedup": lambda: _consume(embeddings.semdedup(SF_DIR)),
         "chunk_windows": lambda: _consume(text.chunk_windows(SF_DIR)),
+        "dedup_clean_text": lambda: _consume(text.dedup_clean_text(SF_DIR)),
         "phash_pairs": lambda: _consume(
             multimodal.phash_pairs(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),

@@ -406,3 +406,35 @@ def test_chunk_windows_overlap_and_coverage(sf_dir):
             lo, hi = i * CHUNK_S, min(i * CHUNK_S + CHUNK_W, n)
             assert row.content == " ".join(toks[lo:hi])
             assert row.n_tokens == hi - lo
+
+
+def test_dedup_clean_text_python_oracle(sf_dir):
+    """Full independent oracle: python dict first-wins over 16-token
+    segments, rebuild every doc's cleaned text, compare byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from aerial_conversion_ray.pipelines.text import SEG_TOKENS, dedup_clean_text
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    seen = set()
+    expect = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        kept = []
+        for s in range(0, len(toks), SEG_TOKENS):
+            seg = " ".join(toks[s : s + SEG_TOKENS])
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        expect[doc_id] = (" ".join(kept), len(kept))
+    res = dedup_clean_text(sf_dir).to_pandas()
+    assert len(res) == len(docs)
+    for doc_id, clean, n_kept in zip(res["doc_id"], res["clean_text"], res["n_kept"]):
+        assert (clean, n_kept) == expect[doc_id], doc_id
+    # the rule is non-vacuous and non-destructive on the corpus
+    assert (res["n_kept"] > 0).any()
+    assert sum(v[1] for v in expect.values()) == len(seen)
