@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reciprocity": linkgraph.host_reciprocity,
         "curation_pipeline": text.curation_pipeline,
         "k_anonymity": text.k_anonymity,
+        # l-diversity: sensitive-attribute homogeneity audit
+        "l_diversity": text.l_diversity,
         "ip_range_join": relational.ip_range_join,
         "bootstrap_mean": relational.bootstrap_mean,
         "funnel_latency": relational.funnel_latency,
@@ -223,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         # window-over-window distinct-user retention
         "events_retention": relational.events_retention,
+        # first-seen reduction -> per-window new users + running total
+        "events_new_users": relational.events_new_users,
         # grouped lag over an aggregated series (YoY deltas)
         "customer_yoy": relational.customer_yoy,
         # running cumulative window (unbounded frame + distinct types)
@@ -392,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "marginal_flags": lambda sf: vectorize.marginal_flags(sf, CFG),
         "zone_envelope": lambda sf: vectorize.zone_envelope(sf, CFG),
         "zone_merge": lambda sf: vectorize.zone_merge(sf, CFG),
+        # areal interpolation: zone mass -> tile grid, overlap-weighted
+        "areal_interp": lambda sf: vectorize.areal_interp(sf, CFG),
         # marginal-aware merge routing (coco2geojson.py:41-101 analog):
         # rows-only; exact numpy oracle in tests/test_new_ops.py
         "zone_merge_routed": lambda sf: vectorize.zone_merge_routed(sf, CFG),
@@ -514,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reciprocity": linkgraph.host_reciprocity_sql(),
         "curation_pipeline": text.curation_pipeline_sql(),
         "k_anonymity": text.k_anonymity_sql(),
+        "l_diversity": text.l_diversity_sql(),
         "ip_range_join": relational.ip_range_join_sql(CFG.pages_rep),
         "bootstrap_mean": relational.bootstrap_mean_sql(),
         "embed_truncate_audit": embeddings.embed_truncate_audit_sql(),
@@ -538,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "token_diversity": text.TOKEN_DIVERSITY_SQL,
         "events_funnel": relational.events_funnel_sql(),
         "events_retention": relational.events_retention_sql(),
+        "events_new_users": relational.events_new_users_sql(),
         "customer_yoy": relational.CUSTOMER_YOY_SQL,
         "events_cumulative": relational.EVENTS_CUMULATIVE_SQL,
         "user_top_type": relational.USER_TOP_TYPE_SQL,
@@ -633,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "marginal_flags": vectorize.marginal_flags_sql(CFG),
         "zone_envelope": vectorize.zone_envelope_sql(CFG),
         "zone_merge": vectorize.zone_merge_sql(CFG),
+        "areal_interp": vectorize.areal_interp_sql(CFG),
         # zone_merge_routed (pixel-union routing) / regularise
         # (geometry kernels): rows-only; exact numpy oracles in
         # tests/test_vectorize.py + tests/test_new_ops.py.

@@ -3613,3 +3613,73 @@ select cast(count(*) as bigint) as n_users,
        cast(quantile_disc(lat_s, 0.9) as bigint) as p90_s
 from l
 """
+
+
+NEWU_WIN_S = 3600
+
+
+def events_new_users(sf_dir: str, window_s: int = NEWU_WIN_S) -> ray.data.Dataset:
+    """New-user accumulation: per time window, how many users appear
+    for the FIRST time, plus the running total of distinct users ever
+    seen — the growth metric a streaming ingest reports.  Exact
+    distinct via first-seen reduction, never a distinct-over-window
+    scan.
+
+    Scale shape: per-batch min-ts partials per user (corpus rows ->
+    user-bounded), one coarse ``user_id % 64`` fold takes the global
+    min per user and ROLLS UP to per-window counts inside the bucket
+    (only window-cardinality rows leave), and the cumulative sum runs
+    over the tiny window table in one final task."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    us = 1_000_000 * window_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ets = t["ts"].cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({"user_id": uid, "fs": ets})
+        g = df.groupby("user_id", as_index=False)["fs"].min()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "fs": pa.array(g["fs"].to_numpy(np.int64)),
+                "bucket": pa.array(g["user_id"].to_numpy(np.int64) % 64),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["fs"].min()
+        win = g["fs"].to_numpy(np.int64) // us  # ts >= epoch (synth corpus)
+        w = pd.DataFrame({"win": win}).groupby("win", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "window_start_s": w["win"].to_numpy(np.int64) * window_s,
+                "new_users": w["size"].to_numpy(np.int64),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start_s", as_index=False)["new_users"].sum()
+        g = g.sort_values("window_start_s", kind="mergesort").reset_index(drop=True)
+        g["cum_users"] = g["new_users"].cumsum().astype(np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
+
+
+def events_new_users_sql(window_s: int = NEWU_WIN_S) -> str:
+    return f"""
+with f as (select user_id, min(ts) as fs from events group by user_id),
+w as (select cast(floor(epoch_us(fs) / {window_s * 1_000_000}.0) as bigint)
+             * {window_s} as window_start_s,
+             cast(count(*) as bigint) as new_users
+      from f group by 1)
+select window_start_s, new_users,
+       cast(sum(new_users) over (order by window_start_s) as bigint) as cum_users
+from w
+"""

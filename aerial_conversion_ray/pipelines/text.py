@@ -6130,3 +6130,73 @@ select d.doc_id,
 from documents d left join wins w using (doc_id)
 group by d.doc_id
 """
+
+
+LDIV_L = 3
+
+
+def l_diversity(sf_dir: str, l_req: int = LDIV_L) -> ray.data.Dataset:
+    """l-diversity audit, the companion to :func:`k_anonymity`: a
+    quasi-identifier class ``(lang, chars_bin)`` violates when its
+    SENSITIVE attribute (``source``) takes fewer than ``l_req``
+    distinct values — homogeneous classes leak the sensitive value
+    even when k-anonymous.  Output (lang, chars_bin, n, n_sources)
+    per violating class.
+
+    Scale shape: per-batch DISTINCT (class, source) partials with
+    counts (sensitive-domain-bounded, not corpus-bounded), one coarse
+    class-hash fold where the exact distinct-source count and the
+    < l filter run inside the owning bucket."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        cb = (t["n_chars"].to_numpy(zero_copy_only=False) // KANON_CHARS_BIN).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"lang": lang, "source": src, "chars_bin": cb})
+        g = df.groupby(["lang", "chars_bin", "source"], as_index=False).size()
+        key = pa.array(g["lang"].astype(str) + "|" + g["chars_bin"].astype(str))
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"]),
+                "chars_bin": pa.array(g["chars_bin"].to_numpy(np.int64)),
+                "source": pa.array(g["source"]),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "bucket": pa.array(
+                    (_hash_arrow_strings(key) % np.uint64(64)).astype(np.int64)
+                ),
+            }
+        )
+
+    def violations(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "chars_bin"], as_index=False).agg(
+            n=("n", "sum"), n_sources=("source", "nunique")
+        )
+        g = g[g["n_sources"] < l_req]
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "chars_bin": g["chars_bin"].to_numpy(np.int64),
+                "n": g["n"].to_numpy(np.int64),
+                "n_sources": g["n_sources"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(violations, batch_format="pandas")
+    )
+
+
+def l_diversity_sql(l_req: int = LDIV_L) -> str:
+    return f"""
+select lang, cast(n_chars // {KANON_CHARS_BIN} as bigint) as chars_bin,
+       cast(count(*) as bigint) as n,
+       cast(count(distinct source) as bigint) as n_sources
+from documents
+group by lang, chars_bin
+having count(distinct source) < {l_req}
+"""

@@ -625,3 +625,122 @@ def regularise(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG, **kwargs) -> ray.da
         batch_size=4096,
         concurrency=pool_size(),
     )
+
+
+def areal_interp(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Areal interpolation (area-weighted reaggregation): reallocate
+    each zone's corpus mass — the zone's total document chars — onto
+    the tile grid in proportion to the zone's footprint-union overlap
+    with each tile (the census-tract -> grid population transfer,
+    generalizing the reference's zone dissolve to a weighted
+    re-aggregation).  ``alloc_e6 = value * union_px * 1e6 //
+    zone_px`` is integer arithmetic end-to-end, so the oracle matches
+    exactly (magnitude: value ~1e8 x px ~1e5 x 1e6 needs < 2^63 —
+    loud at the int64 wall long after test scale; shard the multiply
+    at real scale).
+
+    Ray shape: the overlap side reuses :func:`zone_merge`'s skew-proof
+    difference-array paint per (zone, tile); the value side is a
+    per-batch partial per-lang sum (never a corpus-keyed shuffle);
+    both finals are grid/lang-bounded driver folds, exactly the
+    zone_merge low-cardinality combine law."""
+    ds = spatial.tile_clip_join(sf_dir, cfg)
+    ds = ds.select_columns(["lang", "tile_id", "bbox_x", "bbox_y", "bbox_w", "bbox_h"])
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+
+    def tile_union(df: pd.DataFrame) -> pd.DataFrame:
+        x0 = df["bbox_x"].to_numpy(np.int64)
+        y0 = df["bbox_y"].to_numpy(np.int64)
+        x1 = np.minimum(x0 + df["bbox_w"].to_numpy(np.int64), tw - 1)
+        y1 = np.minimum(y0 + df["bbox_h"].to_numpy(np.int64), th - 1)
+        union_px = pixel_union_count(x0, y0, x1, y1, tw, th)
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "tile_id": [df["tile_id"].iloc[0]],
+                "union_px": np.array([union_px], dtype=np.int64),
+            }
+        )
+
+    overlap = (
+        ds.groupby(["lang", "tile_id"])
+        .map_groups(tile_union, batch_format="pandas")
+        .to_pandas()
+    )
+
+    from ..sources.pages import read_table
+
+    def val_partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["lang", "n_chars"])
+            .to_pandas()
+            .groupby("lang", as_index=False)["n_chars"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "value": pa.array(df["n_chars"].to_numpy(np.int64)),
+            }
+        )
+
+    vals = (
+        read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+        .map_batches(val_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", as_index=False)["value"]
+        .sum()
+    )
+
+    m = overlap.merge(
+        overlap.groupby("lang", as_index=False)["union_px"]
+        .sum()
+        .rename(columns={"union_px": "zone_px"}),
+        on="lang",
+    ).merge(vals, on="lang")
+    val = m["value"].to_numpy(np.int64)
+    upx = m["union_px"].to_numpy(np.int64)
+    zpx = m["zone_px"].to_numpy(np.int64)
+    assert val.size == 0 or int(val.max()) * int(upx.max()) < 2**63 // 1_000_000, (
+        "areal_interp int64 overflow: shard the value*px multiply"
+    )
+    alloc = val * upx * 1_000_000 // zpx
+    out = pa.table(
+        {
+            "tile_id": pa.array(m["tile_id"], pa.string()),
+            "lang": pa.array(m["lang"], pa.string()),
+            "union_px": pa.array(upx),
+            "zone_px": pa.array(zpx),
+            "value": pa.array(val),
+            "alloc_e6": pa.array(alloc),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def areal_interp_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    return f"""
+with clip as ({tile_clip_join_sql(cfg)}),
+xs as (
+  select lang, tile_id, bbox_y, bbox_h,
+         unnest(generate_series(bbox_x, least(bbox_x + bbox_w, {tw} - 1))) as x
+  from clip
+),
+ys as (
+  select lang, tile_id, x,
+         unnest(generate_series(bbox_y, least(bbox_y + bbox_h, {th} - 1))) as y
+  from xs
+),
+px as (select distinct lang, tile_id, x, y from ys),
+tl as (select lang, tile_id, count(*) as union_px from px group by lang, tile_id),
+tot as (select lang, sum(union_px) as zone_px from tl group by lang),
+val as (select lang, cast(sum(n_chars) as bigint) as value
+        from documents group by lang)
+select tl.tile_id, tl.lang,
+       cast(union_px as bigint) as union_px,
+       cast(zone_px as bigint) as zone_px,
+       value,
+       cast(value * union_px * 1000000 // zone_px as bigint) as alloc_e6
+from tl join tot using (lang) join val using (lang)
+"""

@@ -360,6 +360,9 @@ def run_benchmarks() -> dict:
         "semdedup": lambda: _consume(embeddings.semdedup(SF_DIR)),
         "chunk_windows": lambda: _consume(text.chunk_windows(SF_DIR)),
         "dedup_clean_text": lambda: _consume(text.dedup_clean_text(SF_DIR)),
+        "areal_interp": lambda: _consume(vectorize.areal_interp(SF_DIR, cfg)),
+        "l_diversity": lambda: _consume(text.l_diversity(SF_DIR)),
+        "events_new_users": lambda: _consume(relational.events_new_users(SF_DIR)),
         "phash_pairs": lambda: _consume(
             multimodal.phash_pairs(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),

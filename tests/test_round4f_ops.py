@@ -451,3 +451,52 @@ def test_spatial_split_block_coherent(sf_dir):
     assert (got["split"].to_numpy() == want).all()
     fr = got["split"].value_counts(normalize=True)
     assert fr.get("train", 0) > 0.5
+
+
+def test_l_diversity_vs_pandas(sf_dir):
+    """Independent pandas recompute of the violation list."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from aerial_conversion_ray.pipelines.text import (
+        KANON_CHARS_BIN,
+        LDIV_L,
+        l_diversity,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    docs["chars_bin"] = (docs["n_chars"] // KANON_CHARS_BIN).astype(np.int64)
+    g = docs.groupby(["lang", "chars_bin"]).agg(
+        n=("doc_id", "size"), n_sources=("source", "nunique")
+    )
+    expect = g[g["n_sources"] < LDIV_L].reset_index()
+    got = (
+        l_diversity(sf_dir)
+        .to_pandas()
+        .sort_values(["lang", "chars_bin"])
+        .reset_index(drop=True)
+    )
+    expect = expect.sort_values(["lang", "chars_bin"]).reset_index(drop=True)
+    assert got[["lang", "chars_bin", "n", "n_sources"]].equals(
+        expect[["lang", "chars_bin", "n", "n_sources"]].astype(
+            {"chars_bin": np.int64, "n": np.int64, "n_sources": np.int64}
+        )
+    )
+
+
+def test_events_new_users_totals(sf_dir):
+    """Running total ends at the table's distinct-user count and
+    new_users partitions it (each user counted exactly once, in its
+    first-seen window)."""
+    import duckdb
+
+    from aerial_conversion_ray.pipelines.relational import events_new_users
+
+    res = events_new_users(sf_dir).to_pandas().sort_values("window_start_s")
+    ndv = duckdb.sql(
+        f"select count(distinct user_id) from '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert res["new_users"].sum() == ndv
+    assert res["cum_users"].iloc[-1] == ndv
+    assert (res["new_users"] > 0).all()
+    assert (res["cum_users"].to_numpy() == res["new_users"].cumsum().to_numpy()).all()

@@ -207,3 +207,25 @@ def test_regularise_stats(sf_dir):
     ).to_pandas()
     assert (mrr["n_vertices_out"] == 4).all()
     assert (mrr["area_out_e9"] >= mrr["area_in_e9"] - 1).all()
+
+def test_areal_interp_mass_conservation(sf_dir):
+    """Allocation algebra: per zone the tile overlaps sum to zone_px,
+    and the fixed-point allocations sum to the zone's full mass up to
+    the per-tile floor loss (< n_tiles units of 1e-6)."""
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import vectorize
+
+    res = vectorize.areal_interp(sf_dir, EngineConfig(pages_rep=20)).to_pandas()
+    assert len(res) > 0
+    for lang, g in res.groupby("lang"):
+        zone_px = g["zone_px"].iloc[0]
+        value = g["value"].iloc[0]
+        assert (g["zone_px"] == zone_px).all()
+        assert g["union_px"].sum() == zone_px
+        total = g["alloc_e6"].sum()
+        assert total <= value * 1_000_000
+        assert total > value * 1_000_000 - len(g)
+        # proportionality: same-zone rows ordered by overlap are
+        # ordered by allocation
+        s = g.sort_values("union_px")
+        assert (s["alloc_e6"].diff().dropna() >= 0).all()
