@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robots.txt-style prefix disallow gate (broadcast rule filter)
         "robots_filter": linkgraph.robots_filter,
         "host_degree": linkgraph.host_degree,
+        # deterministic synchronous label-propagation communities
+        "lpa_communities": lambda sf: linkgraph.lpa_communities(sf),
         "pagerank_hosts": linkgraph.pagerank_hosts,
         # BFS hop distances from the seed host (broadcast frontier)
         "host_bfs": linkgraph.host_bfs,
@@ -590,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": linkgraph.link_extract_sql(),
         "robots_filter": linkgraph.robots_filter_sql(),
         "host_degree": linkgraph.host_degree_sql(),
+        "lpa_communities": linkgraph.lpa_communities_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
         "host_bfs": linkgraph.host_bfs_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),

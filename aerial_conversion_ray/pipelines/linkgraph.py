@@ -719,3 +719,119 @@ def host_bfs_sql(rep: int = LG_REP, seed: int = BFS_SEED) -> str:
         "select ('h' || cast(hid as varchar) || '.example') as host, "
         "cast(min(d) as bigint) as dist from bfs group by hid"
     )
+
+
+# --- label-propagation communities ----------------------------------------
+
+LPA_ITERS = 3
+
+
+def lpa_communities(
+    sf_dir: str, rep: int = LG_REP, iters: int = LPA_ITERS
+) -> "pa.Table":
+    """Community detection by synchronous label propagation over the
+    undirected weighted host graph (Raghavan et al. 2007), made fully
+    deterministic: every host starts as its own label; each round a
+    host adopts the label with the greatest incident edge weight
+    among its neighbours' CURRENT labels, ties to the smallest label;
+    fixed ``iters`` rounds (synchronous + tie rule + fixed rounds =
+    the run is a pure function of the graph, so the unrolled-CTE SQL
+    oracle reproduces it exactly — same determinism discipline as
+    ``pagerank_hosts``).
+
+    Hub removal first: edges incident to the built-in 40%-in-degree
+    hot host are dropped before propagation (the standard hub
+    preprocessing — a super-hub absorbs the whole graph into one
+    community in round 1, verified degenerate on this corpus); the
+    hub stays in the output as its own singleton community.
+
+    Ray shape: the weighted edge Dataset stays distributed; each
+    round is one pass of per-batch (host, label, weight) tally
+    partials against the BROADCAST label vector, folded on the driver
+    (|hosts|-bounded, like the PageRank contribution vector).  At
+    real scale (labels no longer broadcastable) each round becomes
+    the standard two-shuffle fold: edges join labels by src bucket,
+    tallies fold by dst bucket — noted here, not needed for a
+    host-cardinality graph."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()
+    hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
+    n = len(hosts)
+    lbl = hosts.astype(np.int64).copy()
+    hosts_ref = ray.put(hosts)
+
+    def tally(t: pa.Table, l_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        lv = ray.get(l_ref)
+        sid = t["src_id"].to_numpy(zero_copy_only=False)
+        did = t["dst_id"].to_numpy(zero_copy_only=False)
+        keep = (sid != _HOT_DST) & (did != _HOT_DST)  # hub removal
+        s = np.searchsorted(hs, sid[keep])
+        d = np.searchsorted(hs, did[keep])
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        # undirected: each edge votes its weight both ways
+        hid = np.concatenate([d, s])
+        nb_lbl = np.concatenate([lv[s], lv[d]])
+        w = np.concatenate([c, c])
+        df = pd.DataFrame({"hid": hid, "lbl": nb_lbl, "w": w})
+        g = df.groupby(["hid", "lbl"], as_index=False)["w"].sum()
+        return pa.table(
+            {
+                "hid": pa.array(g["hid"].to_numpy(np.int64)),
+                "lbl": pa.array(g["lbl"].to_numpy(np.int64)),
+                "w": pa.array(g["w"].to_numpy(np.int64)),
+            }
+        )
+
+    for _ in range(iters):
+        l_ref = ray.put(lbl)
+        parts = edges.map_batches(
+            lambda t, lr=l_ref: tally(t, lr), batch_format="pyarrow"
+        ).to_pandas()
+        g = parts.groupby(["hid", "lbl"], as_index=False)["w"].sum()
+        # argmax by (w desc, lbl asc) per host; isolated hosts keep theirs
+        g = g.sort_values(["hid", "w", "lbl"], ascending=[True, False, True])
+        win = g.drop_duplicates("hid", keep="first")
+        new = lbl.copy()
+        new[win["hid"].to_numpy(np.int64)] = win["lbl"].to_numpy(np.int64)
+        lbl = new
+
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "community": pa.array(lbl)})
+
+
+def lpa_communities_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
+    ctes = [
+        f"e as ({_edges_sql(rep)})",
+        f"e2 as (select src_id as a, dst_id as b, cnt from e "
+        f"where src_id <> {_HOT_DST} and dst_id <> {_HOT_DST} "
+        f"union all select dst_id, src_id, cnt from e "
+        f"where src_id <> {_HOT_DST} and dst_id <> {_HOT_DST})",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from e union select dst_id from e))",
+        "l0 as (select hid, hid as lbl from hosts)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"t{k + 1} as (select e2.a as hid, l{k}.lbl as lbl, "
+            f"sum(e2.cnt) as w from e2 join l{k} on l{k}.hid = e2.b "
+            "group by 1, 2)"
+        )
+        ctes.append(
+            f"l{k + 1} as (select h.hid, coalesce(x.lbl, p.lbl) as lbl "
+            "from hosts h "
+            "left join (select hid, lbl from ("
+            f"  select hid, lbl, row_number() over (partition by hid "
+            f"  order by w desc, lbl asc) as rn from t{k + 1}) where rn = 1) x "
+            "using (hid) "
+            f"join l{k} p using (hid))"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"cast(lbl as bigint) as community from l{iters} order by host"
+    )

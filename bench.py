@@ -395,6 +395,12 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["pagerank_hosts"]
             ).pagerank_hosts(SF_DIR)
         ),
+        "lpa_communities": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["lpa_communities"],
+            ).lpa_communities(SF_DIR)
+        ),
         "host_bfs": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_bfs"]

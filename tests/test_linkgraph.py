@@ -87,3 +87,45 @@ def test_host_cocitation_matches_brute(sf_dir):
         )
     }
     assert got == want
+
+
+def test_lpa_communities_python_oracle(sf_dir):
+    """Independent python LPA (dict tallies, same sync/tie/hub rules)
+    must match the engine exactly, and the result must be non-trivial
+    (more than one community)."""
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    hosts = sorted(
+        set(edges["src_id"].tolist()) | set(edges["dst_id"].tolist())
+    )
+    lbl = {h: h for h in hosts}
+    e = edges[
+        (edges["src_id"] != linkgraph._HOT_DST)
+        & (edges["dst_id"] != linkgraph._HOT_DST)
+    ]
+    for _ in range(linkgraph.LPA_ITERS):
+        tally = {}
+        for s, d, c in zip(e["src_id"], e["dst_id"], e["cnt"]):
+            tally.setdefault(d, {}).setdefault(lbl[s], 0)
+            tally[d][lbl[s]] += c
+            tally.setdefault(s, {}).setdefault(lbl[d], 0)
+            tally[s][lbl[d]] += c
+        lbl = {
+            h: (
+                min(
+                    tally[h],
+                    key=lambda l_: (-tally[h][l_], l_),
+                )
+                if h in tally
+                else lbl[h]
+            )
+            for h in hosts
+        }
+    res = linkgraph.lpa_communities(sf_dir).to_pandas()
+    got = dict(zip(res["host"], res["community"]))
+    for h in hosts:
+        assert got[f"h{h}.example"] == lbl[h], h
+    assert len(set(lbl.values())) > 1
