@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_fill": spatial.idw_fill,
         # zonal majority: modal lang per cell (deterministic tie-break)
         "tile_mode_lang": spatial.tile_mode_lang,
+        # marching-squares isoline of the cell-count surface (sparse)
+        "contour_segments": lambda sf: spatial.contour_segments(sf, CFG),
         # leakage-safe train/val/test by spatial block
         "spatial_split": lambda sf: spatial.spatial_split(sf, CFG),
         # real-shapefile-fed point-in-zone join (S1 as load-bearing input)
@@ -469,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_crossings": spatial.segment_crossings_sql(),
         "idw_fill": spatial.idw_fill_sql(),
         "tile_mode_lang": spatial.tile_mode_lang_sql(),
+        "contour_segments": spatial.contour_segments_sql(CFG),
         "spatial_split": spatial.spatial_split_sql(CFG),
         "shapefile_zone_join": spatial.shapefile_zone_join_sql(),
         "embed_gram": embeddings.embed_gram_sql(),

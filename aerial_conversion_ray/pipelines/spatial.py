@@ -3549,3 +3549,268 @@ def spatial_split_sql(cfg: EngineConfig = DEFAULT_CFG, res: int = _SPLIT_RES) ->
         f"when (block_cell * {_SPLIT_MULT}) % {lim} < {t_val} then 'val' "
         "else 'test' end as split from c"
     )
+
+
+# --------------------------------------------------------------------------
+# marching-squares contour extraction (raster -> vector isolines)
+# --------------------------------------------------------------------------
+
+CONTOUR_RES = 8
+CONTOUR_T = 4  # iso threshold on the per-cell page count
+
+# single source of truth for the 16-case segment table, shared by the
+# engine kernel and the generated SQL oracle.  Corner bits:
+# b0=v00 (x,y), b1=v10 (x+1,y), b2=v11 (x+1,y+1), b3=v01 (x,y+1).
+# Edges: e0 bottom v00->v10, e1 right v10->v11, e2 top v01->v11,
+# e3 left v00->v01 (each parametrized from its FIRST corner).
+# Ambiguous saddles resolved deterministically: case 5 -> {(0,3),(1,2)},
+# case 10 -> {(0,1),(2,3)}.
+_MS_SEGS: dict[int, list[tuple[int, int]]] = {
+    0: [], 15: [],
+    1: [(0, 3)], 2: [(0, 1)], 3: [(1, 3)], 4: [(1, 2)],
+    5: [(0, 3), (1, 2)], 6: [(0, 2)], 7: [(2, 3)],
+    8: [(2, 3)], 9: [(0, 2)], 10: [(0, 1), (2, 3)],
+    11: [(1, 2)], 12: [(1, 3)], 13: [(0, 1)], 14: [(0, 3)],
+}
+_MS_EDGE_CA = np.array([0, 1, 3, 0], dtype=np.int64)  # edge -> first corner
+_MS_EDGE_CB = np.array([1, 2, 2, 3], dtype=np.int64)  # edge -> second corner
+
+
+def _ms_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(SEGA[16,2], SEGB[16,2]) edge-id tables, -1 = empty slot."""
+    a = np.full((16, 2), -1, dtype=np.int64)
+    b = np.full((16, 2), -1, dtype=np.int64)
+    for c, segs in _MS_SEGS.items():
+        for i, (ea, eb) in enumerate(segs):
+            a[c, i], b[c, i] = ea, eb
+    return a, b
+
+
+def _ms_endpoint(edge: np.ndarray, t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Block-local fixed-point (x_e6, y_e6) of the crossing on ``edge``."""
+    x = np.where(edge == 0, t, np.where(edge == 2, t, np.where(edge == 1, 1_000_000, 0)))
+    y = np.where(edge == 1, t, np.where(edge == 3, t, np.where(edge == 2, 1_000_000, 0)))
+    return x, y
+
+
+def contour_segments(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    res: int = CONTOUR_RES,
+    thresh: int = CONTOUR_T,
+) -> ray.data.Dataset:
+    """Marching-squares contour extraction over the implicit
+    page-count raster: the iso-``thresh`` line of the res-``res``
+    cell-count surface, emitted as one row per line segment with
+    block-local fixed-point endpoints — the true raster->vector
+    operator (the reference's coco2geojson direction generalized
+    beyond bboxes to isolines).  Everything is integer: corner
+    states compare counts to ``thresh``; crossing positions are
+    ``t_e6 = (thresh - va) * 1e6 // (vb - va)`` (both factors share
+    sign, so floor == truncation and numpy matches DuckDB ``//``).
+
+    Scale shape: SPARSE marching squares — only 2x2 blocks touching
+    an occupied cell can cross the isoline (empty blocks are all-0 =
+    all-below), so occupied cells from the exact coarse-bucket count
+    fold SCATTER to their <=4 parent blocks by key arithmetic
+    (corner id from the dx,dy offset) and one more coarse fold
+    assembles each block's 4 corner values and walks the 16-case
+    table vectorized.  Two int64-only shuffles, output-bounded; the
+    dense-grid O(n_side^2) sweep never materializes.  Oceans of
+    empty raster cost nothing — the same sparsity law as
+    :func:`focal_stats`."""
+    import pandas as pd
+
+    n_side = np.int64(1 << res)
+    sega, segb = _ms_tables()
+    counts = geocode_pipeline(sf_dir, cfg, columns=["page_id"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        cell = cells.encode(t["lon"].to_numpy(), t["lat"].to_numpy(), res)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array((u % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        return g[["cell", "n"]].astype(np.int64)
+
+    occ = (
+        counts.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy, ix = c // n_side, c % n_side
+        bks, corners, vals = [], [], []
+        # block (bx, by) = (ix-dx, iy-dy); the cell sits at local
+        # (dx, dy): corner id (0,0)->0 (1,0)->1 (1,1)->2 (0,1)->3
+        corner_of = {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3}
+        for dx in (0, 1):
+            for dy in (0, 1):
+                bx, by = ix - dx, iy - dy
+                ok = (
+                    (bx >= 0)
+                    & (bx <= n_side - 2)
+                    & (by >= 0)
+                    & (by <= n_side // 2 - 2)
+                )
+                bks.append(by[ok] * n_side + bx[ok])
+                corners.append(
+                    np.full(int(ok.sum()), corner_of[(dx, dy)], np.int64)
+                )
+                vals.append(n[ok])
+        bk = np.concatenate(bks)
+        return pa.table(
+            {
+                "bk": pa.array(bk),
+                "corner": pa.array(np.concatenate(corners)),
+                "n": pa.array(np.concatenate(vals)),
+                "bucket": pa.array((bk % N_DBSCAN_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def march(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["bx", "by", "case_id", "seg", "x0_e6", "y0_e6", "x1_e6", "y1_e6"]
+        bk = df["bk"].to_numpy(np.int64)
+        ub, binv = np.unique(bk, return_inverse=True)
+        v = np.zeros((len(ub), 4), dtype=np.int64)
+        v[binv, df["corner"].to_numpy(np.int64)] = df["n"].to_numpy(np.int64)
+        case = (
+            (v[:, 0] >= thresh) * 1
+            + (v[:, 1] >= thresh) * 2
+            + (v[:, 2] >= thresh) * 4
+            + (v[:, 3] >= thresh) * 8
+        ).astype(np.int64)
+        out = []
+        for slot in (0, 1):
+            ea, eb = sega[case, slot], segb[case, slot]
+            m = ea >= 0
+            if not m.any():
+                continue
+            vi, eai, ebi = v[m], ea[m], eb[m]
+
+            def cross_t(e):
+                va = vi[np.arange(len(vi)), _MS_EDGE_CA[e]]
+                vb = vi[np.arange(len(vi)), _MS_EDGE_CB[e]]
+                return (thresh - va) * 1_000_000 // (vb - va)
+
+            x0, y0 = _ms_endpoint(eai, cross_t(eai))
+            x1, y1 = _ms_endpoint(ebi, cross_t(ebi))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "bx": (ub[m] % n_side),
+                        "by": (ub[m] // n_side),
+                        "case_id": case[m],
+                        "seg": np.full(int(m.sum()), slot, np.int64),
+                        "x0_e6": x0,
+                        "y0_e6": y0,
+                        "x1_e6": x1,
+                        "y1_e6": y1,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+        return pd.concat(out, ignore_index=True)[cols].astype(np.int64)
+
+    return (
+        occ.map_batches(scatter, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(march, batch_format="pandas")
+    )
+
+
+def contour_segments_sql(
+    cfg: EngineConfig = DEFAULT_CFG, res: int = CONTOUR_RES, thresh: int = CONTOUR_T
+) -> str:
+    from .sql_oracle import _pages_geo
+
+    n = 1 << res
+    cell = cells.sql_expr("lon", "lat", res)
+    # edge helpers generated from the SAME python tables as the engine
+    corner_name = ["v00", "v10", "v11", "v01"]
+
+    def t_expr(e: int) -> str:
+        va, vb = corner_name[_MS_EDGE_CA[e]], corner_name[_MS_EDGE_CB[e]]
+        return f"(({thresh} - {va}) * 1000000 // ({vb} - {va}))"
+
+    def xy_expr(e: int) -> tuple[str, str]:
+        t = t_expr(e)
+        if e == 0:
+            return t, "0"
+        if e == 1:
+            return "1000000", t
+        if e == 2:
+            return t, "1000000"
+        return "0", t
+
+    whens_a, whens_b = [], []
+    for c, segs in _MS_SEGS.items():
+        for slot, (ea, eb) in enumerate(segs):
+            whens_a.append(f"when case_id = {c} and seg = {slot} then {ea}")
+            whens_b.append(f"when case_id = {c} and seg = {slot} then {eb}")
+    edge_a_expr = "case " + " ".join(whens_a) + " else -1 end"
+    edge_b_expr = "case " + " ".join(whens_b) + " else -1 end"
+
+    def coord_case(which: str, axis: int) -> str:
+        # which in ('ea','eb'); axis 0 = x, 1 = y
+        parts = []
+        for e in range(4):
+            x, y = xy_expr(e)
+            parts.append(f"when {which} = {e} then {x if axis == 0 else y}")
+        return "case " + " ".join(parts) + " end"
+
+    return (
+        _pages_geo(cfg)
+        + f""",
+cellt as (select {cell} as cell from geo),
+cnt as (select cell, count(*) as n from cellt group by cell),
+occ as (select cell % {n} as ix, cell // {n} as iy, n from cnt),
+cand as (
+  select distinct ix - d.dx as bx, iy - d.dy as by
+  from occ, (values (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)
+  where ix - d.dx between 0 and {n - 2}
+    and iy - d.dy between 0 and {n // 2 - 2}
+),
+blk as (
+  select bx, by,
+         coalesce(o00.n, 0) as v00, coalesce(o10.n, 0) as v10,
+         coalesce(o11.n, 0) as v11, coalesce(o01.n, 0) as v01
+  from cand
+  left join occ o00 on o00.ix = bx and o00.iy = by
+  left join occ o10 on o10.ix = bx + 1 and o10.iy = by
+  left join occ o11 on o11.ix = bx + 1 and o11.iy = by + 1
+  left join occ o01 on o01.ix = bx and o01.iy = by + 1
+),
+cs as (
+  select bx, by, v00, v10, v11, v01,
+         (case when v00 >= {thresh} then 1 else 0 end)
+       + (case when v10 >= {thresh} then 2 else 0 end)
+       + (case when v11 >= {thresh} then 4 else 0 end)
+       + (case when v01 >= {thresh} then 8 else 0 end) as case_id
+  from blk
+),
+slots as (
+  select cs.*, s.seg,
+         ({edge_a_expr}) as ea, ({edge_b_expr}) as eb
+  from cs, (values (0), (1)) s(seg)
+)
+select cast(bx as bigint) as bx, cast(by as bigint) as by,
+       cast(case_id as bigint) as case_id, cast(seg as bigint) as seg,
+       cast({coord_case("ea", 0)} as bigint) as x0_e6,
+       cast({coord_case("ea", 1)} as bigint) as y0_e6,
+       cast({coord_case("eb", 0)} as bigint) as x1_e6,
+       cast({coord_case("eb", 1)} as bigint) as y1_e6
+from slots where ea >= 0
+"""
+    )

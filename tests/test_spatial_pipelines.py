@@ -137,3 +137,50 @@ def test_shuffle_join_matches_broadcast(sf_dir):
     assert list(a.columns) == sorted(a.columns) or set(a.columns) == set(b.columns)
     b = b[a.columns]
     assert a.equals(b)
+
+
+def test_contour_segments_dense_brute(sf_dir):
+    """Sparse marching squares vs a DENSE-grid brute recompute: build
+    the full res-8 count raster in numpy, walk every 2x2 block with
+    the same case table, compare the exact segment sets."""
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.geo import cells
+    from aerial_conversion_ray.pipelines import spatial
+
+    cfg = EngineConfig(pages_rep=20)
+    res, T = spatial.CONTOUR_RES, spatial.CONTOUR_T
+    n_side = 1 << res
+    pts = spatial.geocode_pipeline(sf_dir, cfg, columns=["page_id"]).to_pandas()
+    cell = cells.encode(pts["lon"].to_numpy(), pts["lat"].to_numpy(), res)
+    grid = np.zeros((n_side // 2, n_side), dtype=np.int64)
+    np.add.at(grid, (cell // n_side, cell % n_side), 1)
+    sega, segb = spatial._ms_tables()
+    expect = set()
+    for by in range(n_side // 2 - 1):
+        for bx in range(n_side - 1):
+            v = np.array(
+                [grid[by, bx], grid[by, bx + 1], grid[by + 1, bx + 1], grid[by + 1, bx]],
+                dtype=np.int64,
+            )
+            case = int(
+                (v[0] >= T) + 2 * (v[1] >= T) + 4 * (v[2] >= T) + 8 * (v[3] >= T)
+            )
+            for slot in (0, 1):
+                ea, eb = int(sega[case, slot]), int(segb[case, slot])
+                if ea < 0:
+                    continue
+
+                def pt(e):
+                    va = int(v[spatial._MS_EDGE_CA[e]])
+                    vb = int(v[spatial._MS_EDGE_CB[e]])
+                    t = (T - va) * 1_000_000 // (vb - va)
+                    x, y = spatial._ms_endpoint(np.array([e]), np.array([t]))
+                    return int(x[0]), int(y[0])
+
+                expect.add((bx, by, case, slot, *pt(ea), *pt(eb)))
+    got = spatial.contour_segments(sf_dir, cfg).to_pandas()
+    got_set = set(map(tuple, got.to_numpy()))
+    assert got_set == expect
+    assert len(expect) > 100  # non-vacuous isoline
