@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_query": text.bm25_query,
         # multi-level aggregate / pivot over one distributed fine pass
         "lang_rollup": text.lang_rollup,
+        "lang_cube": text.lang_cube,
         "lang_pivot": text.lang_pivot,
         # deterministic per-lang stratified sample
         "group_sample": text.group_sample,
@@ -617,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": text.NGRAM_REPETITION_SQL,
         "bm25_query": text.bm25_query_sql(),
         "lang_rollup": text.LANG_ROLLUP_SQL,
+        "lang_cube": text.LANG_CUBE_SQL,
         "lang_pivot": text.lang_pivot_sql(),
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),

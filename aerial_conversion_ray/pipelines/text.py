@@ -6200,3 +6200,50 @@ from documents
 group by lang, chars_bin
 having count(distinct source) < {l_req}
 """
+
+
+def lang_cube(sf_dir: str) -> ray.data.Dataset:
+    """CUBE(lang, source): the rollup's missing level — per-SOURCE
+    subtotals across languages — so all four grouping sets
+    {(lang, source), (lang), (source), ()} come back in one result
+    (same ``'*'`` null encoding contract as :func:`lang_rollup`).
+
+    Same scale law: one corpus pass at the finest level, every
+    coarser set re-aggregates those |lang x source| partials
+    driver-side."""
+    fine = lang_stats(sf_dir).to_pandas()
+    lang = (
+        fine.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(source="*")
+    )
+    src = (
+        fine.groupby("source", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(lang="*")
+    )
+    total = pd.DataFrame(
+        {
+            "lang": ["*"],
+            "source": ["*"],
+            "n_docs": [fine["n_docs"].sum()],
+            "sum_chars": [fine["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, lang, src, total], ignore_index=True)[
+        ["lang", "source", "n_docs", "sum_chars"]
+    ]
+    out = out.sort_values(["lang", "source"]).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    import ray
+
+    return ray.data.from_pandas(out)
+
+
+LANG_CUBE_SQL = """
+select coalesce(lang, '*') as lang, coalesce(source, '*') as source,
+       count(*) as n_docs, cast(sum(n_chars) as bigint) as sum_chars
+from documents group by cube(lang, source)
+order by lang, source
+"""

@@ -500,3 +500,19 @@ def test_events_new_users_totals(sf_dir):
     assert res["cum_users"].iloc[-1] == ndv
     assert (res["new_users"] > 0).all()
     assert (res["cum_users"].to_numpy() == res["new_users"].cumsum().to_numpy()).all()
+
+
+def test_lang_cube_contains_rollup_and_source_level(sf_dir):
+    """CUBE = ROLLUP + the per-source grouping set; totals agree."""
+    from aerial_conversion_ray.pipelines.text import lang_cube, lang_rollup
+
+    cube = lang_cube(sf_dir).to_pandas()
+    roll = lang_rollup(sf_dir).to_pandas()
+    key = ["lang", "source", "n_docs", "sum_chars"]
+    cset = set(map(tuple, cube[key].to_numpy()))
+    rset = set(map(tuple, roll[key].to_numpy()))
+    assert rset < cset
+    extra = cube[(cube["lang"] == "*") & (cube["source"] != "*")]
+    assert len(cset - rset) == len(extra) > 0
+    grand = cube[(cube["lang"] == "*") & (cube["source"] == "*")]
+    assert extra["n_docs"].sum() == grand["n_docs"].iloc[0]
