@@ -97,3 +97,63 @@ def test_roundtrip_rows_complete(sf_dir, out_dir):
             os.path.join(out_dir, f"part={row['part']}", row["data_file"])
         )["page_id"].to_numpy()
         assert row_fingerprint(keys) == row["fingerprint"]
+
+
+def test_compact_partitions_roundtrip_and_resume(sf_dir, tmp_path):
+    """Compaction preserves every row, bin fingerprints equal the XOR
+    of member-part fingerprints, re-running skips every bin, and a
+    stale bin manifest forces a rewrite."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import spatial
+    from aerial_conversion_ray.state.compact import compact_partitions, plan_bins
+    from aerial_conversion_ray.state.lineage import resumable_write
+
+    out = str(tmp_path / "parts")
+    comp = str(tmp_path / "bins")
+    ds = spatial.tile_point_join(sf_dir, EngineConfig(pages_rep=20))
+    man = resumable_write(ds, out, part_col="tile_id", key_col="page_id").to_pandas()
+    n_parts = len(man)
+    assert n_parts > 3
+
+    # tiny target -> several bins
+    plan = plan_bins(out, target_bytes=200_000)
+    assert plan["bin"].nunique() > 1
+    res = compact_partitions(out, comp, key_col="page_id", target_bytes=200_000)
+    r = res.to_pandas()
+    assert (r["status"] == "written").all()
+    assert r["n_parts"].sum() == n_parts
+    assert r["n_rows"].sum() == man["n_rows"].sum()
+    # bin fingerprint == xor of members (recomputed independently)
+    fp = dict(zip(man["part"], man["fingerprint"]))
+    for bin_id, g in plan.groupby("bin"):
+        want = 0
+        for p in g["part"]:
+            want ^= int(fp[p])
+        got = json.load(open(os.path.join(comp, f"bin={bin_id}", "_MANIFEST.json")))
+        assert got["fingerprint"] == want
+    # every row survives into the compacted files
+    total = sum(
+        pq.read_table(os.path.join(comp, d, "data.parquet")).num_rows
+        for d in os.listdir(comp)
+        if d.startswith("bin=")
+    )
+    assert total == man["n_rows"].sum()
+
+    # resume: everything skips
+    r2 = compact_partitions(out, comp, key_col="page_id", target_bytes=200_000).to_pandas()
+    assert (r2["status"] == "skipped").all()
+
+    # stale manifest -> that bin rewrites
+    victim = os.path.join(comp, "bin=0", "_MANIFEST.json")
+    m = json.load(open(victim))
+    m["fingerprint"] = m["fingerprint"] ^ 1
+    json.dump(m, open(victim, "w"))
+    r3 = compact_partitions(out, comp, key_col="page_id", target_bytes=200_000).to_pandas()
+    st = dict(zip(r3["bin"], r3["status"]))
+    assert st[0] == "written"
+    assert all(v == "skipped" for k, v in st.items() if k != 0)
