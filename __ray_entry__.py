@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_mode_lang": spatial.tile_mode_lang,
         # marching-squares isoline of the cell-count surface (sparse)
         "contour_segments": lambda sf: spatial.contour_segments(sf, CFG),
+        # isoline ring assembly (CC over shared endpoints)
+        "contour_rings": lambda sf: spatial.contour_rings(sf, CFG),
         # leakage-safe train/val/test by spatial block
         "spatial_split": lambda sf: spatial.spatial_split(sf, CFG),
         # real-shapefile-fed point-in-zone join (S1 as load-bearing input)
@@ -473,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_fill": spatial.idw_fill_sql(),
         "tile_mode_lang": spatial.tile_mode_lang_sql(),
         "contour_segments": spatial.contour_segments_sql(CFG),
+        "contour_rings": spatial.contour_rings_sql(CFG),
         "spatial_split": spatial.spatial_split_sql(CFG),
         "shapefile_zone_join": spatial.shapefile_zone_join_sql(),
         "embed_gram": embeddings.embed_gram_sql(),

@@ -363,6 +363,7 @@ def run_benchmarks() -> dict:
         "areal_interp": lambda: _consume(vectorize.areal_interp(SF_DIR, cfg)),
         "l_diversity": lambda: _consume(text.l_diversity(SF_DIR)),
         "contour_segments": lambda: _consume(spatial.contour_segments(SF_DIR, cfg)),
+        "contour_rings": lambda: _consume(spatial.contour_rings(SF_DIR, cfg)),
         "events_new_users": lambda: _consume(relational.events_new_users(SF_DIR)),
         "phash_pairs": lambda: _consume(
             multimodal.phash_pairs(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

@@ -141,7 +141,7 @@ def test_shuffle_join_matches_broadcast(sf_dir):
 
 def test_contour_segments_dense_brute(sf_dir):
     """Sparse marching squares vs a DENSE-grid brute recompute: build
-    the full res-8 count raster in numpy, walk every 2x2 block with
+    the full CONTOUR_RES count raster in numpy, walk every 2x2 block with
     the same case table, compare the exact segment sets."""
     import numpy as np
 
@@ -175,7 +175,7 @@ def test_contour_segments_dense_brute(sf_dir):
                 def pt(e):
                     va = int(v[spatial._MS_EDGE_CA[e]])
                     vb = int(v[spatial._MS_EDGE_CB[e]])
-                    t = (T - va) * 1_000_000 // (vb - va)
+                    t = (2 * T - 1 - 2 * va) * 1_000_000 // (2 * (vb - va))
                     x, y = spatial._ms_endpoint(np.array([e]), np.array([t]))
                     return int(x[0]), int(y[0])
 
@@ -184,3 +184,23 @@ def test_contour_segments_dense_brute(sf_dir):
     got_set = set(map(tuple, got.to_numpy()))
     assert got_set == expect
     assert len(expect) > 100  # non-vacuous isoline
+
+
+def test_contour_rings_topology(sf_dir):
+    """Ring algebra: per-ring segment counts partition the segment
+    set; closed <=> n_segments == n_vertices; most of the isoline
+    closes (opens are antimeridian cuts only); and every segment's two
+    endpoints land in the same ring."""
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import spatial
+
+    cfg = EngineConfig(pages_rep=20)
+    segs = spatial.contour_segments(sf_dir, cfg).to_pandas()
+    rings = spatial.contour_rings(sf_dir, cfg).to_pandas()
+    assert rings["n_segments"].sum() == len(segs)
+    assert (
+        (rings["closed"] == 1)
+        == (rings["n_segments"] == rings["n_vertices"])
+    ).all()
+    assert rings["closed"].mean() > 0.7
+    assert rings["n_vertices"].max() >= 20  # real blobs, not pixel noise
