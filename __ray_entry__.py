@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-level aggregate / pivot over one distributed fine pass
         "lang_rollup": text.lang_rollup,
         "lang_cube": text.lang_cube,
+        # lift-filtered phrase mining (integer cross-multiplied PMI)
+        "collocations": text.collocations,
         "lang_pivot": text.lang_pivot,
         # deterministic per-lang stratified sample
         "group_sample": text.group_sample,
@@ -622,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_query": text.bm25_query_sql(),
         "lang_rollup": text.LANG_ROLLUP_SQL,
         "lang_cube": text.LANG_CUBE_SQL,
+        "collocations": text.collocations_sql(),
         "lang_pivot": text.lang_pivot_sql(),
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),

@@ -6247,3 +6247,204 @@ select coalesce(lang, '*') as lang, coalesce(source, '*') as source,
 from documents group by cube(lang, source)
 order by lang, source
 """
+
+
+# --------------------------------------------------------------------------
+# collocation extraction (lift-filtered adjacent bigrams)
+# --------------------------------------------------------------------------
+
+COLLOC_MIN_C = 5  # min bigram occurrences
+COLLOC_TAU = 1  # keep pairs with lift > TAU (positively associated)
+
+
+def collocations(
+    sf_dir: str, min_c: int = COLLOC_MIN_C, tau: int = COLLOC_TAU
+) -> ray.data.Dataset:
+    """Corpus collocations: adjacent token pairs occurring >=
+    ``min_c`` times whose lift ``P(ab) / (P(a) P(b)) = c_ab * N /
+    (c_a * c_b)`` exceeds ``tau`` — the phrase-mining step (Mikolov
+    et al. 2013 word2vec phrases use the same count ratio).  The lift
+    test is the INTEGER cross-multiplication ``c_ab * N > tau * c_a *
+    c_b`` and ``lift_e6`` is integer division, so the oracle is
+    hash-exact (magnitude: c_ab*N*1e6 <= N^2 * 1e6 — loud int64 wall
+    at N ~ 3e6 tokens per guard below; shard the multiply beyond).
+
+    Vocabulary-proof shape (the BASELINE lesson): bigram and unigram
+    counts fold inside coarse hash buckets, the early ``>= min_c``
+    filter prunes the bigram tail BEFORE any join, and the two
+    unigram attachments are tagged-union coarse-bucket joins keyed by
+    hash(token) — the vocabulary never broadcasts and never becomes a
+    per-key shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        total = len(flat)
+        lead = np.ones(total, dtype=bool)
+        offs = np.concatenate([[0], np.cumsum(n_tok)])
+        lead[offs[1:] - 1] = False  # doc-final tokens start no bigram
+        sel = np.nonzero(lead[: total - 1])[0]
+        a = flat.take(pa.array(sel))
+        b = flat.take(pa.array(sel + 1))
+        df = pd.DataFrame({"a": a.to_pandas(), "b": b.to_pandas()})
+        g = df.groupby(["a", "b"], sort=False, as_index=False).size()
+        key = _hash_arrow_strings(
+            pa.array(g["a"].astype(str) + "\x00" + g["b"].astype(str))
+        )
+        return pa.table(
+            {
+                "a": pa.array(g["a"], pa.string()),
+                "b": pa.array(g["b"], pa.string()),
+                "c_xy": pa.array(g["size"].to_numpy(np.int64)),
+                "bucket": pa.array((key % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    def bigram_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False, as_index=False)["c_xy"].sum()
+        g = g[g["c_xy"] >= min_c]
+        ha = _hash_arrow_strings(pa.array(g["a"], pa.string()))
+        return pd.DataFrame(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "c_xy": g["c_xy"].to_numpy(np.int64),
+                "c_a": np.zeros(len(g), np.int64),
+                "tag": np.zeros(len(g), np.int64),
+                "jb": (ha % np.uint64(N_PAIR_BUCKETS)).astype(np.int64),
+            }
+        )
+
+    bigrams = (
+        ds.map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bigram_fold, batch_format="pandas")
+    )
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        df = pd.DataFrame({"tok": flat.to_pandas()})
+        g = df.groupby("tok", sort=False, as_index=False).size()
+        h = _hash_arrow_strings(pa.array(g["tok"], pa.string()))
+        return pa.table(
+            {
+                "tok": pa.array(g["tok"], pa.string()),
+                "c": pa.array(g["size"].to_numpy(np.int64)),
+                "bucket": pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    def unigram_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", sort=False, as_index=False)["c"].sum()
+        h = _hash_arrow_strings(pa.array(g["tok"], pa.string()))
+        return pd.DataFrame(
+            {
+                "a": g["tok"],
+                "b": np.full(len(g), "", dtype=object),
+                "c_xy": np.zeros(len(g), np.int64),
+                "c_a": g["c"].to_numpy(np.int64),
+                "tag": np.ones(len(g), np.int64),
+                "jb": (h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64),
+            }
+        )
+
+    unigrams = (
+        ds.map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(unigram_fold, batch_format="pandas")
+        .materialize()  # consumed twice (both join sides)
+    )
+
+    n_total = int(
+        unigrams.map_batches(
+            lambda t: pa.table({"n": pa.array([int(np.sum(t["c_a"].to_numpy()))])}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+    assert n_total < 3_000_000, "collocations: shard the lift multiply (int64)"
+
+    def join_a(df: pd.DataFrame) -> pd.DataFrame:
+        big = df[df["tag"] == 0]
+        uni = df[df["tag"] == 1][["a", "c_a"]].rename(columns={"a": "tok"})
+        m = big.drop(columns=["c_a", "tag", "jb"]).merge(
+            uni, left_on="a", right_on="tok"
+        )
+        hb = _hash_arrow_strings(pa.array(m["b"], pa.string()))
+        return pd.DataFrame(
+            {
+                "a": m["a"],
+                "b": m["b"],
+                "c_xy": m["c_xy"].to_numpy(np.int64),
+                "c_a": m["c_a"].to_numpy(np.int64),
+                "tag": np.zeros(len(m), np.int64),
+                "jb": (hb % np.uint64(N_PAIR_BUCKETS)).astype(np.int64),
+            }
+        )
+
+    stage_a = (
+        bigrams.union(unigrams)
+        .groupby("jb")
+        .map_groups(join_a, batch_format="pandas")
+    )
+
+    def join_b(df: pd.DataFrame) -> pd.DataFrame:
+        big = df[df["tag"] == 0]
+        uni = df[df["tag"] == 1][["a", "c_a"]].rename(
+            columns={"a": "tok", "c_a": "c_b"}
+        )
+        m = big.merge(uni, left_on="b", right_on="tok")
+        c_xy = m["c_xy"].to_numpy(np.int64)
+        c_a = m["c_a"].to_numpy(np.int64)
+        c_b = m["c_b"].to_numpy(np.int64)
+        keep = c_xy * n_total > tau * c_a * c_b
+        m = m[keep]
+        return pd.DataFrame(
+            {
+                "tok_a": m["a"],
+                "tok_b": m["b"],
+                "c_xy": c_xy[keep],
+                "c_a": c_a[keep],
+                "c_b": c_b[keep],
+                "lift_e6": c_xy[keep] * n_total * 1_000_000 // (c_a[keep] * c_b[keep]),
+            }
+        )
+
+    return (
+        stage_a.union(unigrams)
+        .groupby("jb")
+        .map_groups(join_b, batch_format="pandas")
+    )
+
+
+def collocations_sql(min_c: int = COLLOC_MIN_C, tau: int = COLLOC_TAU) -> str:
+    return f"""
+with t as (select string_split(text, ' ') as l from documents),
+uni as (select unnest(l) as tok from t),
+uc as (select tok, count(*) as c from uni group by tok),
+n as (select count(*) as nn from uni),
+bg as (select l[i] as a, l[i + 1] as b
+       from t, unnest(generate_series(1, len(l) - 1)) u(i)),
+bc as (select a, b, count(*) as c_xy from bg group by a, b
+       having count(*) >= {min_c})
+select bc.a as tok_a, bc.b as tok_b,
+       cast(c_xy as bigint) as c_xy,
+       cast(ua.c as bigint) as c_a, cast(ub.c as bigint) as c_b,
+       cast(c_xy * nn * 1000000 // (ua.c * ub.c) as bigint) as lift_e6
+from bc, n
+join uc ua on ua.tok = bc.a
+join uc ub on ub.tok = bc.b
+where c_xy * nn > {tau} * ua.c * ub.c
+"""

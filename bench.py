@@ -360,6 +360,8 @@ def run_benchmarks() -> dict:
         "semdedup": lambda: _consume(embeddings.semdedup(SF_DIR)),
         "chunk_windows": lambda: _consume(text.chunk_windows(SF_DIR)),
         "dedup_clean_text": lambda: _consume(text.dedup_clean_text(SF_DIR)),
+        "collocations": lambda: _consume(text.collocations(SF_DIR)),
+        "lang_cube": lambda: _consume(text.lang_cube(SF_DIR)),
         "areal_interp": lambda: _consume(vectorize.areal_interp(SF_DIR, cfg)),
         "l_diversity": lambda: _consume(text.l_diversity(SF_DIR)),
         "contour_segments": lambda: _consume(spatial.contour_segments(SF_DIR, cfg)),

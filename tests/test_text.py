@@ -438,3 +438,34 @@ def test_dedup_clean_text_python_oracle(sf_dir):
     # the rule is non-vacuous and non-destructive on the corpus
     assert (res["n_kept"] > 0).any()
     assert sum(v[1] for v in expect.values()) == len(seen)
+
+
+def test_collocations_python_oracle(sf_dir):
+    """Independent Counter-based recompute of the lift-filtered
+    collocation set."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from aerial_conversion_ray.pipelines.text import (
+        COLLOC_MIN_C,
+        COLLOC_TAU,
+        collocations,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).to_pandas()
+    uni, big = Counter(), Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    expect = {
+        (a, b): (c, uni[a], uni[b], c * n * 1_000_000 // (uni[a] * uni[b]))
+        for (a, b), c in big.items()
+        if c >= COLLOC_MIN_C and c * n > COLLOC_TAU * uni[a] * uni[b]
+    }
+    got = collocations(sf_dir).to_pandas()
+    assert len(got) == len(expect) > 0
+    for r in got.itertuples():
+        assert expect[(r.tok_a, r.tok_b)] == (r.c_xy, r.c_a, r.c_b, r.lift_e6)
