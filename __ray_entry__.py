@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree": linkgraph.host_degree,
         # deterministic synchronous label-propagation communities
         "lpa_communities": lambda sf: linkgraph.lpa_communities(sf),
+        # TrustRank-style seed-teleport PageRank
+        "pagerank_personalized": lambda sf: linkgraph.pagerank_personalized(sf),
         "pagerank_hosts": linkgraph.pagerank_hosts,
         # BFS hop distances from the seed host (broadcast frontier)
         "host_bfs": linkgraph.host_bfs,
@@ -391,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dHash; pairs via pigeonhole banding (no all-pairs)
         "image_phash": lambda sf: multimodal.image_phash(sf, CFG),
         "phash_pairs": lambda sf: multimodal.phash_pairs(sf, CFG),
+        # audio signal features over the real RIFF decode path
+        "audio_zcr": lambda sf: multimodal.audio_zcr(sf, CFG),
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
         "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),
@@ -602,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": linkgraph.robots_filter_sql(),
         "host_degree": linkgraph.host_degree_sql(),
         "lpa_communities": linkgraph.lpa_communities_sql(),
+        "pagerank_personalized": linkgraph.pagerank_personalized_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
         "host_bfs": linkgraph.host_bfs_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),
@@ -646,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": embeddings.semdedup_sql(),
         "image_phash": multimodal.image_phash_sql(CFG),
         "phash_pairs": multimodal.phash_pairs_sql(CFG),
+        "audio_zcr": multimodal.audio_zcr_sql(CFG),
         "label_centroids": embeddings.label_centroids_sql(),
         "embed_outliers": embeddings.embed_outliers_sql(),
         # ann_lsh: approximate scale path — rows-only; recall vs

@@ -835,3 +835,93 @@ def lpa_communities_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
         "select ('h' || cast(hid as varchar) || '.example') as host, "
         f"cast(lbl as bigint) as community from l{iters} order by host"
     )
+
+
+# --- personalized PageRank -------------------------------------------------
+
+PPR_SEEDS = (1, 2, 3)  # trusted seed hosts (hub 0 excluded on purpose)
+
+
+def pagerank_personalized(
+    sf_dir: str, rep: int = LG_REP, iters: int = PR_ITERS,
+    seeds: tuple = PPR_SEEDS,
+) -> "pa.Table":
+    """Personalized PageRank: the damping teleport returns to a SEED
+    set instead of the uniform vector — TrustRank-style host-quality
+    propagation from a trusted whitelist (Gyongyi et al. 2004), the
+    crawl-frontier prioritizer.  Same int64 fixed-point discipline
+    and broadcast-contribution-vector rounds as :func:`pagerank_hosts`
+    (the rank vector broadcasts, edges stay distributed, nothing
+    shuffles); only the base term changes: ``15% * SCALE / |seeds|``
+    on seed hosts, 0 elsewhere."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()
+    hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
+    n = len(hosts)
+    outdeg = np.zeros(n, dtype=np.int64)
+    si = np.searchsorted(hosts, small["src_id"].values)
+    np.add.at(outdeg, si, small["cnt"].values)
+    seed_idx = np.searchsorted(hosts, np.array(sorted(seeds), dtype=np.int64))
+    base = np.zeros(n, dtype=np.int64)
+    base[seed_idx] = (15 * PR_SCALE) // (100 * len(seeds))
+    r = base.copy()  # start at the teleport distribution
+
+    hosts_ref = ray.put(hosts)
+    outdeg_ref = ray.put(outdeg)
+
+    def contrib(t: pa.Table, r_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        od = ray.get(outdeg_ref)
+        rv = ray.get(r_ref)
+        s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        per_edge = (rv[s] // od[s]) * c
+        acc = np.zeros(len(hs), dtype=np.int64)
+        np.add.at(acc, d, per_edge)
+        return pa.table({f"c{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+
+    for _ in range(iters):
+        r_ref = ray.put(r)
+        parts = edges.map_batches(
+            lambda t, rr=r_ref: contrib(t, rr), batch_format="pyarrow"
+        )
+        cvec = np.zeros(n, dtype=np.int64)
+        for row in parts.take_all():
+            cvec += np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
+        r = base + (85 * cvec) // 100
+
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "ppr_num": pa.array(r)})
+
+
+def pagerank_personalized_sql(
+    rep: int = LG_REP, iters: int = PR_ITERS, seeds: tuple = PPR_SEEDS
+) -> str:
+    seed_list = ", ".join(str(s) for s in sorted(seeds))
+    base = f"(case when hid in ({seed_list}) then (15 * {PR_SCALE}) // (100 * {len(seeds)}) else 0 end)"
+    ctes = [
+        f"e as ({_edges_sql(rep)})",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from e union select dst_id from e))",
+        "outd as (select src_id, sum(cnt) as od from e group by 1)",
+        f"r0 as (select hid, {base} as r from hosts)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"r{k + 1} as (select h.hid, {base} "
+            f"+ (85 * coalesce(s.c, 0)) // 100 as r "
+            "from hosts h left join ("
+            f"select e.dst_id as hid, sum(e.cnt * (r{k}.r // o.od)) as c "
+            f"from e join r{k} on e.src_id = r{k}.hid "
+            "join outd o on o.src_id = e.src_id group by 1) s using (hid))"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"cast(r as bigint) as ppr_num from r{iters} order by host"
+    )

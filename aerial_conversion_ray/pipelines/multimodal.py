@@ -1766,3 +1766,65 @@ select x.page_id as a, y.page_id as b,
 from phash x join phash y on x.page_id < y.page_id
 where bit_count(xor(x.h_lo, y.h_lo)) + bit_count(xor(x.h_hi, y.h_hi)) <= {d}
 """
+
+
+class WavZcr:
+    """Decode + signal features per blob: zero-crossing count (strict
+    sign flips between adjacent samples) and integer energy — the
+    audio quality/voicedness signals, integer-exact."""
+
+    def __init__(self):
+        from ..functions import wav
+
+        self.decode = wav.decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["wav"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        zcs, ens = [], []
+        for buf in col:
+            arr, _rate = self.decode(buf.as_py())
+            a = arr[:, 0].astype(np.int64)
+            zcs.append(int(np.count_nonzero(a[:-1] * a[1:] < 0)))
+            ens.append(int((a * a).sum()))
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "zero_crossings": pa.array(zcs, pa.int64()),
+                "energy": pa.array(ens, pa.int64()),
+            }
+        )
+
+
+def audio_zcr(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Zero-crossing rate + energy over the real decoded waveforms
+    (same synth -> first-party RIFF decode path as ``audio_decode``;
+    row-local actor stage, zero shuffle)."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(WavSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        WavZcr,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def audio_zcr_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..sources.pages import pages_cte
+
+    return (
+        f"with pages as ({pages_cte(cfg.pages_rep)}), "
+        f"dims as (select page_id, {WAV_BASE} + page_id % 64 as n from pages), "
+        f"smp as (select page_id, t.v as v, "
+        f"((page_id * 5 + t.v * 11) % {WAV_MOD}) - {WAV_MOD // 2} as s "
+        "from dims, unnest(range(n)) t(v)), "
+        "lagd as (select page_id, s, "
+        "lag(s) over (partition by page_id order by v) as prev from smp) "
+        "select page_id, "
+        "cast(count(*) filter (where prev is not null and s * prev < 0) "
+        "as bigint) as zero_crossings, "
+        "cast(sum(s * s) as bigint) as energy "
+        "from lagd group by page_id"
+    )

@@ -366,6 +366,15 @@ def run_benchmarks() -> dict:
         "l_diversity": lambda: _consume(text.l_diversity(SF_DIR)),
         "contour_segments": lambda: _consume(spatial.contour_segments(SF_DIR, cfg)),
         "contour_rings": lambda: _consume(spatial.contour_rings(SF_DIR, cfg)),
+        "audio_zcr": lambda: _consume(
+            multimodal.audio_zcr(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
+        "pagerank_personalized": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["pagerank_personalized"],
+            ).pagerank_personalized(SF_DIR)
+        ),
         "events_new_users": lambda: _consume(relational.events_new_users(SF_DIR)),
         "phash_pairs": lambda: _consume(
             multimodal.phash_pairs(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))

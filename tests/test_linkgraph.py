@@ -129,3 +129,37 @@ def test_lpa_communities_python_oracle(sf_dir):
     for h in hosts:
         assert got[f"h{h}.example"] == lbl[h], h
     assert len(set(lbl.values())) > 1
+
+
+def test_pagerank_personalized_seed_locality(sf_dir):
+    """Teleport mass only enters at the seeds: every host with
+    positive personalized rank must be reachable from the seed set,
+    seeds carry at least the teleport base, and the hub (excluded
+    from the seeds) still accumulates link mass."""
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    res = linkgraph.pagerank_personalized(sf_dir).to_pandas()
+    ppr = dict(zip(res["host"], res["ppr_num"]))
+    base = (15 * linkgraph.PR_SCALE) // (100 * len(linkgraph.PPR_SEEDS))
+    for s in linkgraph.PPR_SEEDS:
+        assert ppr[f"h{s}.example"] >= base
+    # reachability from seeds over the directed edge set
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    adj = {}
+    for a, b in zip(edges["src_id"], edges["dst_id"]):
+        adj.setdefault(int(a), set()).add(int(b))
+    seen = set(linkgraph.PPR_SEEDS)
+    frontier = set(linkgraph.PPR_SEEDS)
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set()) - seen
+        seen |= nxt
+        frontier = nxt
+    for host, v in ppr.items():
+        hid = int(host[1:].split(".")[0])
+        if v > 0:
+            assert hid in seen, host
+    assert ppr["h0.example"] > 0  # hub receives propagated mass

@@ -126,3 +126,23 @@ def test_phash_dhash_semantics(sf_dir):
     w32 = 1 << np.arange(32, dtype=np.uint64)
     assert int((bits[:32] * w32).sum()) == ph["h_lo"]
     assert int((bits[32:] * w32).sum()) == ph["h_hi"]
+
+
+def test_audio_zcr_matches_direct_synth(sf_dir):
+    """ZCR/energy recomputed straight from the synth formula (no WAV
+    container round-trip) must match the decode path exactly."""
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import multimodal
+
+    res = multimodal.audio_zcr(sf_dir, EngineConfig(pages_rep=2)).to_pandas()
+    assert len(res) > 0
+    for r in res.head(50).itertuples():
+        pid = int(r.page_id)
+        n = multimodal.WAV_BASE + pid % 64
+        t = np.arange(n, dtype=np.int64)
+        s = ((pid * 5 + t * 11) % multimodal.WAV_MOD) - multimodal.WAV_MOD // 2
+        assert r.zero_crossings == int(np.count_nonzero(s[:-1] * s[1:] < 0))
+        assert r.energy == int((s * s).sum())
+    assert (res["zero_crossings"] > 0).any()
