@@ -374,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MAD-based robust length anomaly filter
         "length_outliers": text.length_outliers,
         "langid": text.langid_scores,
+        # langid eval: confusion matrix vs the labeled lang column
+        "langid_confusion": text.langid_confusion,
         # -- similarity search / embeddings --
         "ann_brute": embeddings.ann_brute,
         # contrastive hard-negative mining (top-1 other-label cosine)
@@ -385,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization ANN (64x-compressed index + ADC +
         # exact re-rank): rows-only, recall gated in tests
         "ann_pq": embeddings.ann_pq,
+        # recall@K audit of every approximate index vs brute (rows-only)
+        "ann_recall_report": embeddings.ann_recall_report,
         "embed_dup": embeddings.embed_dup,
         # SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup,
         # keep-the-least-prototypical drop rule, fixed-point exact

@@ -1580,3 +1580,45 @@ select a.vec_id, a.cluster, a.cent_e9,
        cast(case when d.vec_id is null then 1 else 0 end as bigint) as kept
 from a left join dropped d on d.vec_id = a.vec_id
 """
+
+
+def ann_recall_report(sf_dir: str) -> ray.data.Dataset:
+    """ANN evaluation harness: recall@K of every approximate index
+    (LSH / IVF / PQ) against the exact brute-force top-k, one row per
+    method — (method, n_queries, n_pairs, hits, recall_e6).  The
+    audit a pipeline runs before trusting an approximate index at
+    scale.  Result sets are query-set-bounded (QUERY_MOD sampling), so
+    the set comparison is the standard small-side driver fold;
+    rows-only entry (approximate by construction), recall floors
+    asserted in tests/test_embeddings.py."""
+    brute = ann_brute(sf_dir).to_pandas()
+    bset = set(zip(brute["query_id"], brute["neighbor_id"]))
+    nq = brute["query_id"].nunique()
+    rows = []
+    for method, fn in (("lsh", ann_lsh), ("ivf", ann_ivf), ("pq", ann_pq)):
+        got = fn(sf_dir).to_pandas()
+        gset = set(zip(got["query_id"], got["neighbor_id"]))
+        hits = len(bset & gset)
+        rows.append(
+            {
+                "method": method,
+                "n_queries": nq,
+                "n_pairs": len(bset),
+                "hits": hits,
+                "recall_e6": hits * 1_000_000 // len(bset),
+            }
+        )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "method": pa.array(df["method"], pa.string()),
+                "n_queries": pa.array(df["n_queries"].to_numpy(np.int64)),
+                "n_pairs": pa.array(df["n_pairs"].to_numpy(np.int64)),
+                "hits": pa.array(df["hits"].to_numpy(np.int64)),
+                "recall_e6": pa.array(df["recall_e6"].to_numpy(np.int64)),
+            }
+        )
+    )

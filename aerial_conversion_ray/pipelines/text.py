@@ -6448,3 +6448,46 @@ join uc ua on ua.tok = bc.a
 join uc ub on ub.tok = bc.b
 where c_xy * nn > {tau} * ua.c * ub.c
 """
+
+
+def langid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID evaluation: the confusion matrix of
+    :func:`langid_scores` predictions against the labeled ``lang``
+    column — (lang_true, lang_pred, n), the eval table a curation
+    pipeline reviews before trusting the classifier's routing.
+
+    One coarse fold over per-batch (true, pred) partials (lang-domain
+    bounded, corpus never re-shuffles).  Rows-only (langid itself has
+    no SQL mirror); exact pandas-parity pytest."""
+    ds = langid_scores(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang_true": t["lang"].to_numpy(zero_copy_only=False),
+                "lang_pred": t["lang_pred"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang_true", "lang_pred"], as_index=False).size()
+        key = _hash_arrow_strings(
+            pa.array(g["lang_true"].astype(str) + "|" + g["lang_pred"].astype(str))
+        )
+        return pa.table(
+            {
+                "lang_true": pa.array(g["lang_true"], pa.string()),
+                "lang_pred": pa.array(g["lang_pred"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "bucket": pa.array((key % np.uint64(16)).astype(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang_true", "lang_pred"], as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g[["lang_true", "lang_pred", "n"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

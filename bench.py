@@ -376,6 +376,7 @@ def run_benchmarks() -> dict:
             ).pagerank_personalized(SF_DIR)
         ),
         "events_new_users": lambda: _consume(relational.events_new_users(SF_DIR)),
+        "langid_confusion": lambda: _consume(text.langid_confusion(SF_DIR)),
         "phash_pairs": lambda: _consume(
             multimodal.phash_pairs(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),

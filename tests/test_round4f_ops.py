@@ -516,3 +516,43 @@ def test_lang_cube_contains_rollup_and_source_level(sf_dir):
     assert len(cset - rset) == len(extra) > 0
     grand = cube[(cube["lang"] == "*") & (cube["source"] == "*")]
     assert extra["n_docs"].sum() == grand["n_docs"].iloc[0]
+
+
+def test_langid_confusion_parity_and_diagonal(sf_dir):
+    """Confusion matrix equals the pandas recompute from langid's own
+    output, totals the corpus, and is diagonal-dominant (the n-gram
+    classifier beats chance on the synthetic corpus)."""
+    import duckdb
+
+    from aerial_conversion_ray.pipelines.text import langid_confusion, langid_scores
+
+    scored = langid_scores(sf_dir).to_pandas()
+    expect = (
+        scored.groupby(["lang", "lang_pred"], as_index=False)
+        .size()
+        .rename(columns={"lang": "lang_true", "size": "n"})
+    )
+    got = langid_confusion(sf_dir).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["lang_true", "lang_pred", "n"]].to_numpy()))
+    assert key(got) == key(expect)
+    ndocs = duckdb.sql(f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    assert got["n"].sum() == ndocs
+    # beats chance (5 langs -> 0.2) with headroom; the synthetic
+    # token soup caps absolute accuracy (~0.39 observed)
+    diag = got[got["lang_true"] == got["lang_pred"]]["n"].sum()
+    assert diag / got["n"].sum() > 0.3
+
+
+def test_ann_recall_report_consistent_with_gates(sf_dir):
+    """Report recalls match the per-method pair-set recomputation and
+    clear the same floors the dedicated recall tests assert."""
+    from aerial_conversion_ray.pipelines.embeddings import ann_recall_report
+
+    rep = ann_recall_report(sf_dir).to_pandas().set_index("method")
+    assert set(rep.index) == {"lsh", "ivf", "pq"}
+    for m in rep.index:
+        r = rep.loc[m]
+        assert r["recall_e6"] == r["hits"] * 1_000_000 // r["n_pairs"]
+    assert rep.loc["lsh", "recall_e6"] >= 600_000
+    assert rep.loc["ivf", "recall_e6"] >= 600_000
+    assert rep.loc["pq", "recall_e6"] >= 300_000
