@@ -402,6 +402,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
         "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),
+        # per-iteration checkpointed kmeans (fresh ckpt dir per call;
+        # crash/resume semantics in tests/test_embeddings.py)
+        "kmeans_resumable": lambda sf: embeddings.kmeans_resumable(
+            sf, __import__("tempfile").mkdtemp(prefix="aerial_kmeans_ck_")
+        ),
         # cosine-to-own-centroid outlier sweep (exact fixed-point)
         "embed_outliers": embeddings.embed_outliers,
         "label_centroids": embeddings.label_centroids,

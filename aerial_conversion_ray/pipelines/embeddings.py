@@ -698,6 +698,46 @@ def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
     return mat[order].copy()
 
 
+def _kmeans_step(ds: ray.data.Dataset, cent: np.ndarray, k: int) -> np.ndarray:
+    """One Lloyd's iteration: broadcast centroids, per-batch k-row
+    partials, driver fold, spherical renormalize.  Shared by
+    :func:`kmeans` and :func:`kmeans_resumable` (identical arithmetic
+    — the refactor moves code, it does not reorder a single sum)."""
+    import ray
+
+    cref = ray.put(cent)
+
+    def partial(t: pa.Table, cref=cref) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _matrix(t)
+        a = np.argmax(mat @ c.T, axis=1)
+        sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, a, mat)
+        cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64(), mat.shape[1])),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums = np.zeros_like(cent)
+    cnts = np.zeros(k, dtype=np.int64)
+    for cl, grp in part.groupby("cluster"):
+        cnts[cl] = grp["cnt"].sum()
+        if cnts[cl]:
+            sums[cl] = np.stack(grp["vsum"].to_numpy()).sum(axis=0)
+    nz = cnts > 0
+    new = cent.copy()
+    new[nz] = sums[nz] / cnts[nz, None]
+    norms = np.linalg.norm(new, axis=1)
+    norms[norms == 0.0] = 1.0
+    return new / norms[:, None]  # spherical k-means (cosine metric)
+
+
+
 def kmeans(
     sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> ray.data.Dataset:
@@ -720,36 +760,7 @@ def kmeans(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     for _ in range(iters):
-        cref = ray.put(cent)
-
-        def partial(t: pa.Table, cref=cref) -> pa.Table:
-            c = ray.get(cref)
-            ids, mat = _matrix(t)
-            a = np.argmax(mat @ c.T, axis=1)
-            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
-            np.add.at(sums, a, mat)
-            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
-            return pa.table(
-                {
-                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
-                    "cnt": pa.array(cnt),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64(), mat.shape[1])),
-                }
-            )
-
-        part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        sums = np.zeros_like(cent)
-        cnts = np.zeros(k, dtype=np.int64)
-        for cl, grp in part.groupby("cluster"):
-            cnts[cl] = grp["cnt"].sum()
-            if cnts[cl]:
-                sums[cl] = np.stack(grp["vsum"].to_numpy()).sum(axis=0)
-        nz = cnts > 0
-        new = cent.copy()
-        new[nz] = sums[nz] / cnts[nz, None]
-        norms = np.linalg.norm(new, axis=1)
-        norms[norms == 0.0] = 1.0
-        cent = new / norms[:, None]   # spherical k-means (cosine metric)
+        cent = _kmeans_step(ds, cent, k)
 
     cref = ray.put(cent)
 
@@ -1622,3 +1633,46 @@ def ann_recall_report(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def kmeans_resumable(
+    sf_dir: str,
+    ckpt_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> ray.data.Dataset:
+    """:func:`kmeans` with PER-ITERATION checkpointing
+    (``state/iter_checkpoint``): every Lloyd's round commits its
+    centroid matrix atomically, and a restart resumes from the latest
+    committed round instead of iteration 0 — the driver-crash story
+    for hours-long iterative jobs at corpus scale (the corpus itself
+    is never re-written; the checkpoint is the tiny broadcast state).
+    Identical arithmetic to ``kmeans`` (shared ``_kmeans_step``), so
+    an interrupted+resumed run assigns every vector exactly as the
+    uninterrupted one (asserted in tests/test_embeddings.py)."""
+    import ray
+
+    from ..state.iter_checkpoint import IterCheckpoint
+
+    ck = IterCheckpoint(ckpt_dir, fingerprint=f"kmeans:{sf_dir}:k={k}")
+    got = ck.latest()
+    if got is not None and got[0] <= iters:
+        start, cent = got
+    else:
+        start, cent = 0, _kmeans_init(sf_dir, k)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    for i in range(start, iters):
+        cent = _kmeans_step(ds, cent, k)
+        ck.commit(i + 1, cent)
+
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table, cref=cref) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _matrix(t)
+        a = np.argmax(mat @ c.T, axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster": pa.array(a.astype(np.int64))}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -168,3 +168,32 @@ def test_semdedup_cluster_minimum_always_kept(sf_dir):
     assert (top["kept"] == 1).all()
     # and drops happen on the synthetic corpus (rule is non-vacuous)
     assert (res["kept"] == 0).any()
+
+
+def test_kmeans_resumable_crash_equals_uninterrupted(sf_dir, tmp_path):
+    """Run 2 rounds ('crash'), resume to 5: final assignments equal
+    the uninterrupted 5-round run AND the plain kmeans; a changed
+    fingerprint (different k) ignores the stale checkpoints."""
+    ck = str(tmp_path / "ck")
+    interrupted = embeddings.kmeans_resumable(sf_dir, ck, iters=2).to_pandas()
+    assert interrupted is not None  # 2 rounds committed
+    import os
+
+    assert len([f for f in os.listdir(ck) if f.startswith("iter=")]) == 2
+    resumed = (
+        embeddings.kmeans_resumable(sf_dir, ck, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len([f for f in os.listdir(ck) if f.startswith("iter=")]) == 5
+    plain = (
+        embeddings.kmeans(sf_dir, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert resumed.equals(plain)
+    # different hyperparameters -> stale rounds ignored, fresh run
+    other = embeddings.kmeans_resumable(sf_dir, ck, k=4, iters=1).to_pandas()
+    assert other["cluster"].max() <= 3
