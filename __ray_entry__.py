@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         # -- text / dedup --
         "token_stats": text.token_stats,
+        # keyword-taxonomy topic router (broadcast dictionary argmax)
+        "topic_tag": text.topic_tag,
+        # zlib compressibility quality signal (rows-only: no SQL deflate)
+        "compression_ratio": text.compression_ratio,
         "lang_stats": text.lang_stats,
         "dedup_exact": text.dedup_exact,
         "segment_dedup": text.segment_dedup,
@@ -295,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSONL interchange sink+source round trip (sources/jsonl.py)
         "jsonl_roundtrip": extract.jsonl_roundtrip,
         "ipc_roundtrip": extract.ipc_roundtrip,
+        # Apache ORC sink + source (warehouse-native columnar shards)
+        "orc_roundtrip": extract.orc_roundtrip,
         # WARC crawl-archive sink+source round trip (sources/warc.py)
         "warc_roundtrip": lambda sf: extract.warc_roundtrip(sf, CFG),
         "csv_roundtrip": extract.csv_roundtrip,
@@ -312,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TrustRank-style seed-teleport PageRank
         "pagerank_personalized": lambda sf: linkgraph.pagerank_personalized(sf),
         "pagerank_hosts": linkgraph.pagerank_hosts,
+        # HITS hubs/authorities (unnormalized integer-exact rounds)
+        "hits_hosts": lambda sf: linkgraph.hits_hosts(sf),
         # BFS hop distances from the seed host (broadcast frontier)
         "host_bfs": linkgraph.host_bfs,
         "host_cocitation": linkgraph.host_cocitation,
@@ -591,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_filter_agg": relational.Q6_SQL,
         "distinct_sources": relational.DISTINCT_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
+        "topic_tag": text.topic_tag_sql(),
         "lang_stats": text.LANG_STATS_SQL,
         "dedup_exact": text.DEDUP_EXACT_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
@@ -607,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": extract.url_dedup_sql(),
         "jsonl_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "ipc_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
+        "orc_roundtrip": extract.ORC_ROUNDTRIP_SQL,
         "warc_roundtrip": extract.warc_roundtrip_sql(CFG),
         "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
         "tfrecord_roundtrip": extract.TFRECORD_ROUNDTRIP_SQL,
@@ -617,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": linkgraph.lpa_communities_sql(),
         "pagerank_personalized": linkgraph.pagerank_personalized_sql(),
         "pagerank_hosts": linkgraph.pagerank_hosts_sql(),
+        "hits_hosts": linkgraph.hits_hosts_sql(),
         "host_bfs": linkgraph.host_bfs_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

@@ -596,6 +596,47 @@ def ipc_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return read_ipc(out_dir, schema)
 
 
+def orc_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded Apache-ORC sink + source round trip over the documents
+    table — the warehouse-native columnar interchange member next to
+    jsonl/warc/csv/ipc (Hive/Trino mount the shards directly).  Write
+    ``shard=<doc_id % 16>/data.orc`` atomically, read back via
+    ``read_binary_files`` + the in-band schema (asserted against the
+    pinned one), return the original columns bit-exactly; oracle is
+    the identity select."""
+    import tempfile
+
+    from ..sources.orc import read_orc, write_orc
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_orc_")
+    ds = read_table(sf_dir, "documents", columns=_JSONL_COLS)
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % JSONL_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    manifest = write_orc(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        _JSONL_COLS,
+    )
+    manifest.materialize()  # barrier: every shard committed
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("text", pa.string()),
+        ]
+    )
+    return read_orc(out_dir, schema)
+
+
+ORC_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL
+
+
 # --------------------------------------------------------------------------
 # TFRecord round trip (sources/tfrecord.py)
 # --------------------------------------------------------------------------

@@ -925,3 +925,119 @@ def pagerank_personalized_sql(
         "select ('h' || cast(hid as varchar) || '.example') as host, "
         f"cast(r as bigint) as ppr_num from r{iters} order by host"
     )
+
+
+# --- HITS (hubs & authorities), fixed iterations, integer-exact ----------
+
+HITS_ITERS = 2
+
+
+def hits_hosts(sf_dir: str, rep: int = LG_REP, iters: int = HITS_ITERS) -> "pa.Table":
+    """HITS hubs/authorities over the weighted host graph
+    (Kleinberg 1999), ``iters`` mutual-reinforcement rounds with NO
+    normalization so every score stays an exact int64 and the DuckDB
+    oracle (unrolled join/group-by per half-step) matches
+    bit-for-bit: ``a_{k}[d] = sum_e cnt * h_{k-1}[src]``,
+    ``h_{k}[s] = sum_e cnt * a_{k}[dst]``, ``h_0 = 1``.
+
+    Scale shape (identical to :func:`pagerank_hosts`): the weighted
+    edge Dataset stays distributed; each half-step is ONE pass of
+    per-batch partial |hosts|-length int64 vectors summed on the
+    driver — score vectors broadcast via ``ray.put``, never shuffled,
+    so the built-in hot host (40% in-degree) costs nothing.
+    Unnormalized scores grow like (sum cnt)^(2*iters); a loud int64
+    headroom guard fails before silent wraparound (the bm25_query
+    convention) — at real web scale the caller normalizes per round
+    (divide by max, documented deviation from the oracle) or keeps
+    iters small.
+
+    Reference analog: the reference ranks tile/category frequency to
+    pick dominant classes (aerial-conversion coco_balance dominant
+    sampling); HITS is the link-graph-native ranking of the same
+    "which nodes dominate" question."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()  # |hosts|^2-bounded universe read
+    hosts = np.unique(
+        np.concatenate([small["src_id"].values, small["dst_id"].values])
+    )
+    n = len(hosts)
+    hosts_ref = ray.put(hosts)
+
+    total_cnt = int(small["cnt"].sum())
+    if total_cnt and total_cnt ** (2 * iters) >= 2**62:
+        raise ValueError(
+            f"hits_hosts: unnormalized int64 headroom exceeded "
+            f"(sum cnt={total_cnt}, iters={iters}); reduce iters or "
+            "normalize per round"
+        )
+
+    def half_step(vec: np.ndarray, src_to_dst: bool) -> np.ndarray:
+        """One distributed half-iteration: fold cnt * vec[from] into
+        the other endpoint, one partial vector row per edge block."""
+        vec_ref = ray.put(vec)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            hs = ray.get(hosts_ref)
+            v = ray.get(vec_ref)
+            s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
+            d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
+            c = t["cnt"].to_numpy(zero_copy_only=False)
+            frm, to = (s, d) if src_to_dst else (d, s)
+            acc = np.zeros(len(hs), dtype=np.int64)
+            np.add.at(acc, to, c * v[frm])
+            return pa.table(
+                {f"c{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))}
+            )
+
+        parts = edges.map_batches(contrib, batch_format="pyarrow")
+        out = np.zeros(n, dtype=np.int64)
+        for row in parts.take_all():
+            out += np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
+        return out
+
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = half_step(h, src_to_dst=True)   # authorities gather hubs
+        h = half_step(a, src_to_dst=False)  # hubs gather authorities
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {"host": host, "auth_num": pa.array(a), "hub_num": pa.array(h)}
+    )
+
+
+def hits_hosts_sql(rep: int = LG_REP, iters: int = HITS_ITERS) -> str:
+    """HITS unrolled per half-step; DuckDB sums promote to HUGEINT so
+    the engine's loud guard is the only overflow authority."""
+    ctes = [
+        f"e as ({_edges_sql(rep)})",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from e union select dst_id from e))",
+        "h0 as (select hid, cast(1 as bigint) as h from hosts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"a{k} as (select h.hid, cast(coalesce(s.a, 0) as bigint) as a "
+            "from hosts h left join ("
+            f"select e.dst_id as hid, sum(e.cnt * h{k - 1}.h) as a "
+            f"from e join h{k - 1} on e.src_id = h{k - 1}.hid group by 1"
+            ") s using (hid))"
+        )
+        ctes.append(
+            f"h{k} as (select h.hid, cast(coalesce(s.h, 0) as bigint) as h "
+            "from hosts h left join ("
+            f"select e.src_id as hid, sum(e.cnt * a{k}.a) as h "
+            f"from e join a{k} on e.dst_id = a{k}.hid group by 1"
+            ") s using (hid))"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"a{iters}.a as auth_num, h{iters}.h as hub_num "
+        f"from hosts join a{iters} using (hid) join h{iters} using (hid) "
+        "order by host"
+    )

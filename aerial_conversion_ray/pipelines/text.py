@@ -6491,3 +6491,155 @@ def langid_confusion(sf_dir: str) -> ray.data.Dataset:
         .groupby("bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# keyword-taxonomy topic tagging (broadcast dictionary classifier)
+# --------------------------------------------------------------------------
+
+# topics sorted ascending so argmax's first-max == alphabetical
+# tie-break, matching the oracle's row_number() order
+TOPIC_TAXONOMY = (
+    ("execution", ("agg", "filter", "hash", "join", "merge", "sort")),
+    ("storage", ("column", "line", "row", "scan", "table")),
+    ("streaming", ("batch", "group", "stream", "window")),
+)
+
+
+def topic_tag(sf_dir: str) -> ray.data.Dataset:
+    """Dictionary-based topic classifier — the curation stage that
+    routes documents to domain buckets by keyword-taxonomy hits (the
+    keyword-spotting stand-in for a topic model; the reference's
+    category dictionary M12 analog, ``aerial_conversion/coco.py``
+    ``make_category``, generalized to text).
+
+    Per document: count token occurrences (with multiplicity) per
+    topic, assign the argmax topic, tie-break alphabetically, docs
+    with zero hits tag ``'none'``.  Output (doc_id, topic, hits).
+
+    Scale shape: the taxonomy is a broadcast constant (tiny);
+    per-batch work is one vectorized ``pc.index_in`` over the flat
+    token array + one ``np.add.at`` fold into a |docs|x|topics|
+    count matrix — zero shuffle, page text never leaves the scan."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    topics = [t for t, _ in TOPIC_TAXONOMY]
+    kw = [w for _, ws in TOPIC_TAXONOMY for w in ws]
+    kw_topic = np.array(
+        [i for i, (_, ws) in enumerate(TOPIC_TAXONOMY) for _ in ws],
+        dtype=np.int64,
+    )
+    kw_arr = pa.array(kw)
+    n_topics = len(topics)
+
+    def tag(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        doc_idx = np.repeat(np.arange(len(n)), n)
+        ki = pc.index_in(flat, value_set=kw_arr).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(ki) if ki.dtype.kind == "f" else ki != -1
+        ki = np.where(hit, ki, 0).astype(np.int64)
+        counts = np.zeros((len(n), n_topics), dtype=np.int64)
+        np.add.at(
+            counts.reshape(-1),
+            doc_idx[hit] * n_topics + kw_topic[ki[hit]],
+            1,
+        )
+        win = np.argmax(counts, axis=1)
+        hits = counts[np.arange(len(n)), win]
+        topic = np.array(topics, dtype=object)[win]
+        topic[hits == 0] = "none"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "topic": pa.array(topic, pa.string()),
+                "hits": pa.array(hits),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def topic_tag_sql() -> str:
+    values = ", ".join(
+        f"('{t}', '{w}')" for t, ws in TOPIC_TAXONOMY for w in ws
+    )
+    return f"""
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as token from documents
+),
+kw(topic, token) as (values {values}),
+hit as (
+  select t.doc_id, k.topic, count(*) as hits
+  from tok t join kw k using (token) group by 1, 2
+),
+best as (
+  select doc_id, topic, hits,
+         row_number() over (partition by doc_id
+                            order by hits desc, topic asc) as rn
+  from hit
+)
+select d.doc_id,
+       coalesce(b.topic, 'none') as topic,
+       cast(coalesce(b.hits, 0) as bigint) as hits
+from documents d
+left join (select * from best where rn = 1) b using (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal (zlib; the RefinedWeb/Gopher
+# "too-compressible = boilerplate / repetition" heuristic)
+# --------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+def compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the classic webtext
+    quality signal (highly compressible text is boilerplate or
+    machine-generated repetition; near-incompressible is often
+    minified/binary junk).  Output (doc_id, raw_len, comp_len,
+    ratio_e6 = comp_len * 1e6 // raw_len) — integer fixed-point so
+    the pytest brute oracle matches exactly.
+
+    zlib is DETERMINISTIC for a fixed level/strategy (RFC 1950/1951
+    encoder state is input-defined), so results are reproducible
+    across runs and nodes.  No SQL oracle (DuckDB has no deflate) —
+    rows-only driver gate + exact pytest parity vs direct zlib.
+
+    Scale shape: stateless streaming ``map_batches``; the per-row
+    ``zlib.compress`` call is a C-level codec invocation (same cost
+    model as the PNG/JPEG decode stages) over the already-scanned
+    text bytes; zero shuffle, output is 4 narrow columns."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        buf, offs = _string_buffer(t["text"])
+        raw = np.diff(offs).astype(np.int64)
+        mem = memoryview(buf)
+        comp = np.fromiter(
+            (
+                len(zlib.compress(mem[offs[i]:offs[i + 1]], ZLIB_LEVEL))
+                for i in range(len(raw))
+            ),
+            dtype=np.int64,
+            count=len(raw),
+        )
+        ratio_e6 = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1), 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "raw_len": pa.array(raw),
+                "comp_len": pa.array(comp),
+                "ratio_e6": pa.array(ratio_e6.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
