@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": extract.ipc_roundtrip,
         # Apache ORC sink + source (warehouse-native columnar shards)
         "orc_roundtrip": extract.orc_roundtrip,
+        # Apache Avro OCF sink + source (first-party codec, sources/avro.py)
+        "avro_roundtrip": extract.avro_roundtrip,
         # WARC crawl-archive sink+source round trip (sources/warc.py)
         "warc_roundtrip": lambda sf: extract.warc_roundtrip(sf, CFG),
         "csv_roundtrip": extract.csv_roundtrip,
@@ -617,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "ipc_roundtrip": extract.JSONL_ROUNDTRIP_SQL,
         "orc_roundtrip": extract.ORC_ROUNDTRIP_SQL,
+        "avro_roundtrip": extract.AVRO_ROUNDTRIP_SQL,
         "warc_roundtrip": extract.warc_roundtrip_sql(CFG),
         "csv_roundtrip": extract.CSV_ROUNDTRIP_SQL,
         "tfrecord_roundtrip": extract.TFRECORD_ROUNDTRIP_SQL,

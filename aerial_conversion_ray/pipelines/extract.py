@@ -676,3 +676,48 @@ def tfrecord_roundtrip(sf_dir: str) -> ray.data.Dataset:
 
 
 TFRECORD_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL
+
+
+# --------------------------------------------------------------------------
+# Avro Object Container File round trip (sources/avro.py)
+# --------------------------------------------------------------------------
+
+
+def avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded Apache-Avro OCF sink + source round trip over the
+    documents table — the row-wise schema-carrying interchange member
+    next to jsonl/csv/warc/orc/ipc/tfrecord (the format Kafka /
+    warehouse ingestion emits).  First-party codec (``sources/avro.py``,
+    no avro lib in this container): deflate-compressed blocks,
+    vectorized zigzag-varint planes on the write side, sequential
+    spec walker with sync-marker verification on the read side.
+    Write ``shard=<doc_id % 16>/data.avro`` atomically, read back,
+    return the original columns bit-exactly; oracle is the identity
+    select.  Codec pinned by the Avro spec's public zigzag test
+    vectors in ``tests/test_round4h_ops.py``."""
+    import tempfile
+
+    from ..sources.avro import read_avro, write_avro
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_avro_")
+    ds = read_table(sf_dir, "documents", columns=_JSONL_COLS)
+
+    def shard(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % JSONL_SHARDS
+        return t.append_column("shard_key", pa.array(k.astype(np.int64)))
+
+    int_cols = ["doc_id", "n_chars"]
+    str_cols = ["lang", "source", "text"]
+    manifest = write_avro(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        out_dir,
+        "shard_key",
+        int_cols,
+        str_cols,
+        _JSONL_COLS,
+    )
+    manifest.materialize()  # barrier: every shard committed
+    return read_avro(out_dir, int_cols, str_cols, _JSONL_COLS)
+
+
+AVRO_ROUNDTRIP_SQL = JSONL_ROUNDTRIP_SQL

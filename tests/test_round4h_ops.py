@@ -3,6 +3,7 @@ engine vs brute numpy oracles (the exact DuckDB oracles run in
 tools/check.py and the driver gate)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 
@@ -109,3 +110,100 @@ def test_compression_ratio_matches_zlib(sf_dir):
     ).all()
     # repetitious synthetic text over a ~30-word vocabulary compresses
     assert got["ratio_e6"].median() < 1_000_000
+
+
+# --------------------------------------------------------------------------
+# Avro OCF codec (sources/avro.py)
+# --------------------------------------------------------------------------
+
+
+def test_avro_zigzag_varint_spec_vectors():
+    """Public Avro 1.11 spec test vectors for long encoding."""
+    from aerial_conversion_ray.sources.avro import (
+        varint_planes,
+        zigzag_encode,
+    )
+
+    vals = np.array([0, -1, 1, -2, 2, -64, 64], np.int64)
+    planes, lens = varint_planes(zigzag_encode(vals))
+    got = [bytes(planes[i, : lens[i]]) for i in range(len(vals))]
+    want = [
+        b"\x00",
+        b"\x01",
+        b"\x02",
+        b"\x03",
+        b"\x04",
+        b"\x7f",
+        b"\x80\x01",
+    ]
+    assert got == want
+    # int64 extremes survive the round trip
+    ext = np.array([2**63 - 1, -(2**63), 12345678901234], np.int64)
+    p2, l2 = varint_planes(zigzag_encode(ext))
+    assert int(l2.max()) == 10  # full 10-byte varint for the extremes
+
+
+def test_avro_block_codec_roundtrip():
+    from aerial_conversion_ray.sources.avro import decode_block, encode_block
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, -1, 2**62, -(2**62), 7], np.int64),
+            "lang": ["en", "", "zh", "déjà", "x" * 300],
+            "n_chars": np.array([5, 0, -3, 127, 128], np.int64),
+            "text": ["hello", "", "世界", "a\nb", "y" * 1000],
+        }
+    )
+    order = ["doc_id", "lang", "n_chars", "text"]
+    buf = encode_block(df, ["doc_id", "n_chars"], ["lang", "text"], order)
+    cols = decode_block(buf, len(df), ["doc_id", "n_chars"], ["lang", "text"], order)
+    assert cols["doc_id"] == df["doc_id"].tolist()
+    assert cols["n_chars"] == df["n_chars"].tolist()
+    assert cols["lang"] == df["lang"].tolist()
+    assert cols["text"] == df["text"].tolist()
+
+
+def test_avro_roundtrip_identity(sf_dir):
+    from aerial_conversion_ray.pipelines import extract
+
+    got = (
+        extract.avro_roundtrip(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars", "text"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_avro_corrupt_sync_detected(tmp_path):
+    import pytest
+    import ray
+
+    from aerial_conversion_ray.sources.avro import read_avro, write_avro
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "text": [f"doc {i}" for i in range(10)],
+            "shard_key": np.zeros(10, np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    write_avro(
+        ds, str(tmp_path), "shard_key", ["doc_id"], ["text"], ["doc_id", "text"]
+    ).materialize()
+    path = tmp_path / "shard=0" / "data.avro"
+    blob = bytearray(path.read_bytes())
+    blob[-1] ^= 0xFF  # flip a byte of the trailing sync marker
+    path.write_bytes(bytes(blob))
+    with pytest.raises(Exception):
+        read_avro(str(tmp_path), ["doc_id"], ["text"], ["doc_id", "text"]).materialize()
