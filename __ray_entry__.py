@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # perceptual image dedup: real PNG decode -> integer-exact
         # dHash; pairs via pigeonhole banding (no all-pairs)
         "image_phash": lambda sf: multimodal.image_phash(sf, CFG),
+        # Sobel edge statistics over real PNG decode (integer-exact)
+        "image_edges": lambda sf: multimodal.image_edges(sf, CFG),
         "phash_pairs": lambda sf: multimodal.phash_pairs(sf, CFG),
         # audio signal features over the real RIFF decode path
         "audio_zcr": lambda sf: multimodal.audio_zcr(sf, CFG),
@@ -673,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup": embeddings.embed_dup_sql(),
         "semdedup": embeddings.semdedup_sql(),
         "image_phash": multimodal.image_phash_sql(CFG),
+        "image_edges": multimodal.image_edges_sql(CFG),
         "phash_pairs": multimodal.phash_pairs_sql(CFG),
         "audio_zcr": multimodal.audio_zcr_sql(CFG),
         "label_centroids": embeddings.label_centroids_sql(),

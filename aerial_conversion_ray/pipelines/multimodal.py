@@ -1828,3 +1828,110 @@ def audio_zcr_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "cast(sum(s * s) as bigint) as energy "
         "from lagd group by page_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Sobel edge statistics over decoded pixels (round-4h)
+# --------------------------------------------------------------------------
+
+EDGE_T = 400  # |gx|+|gy| threshold for the strong-edge count
+
+
+class PngSobel:
+    """REAL-decode actor -> integer-exact Sobel gradient statistics.
+
+    The image-kernel member of the multimodal family (the classic
+    first conv layer of any vision featurizer; reference analog: the
+    raster band math feeding ``scripts/jpeg2tiff.py``).  Per image:
+    decode PNG (``functions/png.py``), apply the 3x3 Sobel pair on
+    the interior via shifted-slice adds (one vectorized expression
+    per kernel tap, no per-pixel loop), emit
+    ``edge_sum = sum(|gx|+|gy|)``, ``edge_max`` and the strong-edge
+    count at the compile-time threshold — all int64, exact, so the
+    DuckDB pixel-mirror oracle matches bit-for-bit."""
+
+    def __init__(self):
+        from ..functions import png
+
+        self.decode = png.decode_png
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["png"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ws, hs, sums, maxs, cnts = [], [], [], [], []
+        for buf in col:
+            a = self.decode(buf.as_py()).astype(np.int64)
+            h, w = a.shape
+            gx = (
+                a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:]
+                - a[:-2, :-2] - 2 * a[1:-1, :-2] - a[2:, :-2]
+            )
+            gy = (
+                a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:]
+                - a[:-2, :-2] - 2 * a[:-2, 1:-1] - a[:-2, 2:]
+            )
+            mag = np.abs(gx) + np.abs(gy)
+            hs.append(h)
+            ws.append(w)
+            sums.append(int(mag.sum()))
+            maxs.append(int(mag.max()) if mag.size else 0)
+            cnts.append(int((mag >= EDGE_T).sum()))
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "img_w": pa.array(ws, pa.int64()),
+                "img_h": pa.array(hs, pa.int64()),
+                "edge_sum": pa.array(sums, pa.int64()),
+                "edge_max": pa.array(maxs, pa.int64()),
+                "edge_count": pa.array(cnts, pa.int64()),
+            }
+        )
+
+
+def image_edges(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Per-image Sobel edge statistics over the sampled media column:
+    real PNG synth -> real decode -> integer-exact gradient kernel.
+    Row-local (zero shuffle); the codec actor pool is the stateful
+    stage, same shape as ``image_phash``."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pid % PHASH_MOD == 0))
+
+    ds = ds.map_batches(sample, batch_format="pyarrow")
+    ds = ds.map_batches(PngImageSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        PngSobel,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )
+
+
+def image_edges_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Pixel-mirror oracle: the 3x3 Sobel taps as a self-join with
+    weights ``(dj)*(2-|di|)`` / ``(di)*(2-|dj|)`` over the same
+    deterministic pixel formula the engine encodes into real PNGs."""
+    return f"""
+with {_phash_px_cte(cfg)},
+g as (
+  select a.page_id, a.w, a.h, a.i, a.j,
+         sum(b.v * (b.j - a.j) * (2 - abs(b.i - a.i))) as gx,
+         sum(b.v * (b.i - a.i) * (2 - abs(b.j - a.j))) as gy
+  from px a join px b
+    on b.page_id = a.page_id
+   and abs(b.i - a.i) <= 1 and abs(b.j - a.j) <= 1
+  where a.i between 1 and a.h - 2 and a.j between 1 and a.w - 2
+  group by 1, 2, 3, 4, 5
+)
+select page_id,
+       cast(w as bigint) as img_w,
+       cast(h as bigint) as img_h,
+       cast(sum(abs(gx) + abs(gy)) as bigint) as edge_sum,
+       cast(max(abs(gx) + abs(gy)) as bigint) as edge_max,
+       cast(count(*) filter (where abs(gx) + abs(gy) >= {EDGE_T})
+            as bigint) as edge_count
+from g group by page_id, w, h
+"""

@@ -435,6 +435,10 @@ def run_benchmarks() -> dict:
         "moran_i": lambda: _consume(spatial.moran_i(SF_DIR)),
         "segment_crossings": lambda: _consume(spatial.segment_crossings(SF_DIR)),
         "tfrecord_roundtrip": lambda: _consume(extract.tfrecord_roundtrip(SF_DIR)),
+        "avro_roundtrip": lambda: _consume(extract.avro_roundtrip(SF_DIR)),
+        "image_edges": lambda: _consume(
+            multimodal.image_edges(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
         "dsir_weights": lambda: _consume(text.dsir_weights(SF_DIR)),
         "raster_downsample": lambda: _consume(multimodal.raster_downsample(SF_DIR, cfg)),
         "idw_fill": lambda: _consume(spatial.idw_fill(SF_DIR)),

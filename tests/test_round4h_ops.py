@@ -207,3 +207,32 @@ def test_avro_corrupt_sync_detected(tmp_path):
     path.write_bytes(bytes(blob))
     with pytest.raises(Exception):
         read_avro(str(tmp_path), ["doc_id"], ["text"], ["doc_id", "text"]).materialize()
+
+
+def test_image_edges_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import multimodal
+
+    got = (
+        multimodal.image_edges(sf_dir)
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    for _, row in got.head(40).iterrows():
+        p = int(row["page_id"])
+        w, h = 16 + p % 8, 12 + p % 5
+        i, j = np.mgrid[0:h, 0:w]
+        a = ((p * 3 + i * 7 + j * 13) % multimodal.PNG_MOD).astype(np.int64)
+        gx = (
+            a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:]
+            - a[:-2, :-2] - 2 * a[1:-1, :-2] - a[2:, :-2]
+        )
+        gy = (
+            a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:]
+            - a[:-2, :-2] - 2 * a[:-2, 1:-1] - a[:-2, 2:]
+        )
+        mag = np.abs(gx) + np.abs(gy)
+        assert int(row["edge_sum"]) == int(mag.sum())
+        assert int(row["edge_max"]) == int(mag.max())
+        assert int(row["edge_count"]) == int((mag >= multimodal.EDGE_T).sum())
