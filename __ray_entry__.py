@@ -411,6 +411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_pairs": lambda sf: multimodal.phash_pairs(sf, CFG),
         # audio signal features over the real RIFF decode path
         "audio_zcr": lambda sf: multimodal.audio_zcr(sf, CFG),
+        # STFT band energies (batched rfft; rows-only — FFT is not
+        # SQL-expressible; numpy-recompute + Parseval pytest oracle)
+        "audio_spectrogram": lambda sf: multimodal.audio_spectrogram(sf, CFG),
         # greedy k-center coreset (iterative, data-dependent):
         # rows-only; exact numpy-greedy parity in tests/test_embeddings.py
         "kcenter_coreset": lambda sf: embeddings.kcenter_coreset(sf),

@@ -1935,3 +1935,77 @@ select page_id,
             as bigint) as edge_count
 from g group by page_id, w, h
 """
+
+
+# --------------------------------------------------------------------------
+# STFT power spectrogram band energies (round-4h)
+# --------------------------------------------------------------------------
+
+SPEC_NFFT = 64
+SPEC_HOP = 32
+SPEC_BANDS = 4
+
+
+class WavSpectrogram:
+    """REAL-decode actor -> STFT band energies per audio blob.
+
+    The DSP member of the multimodal family (the featurizer front-end
+    of every audio model: frame -> Hann window -> rfft -> power).
+    All frames of a blob transform in ONE batched ``np.fft.rfft``
+    call (axis-1 over the (frames, 64) matrix — vectorized, no
+    per-frame loop); the Hann window is built once per actor in
+    ``__init__``.  Output per page: frame count, the four 8-bin band
+    powers (floored to int64 so results are deterministic and
+    hashable), and the dominant non-DC bin.  FFT results are
+    irrational in the inputs, so this is a rows-only driver entry —
+    exactness is pinned by the numpy-recompute pytest plus a Parseval
+    invariant (``tests/test_round4h_ops.py``)."""
+
+    def __init__(self):
+        from ..functions import wav
+
+        self.decode = wav.decode_wav
+        k = np.arange(SPEC_NFFT)
+        self.win = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / SPEC_NFFT)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        col = t["wav"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nf, bands, dom = [], [], []
+        for buf in col:
+            arr, _rate = self.decode(buf.as_py())
+            a = arr[:, 0].astype(np.float64)
+            frames = sliding_window_view(a, SPEC_NFFT)[::SPEC_HOP]
+            x = np.fft.rfft(frames * self.win[None, :], axis=1)
+            p = (x.real**2 + x.imag**2).sum(axis=0)  # per-bin total power
+            b = p[1 : 1 + 8 * SPEC_BANDS].reshape(SPEC_BANDS, 8).sum(axis=1)
+            nf.append(frames.shape[0])
+            bands.append(np.floor(b).astype(np.int64))
+            dom.append(int(np.argmax(p[1:])) + 1)
+        bm = np.stack(bands) if bands else np.empty((0, SPEC_BANDS), np.int64)
+        cols = {
+            "page_id": t["page_id"],
+            "n_frames": pa.array(nf, pa.int64()),
+        }
+        for i in range(SPEC_BANDS):
+            cols[f"band{i}"] = pa.array(bm[:, i], pa.int64())
+        cols["dom_bin"] = pa.array(dom, pa.int64())
+        return pa.table(cols)
+
+
+def audio_spectrogram(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Per-page STFT power-spectrogram band energies over the audio
+    column: real WAV synth -> real RIFF decode -> batched rfft.
+    Row-local (zero shuffle); the DSP actor pool is the stateful
+    stage, same shape as ``audio_zcr``."""
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+    ds = ds.map_batches(WavSynth(), batch_format="pyarrow", batch_size=MEDIA_BATCH)
+    return ds.map_batches(
+        WavSpectrogram,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH,
+        concurrency=pool_size(),
+    )

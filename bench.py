@@ -366,6 +366,9 @@ def run_benchmarks() -> dict:
         "l_diversity": lambda: _consume(text.l_diversity(SF_DIR)),
         "contour_segments": lambda: _consume(spatial.contour_segments(SF_DIR, cfg)),
         "contour_rings": lambda: _consume(spatial.contour_rings(SF_DIR, cfg)),
+        "audio_spectrogram": lambda: _consume(
+            multimodal.audio_spectrogram(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
+        ),
         "audio_zcr": lambda: _consume(
             multimodal.audio_zcr(SF_DIR, EngineConfig(pages_rep=max(1, BENCH_REP // 10)))
         ),

@@ -236,3 +236,39 @@ def test_image_edges_matches_brute(sf_dir):
         assert int(row["edge_sum"]) == int(mag.sum())
         assert int(row["edge_max"]) == int(mag.max())
         assert int(row["edge_count"]) == int((mag >= multimodal.EDGE_T).sum())
+
+
+def test_audio_spectrogram_matches_brute(sf_dir):
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from aerial_conversion_ray.pipelines import multimodal as mm
+
+    got = (
+        mm.audio_spectrogram(sf_dir)
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    k = np.arange(mm.SPEC_NFFT)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / mm.SPEC_NFFT)
+    for _, row in got.head(40).iterrows():
+        p_id = int(row["page_id"])
+        n = mm.WAV_BASE + p_id % 64
+        tpos = np.arange(n)
+        s = (((p_id * 5 + tpos * 11) % mm.WAV_MOD) - mm.WAV_MOD // 2).astype(
+            np.float64
+        )
+        frames = sliding_window_view(s, mm.SPEC_NFFT)[:: mm.SPEC_HOP]
+        x = np.fft.rfft(frames * win[None, :], axis=1)
+        p = (x.real**2 + x.imag**2).sum(axis=0)
+        # Parseval: sum over ALL bins of |X|^2 == N * sum(windowed^2)
+        full = np.fft.fft(frames * win[None, :], axis=1)
+        assert np.allclose(
+            (np.abs(full) ** 2).sum(), mm.SPEC_NFFT * ((frames * win) ** 2).sum()
+        )
+        assert int(row["n_frames"]) == frames.shape[0]
+        b = p[1 : 1 + 8 * mm.SPEC_BANDS].reshape(mm.SPEC_BANDS, 8).sum(axis=1)
+        for i in range(mm.SPEC_BANDS):
+            assert int(row[f"band{i}"]) == int(np.floor(b[i])), (p_id, i)
+        assert int(row["dom_bin"]) == int(np.argmax(p[1:])) + 1
