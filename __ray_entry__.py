@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_pyramid": spatial.cell_pyramid,
         # global Moran's I moments (queen contiguity, integer-exact)
         "moran_i": spatial.moran_i,
+        # raster blob labeling: 8-connected CC over occupied cells
+        "cell_blobs": spatial.cell_blobs,
         # proper segment crossings: crawl legs x broadcast routes
         "segment_crossings": spatial.segment_crossings,
         # IDW gap-fill over the cell raster (exact integer fraction)
@@ -501,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "within_dist_join": spatial.within_dist_join_sql(),
         "cell_pyramid": spatial.cell_pyramid_sql(),
         "moran_i": spatial.moran_i_sql(),
+        "cell_blobs": spatial.cell_blobs_sql(),
         "segment_crossings": spatial.segment_crossings_sql(),
         "idw_fill": spatial.idw_fill_sql(),
         "tile_mode_lang": spatial.tile_mode_lang_sql(),

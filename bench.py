@@ -436,6 +436,7 @@ def run_benchmarks() -> dict:
         "full_outer_join": lambda: _consume(relational.full_outer_join(SF_DIR)),
         "cell_pyramid": lambda: _consume(spatial.cell_pyramid(SF_DIR)),
         "moran_i": lambda: _consume(spatial.moran_i(SF_DIR)),
+        "cell_blobs": lambda: _consume(spatial.cell_blobs(SF_DIR)),
         "segment_crossings": lambda: _consume(spatial.segment_crossings(SF_DIR)),
         "tfrecord_roundtrip": lambda: _consume(extract.tfrecord_roundtrip(SF_DIR)),
         "avro_roundtrip": lambda: _consume(extract.avro_roundtrip(SF_DIR)),

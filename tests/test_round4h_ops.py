@@ -272,3 +272,49 @@ def test_audio_spectrogram_matches_brute(sf_dir):
         for i in range(mm.SPEC_BANDS):
             assert int(row[f"band{i}"]) == int(np.floor(b[i])), (p_id, i)
         assert int(row["dom_bin"]) == int(np.argmax(p[1:])) + 1
+
+
+def test_cell_blobs_matches_brute_union_find(sf_dir):
+    from aerial_conversion_ray.geo import cells
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.pipelines import spatial
+
+    got = (
+        spatial.cell_blobs(sf_dir)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    rep, res = spatial._BLOB_REP, spatial._BLOB_RES
+    n = 1 << res
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    doc_id = docs["doc_id"].to_numpy()
+    page_id = (doc_id[:, None] * rep + np.arange(rep)[None, :]).ravel()
+    g = geocode_arrays(page_id)
+    occ = np.unique(cells.encode(g["lon"], g["lat"], res))
+    assert (got["cell"].values == occ).all()
+    parent = {int(c): int(c) for c in occ}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    occ_set = set(parent)
+    for c in occ:
+        iy, ix = divmod(int(c), n)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                jx, jy = ix + dx, iy + dy
+                if 0 <= jx < n and 0 <= jy < n // 2 and jy * n + jx in occ_set:
+                    ra, rb = find(int(c)), find(jy * n + jx)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want = np.array([find(int(c)) for c in occ])
+    assert (got["blob"].values == want).all()
+    # the synthetic layout produces real multi-cell blobs AND isolates
+    sizes = got.groupby("blob").size()
+    assert sizes.max() > 1 and (sizes == 1).any()
