@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BFS hop distances from the seed host (broadcast frontier)
         "host_bfs": linkgraph.host_bfs,
         "host_cocitation": linkgraph.host_cocitation,
+        # link prediction: integer-exact Jaccard over out-neighbour sets
+        "host_jaccard": linkgraph.host_jaccard,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -356,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": text.heavy_hitters,
         # per-doc first-occurrence map (C4-style intra-doc dedup key)
         "token_first_pos": text.token_first_pos,
+        # positional phrase search (overlap-correct adjacency scan)
+        "phrase_query": text.phrase_query,
         # Gopher repetition rules: top-bigram multiplicity + dup trigrams
         "ngram_repetition": text.ngram_repetition,
         # integer-exact BM25 retrieval ranking vs a fixed query
@@ -641,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_hosts": linkgraph.hits_hosts_sql(),
         "host_bfs": linkgraph.host_bfs_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),
+        "host_jaccard": linkgraph.host_jaccard_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),
@@ -656,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": text.pack_sequences_sql(),
         "heavy_hitters": text.heavy_hitters_sql(),
         "token_first_pos": text.TOKEN_FIRST_POS_SQL,
+        "phrase_query": text.phrase_query_sql(),
         "ngram_repetition": text.NGRAM_REPETITION_SQL,
         "bm25_query": text.bm25_query_sql(),
         "lang_rollup": text.LANG_ROLLUP_SQL,

@@ -1041,3 +1041,114 @@ def hits_hosts_sql(rep: int = LG_REP, iters: int = HITS_ITERS) -> str:
         f"from hosts join a{iters} using (hid) join h{iters} using (hid) "
         "order by host"
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: integer-exact Jaccard over out-neighbour sets
+# --------------------------------------------------------------------------
+
+
+def host_jaccard(sf_dir: str, rep: int = LG_REP) -> ray.data.Dataset:
+    """Link-prediction scores for host pairs: exact Jaccard similarity
+    of their distinct out-neighbour sets, kept integral as
+    ``(inter, uni, jaccard_e6 = inter*1e6 // uni)`` — the
+    common-neighbours family (Liben-Nowell & Kleinberg) next to
+    ``host_cocitation``'s shared-count signal; mirror/link-farm
+    detection thresholds on exactly this ratio.
+
+    Plan: the per-destination pair miner (same dbucket fold shape as
+    ``host_cocitation``) yields ``|N(a) ∩ N(b)|``; distinct
+    out-degrees fold per-source from the weighted edge table (one
+    int64 pass, hosts-bounded) and broadcast via ``ray.put`` — the
+    degree side is |hosts| rows, the textbook broadcast-small-side
+    join, so the pair table never shuffles again.
+    """
+    edges = host_edges(sf_dir, rep).materialize()  # consumed twice
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "src_id": pa.array(u),
+                "deg": pa.array(c.astype(np.int64)),
+                "bucket": pa.array(u % np.int64(32)),
+            }
+        )
+
+    def deg_fold(df):
+        return df.groupby("src_id", as_index=False)["deg"].sum()
+
+    deg_tbl = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deg_fold, batch_format="pandas")
+        .to_pandas()  # |hosts| rows — the broadcast small side
+    )
+    deg = np.zeros(NH, np.int64)
+    deg[deg_tbl["src_id"].to_numpy(np.int64)] = deg_tbl["deg"].to_numpy(np.int64)
+    deg_ref = ray.put(deg)
+
+    def pairs_per_dst(df):
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _, g in df.groupby("dst_id", sort=False):
+            src = np.sort(g["src_id"].to_numpy(np.int64))
+            n = len(src)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            out_a.append(src[iu])
+            out_b.append(src[ju])
+        if not out_a:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"),
+                 "inter": pd.Series(dtype="int64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame({"a_id": a, "b_id": b, "inter": np.ones(len(a), np.int64)})
+
+    def tag_dst(t: pa.Table) -> pa.Table:
+        d = t["dst_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("dbucket", pa.array(d % np.int64(32)))
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("pbucket", pa.array((a * NH + b) % np.int64(32)))
+
+    def fold(df):
+        g = df.groupby(["a_id", "b_id"], as_index=False)["inter"].sum()
+        dv = ray.get(deg_ref)  # local object-store read, shipped once
+        da = dv[g["a_id"].to_numpy(np.int64)]
+        db = dv[g["b_id"].to_numpy(np.int64)]
+        uni = da + db - g["inter"].to_numpy(np.int64)
+        g["uni"] = uni
+        g["jaccard_e6"] = g["inter"].to_numpy(np.int64) * 1_000_000 // uni
+        return g
+
+    return (
+        edges.map_batches(tag_dst, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(pairs_per_dst, batch_format="pandas")
+        .map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def host_jaccard_sql(rep: int = LG_REP) -> str:
+    return f"""
+with e as ({_edges_sql(rep)}),
+d as (select src_id, cast(count(*) as bigint) as deg from e group by 1),
+i as (select a.src_id as a_id, b.src_id as b_id,
+             cast(count(*) as bigint) as inter
+      from e a join e b on a.dst_id = b.dst_id and a.src_id < b.src_id
+      group by 1, 2)
+select i.a_id, i.b_id, i.inter,
+       da.deg + db.deg - i.inter as uni,
+       i.inter * 1000000 // (da.deg + db.deg - i.inter) as jaccard_e6
+from i join d da on da.src_id = i.a_id join d db on db.src_id = i.b_id
+"""

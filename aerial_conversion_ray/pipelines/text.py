@@ -6643,3 +6643,83 @@ def compression_ratio(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(ratio, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search (round-4h)
+# --------------------------------------------------------------------------
+
+PHRASE = ("hash", "join")
+
+
+def phrase_query(sf_dir: str, phrase: tuple[str, str] = PHRASE) -> ray.data.Dataset:
+    """Positional phrase search: every document containing the exact
+    two-token phrase, with its OVERLAPPING adjacency count and first
+    match position — the positional-index primitive BM25 / the
+    inverted index don't cover (IR's "proximity" leg; the engine-side
+    equivalent of a phrase posting-list intersection, evaluated as a
+    streaming scan because the phrase is given up front).
+
+    Purely per-row semantics: one ``map_batches`` pass, zero shuffle.
+    Kernel: flatten tokens once (Arrow offsets, no Python split),
+    vectorized string equality per phrase word, shifted AND within
+    document bounds.  Overlap-correct ("a a a" matches "a a" twice),
+    unlike a replace()-count."""
+    w1, w2 = phrase
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        nlist = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        m1 = pc.equal(flat, w1).to_numpy(zero_copy_only=False)
+        m2 = pc.equal(flat, w2).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(nlist)), nlist)
+        adj = np.zeros(len(flat), dtype=bool)
+        adj[:-1] = m1[:-1] & m2[1:] & (doc_idx[:-1] == doc_idx[1:])
+        hits = np.nonzero(adj)[0]
+        if len(hits) == 0:
+            return empty
+        offs = np.concatenate([[0], np.cumsum(nlist)])
+        hd = doc_idx[hits]
+        pos = hits - offs[hd] + 1  # 1-based position of the FIRST word
+        first = np.ones(len(hits), dtype=bool)
+        first[1:] = hd[1:] != hd[:-1]
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(hits)))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[hd[starts]].astype(np.int64)),
+                "n_matches": pa.array(counts.astype(np.int64)),
+                "first_pos": pa.array(pos[starts].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def phrase_query_sql(phrase: tuple[str, str] = PHRASE) -> str:
+    w1, w2 = phrase
+    return f"""
+with toks as (select doc_id, string_split(text, ' ') as s from documents),
+adj as (select doc_id, t.v + 1 as p
+        from toks, unnest(range(len(s) - 1)) t(v)
+        where s[t.v + 1] = '{w1}' and s[t.v + 2] = '{w2}')
+select doc_id, cast(count(*) as bigint) as n_matches,
+       cast(min(p) as bigint) as first_pos
+from adj group by doc_id
+"""

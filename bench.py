@@ -311,6 +311,12 @@ def run_benchmarks() -> dict:
         # round-3 additions
         "heavy_hitters": lambda: _consume(text.heavy_hitters(SF_DIR)),
         "token_first_pos": lambda: _consume(text.token_first_pos(SF_DIR)),
+        "phrase_query": lambda: _consume(text.phrase_query(SF_DIR)),
+        "host_jaccard": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_jaccard"]
+            ).host_jaccard(SF_DIR)
+        ),
         "ngram_repetition": lambda: _consume(text.ngram_repetition(SF_DIR)),
         "bm25_query": lambda: _consume(text.bm25_query(SF_DIR)),
         "lang_rollup": lambda: _consume(text.lang_rollup(SF_DIR)),

@@ -318,3 +318,55 @@ def test_cell_blobs_matches_brute_union_find(sf_dir):
     # the synthetic layout produces real multi-cell blobs AND isolates
     sizes = got.groupby("blob").size()
     assert sizes.max() > 1 and (sizes == 1).any()
+
+
+def test_phrase_query_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import text
+
+    w1, w2 = text.PHRASE
+    got = (
+        text.phrase_query(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].split(" ")
+        hits = [i + 1 for i in range(len(toks) - 1) if toks[i] == w1 and toks[i + 1] == w2]
+        if hits:
+            want[int(row["doc_id"])] = (len(hits), hits[0])
+    assert set(got["doc_id"]) == set(want)
+    for _, r in got.iterrows():
+        n, fp = want[int(r["doc_id"])]
+        assert int(r["n_matches"]) == n and int(r["first_pos"]) == fp
+
+
+def test_host_jaccard_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    got = (
+        linkgraph.host_jaccard(sf_dir)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    nbrs = {}
+    for _, r in edges.iterrows():
+        nbrs.setdefault(int(r["src_id"]), set()).add(int(r["dst_id"]))
+    rows = []
+    hosts = sorted(nbrs)
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1 :]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter:
+                uni = len(nbrs[a] | nbrs[b])
+                rows.append((a, b, inter, uni, inter * 1_000_000 // uni))
+    want = pd.DataFrame(rows, columns=["a_id", "b_id", "inter", "uni", "jaccard_e6"])
+    assert len(got) == len(want)
+    for c in want.columns:
+        assert (got[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
