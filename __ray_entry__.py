@@ -329,6 +329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cocitation": linkgraph.host_cocitation,
         # link prediction: integer-exact Jaccard over out-neighbour sets
         "host_jaccard": linkgraph.host_jaccard,
+        # bounded Bellman-Ford cheapest paths from the seed host
+        "host_shortest_path": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_shortest_path(sf)
+        ),
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -646,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "host_bfs": linkgraph.host_bfs_sql(),
         "host_cocitation": linkgraph.host_cocitation_sql(),
         "host_jaccard": linkgraph.host_jaccard_sql(),
+        "host_shortest_path": linkgraph.host_shortest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

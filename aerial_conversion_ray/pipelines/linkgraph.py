@@ -1152,3 +1152,94 @@ select i.a_id, i.b_id, i.inter,
        i.inter * 1000000 // (da.deg + db.deg - i.inter) as jaccard_e6
 from i join d da on da.src_id = i.a_id join d db on db.src_id = i.b_id
 """
+
+
+# --------------------------------------------------------------------------
+# Weighted shortest paths (bounded Bellman-Ford) from a source host
+# --------------------------------------------------------------------------
+
+SP_SRC = 0
+SP_HOPS = 8
+_SP_INF = np.int64(1) << np.int64(62)
+
+
+def host_shortest_path(
+    sf_dir: str, rep: int = LG_REP, src: int = SP_SRC, hops: int = SP_HOPS
+) -> "pa.Table":
+    """Cheapest-path cost from host ``src`` to every reachable host
+    under integer edge weights ``w = 1e6 // cnt + 1`` (heavily-linked
+    edges are cheap) — the weighted generalization of ``host_bfs``:
+    crawl-frontier prioritization / hop-cost modeling over the link
+    graph.  Exactly ``hops`` Bellman-Ford relaxation rounds (with
+    early exit at the fixpoint), so the result is BY CONSTRUCTION the
+    min cost over paths of <= ``hops`` edges — the identical quantity
+    the unrolled-CTE oracle computes; all arithmetic int64.
+
+    Scale shape: same as ``pagerank_hosts`` — the distance vector
+    broadcasts (``ray.put`` per round), the edge table streams, each
+    batch returns ONE |hosts|-length partial-min vector and the
+    driver folds an elementwise min over the few block rows.  Bound:
+    #blocks x |hosts| ints; past |hosts| ~1e7 the round becomes a
+    bucketed fold keyed by dst."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    dist = np.full(NH, _SP_INF, dtype=np.int64)
+    dist[src] = 0
+
+    def relax(t: pa.Table, d_ref) -> pa.Table:
+        dv = ray.get(d_ref)
+        s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = 1_000_000 // c + 1
+        ok = dv[s] < _SP_INF
+        acc = np.full(NH, _SP_INF, dtype=np.int64)
+        np.minimum.at(acc, d[ok], dv[s[ok]] + w[ok])
+        return pa.table({f"m{i}": pa.array(acc[i : i + 1]) for i in range(NH)})
+
+    for _ in range(hops):
+        d_ref = ray.put(dist)
+        parts = edges.map_batches(
+            lambda t, dr=d_ref: relax(t, dr), batch_format="pyarrow"
+        )
+        cand = np.full(NH, _SP_INF, dtype=np.int64)
+        for row in parts.take_all():
+            cand = np.minimum(
+                cand, np.array([row[f"m{i}"] for i in range(NH)], dtype=np.int64)
+            )
+        new = np.minimum(dist, cand)
+        if (new == dist).all():
+            break
+        dist = new
+
+    reach = np.nonzero(dist < _SP_INF)[0]
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(reach.astype(np.int64)), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "cost": pa.array(dist[reach])})
+
+
+def host_shortest_path_sql(
+    rep: int = LG_REP, src: int = SP_SRC, hops: int = SP_HOPS
+) -> str:
+    """Bellman-Ford unrolled as chained CTEs: d_{k+1}(v) =
+    min(d_k(v), min over edges (u,v) of d_k(u) + w)."""
+    ctes = [
+        f"e0 as ({_edges_sql(rep)})",
+        "e as (select src_id, dst_id, 1000000 // cnt + 1 as w from e0)",
+        f"d0(hid, c) as (values ({src}, 0))",
+    ]
+    for k in range(hops):
+        ctes.append(
+            f"d{k + 1} as (select hid, min(c) as c from ("
+            f"select hid, c from d{k} "
+            f"union all "
+            f"select e.dst_id as hid, d{k}.c + e.w as c "
+            f"from d{k} join e on e.src_id = d{k}.hid) group by hid)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"cast(c as bigint) as cost from d{hops}"
+    )

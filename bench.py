@@ -312,6 +312,12 @@ def run_benchmarks() -> dict:
         "heavy_hitters": lambda: _consume(text.heavy_hitters(SF_DIR)),
         "token_first_pos": lambda: _consume(text.token_first_pos(SF_DIR)),
         "phrase_query": lambda: _consume(text.phrase_query(SF_DIR)),
+        "host_shortest_path": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_shortest_path"],
+            ).host_shortest_path(SF_DIR)
+        ),
         "host_jaccard": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_jaccard"]

@@ -370,3 +370,33 @@ def test_host_jaccard_matches_brute(sf_dir):
     assert len(got) == len(want)
     for c in want.columns:
         assert (got[c].to_numpy(np.int64) == want[c].to_numpy(np.int64)).all(), c
+
+
+def test_host_shortest_path_matches_dijkstra(sf_dir):
+    import heapq
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    got = linkgraph.host_shortest_path(sf_dir).to_pandas()
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    adj = {}
+    for _, r in edges.iterrows():
+        w = 1_000_000 // int(r["cnt"]) + 1
+        adj.setdefault(int(r["src_id"]), []).append((int(r["dst_id"]), w))
+    dist = {linkgraph.SP_SRC: 0}
+    pq_heap = [(0, linkgraph.SP_SRC)]
+    hops = {linkgraph.SP_SRC: 0}
+    while pq_heap:
+        c, u = heapq.heappop(pq_heap)
+        if c > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, []):
+            if c + w < dist.get(v, 1 << 62):
+                dist[v] = c + w
+                hops[v] = hops[u] + 1
+                heapq.heappush(pq_heap, (c + w, v))
+    # bounded Bellman-Ford == Dijkstra when the unbounded shortest
+    # paths all fit in SP_HOPS edges (true on the dense host graph)
+    assert max(hops.values()) <= linkgraph.SP_HOPS
+    want = {f"h{k}.example": v for k, v in dist.items()}
+    assert dict(zip(got["host"], got["cost"])) == want
