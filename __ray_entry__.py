@@ -333,6 +333,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_shortest_path": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_shortest_path(sf)
         ),
+        # bit-parallel all-pairs BFS: closeness/harmonic/eccentricity
+        "host_closeness": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_closeness(sf)
+        ),
+        # strongly connected components of the strong-edge subgraph
+        "host_scc": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_scc(sf)
+        ),
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -651,6 +659,8 @@ def oracle_sql() -> dict[str, str]:
         "host_cocitation": linkgraph.host_cocitation_sql(),
         "host_jaccard": linkgraph.host_jaccard_sql(),
         "host_shortest_path": linkgraph.host_shortest_path_sql(),
+        "host_closeness": linkgraph.host_closeness_sql(),
+        "host_scc": linkgraph.host_scc_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

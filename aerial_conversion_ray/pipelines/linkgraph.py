@@ -1243,3 +1243,196 @@ def host_shortest_path_sql(
         "select ('h' || cast(hid as varchar) || '.example') as host, "
         f"cast(c as bigint) as cost from d{hops}"
     )
+
+
+# --------------------------------------------------------------------------
+# Bit-parallel all-pairs BFS: closeness / harmonic / eccentricity per host,
+# and strongly connected components from the same transitive closure
+# --------------------------------------------------------------------------
+
+
+def _host_closure(sf_dir: str, rep: int = LG_REP, rel_thr_pct: int | None = None):
+    """All-pairs directed hop distances + transitive closure over the
+    host graph by BIT-PARALLEL multi-source BFS: each host carries one
+    machine word whose bit ``s`` means "source ``s`` reaches me"; one
+    relaxation round ORs every edge's src word into its dst word, so
+    64 BFS frontiers advance per pass for the cost of one.
+
+    Ray shape (the ``pagerank_hosts`` law): the weighted edge Dataset
+    stays distributed; each round broadcasts the |hosts| int64 mask
+    vector (``ray.put``) and every edge block returns ONE partial
+    OR-vector; the driver folds bitwise-OR over the few block rows and
+    stops at the closure fixpoint (<= diameter rounds).  At
+    |hosts| > 64 the same passes run per 64-source block
+    (ceil(H/64) words per node) or over a landmark sample — the
+    per-round cost is edges x words, never |hosts|^2 materialized.
+
+    ``rel_thr_pct`` sparsifies first: keep only edges with
+    ``cnt >= sum(cnt) * pct // (n_edges * 100)`` (a SCALE-INVARIANT
+    relative-to-mean weight floor — absolute counts grow with the
+    corpus, the mean grows with them), computed from the already-folded
+    |hosts|^2-bounded edge table.
+
+    Returns (hosts, dmat, reach) where ``dmat[s, v]`` is the min hop
+    count s->v (INF when unreachable; diagonal 0 by seeding) and
+    ``reach[v]`` is the int64-viewed closure word of v."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()  # |hosts|^2-bounded
+    if rel_thr_pct is not None:
+        thr = int(small["cnt"].sum()) * rel_thr_pct // (len(small) * 100)
+        edges = edges.map_batches(
+            lambda t, v=thr: t.filter(pc.greater_equal(t["cnt"], v)),
+            batch_format="pyarrow",
+        ).materialize()
+        small = small[small["cnt"] >= thr]
+    hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
+    n = len(hosts)
+    if n > 64:
+        raise NotImplementedError("blocked multi-word masks: run per 64-source block")
+    hosts_ref = ray.put(hosts)
+
+    mask = (np.uint64(1) << np.arange(n, dtype=np.uint64)).view(np.int64)
+    INF = np.int64(1) << np.int64(40)
+    dmat = np.full((n, n), INF, dtype=np.int64)
+    np.fill_diagonal(dmat, 0)
+
+    def orfold(t: pa.Table, m_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        mv = ray.get(m_ref)
+        s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
+        acc = np.zeros(len(hs), dtype=np.int64)
+        np.bitwise_or.at(acc, d, mv[s])
+        return pa.table({f"m{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+
+    for k in range(1, n + 1):
+        m_ref = ray.put(mask)
+        parts = edges.map_batches(
+            lambda t, mr=m_ref: orfold(t, mr), batch_format="pyarrow"
+        )
+        acc = np.zeros(n, dtype=np.int64)
+        for row in parts.take_all():
+            acc |= np.array([row[f"m{i}"] for i in range(n)], dtype=np.int64)
+        new = mask | acc
+        fresh = new & ~mask
+        if not fresh.any():
+            break
+        # bits newly reaching v this round are at distance k
+        fb = (fresh[:, None].view(np.uint64) >> np.arange(n, dtype=np.uint64)) & np.uint64(1)
+        src_i, v_i = np.nonzero(fb.astype(bool).T)
+        dmat[src_i, v_i] = np.minimum(dmat[src_i, v_i], k)
+        mask = new
+
+    return hosts, dmat, mask
+
+
+def host_closeness(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Per-host closeness / harmonic centrality / eccentricity over
+    directed hop distances (the crawl-reach profile of every host at
+    once): n_reach = reachable hosts (self excluded), closeness =
+    sum of hop distances, harmonic_e6 = sum(1e6 // d) integer
+    fixed-point, ecc = max distance.  Hosts reaching nothing but
+    themselves are dropped (mirrors the SQL group-by).  All int64;
+    the recursive-CTE oracle computes the identical min-hop matrix."""
+    hosts, dmat, _ = _host_closure(sf_dir, rep)
+    n = len(hosts)
+    INF = np.int64(1) << np.int64(40)
+    off = dmat.copy()
+    np.fill_diagonal(off, INF)            # exclude self-pairs
+    ok = off < INF
+    n_reach = ok.sum(axis=1).astype(np.int64)
+    d0 = np.where(ok, off, 0)
+    keep = n_reach > 0
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts[keep]), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {
+            "host": host,
+            "n_reach": pa.array(n_reach[keep]),
+            "closeness": pa.array(d0.sum(axis=1)[keep]),
+            "harmonic_e6": pa.array(
+                np.where(ok, 1_000_000 // np.maximum(off, 1), 0).sum(axis=1)[keep]
+            ),
+            "ecc": pa.array(d0.max(axis=1)[keep]),
+        }
+    )
+
+
+def host_closeness_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with recursive e as ({_edges_sql(rep)}), "
+        "ed as (select distinct src_id, dst_id from e), "
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed)), "
+        "ap(s, v, d) as ("
+        "select hid, hid, cast(0 as bigint) from hosts "
+        "union "
+        f"select ap.s, ed.dst_id, ap.d + 1 from ap join ed on ed.src_id = ap.v "
+        f"where ap.d < {NH}), "
+        "md as (select s, v, min(d) as d from ap group by s, v) "
+        "select ('h' || cast(s as varchar) || '.example') as host, "
+        "cast(count(*) as bigint) as n_reach, "
+        "cast(sum(d) as bigint) as closeness, "
+        "cast(sum(1000000 // d) as bigint) as harmonic_e6, "
+        "cast(max(d) as bigint) as ecc "
+        "from md where s <> v group by s"
+    )
+
+
+SCC_THR_PCT = 60      # strong-edge floor: 0.60 x mean edge weight
+
+
+def host_scc(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Strongly connected components of the STRONG-EDGE host graph
+    (edges below 0.6x the mean link weight dropped first — the
+    scale-invariant sparsification that leaves non-trivial mutual-
+    reachability structure; the raw graph is one giant SCC by the
+    hot-host construction) from the bit-parallel transitive closure:
+    u and v share a component iff each reaches the other, and the
+    component id is the smallest member — derived directly from the
+    closure words (``reach[v]`` bit u AND ``reach[u]`` bit v), no
+    Tarjan recursion, so the whole computation stays BSP rounds over
+    the streamed edge table.  Output: (host, scc_id, scc_size)."""
+    hosts, _, reach = _host_closure(sf_dir, rep, rel_thr_pct=SCC_THR_PCT)
+    n = len(hosts)
+    # M[u, v] = source u reaches v (diagonal true by seeding)
+    M = (
+        (reach.view(np.uint64)[None, :] >> np.arange(n, dtype=np.uint64)[:, None])
+        & np.uint64(1)
+    ).astype(bool)
+    mut = M & M.T
+    scc_idx = np.argmax(mut, axis=0)      # first (=min) mutual source index
+    scc_id = hosts[scc_idx]
+    sizes = np.bincount(scc_idx, minlength=n)[scc_idx].astype(np.int64)
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {"host": host, "scc_id": pa.array(scc_id), "scc_size": pa.array(sizes)}
+    )
+
+
+def host_scc_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with recursive e as ({_edges_sql(rep)}), "
+        f"thr as (select cast(sum(cnt) as bigint) * {SCC_THR_PCT} "
+        "// (count(*) * 100) as t from e), "
+        "ed as (select distinct src_id, dst_id from e "
+        "where cnt >= (select t from thr)), "
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed)), "
+        "r(a, b) as ("
+        "select src_id, dst_id from ed "
+        "union "
+        "select r.a, ed.dst_id from r join ed on ed.src_id = r.b), "
+        "pairs as (select a, b from r union select hid, hid from hosts), "
+        "scc as (select p.b as hid, min(p.a) as scc_id from pairs p "
+        "join pairs q on q.a = p.b and q.b = p.a group by p.b), "
+        "sz as (select scc_id, count(*) as n from scc group by scc_id) "
+        "select ('h' || cast(scc.hid as varchar) || '.example') as host, "
+        "cast(scc.scc_id as bigint) as scc_id, cast(sz.n as bigint) as scc_size "
+        "from scc join sz on sz.scc_id = scc.scc_id"
+    )

@@ -318,6 +318,17 @@ def run_benchmarks() -> dict:
                 fromlist=["host_shortest_path"],
             ).host_shortest_path(SF_DIR)
         ),
+        "host_closeness": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_closeness"],
+            ).host_closeness(SF_DIR)
+        ),
+        "host_scc": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_scc"]
+            ).host_scc(SF_DIR)
+        ),
         "host_jaccard": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_jaccard"]

@@ -400,3 +400,104 @@ def test_host_shortest_path_matches_dijkstra(sf_dir):
     assert max(hops.values()) <= linkgraph.SP_HOPS
     want = {f"h{k}.example": v for k, v in dist.items()}
     assert dict(zip(got["host"], got["cost"])) == want
+
+
+def test_host_closeness_matches_brute_bfs(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    adj = collections.defaultdict(set)
+    for _, r in edges.iterrows():
+        adj[int(r["src_id"])].add(int(r["dst_id"]))
+    hosts = sorted(set(edges["src_id"]) | set(edges["dst_id"]))
+
+    def bfs(s):
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for v in adj.get(u, ()):
+                    if v not in d:
+                        d[v] = d[u] + 1
+                        nq.append(v)
+            q = nq
+        return d
+
+    want = {}
+    for s in hosts:
+        d = bfs(s)
+        d.pop(s, None)
+        if d:
+            want[f"h{s}.example"] = (
+                len(d),
+                sum(d.values()),
+                sum(1_000_000 // x for x in d.values()),
+                max(d.values()),
+            )
+    got = linkgraph.host_closeness(sf_dir).to_pandas()
+    gm = {
+        r.host: (r.n_reach, r.closeness, r.harmonic_e6, r.ecc)
+        for r in got.itertuples()
+    }
+    assert gm == want
+
+
+def test_host_scc_matches_tarjan(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    thr = int(edges["cnt"].sum()) * linkgraph.SCC_THR_PCT // (len(edges) * 100)
+    edges = edges[edges["cnt"] >= thr]
+    adj = collections.defaultdict(list)
+    radj = collections.defaultdict(list)
+    hosts = sorted(set(edges["src_id"]) | set(edges["dst_id"]))
+    for _, r in edges.iterrows():
+        adj[int(r["src_id"])].append(int(r["dst_id"]))
+        radj[int(r["dst_id"])].append(int(r["src_id"]))
+
+    # Kosaraju (iterative)
+    seen, order = set(), []
+    for h in hosts:
+        if h in seen:
+            continue
+        seen.add(h)
+        st = [(h, iter(adj[h]))]
+        while st:
+            node, it = st[-1]
+            adv = False
+            for v in it:
+                if v not in seen:
+                    seen.add(v)
+                    st.append((v, iter(adj[v])))
+                    adv = True
+                    break
+            if not adv:
+                st.pop()
+                order.append(node)
+    seen2, comp = set(), {}
+    for h in reversed(order):
+        if h in seen2:
+            continue
+        stk, members = [h], []
+        seen2.add(h)
+        while stk:
+            u = stk.pop()
+            members.append(u)
+            for v in radj[u]:
+                if v not in seen2:
+                    seen2.add(v)
+                    stk.append(v)
+        m = min(members)
+        for u in members:
+            comp[u] = m
+    sizes = collections.Counter(comp.values())
+    want = {f"h{h}.example": (comp[h], sizes[comp[h]]) for h in hosts}
+    got = linkgraph.host_scc(sf_dir).to_pandas()
+    gm = {r.host: (r.scc_id, r.scc_size) for r in got.itertuples()}
+    assert gm == want
+    assert len(sizes) > 1, "strong-edge sparsification must split the graph"
