@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_scc": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_scc(sf)
         ),
+        # deterministic DeepWalk corpus: hash-indexed walks per page
+        "random_walks": linkgraph.random_walks,
         "regex_tokens": text.regex_tokens,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
@@ -661,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "host_shortest_path": linkgraph.host_shortest_path_sql(),
         "host_closeness": linkgraph.host_closeness_sql(),
         "host_scc": linkgraph.host_scc_sql(),
+        "random_walks": linkgraph.random_walks_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),

@@ -1436,3 +1436,110 @@ def host_scc_sql(rep: int = LG_REP) -> str:
         "cast(scc.scc_id as bigint) as scc_id, cast(sz.n as bigint) as scc_size "
         "from scc join sz on sz.scc_id = scc.scc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk corpus generation)
+# --------------------------------------------------------------------------
+
+WALK_LEN = 3            # steps beyond the start node
+_WALK_A = 2654435761    # Knuth multiplicative constant
+_WALK_B = 40503
+_WALK_PMOD = 1000003
+
+
+def random_walks(sf_dir: str, rep: int = LG_REP, steps: int = WALK_LEN) -> ray.data.Dataset:
+    """DeepWalk-style corpus generation: one walk per PAGE over the
+    host graph (start host = page_id % NH), ``steps`` deterministic
+    transitions — at node h on step t the walk takes out-edge index
+    ``((page_id % 1000003)*31 + (h+1)*2654435761 + t*40503) % outdeg(h)``
+    over the dst-sorted adjacency.  Hash-indexed instead of RNG so the
+    walk corpus is a pure function of the graph (resumable, and the
+    unrolled-SQL oracle replays it edge-for-edge via the identical
+    expression on ``row_number``-indexed adjacency).  Dead-end nodes
+    terminate the walk (rows simply stop, like the SQL inner join).
+
+    Ray shape: the page stream never shuffles — the dst-sorted CSR
+    adjacency (|edges| ints) broadcasts once via ``ray.put`` and every
+    batch advances all its walks with ``steps`` vectorized gathers.
+    At web scale the CSR is the same object the kNN index already
+    broadcasts; past broadcastable (|edges| ~ 1e9+) each step becomes
+    a bucketed join keyed by current host, same oracle.
+
+    Output: (page_id, step, host) — the token stream a skip-gram
+    embedding trainer consumes."""
+    import ray
+
+    small = host_edges(sf_dir, rep).to_pandas()  # |hosts|^2-bounded
+    ed = small[["src_id", "dst_id"]].drop_duplicates().sort_values(
+        ["src_id", "dst_id"]
+    )
+    src = ed["src_id"].to_numpy(np.int64)
+    dst = ed["dst_id"].to_numpy(np.int64)
+    deg = np.bincount(src, minlength=NH).astype(np.int64)
+    off = np.zeros(NH, dtype=np.int64)
+    off[1:] = np.cumsum(deg)[:-1]
+    csr_ref = ray.put((off, deg, dst))
+
+    def walk(t: pa.Table) -> pa.Table:
+        o, dg, fl = ray.get(csr_ref)
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pid % NH
+        out_pid = [pid]
+        out_step = [np.zeros(len(pid), dtype=np.int64)]
+        out_h = [h]
+        alive = np.ones(len(pid), dtype=bool)
+        cur = h.copy()
+        for st in range(steps):
+            alive = alive & (dg[cur] > 0)
+            if not alive.any():
+                break
+            pa_, ha = pid[alive], cur[alive]
+            r = ((pa_ % _WALK_PMOD) * 31 + (ha + 1) * _WALK_A + st * _WALK_B) % dg[ha]
+            nxt = fl[o[ha] + r]
+            cur = cur.copy()
+            cur[alive] = nxt
+            out_pid.append(pa_)
+            out_step.append(np.full(len(pa_), st + 1, dtype=np.int64))
+            out_h.append(nxt)
+        hid = np.concatenate(out_h)
+        return pa.table(
+            {
+                "page_id": pa.array(np.concatenate(out_pid)),
+                "step": pa.array(np.concatenate(out_step)),
+                "host": pc.binary_join_element_wise(
+                    "h", pc.cast(pa.array(hid), pa.string()), ".example", ""
+                ),
+            }
+        )
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+    return ds.map_batches(walk, batch_format="pyarrow")
+
+
+def random_walks_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
+    ctes = [
+        f"e as ({_edges_sql(rep)})",
+        "ed as (select distinct src_id, dst_id from e)",
+        "adj as (select src_id, dst_id, "
+        "row_number() over (partition by src_id order by dst_id) - 1 as idx, "
+        "count(*) over (partition by src_id) as deg from ed)",
+        f"pg as (select distinct page_id from ({pages_cte(rep)}))",
+        f"w0 as (select page_id, cast(page_id % {NH} as bigint) as h from pg)",
+    ]
+    for t in range(steps):
+        ctes.append(
+            f"w{t + 1} as (select w.page_id, a.dst_id as h "
+            f"from w{t} w join adj a on a.src_id = w.h and a.idx = "
+            f"((w.page_id % {_WALK_PMOD}) * 31 + (w.h + 1) * {_WALK_A} "
+            f"+ {t} * {_WALK_B}) % a.deg)"
+        )
+    sel = " union all ".join(
+        f"select page_id, cast({t} as bigint) as step, h from w{t}"
+        for t in range(steps + 1)
+    )
+    return (
+        "with " + ", ".join(ctes) + " "
+        f"select page_id, step, ('h' || cast(h as varchar) || '.example') as host "
+        f"from ({sel})"
+    )

@@ -329,6 +329,11 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_scc"]
             ).host_scc(SF_DIR)
         ),
+        "random_walks": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["random_walks"]
+            ).random_walks(SF_DIR)
+        ),
         "host_jaccard": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_jaccard"]

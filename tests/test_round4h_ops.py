@@ -501,3 +501,42 @@ def test_host_scc_matches_tarjan(sf_dir):
     gm = {r.host: (r.scc_id, r.scc_size) for r in got.itertuples()}
     assert gm == want
     assert len(sizes) > 1, "strong-edge sparsification must split the graph"
+
+
+def test_random_walks_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    ed = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+        .sort_values(["src_id", "dst_id"])
+    )
+    adj = {}
+    for _, r in ed.iterrows():
+        adj.setdefault(int(r["src_id"]), []).append(int(r["dst_id"]))
+
+    got = linkgraph.random_walks(sf_dir).to_pandas()
+    walks = {
+        pid: dict(zip(g["step"], g["host"]))
+        for pid, g in got.groupby("page_id")
+    }
+    import random
+
+    pids = sorted(walks)
+    sample = random.Random(7).sample(pids, min(200, len(pids)))
+    for pid in sample:
+        h = pid % linkgraph.NH
+        want = {0: f"h{h}.example"}
+        for t in range(linkgraph.WALK_LEN):
+            nbrs = adj.get(h)
+            if not nbrs:
+                break
+            r = (
+                (pid % linkgraph._WALK_PMOD) * 31
+                + (h + 1) * linkgraph._WALK_A
+                + t * linkgraph._WALK_B
+            ) % len(nbrs)
+            h = nbrs[r]
+            want[t + 1] = f"h{h}.example"
+        assert walks[pid] == want, pid
