@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic DeepWalk corpus: hash-indexed walks per page
         "random_walks": linkgraph.random_walks,
         "regex_tokens": text.regex_tokens,
+        # vowel-run syllable proxy: words/syllables/polysyllable share
+        "readability": text.readability,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
         "weighted_sample": text.weighted_sample,
@@ -665,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "host_scc": linkgraph.host_scc_sql(),
         "random_walks": linkgraph.random_walks_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
+        "readability": text.READABILITY_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),
         "editdist_pairs": text.EDITDIST_PAIRS_SQL,

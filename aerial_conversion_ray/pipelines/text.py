@@ -6723,3 +6723,91 @@ select doc_id, cast(count(*) as bigint) as n_matches,
        cast(min(p) as bigint) as first_pos
 from adj group by doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Readability: vowel-run syllable proxy, integer fixed-point
+# --------------------------------------------------------------------------
+
+_VOWEL_LUT = np.zeros(256, dtype=bool)
+_VOWEL_LUT[[ord(c) for c in "aeiouAEIOU"]] = True
+
+
+def readability(sf_dir: str) -> ray.data.Dataset:
+    """Per-document readability profile with the standard vowel-run
+    syllable proxy (each maximal ``[aeiou]+`` run = one syllable —
+    the heuristic behind Flesch/SMOG implementations): total words,
+    total syllables, hard words (>= 3 syllables), and two integer
+    fixed-point ratios — syllables per 100 words (e3) and the
+    polysyllable share (e6, the SMOG/Gunning-fog complexity core).
+
+    One zero-shuffle ``map_batches`` pass; the kernel runs on the raw
+    Arrow string buffer (no per-row Python, no token explode): vowel
+    runs are rising edges of a 256-entry LUT mask, and each run is
+    assigned to its word by the exact integer identity
+    ``word_key = spaces_before(p) + doc_index(p)`` (each doc opens one
+    virtual boundary, so keys are globally contiguous) — one bincount
+    each for syllables/doc, runs/word, hard-words/doc.  All outputs
+    int64; the DuckDB oracle recomputes via
+    ``regexp_extract_all(w, '[aeiou]+')`` per unnested word."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        buf, offs = _string_buffer(t["text"])
+        ndocs = len(t)
+        lens = np.diff(offs)
+        doc_of_pos = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        is_v = _VOWEL_LUT[buf]
+        is_sp = buf == 0x20
+        prev = np.empty_like(is_v)
+        if len(buf):
+            prev[0] = False
+            prev[1:] = is_v[:-1]
+            starts = offs[:-1][lens > 0]
+            prev[starts] = False
+        run_start = is_v & ~prev
+        syll = np.bincount(doc_of_pos[run_start], minlength=ndocs).astype(np.int64)
+
+        spaces_per_doc = np.bincount(
+            doc_of_pos[is_sp], minlength=ndocs
+        ).astype(np.int64)
+        words = spaces_per_doc + 1
+        total_words = int(words.sum())
+        sp_exc = np.zeros(len(buf), dtype=np.int64)
+        if len(buf) > 1:
+            sp_exc[1:] = np.cumsum(is_sp[:-1])
+        word_key = sp_exc + doc_of_pos
+        runs_per_word = np.bincount(
+            word_key[run_start], minlength=total_words
+        )
+        doc_of_word = np.repeat(np.arange(ndocs, dtype=np.int64), words)
+        hard = np.bincount(
+            doc_of_word[runs_per_word >= 3], minlength=ndocs
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "words": pa.array(words),
+                "syll": pa.array(syll),
+                "hard": pa.array(hard),
+                "syll_per_100w_e3": pa.array(syll * 100_000 // words),
+                "pct_hard_e6": pa.array(hard * 1_000_000 // words),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+READABILITY_SQL = """
+with w as (select doc_id, unnest(string_split(text, ' ')) as w from documents),
+per as (select doc_id,
+        count(*) as words,
+        sum(len(regexp_extract_all(w, '[aeiou]+'))) as syll,
+        count(*) filter (len(regexp_extract_all(w, '[aeiou]+')) >= 3) as hard
+        from w group by doc_id)
+select doc_id, cast(words as bigint) as words, cast(syll as bigint) as syll,
+       cast(hard as bigint) as hard,
+       cast(syll as bigint) * 100000 // words as syll_per_100w_e3,
+       cast(hard as bigint) * 1000000 // words as pct_hard_e6
+from per
+"""

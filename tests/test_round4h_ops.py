@@ -540,3 +540,24 @@ def test_random_walks_matches_brute(sf_dir):
             h = nbrs[r]
             want[t + 1] = f"h{h}.example"
         assert walks[pid] == want, pid
+
+
+def test_readability_matches_regex_reference(sf_dir):
+    import re
+
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    got = text_mod.readability(sf_dir).to_pandas().set_index("doc_id")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    vr = re.compile(r"[aeiou]+")
+    for _, r in docs.sample(n=min(60, len(docs)), random_state=3).iterrows():
+        ws = r["text"].split(" ")
+        syll = sum(len(vr.findall(w)) for w in ws)
+        hard = sum(1 for w in ws if len(vr.findall(w)) >= 3)
+        row = got.loc[r["doc_id"]]
+        assert row["words"] == len(ws)
+        assert row["syll"] == syll
+        assert row["hard"] == hard
+        assert row["syll_per_100w_e3"] == syll * 100_000 // len(ws)
+        assert row["pct_hard_e6"] == hard * 1_000_000 // len(ws)
