@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_tokens": text.regex_tokens,
         # vowel-run syllable proxy: words/syllables/polysyllable share
         "readability": text.readability,
+        # TextRank keyword scores: bucketed PageRank over the token graph
+        "textrank": text.textrank,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
         "weighted_sample": text.weighted_sample,
@@ -668,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": linkgraph.random_walks_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,
+        "textrank": text.textrank_sql(),
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),
         "editdist_pairs": text.EDITDIST_PAIRS_SQL,

@@ -6811,3 +6811,203 @@ select doc_id, cast(words as bigint) as words, cast(syll as bigint) as syll,
        cast(hard as bigint) * 1000000 // words as pct_hard_e6
 from per
 """
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword scores: PageRank over the token co-occurrence graph
+# --------------------------------------------------------------------------
+
+TR_SCALE = 10**9
+TR_ITERS = 4
+
+
+def textrank(sf_dir: str, iters: int = TR_ITERS) -> ray.data.Dataset:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    the UNDIRECTED adjacent-token co-occurrence graph, weighted by
+    adjacency count, self-loops dropped —
+    ``S'(v) = 0.15 + 0.85 * sum_u S(u) * w_uv / wdeg(u)`` in int64
+    fixed-point (scale 1e9, integer ``//`` at every step, exactly the
+    arithmetic the unrolled-CTE oracle replays).
+
+    The scaling class this adds next to ``pagerank_hosts``: the node
+    set is the VOCABULARY, so nothing broadcasts — the rank vector is
+    itself a Dataset, and each iteration is two coarse-bucket
+    exchanges (the BASELINE anti-vocabulary-groupby discipline):
+    tagged-union join of ranks into edges by hash(u) bucket, then a
+    contribution fold by hash(v) bucket.  Edge weights and out-mass
+    denominators are attached ONCE at graph build; iterations move
+    only (token, int64) pairs.  Overflow is guarded loudly (the
+    bm25_query lesson: silent int64 wrap is a wrong answer, not a
+    crash)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        total = len(flat)
+        lead = np.ones(total, dtype=bool)
+        offs = np.concatenate([[0], np.cumsum(n_tok)])
+        lead[offs[1:] - 1] = False
+        sel = np.nonzero(lead[: total - 1])[0]
+        a = flat.take(pa.array(sel)).to_pandas()
+        b = flat.take(pa.array(sel + 1)).to_pandas()
+        # undirected: count each adjacency in both directions
+        df = pd.DataFrame(
+            {"u": pd.concat([a, b], ignore_index=True),
+             "v": pd.concat([b, a], ignore_index=True)}
+        )
+        df = df[df["u"] != df["v"]]
+        g = df.groupby(["u", "v"], sort=False, as_index=False).size()
+        h = _hash_arrow_strings(pa.array(g["u"], pa.string()))
+        return pa.table(
+            {
+                "u": pa.array(g["u"], pa.string()),
+                "v": pa.array(g["v"], pa.string()),
+                "cnt": pa.array(g["size"].to_numpy(np.int64)),
+                "bucket": pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    def edge_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], sort=False, as_index=False)["cnt"].sum()
+        wdeg = g.groupby("u", sort=False)["cnt"].transform("sum")
+        return pd.DataFrame(
+            {
+                "u": g["u"],
+                "v": g["v"],
+                "cnt": g["cnt"].to_numpy(np.int64),
+                "wdeg": wdeg.to_numpy(np.int64),
+                "r": np.zeros(len(g), np.int64),
+                "tag": np.zeros(len(g), np.int64),
+            }
+        )
+
+    edges = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(edge_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_init(t: pa.Table) -> pa.Table:
+        u = t["u"]
+        df = pd.DataFrame({"u": u.to_pandas()}).drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(df["u"], pa.string()),
+                "v": pa.array(np.full(len(df), "", dtype=object), pa.string()),
+                "cnt": pa.array(np.zeros(len(df), np.int64)),
+                "wdeg": pa.array(np.zeros(len(df), np.int64)),
+                "r": pa.array(np.full(len(df), TR_SCALE, dtype=np.int64)),
+                "tag": pa.array(np.ones(len(df), np.int64)),
+            }
+        )
+
+    # distinct graph nodes with S_0 = SCALE (vocab-scale: a Dataset,
+    # deduped exactly by one coarse-bucket fold over the edge blocks)
+    def node_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["u"]).drop(columns=["bucket"])
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        h = _hash_arrow_strings(t["u"])
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
+        )
+
+    ranks = (
+        edges.map_batches(node_init, batch_format="pyarrow")
+        .map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(node_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    base = (15 * TR_SCALE) // 100
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df[df["tag"] == 0]
+        rk = df[df["tag"] == 1][["u", "r"]].rename(columns={"r": "ru"})
+        m = ed.merge(rk, on="u")
+        ru = m["ru"].to_numpy(np.int64)
+        cnt = m["cnt"].to_numpy(np.int64)
+        if len(ru) and ru.max() > 0 and cnt.max() > (1 << 62) // max(int(ru.max()), 1):
+            raise OverflowError("textrank contribution product exceeds int64")
+        c = ru * cnt // m["wdeg"].to_numpy(np.int64)
+        out = pd.DataFrame({"v": m["v"], "c": c})
+        return out.groupby("v", sort=False, as_index=False)["c"].sum()
+
+    def rank_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", sort=False, as_index=False)["c"].sum()
+        return pd.DataFrame(
+            {
+                "u": g["v"],
+                "v": np.full(len(g), "", dtype=object),
+                "cnt": np.zeros(len(g), np.int64),
+                "wdeg": np.zeros(len(g), np.int64),
+                "r": base + 85 * g["c"].to_numpy(np.int64) // 100,
+                "tag": np.ones(len(g), np.int64),
+            }
+        )
+
+    for _ in range(iters):
+        contribs = (
+            edges.union(ranks)
+            .map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(contrib, batch_format="pandas")
+        )
+
+        def cb(t: pa.Table) -> pa.Table:
+            h = _hash_arrow_strings(t["v"])
+            return t.append_column(
+                "bucket", pa.array((h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
+            )
+
+        ranks = (
+            contribs.map_batches(cb, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(rank_fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def out(t: pa.Table) -> pa.Table:
+        m = t["tag"].to_numpy(zero_copy_only=False) == 1
+        return pa.table(
+            {
+                "token": pc.array_filter(t["u"], pa.array(m)),
+                "rank_e9": pc.array_filter(t["r"], pa.array(m)),
+            }
+        )
+
+    return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def textrank_sql(iters: int = TR_ITERS) -> str:
+    base = (15 * TR_SCALE) // 100
+    ctes = [
+        "t as (select string_split(text, ' ') as l from documents)",
+        "bg as (select l[i] as a, l[i + 1] as b "
+        "from t, unnest(generate_series(1, len(l) - 1)) u(i) where l[i] <> l[i + 1])",
+        "ed as (select u, v, cast(count(*) as bigint) as cnt from "
+        "(select a as u, b as v from bg union all select b, a from bg) "
+        "group by u, v)",
+        "wd as (select u, sum(cnt) as wdeg from ed group by u)",
+        f"r0 as (select u, cast({TR_SCALE} as bigint) as r from wd)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"r{k + 1} as (select ed.v as u, "
+            f"cast({base} + 85 * sum((r{k}.r * ed.cnt) // wd.wdeg) // 100 "
+            "as bigint) as r "
+            f"from r{k} join ed on ed.u = r{k}.u join wd on wd.u = r{k}.u "
+            "group by ed.v)"
+        )
+    return (
+        "with " + ", ".join(ctes)
+        + f" select u as token, r as rank_e9 from r{iters}"
+    )

@@ -283,6 +283,7 @@ def run_benchmarks() -> dict:
         "minhash_lsh": lambda: _consume(text.minhash_lsh_pairs(SF_DIR)),
         "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
         "readability": lambda: _consume(text.readability(SF_DIR)),
+        "textrank": lambda: _consume(text.textrank(SF_DIR)),
         "ann_brute": lambda: _consume(embeddings.ann_brute(SF_DIR)),
         "ann_pq": lambda: _consume(embeddings.ann_pq(SF_DIR)),
         "html_extract": lambda: _consume(

@@ -561,3 +561,32 @@ def test_readability_matches_regex_reference(sf_dir):
         assert row["hard"] == hard
         assert row["syll_per_100w_e3"] == syll * 100_000 // len(ws)
         assert row["pct_hard_e6"] == hard * 1_000_000 // len(ws)
+
+
+def test_textrank_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"]).to_pandas()
+    cnt = collections.Counter()
+    for txt in docs["text"]:
+        ws = txt.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                cnt[(a, b)] += 1
+                cnt[(b, a)] += 1
+    wdeg = collections.Counter()
+    for (u, _v), c in cnt.items():
+        wdeg[u] += c
+    r = {u: text_mod.TR_SCALE for u in wdeg}
+    base = (15 * text_mod.TR_SCALE) // 100
+    for _ in range(text_mod.TR_ITERS):
+        acc = collections.Counter()
+        for (u, v), c in cnt.items():
+            acc[v] += r[u] * c // wdeg[u]
+        r = {v: base + 85 * s // 100 for v, s in acc.items()}
+    got = text_mod.textrank(sf_dir).to_pandas()
+    gm = dict(zip(got["token"], got["rank_e9"]))
+    assert gm == r
