@@ -343,6 +343,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # deterministic DeepWalk corpus: hash-indexed walks per page
         "random_walks": linkgraph.random_walks,
+        # Luby maximal independent set, deterministic priorities
+        "host_mis": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_mis(sf)
+        ),
+        # max-bottleneck (widest) paths from the seed host
+        "host_widest_path": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_widest_path(sf)
+        ),
         "regex_tokens": text.regex_tokens,
         # vowel-run syllable proxy: words/syllables/polysyllable share
         "readability": text.readability,
@@ -668,6 +676,8 @@ def oracle_sql() -> dict[str, str]:
         "host_closeness": linkgraph.host_closeness_sql(),
         "host_scc": linkgraph.host_scc_sql(),
         "random_walks": linkgraph.random_walks_sql(),
+        "host_mis": linkgraph.host_mis_sql(),
+        "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,
         "textrank": text.textrank_sql(),

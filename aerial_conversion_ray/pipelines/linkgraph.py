@@ -1543,3 +1543,235 @@ def random_walks_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
         f"select page_id, step, ('h' || cast(h as varchar) || '.example') as host "
         f"from ({sel})"
     )
+
+
+# --------------------------------------------------------------------------
+# Luby's maximal independent set (deterministic hash priorities)
+# --------------------------------------------------------------------------
+
+MIS_C = 2654435761
+MIS_M = 999983
+MIS_MAX_ROUNDS = 8
+
+
+def host_mis(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Maximal independent set over the undirected host graph by
+    Luby's algorithm with DETERMINISTIC priorities
+    ``p(v) = (v * 2654435761) % 999983`` instead of RNG (asserted
+    collision-free on the node set, so the tie rule never fires and
+    the unrolled-CTE oracle replays the exact same rounds): each
+    round selects every alive node whose priority beats all alive
+    neighbours, adds it to the MIS, and removes it plus its
+    neighbours.  O(log n) rounds w.h.p.; hard-capped at
+    {MIS_MAX_ROUNDS} (loud failure past the cap, matching the
+    oracle's unroll depth).
+
+    The conflict-free-selection primitive behind parallel greedy
+    scheduling (e.g. picking a non-overlapping tile-work set).  Ray
+    shape: rounds over the broadcast alive/priority vector exactly
+    like ``host_bfs`` — per-batch partial min-neighbour-priority
+    folds; node count beyond broadcast turns each round into one
+    bucketed min-fold keyed by the edge's low endpoint.
+
+    Runs on the STRONG-EDGE subgraph (the :func:`host_scc` 0.6x-mean
+    weight floor) with the hot host removed first (the
+    ``lpa_communities`` hub preprocessing): the hub is adjacent to
+    every host and holds the minimum priority, so on the raw graph it
+    wins round 0 and the MIS degenerates to a single node.
+
+    Output: (host, mis_round) for MIS members."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()
+    thr = int(small["cnt"].sum()) * SCC_THR_PCT // (len(small) * 100)
+
+    def prune(t: pa.Table, v: int = thr) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["cnt"], v),
+                pc.not_equal(t["src_id"], _HOT_DST),
+            ),
+            pc.not_equal(t["dst_id"], _HOT_DST),
+        )
+        return t.filter(keep)
+
+    edges = edges.map_batches(prune, batch_format="pyarrow").materialize()
+    small = small[
+        (small["cnt"] >= thr)
+        & (small["src_id"] != _HOT_DST)
+        & (small["dst_id"] != _HOT_DST)
+    ]
+    hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
+    n = len(hosts)
+    pri = (hosts.astype(np.int64) * MIS_C) % MIS_M
+    assert len(np.unique(pri)) == n, "host_mis: priority collision"
+    hosts_ref = ray.put(hosts)
+
+    alive = np.ones(n, dtype=bool)
+    mis_round = np.full(n, -1, dtype=np.int64)
+    BIG = np.int64(1) << np.int64(40)
+
+    def min_nbr_pri(t: pa.Table, a_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        av = ray.get(a_ref)
+        p = (hs.astype(np.int64) * MIS_C) % MIS_M
+        s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
+        # undirected: fold each direction; self-loops never constrain
+        acc = np.full(len(hs), BIG, dtype=np.int64)
+        for x, y in ((s, d), (d, s)):
+            ok = av[x] & av[y] & (x != y)
+            np.minimum.at(acc, x[ok], p[y[ok]])
+        return pa.table({f"p{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+
+    for rnd in range(MIS_MAX_ROUNDS + 1):
+        if not alive.any():
+            break
+        if rnd == MIS_MAX_ROUNDS:
+            raise RuntimeError("host_mis: exceeded unroll depth")
+        a_ref = ray.put(alive)
+        parts = edges.map_batches(
+            lambda t, ar=a_ref: min_nbr_pri(t, ar), batch_format="pyarrow"
+        )
+        mn = np.full(n, BIG, dtype=np.int64)
+        for row in parts.take_all():
+            mn = np.minimum(
+                mn, np.array([row[f"p{i}"] for i in range(n)], dtype=np.int64)
+            )
+        cand = alive & (pri < mn)
+        mis_round[cand] = rnd
+        # drop candidates and their alive neighbours
+        small_s = np.searchsorted(hosts, small["src_id"].values)
+        small_d = np.searchsorted(hosts, small["dst_id"].values)
+        kill = cand.copy()
+        for x, y in ((small_s, small_d), (small_d, small_s)):
+            sel = cand[x] & (x != y)
+            kill[y[sel]] = True
+        alive &= ~kill
+
+    keep = mis_round >= 0
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts[keep]), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "mis_round": pa.array(mis_round[keep])})
+
+
+def host_mis_sql(rep: int = LG_REP, rounds: int = MIS_MAX_ROUNDS) -> str:
+    ctes = [
+        f"e0 as materialized ({_edges_sql(rep)})",
+        f"thr as (select cast(sum(cnt) as bigint) * {SCC_THR_PCT} "
+        "// (count(*) * 100) as t from e0)",
+        "e as materialized (select * from e0 "
+        "where cnt >= (select t from thr) "
+        f"and src_id <> {_HOT_DST} and dst_id <> {_HOT_DST})",
+        "edu as materialized (select src_id as v1, dst_id as v2 from e "
+        "where src_id <> dst_id "
+        "union select dst_id, src_id from e where src_id <> dst_id)",
+        "alive0 as (select distinct hid as v from "
+        "(select src_id as hid from e union all select dst_id from e))",
+    ]
+    sels = []
+    for k in range(rounds):
+        ctes.append(
+            f"cand{k} as materialized (select a.v from alive{k} a "
+            "where not exists ("
+            f"select 1 from edu join alive{k} b on b.v = edu.v2 "
+            f"where edu.v1 = a.v and (b.v * {MIS_C}) % {MIS_M} < "
+            f"(a.v * {MIS_C}) % {MIS_M}))"
+        )
+        ctes.append(
+            f"alive{k + 1} as materialized (select v from alive{k} where "
+            f"v not in (select v from cand{k}) and v not in "
+            f"(select edu.v2 from edu join cand{k} c on c.v = edu.v1))"
+        )
+        sels.append(
+            f"select v, cast({k} as bigint) as mis_round from cand{k}"
+        )
+    return (
+        "with " + ", ".join(ctes) + " "
+        "select ('h' || cast(v as varchar) || '.example') as host, mis_round "
+        "from (" + " union all ".join(sels) + ")"
+    )
+
+
+# --------------------------------------------------------------------------
+# Widest (max-bottleneck) paths from the seed host
+# --------------------------------------------------------------------------
+
+WP_HOPS = NH          # diameter bound: relaxation is exact at n rounds
+_WP_INF = np.int64(1) << np.int64(40)
+
+
+def host_widest_path(
+    sf_dir: str, rep: int = LG_REP, src: int = SP_SRC, hops: int = WP_HOPS
+) -> "pa.Table":
+    """Max-bottleneck path width from the seed host: maximize over
+    paths the MINIMUM edge weight (link count) along the path — the
+    bandwidth/trust-propagation dual of :func:`host_shortest_path`.
+    Unlike hop-weighted costs, the optimum may ride LONG
+    high-capacity chains (measured 31 edges on this corpus), so the
+    relaxation runs to the true fixpoint: ``hops`` defaults to the
+    node count, which provably covers every simple path, and the
+    loop exits early at convergence (same broadcast-vector Ray
+    shape).  All int64; the oracle unrolls n materialized
+    greatest/least CTE rounds.  Seed excluded from the output (its
+    width is the INF sentinel)."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+    width = np.zeros(NH, dtype=np.int64)
+    width[src] = _WP_INF
+
+    def relax(t: pa.Table, w_ref) -> pa.Table:
+        wv = ray.get(w_ref)
+        s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(NH, dtype=np.int64)
+        np.maximum.at(acc, d, np.minimum(wv[s], c))
+        return pa.table({f"w{i}": pa.array(acc[i : i + 1]) for i in range(NH)})
+
+    for _ in range(hops):
+        w_ref = ray.put(width)
+        parts = edges.map_batches(
+            lambda t, wr=w_ref: relax(t, wr), batch_format="pyarrow"
+        )
+        cand = np.zeros(NH, dtype=np.int64)
+        for row in parts.take_all():
+            cand = np.maximum(
+                cand, np.array([row[f"w{i}"] for i in range(NH)], dtype=np.int64)
+            )
+        new = np.maximum(width, cand)
+        if (new == width).all():
+            break
+        width = new
+
+    keep = (width > 0) & (np.arange(NH) != src)
+    ids = np.nonzero(keep)[0].astype(np.int64)
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(ids), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "width": pa.array(width[keep])})
+
+
+def host_widest_path_sql(
+    rep: int = LG_REP, src: int = SP_SRC, hops: int = WP_HOPS
+) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        f"d0(hid, c) as (values ({src}, cast({1 << 40} as bigint)))",
+    ]
+    for k in range(hops):
+        ctes.append(
+            f"d{k + 1} as materialized (select hid, max(c) as c from ("
+            f"select hid, c from d{k} "
+            "union all "
+            f"select e.dst_id as hid, least(d{k}.c, e.cnt) as c "
+            f"from d{k} join e on e.src_id = d{k}.hid) group by hid)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"cast(c as bigint) as width from d{hops} where hid <> {src}"
+    )

@@ -336,6 +336,17 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["random_walks"]
             ).random_walks(SF_DIR)
         ),
+        "host_mis": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_mis"]
+            ).host_mis(SF_DIR)
+        ),
+        "host_widest_path": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_widest_path"],
+            ).host_widest_path(SF_DIR)
+        ),
         "host_jaccard": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_jaccard"]

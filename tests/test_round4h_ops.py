@@ -590,3 +590,80 @@ def test_textrank_matches_brute(sf_dir):
     got = text_mod.textrank(sf_dir).to_pandas()
     gm = dict(zip(got["token"], got["rank_e9"]))
     assert gm == r
+
+
+def test_host_mis_is_maximal_independent(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    thr = int(edges["cnt"].sum()) * linkgraph.SCC_THR_PCT // (len(edges) * 100)
+    e = edges[
+        (edges["cnt"] >= thr)
+        & (edges["src_id"] != linkgraph._HOT_DST)
+        & (edges["dst_id"] != linkgraph._HOT_DST)
+    ]
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for _, r in e.iterrows():
+        u, v = int(r["src_id"]), int(r["dst_id"])
+        nodes.update((u, v))
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    got = linkgraph.host_mis(sf_dir).to_pandas()
+    mis = {int(h[1:].split(".")[0]) for h in got["host"]}
+    # independent
+    for u in mis:
+        assert not (adj[u] & mis), u
+    # maximal: every non-member has a member neighbour
+    for v in nodes - mis:
+        assert adj[v] & mis, v
+    # round parity with a brute Luby replay
+    pri = {v: (v * linkgraph.MIS_C) % linkgraph.MIS_M for v in nodes}
+    alive, rounds, rnd = set(nodes), {}, 0
+    while alive:
+        cand = {
+            v for v in alive if all(pri[v] < pri[u] for u in adj[v] if u in alive)
+        }
+        for v in cand:
+            rounds[v] = rnd
+        rem = set(cand)
+        for v in cand:
+            rem |= adj[v] & alive
+        alive -= rem
+        rnd += 1
+    want = {f"h{v}.example": r for v, r in rounds.items()}
+    assert dict(zip(got["host"], got["mis_round"])) == want
+
+
+def test_host_widest_path_matches_brute(sf_dir):
+    import heapq
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    adj = {}
+    for _, r in edges.iterrows():
+        adj.setdefault(int(r["src_id"]), []).append(
+            (int(r["dst_id"]), int(r["cnt"]))
+        )
+    INF = 1 << 40
+    width = {linkgraph.SP_SRC: INF}
+    pq = [(-INF, linkgraph.SP_SRC)]
+    while pq:
+        w, u = heapq.heappop(pq)
+        w = -w
+        if w < width.get(u, 0):
+            continue
+        for v, c in adj.get(u, []):
+            nw = min(w, c)
+            if nw > width.get(v, 0):
+                width[v] = nw
+                heapq.heappush(pq, (-nw, v))
+    want = {
+        f"h{v}.example": w for v, w in width.items() if v != linkgraph.SP_SRC
+    }
+    got = linkgraph.host_widest_path(sf_dir).to_pandas()
+    assert dict(zip(got["host"], got["width"])) == want
