@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_mis": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_mis(sf)
         ),
+        # maximum spanning backbone (Boruvka, broadcast-fold rounds)
+        "host_backbone": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_backbone(sf)
+        ),
         # max-bottleneck (widest) paths from the seed host
         "host_widest_path": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_widest_path(sf)
@@ -677,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "host_scc": linkgraph.host_scc_sql(),
         "random_walks": linkgraph.random_walks_sql(),
         "host_mis": linkgraph.host_mis_sql(),
+        "host_backbone": linkgraph.host_backbone_sql(),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,

@@ -1775,3 +1775,190 @@ def host_widest_path_sql(
         "select ('h' || cast(hid as varchar) || '.example') as host, "
         f"cast(c as bigint) as width from d{hops} where hid <> {src}"
     )
+
+
+# --------------------------------------------------------------------------
+# Maximum spanning backbone (Boruvka over the undirected host graph)
+# --------------------------------------------------------------------------
+
+MST_ROUNDS = 6          # ceil(log2 NH): Boruvka halves components per round
+
+
+def host_backbone(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """MAXIMUM spanning tree of the undirected weighted host graph —
+    the strongest-link crawl backbone (the n-1 edges that connect
+    every host with the greatest total link weight; unique because
+    the comparison key totally orders edges).  Boruvka: each round
+    every component selects its best incident boundary edge (max
+    ``key = w * 4096 + min_id * 64 + max_id`` — weight first, then
+    the unordered pair as the deterministic tie-break, identical in
+    the oracle), selected edges merge components, components at least
+    halve, so {MST_ROUNDS} rounds suffice for <= 64 hosts.
+
+    Ray shape (the broadcast-fold law of ``host_bfs``): the
+    undirected edge Dataset streams; each round broadcasts the
+    component-label vector and every batch returns ONE per-component
+    argmax-key partial vector (argmax is a plain ``max`` because the
+    key ENCODES the edge); the driver max-folds the few block rows
+    and relabels via union-find over the |hosts| array.  Loud int64
+    guard: the key packing requires w < 2^40.
+
+    Output: (host_a, host_b, w) — the backbone edges, a < b."""
+    import ray
+
+    edges = host_edges(sf_dir, rep).materialize()
+
+    def und_partial(t: pa.Table) -> pa.Table:
+        s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        df = pd.DataFrame({"a": a, "b": b, "w": c[keep]})
+        g = df.groupby(["a", "b"], as_index=False)["w"].sum()
+        return pa.table(
+            {
+                "a": pa.array(g["a"].to_numpy(np.int64)),
+                "b": pa.array(g["b"].to_numpy(np.int64)),
+                "w": pa.array(g["w"].to_numpy(np.int64)),
+                "bucket": pa.array(
+                    (g["a"].to_numpy(np.int64) * NH + g["b"].to_numpy(np.int64)) % 32
+                ),
+            }
+        )
+
+    def und_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False)["w"].sum()
+
+    und = (
+        edges.map_batches(und_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(und_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    small = und.to_pandas()
+    hosts = np.unique(np.concatenate([small["a"].values, small["b"].values]))
+    n = len(hosts)
+    assert small["w"].max() < (1 << 40), "host_backbone: widen the key packing"
+    comp = hosts.astype(np.int64).copy()        # label = min member id
+    hosts_ref = ray.put(hosts)
+    chosen: set[int] = set()
+
+    def best_boundary(t: pa.Table, c_ref) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        cv = ray.get(c_ref)
+        a = np.searchsorted(hs, t["a"].to_numpy(zero_copy_only=False))
+        b = np.searchsorted(hs, t["b"].to_numpy(zero_copy_only=False))
+        av = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = w * 4096 + av * 64 + bv
+        acc = np.full(len(hs), -1, dtype=np.int64)
+        bnd = cv[a] != cv[b]
+        for x in (a, b):
+            sel = bnd
+            np.maximum.at(acc, x[sel], key[sel])
+        return pa.table({f"k{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+
+    for _ in range(MST_ROUNDS):
+        c_ref = ray.put(comp)
+        parts = und.map_batches(
+            lambda t, cr=c_ref: best_boundary(t, cr), batch_format="pyarrow"
+        )
+        acc = np.full(n, -1, dtype=np.int64)
+        for row in parts.take_all():
+            acc = np.maximum(
+                acc, np.array([row[f"k{i}"] for i in range(n)], dtype=np.int64)
+            )
+        # per-COMPONENT best = max over its members' per-node partials
+        best: dict[int, int] = {}
+        for i in range(n):
+            if acc[i] < 0:
+                continue
+            lbl = int(comp[i])
+            if acc[i] > best.get(lbl, -1):
+                best[lbl] = int(acc[i])
+        if not best:
+            break
+        chosen.update(best.values())
+        # relabel: min label reachable over chosen edges (union-find)
+        parent = {int(h): int(c) for h, c in zip(hosts, comp)}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for k in chosen:
+            u, v = (k % 4096) // 64, k % 64
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                lo, hi = min(ru, rv), max(ru, rv)
+                parent[hi] = lo
+        comp = np.array([find(int(h)) for h in hosts], dtype=np.int64)
+
+    keys = np.array(sorted(chosen), dtype=np.int64)
+    a = (keys % 4096) // 64
+    b = keys % 64
+    return pa.table(
+        {
+            "host_a": pc.binary_join_element_wise(
+                "h", pc.cast(pa.array(a), pa.string()), ".example", ""
+            ),
+            "host_b": pc.binary_join_element_wise(
+                "h", pc.cast(pa.array(b), pa.string()), ".example", ""
+            ),
+            "w": pa.array(keys // 4096),
+        }
+    )
+
+
+def host_backbone_sql(rep: int = LG_REP, rounds: int = MST_ROUNDS) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "und as materialized (select least(src_id, dst_id) as a, "
+        "greatest(src_id, dst_id) as b, cast(sum(cnt) as bigint) as w "
+        "from e where src_id <> dst_id group by 1, 2)",
+        "ed2 as materialized (select a as x, b as y, w * 4096 + a * 64 + b as key "
+        "from und union all select b, a, w * 4096 + a * 64 + b from und)",
+        "nodes as materialized (select distinct x as v from ed2)",
+        "comp0 as materialized (select v, v as l from nodes)",
+        "accm1(key) as (select cast(null as bigint) where false)",
+    ]
+    for k in range(rounds):
+        prev_acc = f"acc{k - 1}" if k > 0 else "accm1"
+        ctes.append(
+            f"bnd{k} as materialized (select c1.l as ca, ed2.key from ed2 "
+            f"join comp{k} c1 on c1.v = ed2.x "
+            f"join comp{k} c2 on c2.v = ed2.y where c1.l <> c2.l)"
+        )
+        # explicit distinct: a bare UNION inside a materialized CTE
+        # under WITH RECURSIVE skips dedup in DuckDB (observed), so
+        # spell the dedup out
+        ctes.append(
+            f"acc{k} as materialized (select distinct key from ("
+            f"select key from {prev_acc} union all "
+            f"select max(key) as key from bnd{k} group by ca))"
+        )
+        ctes.append(
+            f"sed{k} as materialized (select (key % 4096) // 64 as v1, "
+            f"key % 64 as v2 from acc{k} "
+            f"union all select key % 64, (key % 4096) // 64 from acc{k})"
+        )
+        ctes.append(
+            f"r{k}(v, l) as (select v, v from nodes union "
+            f"select s.v2, r.l from r{k} r join sed{k} s on s.v1 = r.v)"
+        )
+        ctes.append(
+            f"comp{k + 1} as materialized (select v, min(l) as l "
+            f"from r{k} group by v)"
+        )
+    return (
+        "with recursive " + ", ".join(ctes) + " "
+        "select ('h' || cast((key % 4096) // 64 as varchar) || '.example') as host_a, "
+        "('h' || cast(key % 64 as varchar) || '.example') as host_b, "
+        f"cast(key // 4096 as bigint) as w from acc{rounds - 1}"
+    )

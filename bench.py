@@ -336,6 +336,12 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["random_walks"]
             ).random_walks(SF_DIR)
         ),
+        "host_backbone": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_backbone"],
+            ).host_backbone(SF_DIR)
+        ),
         "host_mis": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_mis"]

@@ -667,3 +667,48 @@ def test_host_widest_path_matches_brute(sf_dir):
     }
     got = linkgraph.host_widest_path(sf_dir).to_pandas()
     assert dict(zip(got["host"], got["width"])) == want
+
+
+def test_host_backbone_matches_kruskal(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e = linkgraph.host_edges(sf_dir).to_pandas()
+    e = e[e["src_id"] != e["dst_id"]]
+    a = e[["src_id", "dst_id"]].min(axis=1)
+    b = e[["src_id", "dst_id"]].max(axis=1)
+    und = (
+        e.assign(a=a, b=b)
+        .groupby(["a", "b"], as_index=False)["cnt"]
+        .sum()
+    )
+    keys = sorted(
+        (
+            int(r["cnt"]) * 4096 + int(r["a"]) * 64 + int(r["b"])
+            for _, r in und.iterrows()
+        ),
+        reverse=True,
+    )
+    parent = list(range(64))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = set()
+    for k in keys:
+        u, v = (k % 4096) // 64, k % 64
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            mst.add(k)
+    got = linkgraph.host_backbone(sf_dir).to_pandas()
+    gk = {
+        int(r["w"]) * 4096
+        + int(r["host_a"][1:].split(".")[0]) * 64
+        + int(r["host_b"][1:].split(".")[0])
+        for _, r in got.iterrows()
+    }
+    assert gk == mst
+    assert len(gk) == 63
