@@ -360,6 +360,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": text.readability,
         # TextRank keyword scores: bucketed PageRank over the token graph
         "textrank": text.textrank,
+        # corpus hapax-legomena share per source (vocabulary-proof)
+        "hapax": text.hapax,
+        # lang x source chi-square independence audit (integer e2)
+        "chi2_lang_source": text.chi2_lang_source,
+        # Gini inequality of doc lengths per source (integer e6)
+        "length_gini": text.length_gini,
         "sample_hash": text.sample_hash,
         # length-weighted deterministic Bernoulli sample
         "weighted_sample": text.weighted_sample,
@@ -686,6 +692,9 @@ def oracle_sql() -> dict[str, str]:
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,
         "textrank": text.textrank_sql(),
+        "hapax": text.HAPAX_SQL,
+        "chi2_lang_source": text.CHI2_LANG_SOURCE_SQL,
+        "length_gini": text.LENGTH_GINI_SQL,
         "sample_hash": text.sample_hash_sql(),
         "weighted_sample": text.weighted_sample_sql(),
         "editdist_pairs": text.EDITDIST_PAIRS_SQL,

@@ -284,6 +284,9 @@ def run_benchmarks() -> dict:
         "token_stats": lambda: _consume(text.token_stats(SF_DIR)),
         "readability": lambda: _consume(text.readability(SF_DIR)),
         "textrank": lambda: _consume(text.textrank(SF_DIR)),
+        "hapax": lambda: _consume(text.hapax(SF_DIR)),
+        "chi2_lang_source": lambda: _consume(text.chi2_lang_source(SF_DIR)),
+        "length_gini": lambda: _consume(text.length_gini(SF_DIR)),
         "ann_brute": lambda: _consume(embeddings.ann_brute(SF_DIR)),
         "ann_pq": lambda: _consume(embeddings.ann_pq(SF_DIR)),
         "html_extract": lambda: _consume(

@@ -712,3 +712,59 @@ def test_host_backbone_matches_kruskal(sf_dir):
     }
     assert gk == mst
     assert len(gk) == 63
+
+
+def test_hapax_matches_counter(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"]).to_pandas()
+    cnt = collections.defaultdict(collections.Counter)
+    for _, r in docs.iterrows():
+        cnt[r["source"]].update(r["text"].split(" "))
+    got = text_mod.hapax(sf_dir).to_pandas().set_index("source")
+    assert len(got) == len(cnt)
+    for src, c in cnt.items():
+        vocab = len(c)
+        hx = sum(1 for v in c.values() if v == 1)
+        row = got.loc[src]
+        assert (row["vocab"], row["hapax"]) == (vocab, hx), src
+        assert row["hapax_rate_e6"] == hx * 1_000_000 // vocab
+
+
+def test_chi2_lang_source_matches_numpy(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"]).to_pandas()
+    piv = docs.groupby(["lang", "source"]).size().unstack(fill_value=0)
+    obs = piv.to_numpy(np.int64)
+    n = int(obs.sum())
+    rs = obs.sum(axis=1, keepdims=True)
+    cs = obs.sum(axis=0, keepdims=True)
+    d = n * obs - rs * cs
+    want = int((d * d * 100 // (n * rs * cs)).sum())
+    got = text_mod.chi2_lang_source(sf_dir).to_pandas()
+    assert got["chi2_e2"].iloc[0] == want
+    assert got["dof"].iloc[0] == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    assert got["n"].iloc[0] == n
+
+
+def test_length_gini_matches_numpy(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"]).to_pandas()
+    got = text_mod.length_gini(sf_dir).to_pandas().set_index("source")
+    for src, g in docs.groupby("source"):
+        x = np.sort(g["n_chars"].to_numpy(np.int64))
+        n, s = len(x), int(x.sum())
+        i = np.arange(1, n + 1, dtype=np.int64)
+        want = (2 * int((i * x).sum()) - (n + 1) * s) * 1_000_000 // (n * s)
+        assert got.loc[src, "gini_e6"] == want, src
