@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lift-filtered phrase mining (integer cross-multiplied PMI)
         "collocations": text.collocations,
         "lang_pivot": text.lang_pivot,
+        # UNPIVOT/melt: inverse reshape of lang_pivot
+        "lang_unpivot": text.lang_unpivot,
         # deterministic per-lang stratified sample
         "group_sample": text.group_sample,
         "dup_clusters": cluster.dup_clusters,
@@ -716,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_cube": text.LANG_CUBE_SQL,
         "collocations": text.collocations_sql(),
         "lang_pivot": text.lang_pivot_sql(),
+        "lang_unpivot": text.lang_unpivot_sql(),
         "group_sample": text.group_sample_sql(),
         "dup_clusters": cluster.dup_clusters_sql(),
         "near_dedup": cluster.near_dedup_sql(),

@@ -7225,3 +7225,39 @@ select source, cast(n as bigint) as n_docs, cast(s as bigint) as total_chars,
        cast((2 * ix - (n + 1) * s) * 1000000 // (n * s) as bigint) as gini_e6
 from per
 """
+
+
+def lang_unpivot(sf_dir: str, sources: tuple = PIVOT_SOURCES) -> ray.data.Dataset:
+    """UNPIVOT (melt) of :func:`lang_pivot` back to long form —
+    (lang, source, n_docs), one row per lang x pivot column.  The
+    inverse-reshape relational primitive; like the pivot, the reshape
+    itself touches only |lang x sources| rows, the distributed work
+    happened in the underlying fine aggregate."""
+    wide = lang_pivot(sf_dir, sources)
+
+    def melt(t: pa.Table) -> pa.Table:
+        langs, srcs, vals = [], [], []
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        for s in sources:
+            v = t[f"n_{s}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            langs.append(lang)
+            srcs.append(np.full(len(lang), s, dtype=object))
+            vals.append(v)
+        return pa.table(
+            {
+                "lang": pa.array(np.concatenate(langs), pa.string()),
+                "source": pa.array(np.concatenate(srcs), pa.string()),
+                "n_docs": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def lang_unpivot_sql(sources: tuple = PIVOT_SOURCES) -> str:
+    wide = lang_pivot_sql(sources)
+    arms = " union all ".join(
+        f"select lang, '{s}' as source, n_{s} as n_docs from wide"
+        for s in sources
+    )
+    return f"with wide as ({wide}) {arms}"
