@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real file-backed raster window read (S2): deterministic
         # GeoTIFF fixture written to /tmp, windowed Datasource read
         "raster_windows": geotiff.raster_windows,
+        # two-raster map algebra: aligned windowed band math
+        "raster_algebra": geotiff.raster_algebra,
         # zonal statistics: raster x vector per-zone pixel aggregates
         "zonal_stats": geotiff.zonal_stats,
         "wkb_roundtrip": lambda sf: spatial.wkb_roundtrip(sf, CFG),
@@ -571,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_clip_join": sql_oracle.polygon_clip_join_sql(CFG),
         "multiring_clip_join": sql_oracle.multiring_clip_join_sql(CFG),
         "raster_windows": geotiff.RASTER_WINDOWS_SQL,
+        "raster_algebra": geotiff.RASTER_ALGEBRA_SQL,
         "zonal_stats": geotiff.ZONAL_STATS_SQL,
         "wkb_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),
         "wkt_roundtrip": sql_oracle.wkb_roundtrip_sql(CFG),

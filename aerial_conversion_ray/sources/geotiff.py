@@ -502,3 +502,101 @@ select cast(zone_id as bigint) as zone_id,
        cast(sum(v) as double) / cast(count(*) as double) as px_mean
 from j group by zone_id
 """.replace("{zones}", _zones_values_sql())
+
+
+# --- two-raster map algebra (aligned windowed reads) -----------------------
+
+_DEMO_PATH_B = "/tmp/aerial_conversion_demo_raster_b.tif"
+ALG_MOD_B = 241
+
+
+def _demo_array_b() -> np.ndarray:
+    return (
+        (np.arange(DEMO_H, dtype=np.int64)[:, None] * 13
+         + np.arange(DEMO_W, dtype=np.int64)[None, :] * 29) % ALG_MOD_B
+    ).astype(np.uint8)
+
+
+def raster_algebra(sf_dir: str | None = None):
+    """Map algebra over TWO real on-disk GeoTIFFs (the NDVI-shape
+    band-math primitive): rasters A and B share one georeferencing,
+    each streams through its own windowed Datasource, windows align
+    by construction on the same grid and zip by tile key, and each
+    aligned pair folds the integer ratio
+    ``sum((a - b) * 1e6 // (a + b + 1))`` plus the ``a > b`` pixel
+    count — everything int64, mirrored pixel-for-pixel by
+    :data:`RASTER_ALGEBRA_SQL`.
+
+    Scale shape: the window key IS the partition key — a groupby on
+    ``tile_id`` over the tagged union of the two window streams
+    co-locates exactly the two blocks of each tile (bounded group
+    size = 2 rows x one tile's pixels), so no task ever holds more
+    than one tile pair and the rasters never materialize whole.
+    ``sf_dir`` unused (the rasters are the inputs)."""
+    import os
+
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    spec = RasterSpec(x0=0.0, y_max=0.0, cell=0.5, ncols=DEMO_W, nrows=DEMO_H)
+    for path, arr_fn in ((_DEMO_PATH, _demo_array), (_DEMO_PATH_B, _demo_array_b)):
+        if not os.path.exists(path):
+            tmp = f"{path}.{os.getpid()}"
+            write_geotiff(tmp, arr_fn(), spec, rows_per_strip=64)
+            os.replace(tmp, path)
+    grid = TileGridSpec(tile_width=DEMO_TILE, tile_height=DEMO_TILE)
+
+    def tag(which: int):
+        def fn(t):
+            import pyarrow as pa
+
+            return t.append_column(
+                "band", pa.array(np.full(len(t), which, dtype=np.int64))
+            )
+
+        return fn
+
+    a = read_raster_windows(_DEMO_PATH, grid).map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    b = read_raster_windows(_DEMO_PATH_B, grid).map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        assert len(df) == 2, "raster_algebra: window grids must align"
+        df = df.sort_values("band")
+        pa_ = np.frombuffer(df["pixels"].iloc[0], dtype=np.uint8).astype(np.int64)
+        pb_ = np.frombuffer(df["pixels"].iloc[1], dtype=np.uint8).astype(np.int64)
+        d = pa_ - pb_
+        ratio = int(
+            (np.sign(d) * (np.abs(d) * 1_000_000 // (pa_ + pb_ + 1))).sum()
+        )
+        return pd.DataFrame(
+            {
+                "tile_id": [df["tile_id"].iloc[0]],
+                "n_px": [len(pa_)],
+                "ratio_sum_e6": [ratio],
+                "n_a_gt_b": [int((pa_ > pb_).sum())],
+            }
+        )
+
+    return a.union(b).groupby("tile_id").map_groups(combine, batch_format="pandas")
+
+
+RASTER_ALGEBRA_SQL = f"""
+with rows as (select unnest(range({DEMO_H})) as row),
+cols as (select unnest(range({DEMO_W})) as col),
+px as (select ((row * 31 + col * 17) % 251) as a,
+              ((row * 13 + col * 29) % {ALG_MOD_B}) as b,
+              (col // {DEMO_TILE}) * {DEMO_TILE} as col_off,
+              (row // {DEMO_TILE}) * {DEMO_TILE} as row_off
+       from rows, cols)
+select ('tile_' || cast(col_off as varchar) || '-' || cast(row_off as varchar)) as tile_id,
+       cast(count(*) as bigint) as n_px,
+       cast(sum(case when a >= b then (a - b) * 1000000 // (a + b + 1)
+                else -((b - a) * 1000000 // (a + b + 1)) end) as bigint)
+         as ratio_sum_e6,
+       cast(count(*) filter (a > b) as bigint) as n_a_gt_b
+from px group by col_off, row_off
+"""

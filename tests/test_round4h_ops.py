@@ -768,3 +768,27 @@ def test_length_gini_matches_numpy(sf_dir):
         i = np.arange(1, n + 1, dtype=np.int64)
         want = (2 * int((i * x).sum()) - (n + 1) * s) * 1_000_000 // (n * s)
         assert got.loc[src, "gini_e6"] == want, src
+
+
+def test_raster_algebra_matches_numpy(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.sources import geotiff as gt
+
+    got = gt.raster_algebra().to_pandas().set_index("tile_id")
+    A = gt._demo_array().astype(np.int64)
+    B = gt._demo_array_b().astype(np.int64)
+    T = gt.DEMO_TILE
+    n = 0
+    for r0 in range(0, gt.DEMO_H, T):
+        for c0 in range(0, gt.DEMO_W, T):
+            a = A[r0 : r0 + T, c0 : c0 + T].ravel()
+            b = B[r0 : r0 + T, c0 : c0 + T].ravel()
+            d = a - b
+            ratio = int((np.sign(d) * (np.abs(d) * 1_000_000 // (a + b + 1))).sum())
+            row = got.loc[f"tile_{c0}-{r0}"]
+            assert row["n_px"] == a.size
+            assert row["ratio_sum_e6"] == ratio
+            assert row["n_a_gt_b"] == int((a > b).sum())
+            n += 1
+    assert n == len(got)
