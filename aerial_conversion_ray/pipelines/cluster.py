@@ -96,16 +96,26 @@ def _cc_small(directed: ray.data.Dataset, labels: ray.data.Dataset) -> ray.data.
     # labels are INDICES into uniq; uniq is sorted, so the least-index
     # fixpoint is the min-doc_id representative the SQL oracle defines
     lbl = np.arange(len(uniq), dtype=np.int64)
-    for _ in range(64):  # 2^64-diameter cap: pointer jumping halves paths
+    for _ in range(64):  # Shiloach-Vishkin bound: rounds <= log2(n)
         new = lbl.copy()
         if len(di):
             np.minimum.at(new, di, lbl[si])
-        new = np.minimum(new, new[new])
+        # FULL path compression each round (not a single jump): after
+        # compression every vertex points at its basin minimum, and the
+        # edge step then merges each basin with its best neighbour, so
+        # basin count at least halves per round — a single jump left
+        # long chains (contour rings are 10^4-cell cycles) needing O(L)
+        # rounds and tripped the cap at sf0.1
+        while True:
+            j = new[new]
+            if np.array_equal(j, new):
+                break
+            new = j
         if np.array_equal(new, lbl):
             break
         lbl = new
     else:  # pragma: no cover
-        raise RuntimeError("_cc_small: no fixpoint in 64 jump rounds")
+        raise RuntimeError("_cc_small: no fixpoint in 64 SV rounds")
 
     import ray
 
