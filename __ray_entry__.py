@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_hulls": spatial.source_hulls,
         # per-host trajectory legs (lag window x haversine)
         "crawl_path": spatial.crawl_path,
+        # Hausdorff similarity of consecutive host trajectories
+        "trajectory_hausdorff": lambda sf: spatial.trajectory_hausdorff(sf, CFG),
         "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
@@ -693,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": linkgraph.random_walks_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
+        "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,

@@ -4074,3 +4074,138 @@ def cell_blobs_sql(rep: int = _BLOB_REP, res: int = _BLOB_RES) -> str:
         "select src as cell, cast(min(dst) as bigint) as blob "
         "from reach group by src"
     )
+
+
+# --------------------------------------------------------------------------
+# Hausdorff distance between consecutive host trajectories
+# --------------------------------------------------------------------------
+
+HAUS_NH = 64
+HAUS_SAMPLE = 16      # deterministic 1-in-16 point sample per trajectory
+
+
+def trajectory_hausdorff(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    """Symmetric Hausdorff distance (manhattan metric in degree
+    space) between the point trajectories of consecutive hosts
+    (h, h+1) — the trajectory-similarity join (are two crawl paths
+    covering the same territory?).  Exact mirror discipline: the
+    metric uses only abs/add/min/max (NO accumulating sums), so
+    float64 results are bit-identical to the DuckDB oracle.
+
+    Sampling: each trajectory keeps its deterministic 1-in-16 points
+    (``(page_id // 64) % 16 = 0`` — the block index, NOT the raw id:
+    the host is ``page_id % 64``, so a raw-id modulus would keep only
+    the hosts sharing residues with the sample rate) — that bounds
+    the broadcast B-side table
+    (the same honest downsample contract as ``frame_sample``), and
+    the identical predicate runs in the oracle.  Ray shape: the
+    sampled point table broadcasts once (``ray.put``); the sampled
+    stream then folds, per batch, each point's min distance to its
+    two neighbour trajectories and keeps per-(pair, direction)
+    maxima — one small partial row per (batch, pair); a tiny final
+    fold takes max-of-max and pairs up the two directions.  At 1e9
+    points/host the min-distance probe becomes the existing
+    cell-index kNN machinery instead of a broadcast table."""
+    import ray
+
+    ds = pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+
+    def sampled(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (pid // HAUS_NH) % HAUS_SAMPLE == 0
+        pid = pid[keep]
+        g = geocode_arrays(pid)
+        return pa.table(
+            {
+                "page_id": pa.array(pid),
+                "h": pa.array(pid % HAUS_NH),
+                "lon": pa.array(g["lon"]),
+                "lat": pa.array(g["lat"]),
+            }
+        )
+
+    pts = ds.map_batches(sampled, batch_format="pyarrow").materialize()
+    small = pts.to_pandas()  # sample-rate bounded (documented)
+    by_host = {
+        int(h): (g["lon"].to_numpy(np.float64), g["lat"].to_numpy(np.float64))
+        for h, g in small.groupby("h")
+    }
+    b_ref = ray.put(by_host)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bh = ray.get(b_ref)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        pair, dirn, dmax = [], [], []
+        for hv in np.unique(h):
+            m = h == hv
+            plon, plat = lon[m], lat[m]
+            # direction A->B for pair (hv, hv+1); B->A for (hv-1, hv)
+            for p, dr, nb in (
+                (int(hv), 0, int(hv) + 1),
+                (int(hv) - 1, 1, int(hv) - 1),
+            ):
+                if nb not in bh or not (0 <= p < HAUS_NH - 1):
+                    continue
+                blon, blat = bh[nb]
+                dist = np.abs(plon[:, None] - blon[None, :]) + np.abs(
+                    plat[:, None] - blat[None, :]
+                )
+                dmin = dist.min(axis=1)
+                pair.append(p)
+                dirn.append(dr)
+                dmax.append(float(dmin.max()))
+        return pa.table(
+            {
+                "pair": pa.array(np.array(pair, dtype=np.int64)),
+                "dirn": pa.array(np.array(dirn, dtype=np.int64)),
+                "d": pa.array(np.array(dmax, dtype=np.float64)),
+            }
+        )
+
+    import pandas as pd
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pair", "dirn"], as_index=False)["d"].max()
+        w = g.pivot(index="pair", columns="dirn", values="d").dropna()
+        p = w.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "host_a": [f"h{int(x)}.example" for x in p],
+                "host_b": [f"h{int(x) + 1}.example" for x in p],
+                "hausdorff": np.maximum(
+                    w[0].to_numpy(np.float64), w[1].to_numpy(np.float64)
+                ),
+            }
+        )
+
+    return (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas")
+    )
+
+
+def trajectory_hausdorff_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from .sql_oracle import _pages_geo
+
+    return (
+        _pages_geo(cfg) + ", "
+        f"s as (select page_id, page_id % {HAUS_NH} as h, lon, lat from geo "
+        f"where (page_id // {HAUS_NH}) % {HAUS_SAMPLE} = 0), "
+        "pmin as (select a.page_id, a.h, "
+        "min(abs(a.lon - b.lon) + abs(a.lat - b.lat)) as mn "
+        "from s a join s b on b.h = a.h + 1 group by a.page_id, a.h), "
+        "dab as (select h, max(mn) as d from pmin group by h), "
+        "pmin2 as (select b.page_id, b.h, "
+        "min(abs(b.lon - a.lon) + abs(b.lat - a.lat)) as mn "
+        "from s b join s a on a.h = b.h - 1 group by b.page_id, b.h), "
+        "dba as (select h - 1 as h, max(mn) as d from pmin2 group by h) "
+        "select ('h' || cast(dab.h as varchar) || '.example') as host_a, "
+        "('h' || cast(dab.h + 1 as varchar) || '.example') as host_b, "
+        "greatest(dab.d, dba.d) as hausdorff "
+        "from dab join dba on dba.h = dab.h"
+    )

@@ -792,3 +792,44 @@ def test_raster_algebra_matches_numpy(sf_dir):
             assert row["n_a_gt_b"] == int((a > b).sum())
             n += 1
     assert n == len(got)
+
+
+def test_trajectory_hausdorff_matches_brute(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.geocode import geocode_arrays
+    from aerial_conversion_ray.pipelines import spatial
+
+    cfg = EngineConfig(pages_rep=4)
+    got = spatial.trajectory_hausdorff(sf_dir, cfg).to_pandas()
+    from aerial_conversion_ray.sources.pages import pages_dataset
+
+    pid = (
+        pages_dataset(sf_dir, rep=cfg.pages_rep, columns=["page_id"])
+        .to_pandas()["page_id"]
+        .to_numpy(np.int64)
+    )
+    pid = pid[(pid // spatial.HAUS_NH) % spatial.HAUS_SAMPLE == 0]
+    g = geocode_arrays(pid)
+    h = pid % spatial.HAUS_NH
+    pts = {
+        int(hv): (g["lon"][h == hv], g["lat"][h == hv]) for hv in np.unique(h)
+    }
+
+    def directed(A, B):
+        d = np.abs(A[0][:, None] - B[0][None, :]) + np.abs(
+            A[1][:, None] - B[1][None, :]
+        )
+        return d.min(axis=1).max()
+
+    want = {}
+    for hv in sorted(pts):
+        if hv + 1 in pts:
+            want[(f"h{hv}.example", f"h{hv + 1}.example")] = max(
+                directed(pts[hv], pts[hv + 1]), directed(pts[hv + 1], pts[hv])
+            )
+    gm = {
+        (r["host_a"], r["host_b"]): r["hausdorff"] for _, r in got.iterrows()
+    }
+    assert gm == want
