@@ -1162,9 +1162,36 @@ SP_SRC = 0
 SP_HOPS = 8
 _SP_INF = np.int64(1) << np.int64(62)
 
+# Driver fast-path gate for iterative host-graph rounds (the
+# _tri_small / assortativity precedent): the FOLDED weighted edge
+# table is |hosts|^2-bounded, so when it is collectable the per-round
+# work is a few numpy ops and paying one Ray pass + take_all PER
+# ROUND (~1 s each, measured at sf0.1) is pure overhead.  Every op
+# keeps its distributed-rounds branch for edge tables past the gate,
+# and tests exercise that branch by passing small_gate=0.
+LG_SMALL_EDGES = 2_000_000
+
+
+def _edge_arrays_if_small(edges, gate: int = LG_SMALL_EDGES):
+    """(src, dst, cnt) int64 arrays when the folded edge Dataset is
+    within the driver gate, else None (callers then run the
+    broadcast-round distributed branch)."""
+    if edges.count() > gate:
+        return None
+    df = edges.to_pandas()
+    return (
+        df["src_id"].to_numpy(np.int64),
+        df["dst_id"].to_numpy(np.int64),
+        df["cnt"].to_numpy(np.int64),
+    )
+
 
 def host_shortest_path(
-    sf_dir: str, rep: int = LG_REP, src: int = SP_SRC, hops: int = SP_HOPS
+    sf_dir: str,
+    rep: int = LG_REP,
+    src: int = SP_SRC,
+    hops: int = SP_HOPS,
+    small_gate: int = LG_SMALL_EDGES,
 ) -> "pa.Table":
     """Cheapest-path cost from host ``src`` to every reachable host
     under integer edge weights ``w = 1e6 // cnt + 1`` (heavily-linked
@@ -1186,6 +1213,20 @@ def host_shortest_path(
     edges = host_edges(sf_dir, rep).materialize()
     dist = np.full(NH, _SP_INF, dtype=np.int64)
     dist[src] = 0
+
+    arrs = _edge_arrays_if_small(edges, small_gate)
+    if arrs is not None:
+        s, d, c = arrs
+        w = 1_000_000 // c + 1
+        for _ in range(hops):
+            ok = dist[s] < _SP_INF
+            cand = np.full(NH, _SP_INF, dtype=np.int64)
+            np.minimum.at(cand, d[ok], dist[s[ok]] + w[ok])
+            new = np.minimum(dist, cand)
+            if (new == dist).all():
+                break
+            dist = new
+        return _sp_table(dist)
 
     def relax(t: pa.Table, d_ref) -> pa.Table:
         dv = ray.get(d_ref)
@@ -1213,6 +1254,10 @@ def host_shortest_path(
             break
         dist = new
 
+    return _sp_table(dist)
+
+
+def _sp_table(dist: np.ndarray) -> "pa.Table":
     reach = np.nonzero(dist < _SP_INF)[0]
     host = pc.binary_join_element_wise(
         "h", pc.cast(pa.array(reach.astype(np.int64)), pa.string()), ".example", ""
@@ -1251,7 +1296,12 @@ def host_shortest_path_sql(
 # --------------------------------------------------------------------------
 
 
-def _host_closure(sf_dir: str, rep: int = LG_REP, rel_thr_pct: int | None = None):
+def _host_closure(
+    sf_dir: str,
+    rep: int = LG_REP,
+    rel_thr_pct: int | None = None,
+    small_gate: int = LG_SMALL_EDGES,
+):
     """All-pairs directed hop distances + transitive closure over the
     host graph by BIT-PARALLEL multi-source BFS: each host carries one
     machine word whose bit ``s`` means "source ``s`` reaches me"; one
@@ -1297,6 +1347,27 @@ def _host_closure(sf_dir: str, rep: int = LG_REP, rel_thr_pct: int | None = None
     INF = np.int64(1) << np.int64(40)
     dmat = np.full((n, n), INF, dtype=np.int64)
     np.fill_diagonal(dmat, 0)
+
+    if len(small) <= small_gate:
+        # driver fast path (LG_SMALL_EDGES): identical round arithmetic
+        # on the already-collected fold, no per-round Ray pass
+        s = np.searchsorted(hosts, small["src_id"].values)
+        d = np.searchsorted(hosts, small["dst_id"].values)
+        for k in range(1, n + 1):
+            acc = np.zeros(n, dtype=np.int64)
+            np.bitwise_or.at(acc, d, mask[s])
+            new = mask | acc
+            fresh = new & ~mask
+            if not fresh.any():
+                break
+            fb = (
+                fresh[:, None].view(np.uint64)
+                >> np.arange(n, dtype=np.uint64)
+            ) & np.uint64(1)
+            src_i, v_i = np.nonzero(fb.astype(bool).T)
+            dmat[src_i, v_i] = np.minimum(dmat[src_i, v_i], k)
+            mask = new
+        return hosts, dmat, mask
 
     def orfold(t: pa.Table, m_ref) -> pa.Table:
         hs = ray.get(hosts_ref)
@@ -1554,7 +1625,9 @@ MIS_M = 999983
 MIS_MAX_ROUNDS = 8
 
 
-def host_mis(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+def host_mis(
+    sf_dir: str, rep: int = LG_REP, small_gate: int = LG_SMALL_EDGES
+) -> "pa.Table":
     """Maximal independent set over the undirected host graph by
     Luby's algorithm with DETERMINISTIC priorities
     ``p(v) = (v * 2654435761) % 999983`` instead of RNG (asserted
@@ -1611,6 +1684,29 @@ def host_mis(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
     alive = np.ones(n, dtype=bool)
     mis_round = np.full(n, -1, dtype=np.int64)
     BIG = np.int64(1) << np.int64(40)
+    small_s = np.searchsorted(hosts, small["src_id"].values)
+    small_d = np.searchsorted(hosts, small["dst_id"].values)
+
+    if len(small) <= small_gate:
+        # driver fast path (LG_SMALL_EDGES): same round arithmetic on
+        # the collected fold
+        for rnd in range(MIS_MAX_ROUNDS + 1):
+            if not alive.any():
+                break
+            if rnd == MIS_MAX_ROUNDS:
+                raise RuntimeError("host_mis: exceeded unroll depth")
+            mn = np.full(n, BIG, dtype=np.int64)
+            for x, y in ((small_s, small_d), (small_d, small_s)):
+                ok = alive[x] & alive[y] & (x != y)
+                np.minimum.at(mn, x[ok], pri[y[ok]])
+            cand = alive & (pri < mn)
+            mis_round[cand] = rnd
+            kill = cand.copy()
+            for x, y in ((small_s, small_d), (small_d, small_s)):
+                sel = cand[x] & (x != y)
+                kill[y[sel]] = True
+            alive &= ~kill
+        return _mis_table(hosts, mis_round)
 
     def min_nbr_pri(t: pa.Table, a_ref) -> pa.Table:
         hs = ray.get(hosts_ref)
@@ -1642,14 +1738,16 @@ def host_mis(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
         cand = alive & (pri < mn)
         mis_round[cand] = rnd
         # drop candidates and their alive neighbours
-        small_s = np.searchsorted(hosts, small["src_id"].values)
-        small_d = np.searchsorted(hosts, small["dst_id"].values)
         kill = cand.copy()
         for x, y in ((small_s, small_d), (small_d, small_s)):
             sel = cand[x] & (x != y)
             kill[y[sel]] = True
         alive &= ~kill
 
+    return _mis_table(hosts, mis_round)
+
+
+def _mis_table(hosts: np.ndarray, mis_round: np.ndarray) -> "pa.Table":
     keep = mis_round >= 0
     host = pc.binary_join_element_wise(
         "h", pc.cast(pa.array(hosts[keep]), pa.string()), ".example", ""
@@ -1704,7 +1802,11 @@ _WP_INF = np.int64(1) << np.int64(40)
 
 
 def host_widest_path(
-    sf_dir: str, rep: int = LG_REP, src: int = SP_SRC, hops: int = WP_HOPS
+    sf_dir: str,
+    rep: int = LG_REP,
+    src: int = SP_SRC,
+    hops: int = WP_HOPS,
+    small_gate: int = LG_SMALL_EDGES,
 ) -> "pa.Table":
     """Max-bottleneck path width from the seed host: maximize over
     paths the MINIMUM edge weight (link count) along the path — the
@@ -1722,6 +1824,18 @@ def host_widest_path(
     edges = host_edges(sf_dir, rep).materialize()
     width = np.zeros(NH, dtype=np.int64)
     width[src] = _WP_INF
+
+    arrs = _edge_arrays_if_small(edges, small_gate)
+    if arrs is not None:
+        s, d, c = arrs
+        for _ in range(hops):
+            cand = np.zeros(NH, dtype=np.int64)
+            np.maximum.at(cand, d, np.minimum(width[s], c))
+            new = np.maximum(width, cand)
+            if (new == width).all():
+                break
+            width = new
+        return _wp_table(width, src)
 
     def relax(t: pa.Table, w_ref) -> pa.Table:
         wv = ray.get(w_ref)
@@ -1747,6 +1861,10 @@ def host_widest_path(
             break
         width = new
 
+    return _wp_table(width, src)
+
+
+def _wp_table(width: np.ndarray, src: int) -> "pa.Table":
     keep = (width > 0) & (np.arange(NH) != src)
     ids = np.nonzero(keep)[0].astype(np.int64)
     host = pc.binary_join_element_wise(
@@ -1784,7 +1902,9 @@ def host_widest_path_sql(
 MST_ROUNDS = 6          # ceil(log2 NH): Boruvka halves components per round
 
 
-def host_backbone(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+def host_backbone(
+    sf_dir: str, rep: int = LG_REP, small_gate: int = LG_SMALL_EDGES
+) -> "pa.Table":
     """MAXIMUM spanning tree of the undirected weighted host graph —
     the strongest-link crawl backbone (the n-1 edges that connect
     every host with the greatest total link weight; unique because
@@ -1846,6 +1966,32 @@ def host_backbone(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
     hosts_ref = ray.put(hosts)
     chosen: set[int] = set()
 
+    if len(small) <= small_gate:
+        # driver fast path (LG_SMALL_EDGES): Boruvka rounds over the
+        # collected undirected fold, same selection arithmetic
+        ai = np.searchsorted(hosts, small["a"].values)
+        bi = np.searchsorted(hosts, small["b"].values)
+        av = small["a"].to_numpy(np.int64)
+        bv = small["b"].to_numpy(np.int64)
+        key = small["w"].to_numpy(np.int64) * 4096 + av * 64 + bv
+        for _ in range(MST_ROUNDS):
+            acc = np.full(n, -1, dtype=np.int64)
+            bnd = comp[ai] != comp[bi]
+            for x in (ai, bi):
+                np.maximum.at(acc, x[bnd], key[bnd])
+            best: dict[int, int] = {}
+            for i in range(n):
+                if acc[i] < 0:
+                    continue
+                lbl = int(comp[i])
+                if acc[i] > best.get(lbl, -1):
+                    best[lbl] = int(acc[i])
+            if not best:
+                break
+            chosen.update(best.values())
+            comp = _mst_relabel(hosts, comp, chosen)
+        return _mst_table(chosen)
+
     def best_boundary(t: pa.Table, c_ref) -> pa.Table:
         hs = ray.get(hosts_ref)
         cv = ray.get(c_ref)
@@ -1883,23 +2029,32 @@ def host_backbone(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
         if not best:
             break
         chosen.update(best.values())
-        # relabel: min label reachable over chosen edges (union-find)
-        parent = {int(h): int(c) for h, c in zip(hosts, comp)}
+        comp = _mst_relabel(hosts, comp, chosen)
 
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    return _mst_table(chosen)
 
-        for k in chosen:
-            u, v = (k % 4096) // 64, k % 64
-            ru, rv = find(int(u)), find(int(v))
-            if ru != rv:
-                lo, hi = min(ru, rv), max(ru, rv)
-                parent[hi] = lo
-        comp = np.array([find(int(h)) for h in hosts], dtype=np.int64)
 
+def _mst_relabel(hosts: np.ndarray, comp: np.ndarray, chosen: set) -> np.ndarray:
+    """Union-find relabel: component label = min member id after
+    merging along the chosen edges."""
+    parent = {int(h): int(c) for h, c in zip(hosts, comp)}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k in chosen:
+        u, v = (k % 4096) // 64, k % 64
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    return np.array([find(int(h)) for h in hosts], dtype=np.int64)
+
+
+def _mst_table(chosen: set) -> "pa.Table":
     keys = np.array(sorted(chosen), dtype=np.int64)
     a = (keys % 4096) // 64
     b = keys % 64

@@ -833,3 +833,35 @@ def test_trajectory_hausdorff_matches_brute(sf_dir):
         (r["host_a"], r["host_b"]): r["hausdorff"] for _, r in got.iterrows()
     }
     assert gm == want
+
+
+def test_host_graph_distributed_branch_parity(sf_dir):
+    """small_gate=0 forces the distributed broadcast-round branches;
+    results must equal the driver fast paths bit-for-bit."""
+    from aerial_conversion_ray.pipelines import linkgraph, text as text_mod
+
+    fast = linkgraph.host_shortest_path(sf_dir)
+    slow = linkgraph.host_shortest_path(sf_dir, small_gate=0)
+    assert fast.equals(slow)
+
+    fast = linkgraph.host_widest_path(sf_dir)
+    slow = linkgraph.host_widest_path(sf_dir, small_gate=0)
+    assert fast.equals(slow)
+
+    fast = linkgraph.host_mis(sf_dir)
+    slow = linkgraph.host_mis(sf_dir, small_gate=0)
+    assert fast.equals(slow)
+
+    fast = linkgraph.host_backbone(sf_dir)
+    slow = linkgraph.host_backbone(sf_dir, small_gate=0)
+    assert fast.equals(slow)
+
+    h1, d1, m1 = linkgraph._host_closure(sf_dir)
+    h2, d2, m2 = linkgraph._host_closure(sf_dir, small_gate=0)
+    assert (h1 == h2).all() and (d1 == d2).all() and (m1 == m2).all()
+
+    ft = text_mod.textrank(sf_dir).to_pandas()
+    st = text_mod.textrank(sf_dir, small_gate=0).to_pandas()
+    assert dict(zip(ft["token"], ft["rank_e9"])) == dict(
+        zip(st["token"], st["rank_e9"])
+    )
