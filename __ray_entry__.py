@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # stress centrality: integer shortest-path counts through v
+        "host_stress": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_stress(sf)
+        ),
         # max-bottleneck (widest) paths from the seed host
         "host_widest_path": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_widest_path(sf)
@@ -695,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": linkgraph.random_walks_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
+        "host_stress": linkgraph.host_stress_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

@@ -2117,3 +2117,116 @@ def host_backbone_sql(rep: int = LG_REP, rounds: int = MST_ROUNDS) -> str:
         "('h' || cast(key % 64 as varchar) || '.example') as host_b, "
         f"cast(key // 4096 as bigint) as w from acc{rounds - 1}"
     )
+
+
+# --------------------------------------------------------------------------
+# Stress centrality: integer shortest-path counts through each host
+# --------------------------------------------------------------------------
+
+STRESS_MAX_DEPTH = 8
+
+
+def host_stress(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Stress centrality (Shimbel 1953): for every host v, the NUMBER
+    of shortest s->t paths passing through v as an interior node —
+    the all-integer sibling of betweenness (betweenness divides by
+    sigma_st and leaves rationals; stress keeps the raw path counts,
+    so engine and oracle match bit-for-bit).  Built from the
+    Brandes-style level decomposition: path counts
+    ``sigma[s][v] = sum over frontier edges of sigma[s][u]`` advance
+    one BFS level per round over the all-pairs distance matrix of
+    :func:`_host_closure`, then
+    ``stress(v) = sum_{s != v != t, s != t} sigma_s(v) * sigma_v(t)``
+    over triples with ``d(s,v) + d(v,t) = d(s,t)``.
+
+    Rounds are bounded by the graph diameter and asserted <=
+    {STRESS_MAX_DEPTH} (the oracle's unroll depth); overflow is
+    guarded loudly (counts multiply along levels).  Ray shape: the
+    distance matrix comes from the bit-parallel closure (broadcast
+    OR-folds); the sigma rounds ride the same collected |hosts|^2
+    fold (LG_SMALL_EDGES gate) — past the gate each level is one
+    bucketed join of the sigma table against the edge list keyed by
+    the frontier node, the exact shape of the `textrank` iteration.
+
+    Output: (host, stress) for hosts on >= 1 interior shortest path."""
+    hosts, dmat, _ = _host_closure(sf_dir, rep)
+    n = len(hosts)
+    small = (
+        host_edges(sf_dir, rep)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+    )
+    u = np.searchsorted(hosts, small["src_id"].values)
+    v = np.searchsorted(hosts, small["dst_id"].values)
+
+    INF = np.int64(1) << np.int64(40)
+    finite = dmat[dmat < INF]
+    K = int(finite.max()) if len(finite) else 0
+    if K > STRESS_MAX_DEPTH:
+        raise RuntimeError("host_stress: diameter exceeds the oracle unroll")
+
+    sig = np.zeros((n, n), dtype=np.int64)
+    np.fill_diagonal(sig, 1)
+    for k in range(1, K + 1):
+        contrib = np.zeros((n, n), dtype=np.int64)
+        for e in range(len(u)):
+            sel = (dmat[:, u[e]] == k - 1) & (dmat[:, v[e]] == k)
+            contrib[sel, v[e]] += sig[sel, u[e]]
+        sig += contrib
+
+    ms = int(sig.max())
+    if ms and ms * ms > (1 << 62) // (n * n):
+        raise OverflowError("host_stress: sigma product exceeds int64")
+
+    stress = np.zeros(n, dtype=np.int64)
+    for w in range(n):
+        cond = (dmat[:, w][:, None] + dmat[w, :][None, :]) == dmat
+        cond[w, :] = False
+        cond[:, w] = False
+        np.fill_diagonal(cond, False)
+        stress[w] = int(
+            (cond * (sig[:, w][:, None] * sig[w, :][None, :])).sum()
+        )
+
+    keep = stress > 0
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts[keep]), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "stress": pa.array(stress[keep])})
+
+
+def host_stress_sql(rep: int = LG_REP, depth: int = STRESS_MAX_DEPTH) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "ed as materialized (select distinct src_id, dst_id from e)",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed))",
+        "ap(s, v, d) as ("
+        "select hid, hid, cast(0 as bigint) from hosts "
+        "union "
+        f"select ap.s, ed.dst_id, ap.d + 1 from ap join ed on ed.src_id = ap.v "
+        f"where ap.d < {NH})",
+        "md as materialized (select s, v, min(d) as d from ap group by s, v)",
+        "sig0 as (select hid as s, hid as v, cast(0 as bigint) as d, "
+        "cast(1 as bigint) as c from hosts)",
+    ]
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"sig{k} as materialized (select g.s, ed.dst_id as v, "
+            f"cast({k} as bigint) as d, cast(sum(g.c) as bigint) as c "
+            f"from sig{k - 1} g join ed on ed.src_id = g.v "
+            f"join md on md.s = g.s and md.v = ed.dst_id and md.d = {k} "
+            "group by g.s, ed.dst_id)"
+        )
+    sig_union = " union all ".join(f"select * from sig{k}" for k in range(depth + 1))
+    ctes.append(f"sig as materialized ({sig_union})")
+    return (
+        "with recursive " + ", ".join(ctes) + " "
+        "select ('h' || cast(sv.v as varchar) || '.example') as host, "
+        "cast(sum(sv.c * vt.c) as bigint) as stress "
+        "from sig sv join sig vt on vt.s = sv.v "
+        "join md on md.s = sv.s and md.v = vt.v "
+        "where sv.s <> sv.v and vt.v <> sv.v and sv.s <> vt.v "
+        "and sv.d + vt.d = md.d "
+        "group by sv.v"
+    )

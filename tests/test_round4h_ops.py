@@ -865,3 +865,50 @@ def test_host_graph_distributed_branch_parity(sf_dir):
     assert dict(zip(ft["token"], ft["rank_e9"])) == dict(
         zip(st["token"], st["rank_e9"])
     )
+
+
+def test_host_stress_matches_brute(sf_dir):
+    import collections
+    import itertools
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    adj = collections.defaultdict(set)
+    for _, r in edges.iterrows():
+        adj[int(r["src_id"])].add(int(r["dst_id"]))
+    hosts = sorted(set(edges["src_id"]) | set(edges["dst_id"]))
+
+    # brute: BFS from every s, enumerate path counts via DP
+    def bfs_sigma(s):
+        dist = {s: 0}
+        sig = {s: 1}
+        q = [s]
+        while q:
+            nq = []
+            for u_ in q:
+                for v_ in adj.get(u_, ()):
+                    if v_ not in dist:
+                        dist[v_] = dist[u_] + 1
+                        sig[v_] = 0
+                        nq.append(v_)
+                    if dist[v_] == dist[u_] + 1:
+                        sig[v_] += sig[u_]
+            q = nq
+        return dist, sig
+
+    D, S = {}, {}
+    for s in hosts:
+        D[s], S[s] = bfs_sigma(s)
+    want = collections.Counter()
+    for s, w in itertools.permutations(hosts, 2):
+        if w not in D[s]:
+            continue
+        for t in hosts:
+            if t in (s, w) or t not in D[w] or t not in D[s]:
+                continue
+            if D[s][w] + D[w][t] == D[s][t]:
+                want[w] += S[s][w] * S[w][t]
+    got = linkgraph.host_stress(sf_dir).to_pandas()
+    gm = dict(zip(got["host"], got["stress"]))
+    assert gm == {f"h{w}.example": c for w, c in want.items() if c > 0}
