@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # temporal earliest-arrival reachability over the contact stream
+        "host_temporal_reach": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_temporal_reach(sf)
+        ),
         # stress centrality: integer shortest-path counts through v
         "host_stress": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_stress(sf)
@@ -700,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),
+        "host_temporal_reach": linkgraph.host_temporal_reach_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

@@ -2230,3 +2230,103 @@ def host_stress_sql(rep: int = LG_REP, depth: int = STRESS_MAX_DEPTH) -> str:
         "and sv.d + vt.d = md.d "
         "group by sv.v"
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal reachability: earliest arrival over time-respecting paths
+# --------------------------------------------------------------------------
+
+TR_SEED = 0
+TR_ROUNDS = 8
+
+
+def host_temporal_reach(
+    sf_dir: str, rep: int = LG_REP, seed: int = TR_SEED, rounds: int = TR_ROUNDS
+) -> "pa.Table":
+    """Earliest-arrival TEMPORAL reachability from the seed host: a
+    link is an instantaneous contact (src -> dst at the page's crawl
+    second, ``ts = page_id``), and a host is reached at time t if
+    some time-RESPECTING path (nondecreasing timestamps) arrives by t
+    — the information-diffusion question static reachability gets
+    wrong (an early link cannot carry influence that arrives later).
+    Exactly ``rounds`` relaxation passes (early exit at fixpoint):
+    the result is BY CONSTRUCTION earliest arrival over <= ``rounds``
+    -edge temporal paths, the identical bounded quantity the
+    unrolled-CTE oracle computes (the ``host_shortest_path``
+    discipline).
+
+    Unlike the folded-edge ops, each round streams the PAGE-SCALE
+    link table (the contact stream cannot pre-aggregate: which
+    contacts are usable depends on the current arrival vector), so
+    the rounds are honest distributed passes: broadcast |hosts|
+    arrival vector, per-batch vectorized ``ts >= arr[src]`` masked
+    min-fold, one |hosts| partial row per block.
+
+    Output: (host, arrival) for temporally reached hosts; the seed
+    arrives at 0."""
+    import ray
+
+    links = link_extract(sf_dir, rep).materialize()
+    BIG = np.int64(1) << np.int64(62)
+    arr = np.full(NH, BIG, dtype=np.int64)
+    arr[seed] = 0
+
+    def relax(t: pa.Table, a_ref) -> pa.Table:
+        av = ray.get(a_ref)
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pid % NH
+        ex = pc.extract_regex(t["dst_host"], r"^h(?P<g>\d+)\.")
+        if isinstance(ex, pa.ChunkedArray):
+            ex = ex.combine_chunks()
+        dst = pc.cast(ex.field("g"), pa.int64()).to_numpy(zero_copy_only=False)
+        ts = pid
+        ok = ts >= av[src]
+        acc = np.full(NH, BIG, dtype=np.int64)
+        np.minimum.at(acc, dst[ok], ts[ok])
+        return pa.table({f"a{i}": pa.array(acc[i : i + 1]) for i in range(NH)})
+
+    for _ in range(rounds):
+        a_ref = ray.put(arr)
+        parts = links.map_batches(
+            lambda t, ar=a_ref: relax(t, ar), batch_format="pyarrow"
+        )
+        cand = np.full(NH, BIG, dtype=np.int64)
+        for row in parts.take_all():
+            cand = np.minimum(
+                cand, np.array([row[f"a{i}"] for i in range(NH)], dtype=np.int64)
+            )
+        new = np.minimum(arr, cand)
+        if (new == arr).all():
+            break
+        arr = new
+
+    keep = arr < BIG
+    ids = np.nonzero(keep)[0].astype(np.int64)
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(ids), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "arrival": pa.array(arr[keep])})
+
+
+def host_temporal_reach_sql(
+    rep: int = LG_REP, seed: int = TR_SEED, rounds: int = TR_ROUNDS
+) -> str:
+    ctes = [
+        f"lx as materialized (select page_id as ts, page_id % {NH} as src, "
+        "cast(regexp_extract(dst_host, '^h(\\d+)\\.', 1) as bigint) as dst "
+        f"from ({link_extract_sql(rep)}))",
+        f"a0(hid, t) as (values ({seed}, cast(0 as bigint)))",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"a{k + 1} as materialized (select hid, min(t) as t from ("
+            f"select hid, t from a{k} "
+            "union all "
+            f"select lx.dst as hid, lx.ts as t from a{k} "
+            f"join lx on lx.src = a{k}.hid and lx.ts >= a{k}.t) group by hid)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select ('h' || cast(hid as varchar) || '.example') as host, "
+        f"cast(t as bigint) as arrival from a{rounds}"
+    )

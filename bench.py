@@ -339,6 +339,12 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["random_walks"]
             ).random_walks(SF_DIR)
         ),
+        "host_temporal_reach": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_temporal_reach"],
+            ).host_temporal_reach(SF_DIR)
+        ),
         "host_stress": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph",

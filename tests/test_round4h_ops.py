@@ -912,3 +912,30 @@ def test_host_stress_matches_brute(sf_dir):
     got = linkgraph.host_stress(sf_dir).to_pandas()
     gm = dict(zip(got["host"], got["stress"]))
     assert gm == {f"h{w}.example": c for w, c in want.items() if c > 0}
+
+
+def test_host_temporal_reach_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    links = linkgraph.link_extract(sf_dir).to_pandas()
+    ts = links["page_id"].to_numpy("int64")
+    src = ts % linkgraph.NH
+    dst = (
+        links["dst_host"].str.extract(r"^h(\d+)\.")[0].astype("int64").to_numpy()
+    )
+    BIG = 1 << 62
+    arr = {linkgraph.TR_SEED: 0}
+    for _ in range(linkgraph.TR_ROUNDS):
+        new = dict(arr)
+        for t, s, d in zip(ts, src, dst):
+            if s in arr and t >= arr[s] and t < new.get(d, BIG):
+                new[d] = int(t)
+        # inner pass must iterate to this round's fixpoint? No: one
+        # relaxation sweep per round, same as the engine/oracle
+        if new == arr:
+            break
+        arr = new
+    got = linkgraph.host_temporal_reach(sf_dir).to_pandas()
+    assert dict(zip(got["host"], got["arrival"])) == {
+        f"h{k}.example": v for k, v in arr.items()
+    }
