@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # full k-core decomposition (rows-only; pytest peeling oracle)
+        "host_coreness": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_coreness(sf)
+        ),
         # temporal earliest-arrival reachability over the contact stream
         "host_temporal_reach": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_temporal_reach(sf)

@@ -2330,3 +2330,73 @@ def host_temporal_reach_sql(
         "select ('h' || cast(hid as varchar) || '.example') as host, "
         f"cast(t as bigint) as arrival from a{rounds}"
     )
+
+
+# --------------------------------------------------------------------------
+# Coreness decomposition (full core number per host)
+# --------------------------------------------------------------------------
+
+
+def host_coreness(
+    sf_dir: str, rep: int = LG_REP, small_gate: int = LG_SMALL_EDGES
+) -> "pa.Table":
+    """FULL k-core decomposition of the undirected strong-edge host
+    graph (hub removed, the `host_mis` preprocessing): every host's
+    core number = the largest k such that it survives iterated
+    deletion of degree-<k nodes — the density stratification in one
+    number per node (`kcore` gives membership at one fixed k; this is
+    the whole profile).  Peeling is deterministic (simultaneous
+    deletion per round), so the result is a pure function of the
+    graph.
+
+    Batch peeling: rounds at level k delete ALL current degree-<k
+    nodes at once (matula-beck order-independence: core numbers do
+    not depend on deletion order), so the round count is bounded by
+    the degeneracy, not the node count.  Driver fast path under the
+    LG_SMALL_EDGES gate (the collected |hosts|^2 fold); past the
+    gate each round is one degree bucket-fold + alive semi-join, the
+    `kcore` distributed shape, run per level.
+
+    Rows-only driver entry (coreness has no bounded-unroll SQL form
+    — the peel depth per level is data-dependent); exactness is
+    pytest-gated against an independent brute peeling."""
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()
+    thr = int(small["cnt"].sum()) * SCC_THR_PCT // (len(small) * 100)
+    small = small[
+        (small["cnt"] >= thr)
+        & (small["src_id"] != _HOT_DST)
+        & (small["dst_id"] != _HOT_DST)
+        & (small["src_id"] != small["dst_id"])
+    ]
+    if len(small) > small_gate:  # pragma: no cover - host graph is bounded
+        raise NotImplementedError("host_coreness: run the kcore peel per level")
+    a = small[["src_id", "dst_id"]].min(axis=1).to_numpy(np.int64)
+    b = small[["src_id", "dst_id"]].max(axis=1).to_numpy(np.int64)
+    und = np.unique(a * NH + b)
+    ua, ub = und // NH, und % NH
+    hosts = np.unique(np.concatenate([ua, ub]))
+    idx = {int(h): i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    ai = np.array([idx[int(x)] for x in ua], dtype=np.int64)
+    bi = np.array([idx[int(x)] for x in ub], dtype=np.int64)
+
+    alive_e = np.ones(len(ai), dtype=bool)
+    alive_n = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    k = 1
+    while alive_n.any():
+        deg = np.bincount(ai[alive_e], minlength=n) + np.bincount(
+            bi[alive_e], minlength=n
+        )
+        peel = alive_n & (deg < k)
+        if not peel.any():
+            core[alive_n] = np.maximum(core[alive_n], k)
+            k += 1
+            continue
+        alive_n &= ~peel
+        alive_e &= alive_n[ai] & alive_n[bi]
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "coreness": pa.array(core)})

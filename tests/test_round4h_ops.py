@@ -939,3 +939,41 @@ def test_host_temporal_reach_matches_brute(sf_dir):
     assert dict(zip(got["host"], got["arrival"])) == {
         f"h{k}.example": v for k, v in arr.items()
     }
+
+
+def test_host_coreness_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    thr = int(edges["cnt"].sum()) * linkgraph.SCC_THR_PCT // (len(edges) * 100)
+    e = edges[
+        (edges["cnt"] >= thr)
+        & (edges["src_id"] != linkgraph._HOT_DST)
+        & (edges["dst_id"] != linkgraph._HOT_DST)
+        & (edges["src_id"] != edges["dst_id"])
+    ]
+    adj = collections.defaultdict(set)
+    for _, r in e.iterrows():
+        adj[int(r["src_id"])].add(int(r["dst_id"]))
+        adj[int(r["dst_id"])].add(int(r["src_id"]))
+    # brute: the textbook sequential min-degree peel (order-independent
+    # core numbers; different deletion order from the engine's batch
+    # peel — a genuine cross-check)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    live = {v: set(ns) for v, ns in adj.items()}
+    core = {}
+    kmax = 0
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        kmax = max(kmax, deg[v])
+        core[v] = kmax
+        for u in live[v]:
+            live[u].discard(v)
+            deg[u] -= 1
+        del live[v], deg[v]
+    got = linkgraph.host_coreness(sf_dir).to_pandas()
+    assert dict(zip(got["host"], got["coreness"])) == {
+        f"h{v}.example": c for v, c in core.items()
+    }
