@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # GraphSAGE-style 1/2-hop neighbourhood feature aggregation
+        "host_neighborhood_agg": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_neighborhood_agg(sf)
+        ),
         # full k-core decomposition (rows-only; pytest peeling oracle)
         "host_coreness": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_coreness(sf)
@@ -709,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),
         "host_temporal_reach": linkgraph.host_temporal_reach_sql(),
+        "host_neighborhood_agg": linkgraph.host_neighborhood_agg_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

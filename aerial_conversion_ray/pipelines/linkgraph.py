@@ -2400,3 +2400,103 @@ def host_coreness(
         "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
     )
     return pa.table({"host": host, "coreness": pa.array(core)})
+
+
+# --------------------------------------------------------------------------
+# Neighborhood feature aggregation (GNN feature-prep primitive)
+# --------------------------------------------------------------------------
+
+
+def host_neighborhood_agg(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """GraphSAGE-style neighbourhood feature aggregation: for every
+    host, its own page features (n_pages, sum n_chars) plus the
+    link-weighted 1-hop and 2-hop IN-neighbourhood aggregates
+    ``w1_chars(h) = sum_u cnt(u,h) * sum_chars(u)`` and
+    ``w2_chars(h) = sum_u cnt(u,h) * w1_chars(u)`` — the message-
+    passing feature table a graph model trains on, all int64 (loud
+    overflow guard: the 2-hop product grows with corpus chars; past
+    the guard rescale the feature, do not let numpy wrap).
+
+    Ray shape: page features fold per batch into |hosts|-length
+    partial vectors (one row per block, the kmeans-partial law — the
+    page stream never shuffles); the two hop aggregations run on the
+    |hosts|^2-bounded weighted edge fold."""
+    import ray
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id", "n_chars"])
+
+    def feat_partial(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pid % NH
+        npg = np.bincount(h, minlength=NH).astype(np.int64)
+        sc = np.bincount(h, weights=nc, minlength=NH).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(np.arange(NH, dtype=np.int64)),
+                "n_pages": pa.array(npg),
+                "sum_chars": pa.array(sc),
+            }
+        )
+
+    parts = ds.map_batches(feat_partial, batch_format="pyarrow")
+    n_pages = np.zeros(NH, dtype=np.int64)
+    sum_chars = np.zeros(NH, dtype=np.int64)
+    for row in parts.take_all():
+        n_pages[row["h"]] += row["n_pages"]
+        sum_chars[row["h"]] += row["sum_chars"]
+
+    small = host_edges(sf_dir, rep).to_pandas()
+    s = small["src_id"].to_numpy(np.int64)
+    d = small["dst_id"].to_numpy(np.int64)
+    c = small["cnt"].to_numpy(np.int64)
+
+    if int(c.max()) * int(sum_chars.max()) * NH > (1 << 61):
+        raise OverflowError("host_neighborhood_agg: rescale the 2-hop feature")
+
+    w1_cnt = np.zeros(NH, dtype=np.int64)
+    w1_chars = np.zeros(NH, dtype=np.int64)
+    np.add.at(w1_cnt, d, c)
+    np.add.at(w1_chars, d, c * sum_chars[s])
+    if int(c.max()) * int(w1_chars.max()) * NH > (1 << 61):
+        raise OverflowError("host_neighborhood_agg: rescale the 2-hop feature")
+    w2_chars = np.zeros(NH, dtype=np.int64)
+    np.add.at(w2_chars, d, c * w1_chars[s])
+
+    ids = np.arange(NH, dtype=np.int64)
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(ids), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {
+            "host": host,
+            "n_pages": pa.array(n_pages),
+            "sum_chars": pa.array(sum_chars),
+            "w1_cnt": pa.array(w1_cnt),
+            "w1_chars": pa.array(w1_chars),
+            "w2_chars": pa.array(w2_chars),
+        }
+    )
+
+
+def host_neighborhood_agg_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with e as materialized ({_edges_sql(rep)}), "
+        f"p as (select page_id % {NH} as h, n_chars from ({pages_cte(rep)})), "
+        f"ids as (select unnest(range({NH})) as h), "
+        "f as (select ids.h, cast(coalesce(count(p.h), 0) as bigint) as n_pages, "
+        "cast(coalesce(sum(p.n_chars), 0) as bigint) as sum_chars "
+        "from ids left join p on p.h = ids.h group by ids.h), "
+        "w1 as (select ids.h, "
+        "cast(coalesce(sum(e.cnt), 0) as bigint) as w1_cnt, "
+        "cast(coalesce(sum(e.cnt * fs.sum_chars), 0) as bigint) as w1_chars "
+        "from ids left join e on e.dst_id = ids.h "
+        "left join f fs on fs.h = e.src_id group by ids.h), "
+        "w2 as (select ids.h, "
+        "cast(coalesce(sum(e.cnt * ws.w1_chars), 0) as bigint) as w2_chars "
+        "from ids left join e on e.dst_id = ids.h "
+        "left join w1 ws on ws.h = e.src_id group by ids.h) "
+        "select ('h' || cast(f.h as varchar) || '.example') as host, "
+        "f.n_pages, f.sum_chars, w1.w1_cnt, w1.w1_chars, w2.w2_chars "
+        "from f join w1 on w1.h = f.h join w2 on w2.h = f.h"
+    )

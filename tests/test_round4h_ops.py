@@ -977,3 +977,40 @@ def test_host_coreness_matches_brute(sf_dir):
     assert dict(zip(got["host"], got["coreness"])) == {
         f"h{v}.example": c for v, c in core.items()
     }
+
+
+def test_host_neighborhood_agg_matches_brute(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import linkgraph
+    from aerial_conversion_ray.sources.pages import pages_dataset
+
+    pg = pages_dataset(
+        sf_dir, rep=linkgraph.LG_REP, columns=["page_id", "n_chars"]
+    ).to_pandas()
+    h = pg["page_id"].to_numpy(np.int64) % linkgraph.NH
+    sum_chars = np.bincount(
+        h, weights=pg["n_chars"].to_numpy(np.int64), minlength=linkgraph.NH
+    ).astype(np.int64)
+    n_pages = np.bincount(h, minlength=linkgraph.NH).astype(np.int64)
+    e = linkgraph.host_edges(sf_dir).to_pandas()
+    s = e["src_id"].to_numpy(np.int64)
+    d = e["dst_id"].to_numpy(np.int64)
+    c = e["cnt"].to_numpy(np.int64)
+    w1c = np.zeros(linkgraph.NH, np.int64)
+    w1x = np.zeros(linkgraph.NH, np.int64)
+    np.add.at(w1c, d, c)
+    np.add.at(w1x, d, c * sum_chars[s])
+    w2x = np.zeros(linkgraph.NH, np.int64)
+    np.add.at(w2x, d, c * w1x[s])
+    got = linkgraph.host_neighborhood_agg(sf_dir).to_pandas()
+    for i in range(linkgraph.NH):
+        r = got.iloc[i]
+        assert r["host"] == f"h{i}.example"
+        assert (
+            r["n_pages"],
+            r["sum_chars"],
+            r["w1_cnt"],
+            r["w1_chars"],
+            r["w2_chars"],
+        ) == (n_pages[i], sum_chars[i], w1c[i], w1x[i], w2x[i])
