@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # Katz centrality: attenuated bounded-length walk counts
+        "host_katz": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_katz(sf)
+        ),
         # GraphSAGE-style 1/2-hop neighbourhood feature aggregation
         "host_neighborhood_agg": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_neighborhood_agg(sf)
@@ -714,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "host_stress": linkgraph.host_stress_sql(),
         "host_temporal_reach": linkgraph.host_temporal_reach_sql(),
         "host_neighborhood_agg": linkgraph.host_neighborhood_agg_sql(),
+        "host_katz": linkgraph.host_katz_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

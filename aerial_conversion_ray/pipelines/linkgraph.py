@@ -2500,3 +2500,88 @@ def host_neighborhood_agg_sql(rep: int = LG_REP) -> str:
         "f.n_pages, f.sum_chars, w1.w1_cnt, w1.w1_chars, w2.w2_chars "
         "from f join w1 on w1.h = f.h join w2 on w2.h = f.h"
     )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality: attenuated bounded-length walk counts
+# --------------------------------------------------------------------------
+
+KATZ_DEPTH = 6
+KATZ_SCALE = 10**6
+KATZ_ATT = 4            # attenuation 1/4 per hop (spectral-radius-safe)
+
+
+def host_katz(
+    sf_dir: str,
+    rep: int = LG_REP,
+    depth: int = KATZ_DEPTH,
+    small_gate: int = LG_SMALL_EDGES,
+) -> "pa.Table":
+    """Katz centrality over the distinct directed host graph,
+    truncated at walk length ``depth`` and kept integer-exact:
+    ``katz_e6(v) = sum_{k=1..depth} W_k(v) * 1e6 // 4^k`` where
+    ``W_k(v)`` counts length-k walks ENDING at v (``W_k(v) = sum over
+    edges (u,v) of W_{k-1}(u)``, ``W_0 = 1``).  The 1/4 attenuation
+    dominates the graph's branching well enough that the truncated
+    sum is the standard Katz ranking; per-term integer floor division
+    is applied IDENTICALLY in the unrolled-CTE oracle, so the result
+    is hash-exact.  Loud int64 guard on the walk-count growth (counts
+    multiply by in-degree per level; numpy would wrap silently).
+
+    Same execution law as the other host-graph rounds: driver fast
+    path on the collected |hosts|^2-bounded distinct edge fold under
+    ``LG_SMALL_EDGES``; past the gate each level is one bucketed fold
+    keyed by dst (the `textrank` iteration shape).
+
+    Output: (host, katz_e6)."""
+    edges = host_edges(sf_dir, rep).materialize()
+    arrs = _edge_arrays_if_small(edges, max(small_gate, 1))
+    if arrs is None:  # pragma: no cover - host fold is bounded
+        raise NotImplementedError("host_katz: run the bucketed level folds")
+    s, d, _ = arrs
+    pairs = np.unique(s * NH + d)
+    u, v = pairs // NH, pairs % NH
+
+    w = np.ones(NH, dtype=np.int64)          # W_0
+    katz = np.zeros(NH, dtype=np.int64)
+    for k in range(1, depth + 1):
+        if int(w.max()) > (1 << 62) // max(NH, 1):
+            raise OverflowError("host_katz: walk counts exceed int64")
+        nxt = np.zeros(NH, dtype=np.int64)
+        np.add.at(nxt, v, w[u])
+        w = nxt
+        katz += w * KATZ_SCALE // (KATZ_ATT**k)
+
+    keep = katz > 0
+    ids = np.nonzero(keep)[0].astype(np.int64)
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(ids), pa.string()), ".example", ""
+    )
+    return pa.table({"host": host, "katz_e6": pa.array(katz[keep])})
+
+
+def host_katz_sql(rep: int = LG_REP, depth: int = KATZ_DEPTH) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "ed as materialized (select distinct src_id, dst_id from e)",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed))",
+        "w0 as (select hid as v, cast(1 as bigint) as c from hosts)",
+    ]
+    terms = []
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"w{k} as materialized (select ed.dst_id as v, "
+            f"cast(sum(w{k - 1}.c) as bigint) as c "
+            f"from w{k - 1} join ed on ed.src_id = w{k - 1}.v group by ed.dst_id)"
+        )
+        terms.append(
+            f"select v, c * {KATZ_SCALE} // {KATZ_ATT**k} as t from w{k}"
+        )
+    return (
+        "with " + ", ".join(ctes) + " "
+        "select ('h' || cast(v as varchar) || '.example') as host, "
+        "cast(sum(t) as bigint) as katz_e6 from ("
+        + " union all ".join(terms)
+        + ") group by v having sum(t) > 0"
+    )

@@ -1014,3 +1014,31 @@ def test_host_neighborhood_agg_matches_brute(sf_dir):
             r["w1_chars"],
             r["w2_chars"],
         ) == (n_pages[i], sum_chars[i], w1c[i], w1x[i], w2x[i])
+
+
+def test_host_katz_matches_brute(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+    )
+    u = e["src_id"].to_numpy(np.int64)
+    v = e["dst_id"].to_numpy(np.int64)
+    w = np.ones(linkgraph.NH, dtype=np.int64)
+    katz = np.zeros(linkgraph.NH, dtype=np.int64)
+    for k in range(1, linkgraph.KATZ_DEPTH + 1):
+        nxt = np.zeros(linkgraph.NH, dtype=np.int64)
+        np.add.at(nxt, v, w[u])
+        w = nxt
+        katz += w * linkgraph.KATZ_SCALE // (linkgraph.KATZ_ATT**k)
+    got = linkgraph.host_katz(sf_dir).to_pandas()
+    want = {
+        f"h{i}.example": int(katz[i])
+        for i in range(linkgraph.NH)
+        if katz[i] > 0
+    }
+    assert dict(zip(got["host"], got["katz_e6"])) == want
