@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # hop plot: pairwise distance distribution + effective diameter
+        "host_hopplot": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_hopplot(sf)
+        ),
         # Katz centrality: attenuated bounded-length walk counts
         "host_katz": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_katz(sf)
@@ -719,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "host_temporal_reach": linkgraph.host_temporal_reach_sql(),
         "host_neighborhood_agg": linkgraph.host_neighborhood_agg_sql(),
         "host_katz": linkgraph.host_katz_sql(),
+        "host_hopplot": linkgraph.host_hopplot_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

@@ -2585,3 +2585,58 @@ def host_katz_sql(rep: int = LG_REP, depth: int = KATZ_DEPTH) -> str:
         + " union all ".join(terms)
         + ") group by v having sum(t) > 0"
     )
+
+
+# --------------------------------------------------------------------------
+# Hop plot: distribution of pairwise hop distances
+# --------------------------------------------------------------------------
+
+
+def host_hopplot(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """The hop plot (Faloutsos et al. 1999): for each hop count d,
+    how many ordered host pairs (s, v), s != v, are at shortest
+    distance exactly d — the connectivity fingerprint whose knee is
+    the effective diameter.  Derived from the same bit-parallel
+    all-pairs closure as :func:`host_closeness` (one bincount over
+    the distance matrix); the oracle groups the recursive min-hop
+    CTE.  Also emits each level's cumulative pair count so the
+    effective-diameter read-off (smallest d covering >= 90% of
+    reachable pairs) is a one-row filter for the caller.
+
+    Output: (d, n_pairs, cum_pairs)."""
+    hosts, dmat, _ = _host_closure(sf_dir, rep)
+    n = len(hosts)
+    INF = np.int64(1) << np.int64(40)
+    off = dmat.copy()
+    np.fill_diagonal(off, INF)
+    dvals = off[off < INF]
+    counts = np.bincount(dvals.astype(np.int64))
+    ds_ = np.nonzero(counts)[0].astype(np.int64)
+    np_ = counts[ds_].astype(np.int64)
+    return pa.table(
+        {
+            "d": pa.array(ds_),
+            "n_pairs": pa.array(np_),
+            "cum_pairs": pa.array(np.cumsum(np_)),
+        }
+    )
+
+
+def host_hopplot_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with recursive e as ({_edges_sql(rep)}), "
+        "ed as (select distinct src_id, dst_id from e), "
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed)), "
+        "ap(s, v, d) as ("
+        "select hid, hid, cast(0 as bigint) from hosts "
+        "union "
+        f"select ap.s, ed.dst_id, ap.d + 1 from ap join ed on ed.src_id = ap.v "
+        f"where ap.d < {NH}), "
+        "md as (select s, v, min(d) as d from ap group by s, v), "
+        "hp as (select d, cast(count(*) as bigint) as n_pairs from md "
+        "where s <> v group by d) "
+        "select d, n_pairs, "
+        "cast(sum(n_pairs) over (order by d) as bigint) as cum_pairs "
+        "from hp"
+    )

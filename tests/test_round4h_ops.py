@@ -1042,3 +1042,33 @@ def test_host_katz_matches_brute(sf_dir):
         if katz[i] > 0
     }
     assert dict(zip(got["host"], got["katz_e6"])) == want
+
+
+def test_host_hopplot_matches_bfs(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    edges = linkgraph.host_edges(sf_dir).to_pandas()
+    adj = collections.defaultdict(set)
+    for _, r in edges.iterrows():
+        adj[int(r["src_id"])].add(int(r["dst_id"]))
+    hosts = sorted(set(edges["src_id"]) | set(edges["dst_id"]))
+    cnt = collections.Counter()
+    for s in hosts:
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for v in adj.get(u, ()):
+                    if v not in d:
+                        d[v] = d[u] + 1
+                        nq.append(v)
+            q = nq
+        for v, dv in d.items():
+            if v != s:
+                cnt[dv] += 1
+    got = linkgraph.host_hopplot(sf_dir).to_pandas()
+    assert dict(zip(got["d"], got["n_pairs"])) == dict(cnt)
+    assert (got["cum_pairs"].to_numpy() == got["n_pairs"].cumsum().to_numpy()).all()
