@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # SimRank pair similarity (integer fixed point)
+        "host_simrank": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_simrank(sf)
+        ),
         # hop plot: pairwise distance distribution + effective diameter
         "host_hopplot": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_hopplot(sf)
@@ -724,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "host_neighborhood_agg": linkgraph.host_neighborhood_agg_sql(),
         "host_katz": linkgraph.host_katz_sql(),
         "host_hopplot": linkgraph.host_hopplot_sql(),
+        "host_simrank": linkgraph.host_simrank_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

@@ -2640,3 +2640,103 @@ def host_hopplot_sql(rep: int = LG_REP) -> str:
         "cast(sum(n_pairs) over (order by d) as bigint) as cum_pairs "
         "from hp"
     )
+
+
+# --------------------------------------------------------------------------
+# SimRank: link-based pair similarity (integer fixed point)
+# --------------------------------------------------------------------------
+
+SIMRANK_ITERS = 3
+SIMRANK_SCALE = 10**6   # C = 0.8 applied as *4 // 5
+
+
+def host_simrank(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """SimRank (Jeh & Widom 2002) over the distinct directed host
+    graph: two hosts are similar when their IN-neighbourhoods are
+    similar — ``s'(a,b) = 0.8 * mean over (u in I(a), v in I(b)) of
+    s(u,v)``, seeded by the identity.  Integer fixed point:
+    ``s' = (4 * SUM) // (5 * |I(a)| * |I(b)|)`` at scale 1e6 with the
+    division floor applied IDENTICALLY in the unrolled-CTE oracle, so
+    every iterate matches bit-for-bit.  {SIMRANK_ITERS} iterations
+    (SimRank converges geometrically; 3 ranks the test graph).
+
+    Execution: each iterate is ``P^T S P`` over the |hosts|^2-bounded
+    matrices (two int64 matmuls on the driver — the LG_SMALL_EDGES
+    regime; at |hosts| past the gate each iterate is the bucketed
+    edge-pair join the oracle spells out, quadratic in in-degree by
+    SimRank's definition).  Output: (host_a, host_b, simrank_e6) for
+    a < b with a nonzero score."""
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()[["src_id", "dst_id"]].drop_duplicates()
+    hosts = np.unique(
+        np.concatenate([small["src_id"].values, small["dst_id"].values])
+    )
+    n = len(hosts)
+    u = np.searchsorted(hosts, small["src_id"].values)
+    v = np.searchsorted(hosts, small["dst_id"].values)
+    P = np.zeros((n, n), dtype=np.int64)   # P[u, a] = 1 iff u -> a
+    P[u, v] = 1
+    indeg = P.sum(axis=0)
+
+    if int(indeg.max()) ** 2 > (1 << 61) // max(SIMRANK_SCALE * n, 1):
+        raise OverflowError("host_simrank: rescale the pair sum")
+
+    S = np.zeros((n, n), dtype=np.int64)
+    np.fill_diagonal(S, SIMRANK_SCALE)
+    denom = 5 * np.outer(indeg, indeg)
+    ok = denom > 0
+    for _ in range(SIMRANK_ITERS):
+        SUM = P.T @ S @ P
+        new = np.zeros_like(S)
+        new[ok] = 4 * SUM[ok] // denom[ok]
+        np.fill_diagonal(new, SIMRANK_SCALE)
+        S = new
+
+    a_i, b_i = np.nonzero(np.triu(S, k=1) > 0)
+    return pa.table(
+        {
+            "host_a": pc.binary_join_element_wise(
+                "h", pc.cast(pa.array(hosts[a_i]), pa.string()), ".example", ""
+            ),
+            "host_b": pc.binary_join_element_wise(
+                "h", pc.cast(pa.array(hosts[b_i]), pa.string()), ".example", ""
+            ),
+            "simrank_e6": pa.array(S[a_i, b_i]),
+        }
+    )
+
+
+def host_simrank_sql(rep: int = LG_REP, iters: int = SIMRANK_ITERS) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "ed as materialized (select distinct src_id, dst_id from e)",
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed))",
+        "indeg as materialized (select dst_id as hid, "
+        "cast(count(*) as bigint) as deg from ed group by dst_id)",
+        f"s0 as (select hid as a, hid as b, cast({SIMRANK_SCALE} as bigint) "
+        "as val from hosts)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"t{k + 1} as materialized (select e1.dst_id as a, e2.dst_id as b, "
+            "cast(4 * sum(s.val) // (5 * d1.deg * d2.deg) as bigint) as val "
+            f"from s{k} s "
+            "join ed e1 on e1.src_id = s.a "
+            "join ed e2 on e2.src_id = s.b "
+            "join indeg d1 on d1.hid = e1.dst_id "
+            "join indeg d2 on d2.hid = e2.dst_id "
+            "where e1.dst_id <> e2.dst_id "
+            "group by e1.dst_id, e2.dst_id, d1.deg, d2.deg)"
+        )
+        ctes.append(
+            f"s{k + 1} as materialized (select a, b, val from t{k + 1} "
+            f"union all select hid, hid, cast({SIMRANK_SCALE} as bigint) "
+            "from hosts)"
+        )
+    return (
+        "with " + ", ".join(ctes) + " "
+        "select ('h' || cast(a as varchar) || '.example') as host_a, "
+        "('h' || cast(b as varchar) || '.example') as host_b, "
+        f"val as simrank_e6 from s{iters} where a < b and val > 0"
+    )

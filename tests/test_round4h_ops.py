@@ -1072,3 +1072,45 @@ def test_host_hopplot_matches_bfs(sf_dir):
     got = linkgraph.host_hopplot(sf_dir).to_pandas()
     assert dict(zip(got["d"], got["n_pairs"])) == dict(cnt)
     assert (got["cum_pairs"].to_numpy() == got["n_pairs"].cumsum().to_numpy()).all()
+
+
+def test_host_simrank_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+    )
+    inn = collections.defaultdict(list)
+    hosts = sorted(set(e["src_id"]) | set(e["dst_id"]))
+    for _, r in e.iterrows():
+        inn[int(r["dst_id"])].append(int(r["src_id"]))
+    S = {(h, h): linkgraph.SIMRANK_SCALE for h in hosts}
+    for _ in range(linkgraph.SIMRANK_ITERS):
+        new = {}
+        for a in hosts:
+            for b in hosts:
+                if a == b:
+                    new[(a, b)] = linkgraph.SIMRANK_SCALE
+                    continue
+                ia, ib = inn.get(a, []), inn.get(b, [])
+                if not ia or not ib:
+                    continue
+                tot = sum(S.get((x, y), 0) for x in ia for y in ib)
+                val = 4 * tot // (5 * len(ia) * len(ib))
+                if val or True:
+                    new[(a, b)] = val
+        S = new
+    want = {
+        (f"h{a}.example", f"h{b}.example"): v
+        for (a, b), v in S.items()
+        if a < b and v > 0
+    }
+    got = linkgraph.host_simrank(sf_dir).to_pandas()
+    gm = {
+        (r["host_a"], r["host_b"]): r["simrank_e6"] for _, r in got.iterrows()
+    }
+    assert gm == want
