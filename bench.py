@@ -367,6 +367,39 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["random_walks"]
             ).random_walks(SF_DIR)
         ),
+        "host_katz": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_katz"]
+            ).host_katz(SF_DIR)
+        ),
+        "host_hopplot": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_hopplot"],
+            ).host_hopplot(SF_DIR)
+        ),
+        "host_simrank": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_simrank"],
+            ).host_simrank(SF_DIR)
+        ),
+        "host_coreness": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_coreness"],
+            ).host_coreness(SF_DIR)
+        ),
+        "host_neighborhood_agg": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_neighborhood_agg"],
+            ).host_neighborhood_agg(SF_DIR)
+        ),
+        "trajectory_hausdorff": lambda: _consume(
+            spatial.trajectory_hausdorff(SF_DIR, cfg)
+        ),
+        "raster_algebra": lambda: _consume(geotiff.raster_algebra()),
         "host_temporal_reach": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph",
