@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # Newman modularity terms of the LPA partition
+        "lpa_modularity": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.lpa_modularity(sf)
+        ),
         # SimRank pair similarity (integer fixed point)
         "host_simrank": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_simrank(sf)
@@ -729,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "host_katz": linkgraph.host_katz_sql(),
         "host_hopplot": linkgraph.host_hopplot_sql(),
         "host_simrank": linkgraph.host_simrank_sql(),
+        "lpa_modularity": linkgraph.lpa_modularity_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

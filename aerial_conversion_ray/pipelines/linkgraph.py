@@ -804,7 +804,9 @@ def lpa_communities(
     return pa.table({"host": host, "community": pa.array(lbl)})
 
 
-def lpa_communities_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
+def _lpa_ctes(rep: int, iters: int) -> list:
+    """Shared CTE chain for the LPA label fixpoint (consumed by the
+    communities oracle and the modularity oracle)."""
     ctes = [
         f"e as ({_edges_sql(rep)})",
         f"e2 as (select src_id as a, dst_id as b, cnt from e "
@@ -830,6 +832,11 @@ def lpa_communities_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
             "using (hid) "
             f"join l{k} p using (hid))"
         )
+    return ctes
+
+
+def lpa_communities_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
+    ctes = _lpa_ctes(rep, iters)
     return (
         "with " + ",\n".join(ctes) + "\n"
         "select ('h' || cast(hid as varchar) || '.example') as host, "
@@ -2739,4 +2746,99 @@ def host_simrank_sql(rep: int = LG_REP, iters: int = SIMRANK_ITERS) -> str:
         "select ('h' || cast(a as varchar) || '.example') as host_a, "
         "('h' || cast(b as varchar) || '.example') as host_b, "
         f"val as simrank_e6 from s{iters} where a < b and val > 0"
+    )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the LPA communities
+# --------------------------------------------------------------------------
+
+
+def lpa_modularity(
+    sf_dir: str, rep: int = LG_REP, iters: int = LPA_ITERS
+) -> "pa.Table":
+    """Newman modularity terms of the :func:`lpa_communities`
+    partition — the quality audit for the community detector: per
+    community c, the intra weight ``w_in = sum A_ij (i,j in c, both
+    orientations)``, the degree mass ``tot = sum_i-in-c k_i``, and
+    the integer e6 modularity term ``q_e6 = sign(t) * (|t| * 1e6 //
+    (2m)^2)`` with ``t = w_in * 2m - tot^2`` (sign extracted BEFORE
+    the floor division — numpy floors, DuckDB truncates, the
+    events_retention lesson); ``Q = sum(q_e6) / 1e6``.
+
+    Labels come from the same deterministic synchronous propagation
+    the communities oracle unrolls, so the whole computation is a
+    pure function of the graph.  The aggregation runs on the
+    |hosts|^2-bounded undirected fold (hub removed, as in LPA).
+
+    Output: (community, w_in, tot_w, q_e6)."""
+    lab = lpa_communities(sf_dir, rep, iters).to_pandas()
+    hid = lab["host"].str.extract(r"^h(\d+)\.")[0].astype("int64").to_numpy()
+    com = lab["community"].to_numpy(np.int64)
+    lbl_of = dict(zip(hid.tolist(), com.tolist()))
+
+    small = host_edges(sf_dir, rep).to_pandas()
+    small = small[
+        (small["src_id"] != _HOT_DST) & (small["dst_id"] != _HOT_DST)
+    ]
+    a = np.concatenate([small["src_id"].values, small["dst_id"].values]).astype(
+        np.int64
+    )
+    b = np.concatenate([small["dst_id"].values, small["src_id"].values]).astype(
+        np.int64
+    )
+    c = np.concatenate([small["cnt"].values, small["cnt"].values]).astype(
+        np.int64
+    )
+    ca = np.array([lbl_of[int(x)] for x in a], dtype=np.int64)
+    cb = np.array([lbl_of[int(x)] for x in b], dtype=np.int64)
+    two_m = int(c.sum())
+
+    comms = np.unique(com)
+    idx = {int(x): i for i, x in enumerate(comms)}
+    ai = np.array([idx[int(x)] for x in ca], dtype=np.int64)
+    w_in = np.zeros(len(comms), dtype=np.int64)
+    sel = ca == cb
+    np.add.at(w_in, ai[sel], c[sel])
+    tot = np.zeros(len(comms), dtype=np.int64)
+    np.add.at(tot, ai, c)
+
+    if two_m and int(max(w_in.max(), 1)) > (1 << 61) // (two_m * 1_000_000):
+        raise OverflowError("lpa_modularity: rescale the term arithmetic")
+    t = w_in * two_m - tot * tot
+    q = np.sign(t) * (np.abs(t) * 1_000_000 // (two_m * two_m))
+    return pa.table(
+        {
+            "community": pa.array(comms),
+            "w_in": pa.array(w_in),
+            "tot_w": pa.array(tot),
+            "q_e6": pa.array(q),
+        }
+    )
+
+
+def lpa_modularity_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
+    ctes = _lpa_ctes(rep, iters)
+    ctes.append(f"lab as (select hid, lbl from l{iters})")
+    ctes.append("tm as (select sum(cnt) as m2 from e2)")
+    ctes.append(
+        "agg as (select la.lbl as community, "
+        "cast(sum(case when la.lbl = lb.lbl then e2.cnt else 0 end) as bigint) "
+        "as w_in, cast(sum(e2.cnt) as bigint) as tot_w "
+        "from e2 join lab la on la.hid = e2.a join lab lb on lb.hid = e2.b "
+        "group by la.lbl)"
+    )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select c.community, "
+        "coalesce(a.w_in, 0) as w_in, coalesce(a.tot_w, 0) as tot_w, "
+        "cast(case when coalesce(a.w_in, 0) * tm.m2 >= "
+        "coalesce(a.tot_w, 0) * coalesce(a.tot_w, 0) then "
+        "(coalesce(a.w_in, 0) * tm.m2 - coalesce(a.tot_w, 0) * "
+        "coalesce(a.tot_w, 0)) * 1000000 // (tm.m2 * tm.m2) else "
+        "-((coalesce(a.tot_w, 0) * coalesce(a.tot_w, 0) - "
+        "coalesce(a.w_in, 0) * tm.m2) * 1000000 // (tm.m2 * tm.m2)) end "
+        "as bigint) as q_e6 "
+        f"from (select distinct lbl as community from l{iters}) c "
+        "left join agg a on a.community = c.community cross join tm"
     )

@@ -1114,3 +1114,43 @@ def test_host_simrank_matches_brute(sf_dir):
         (r["host_a"], r["host_b"]): r["simrank_e6"] for _, r in got.iterrows()
     }
     assert gm == want
+
+
+def test_lpa_modularity_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    lab = linkgraph.lpa_communities(sf_dir).to_pandas()
+    lbl = {
+        int(h[1:].split(".")[0]): int(c)
+        for h, c in zip(lab["host"], lab["community"])
+    }
+    e = linkgraph.host_edges(sf_dir).to_pandas()
+    e = e[
+        (e["src_id"] != linkgraph._HOT_DST)
+        & (e["dst_id"] != linkgraph._HOT_DST)
+    ]
+    w_in = collections.Counter()
+    tot = collections.Counter()
+    two_m = 0
+    for _, r in e.iterrows():
+        a, b, c = int(r["src_id"]), int(r["dst_id"]), int(r["cnt"])
+        for x, y in ((a, b), (b, a)):
+            tot[lbl[x]] += c
+            two_m += c
+            if lbl[x] == lbl[y]:
+                w_in[lbl[x]] += c
+    got = linkgraph.lpa_modularity(sf_dir).to_pandas()
+    q_sum = 0
+    for _, r in got.iterrows():
+        cm = int(r["community"])
+        assert r["w_in"] == w_in.get(cm, 0)
+        assert r["tot_w"] == tot.get(cm, 0)
+        t = w_in.get(cm, 0) * two_m - tot.get(cm, 0) ** 2
+        sign = 1 if t >= 0 else -1
+        assert r["q_e6"] == sign * (abs(t) * 1_000_000 // (two_m * two_m))
+        q_sum += r["q_e6"]
+    assert set(got["community"]) == set(lbl.values())
+    # modularity is bounded: Q in (-1, 1)
+    assert -1_000_000 < q_sum < 1_000_000
