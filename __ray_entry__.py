@@ -355,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_backbone": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_backbone(sf)
         ),
+        # directed triad census: feed-forward vs cyclic motifs
+        "host_triads": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_triads(sf)
+        ),
         # Newman modularity terms of the LPA partition
         "lpa_modularity": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.lpa_modularity(sf)
@@ -734,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hopplot": linkgraph.host_hopplot_sql(),
         "host_simrank": linkgraph.host_simrank_sql(),
         "lpa_modularity": linkgraph.lpa_modularity_sql(),
+        "host_triads": linkgraph.host_triads_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,

@@ -2842,3 +2842,57 @@ def lpa_modularity_sql(rep: int = LG_REP, iters: int = LPA_ITERS) -> str:
         f"from (select distinct lbl as community from l{iters}) c "
         "left join agg a on a.community = c.community cross join tm"
     )
+
+
+# --------------------------------------------------------------------------
+# Directed triad census: feed-forward vs cyclic motifs
+# --------------------------------------------------------------------------
+
+
+def host_triads(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Directed triad (motif) census over the distinct host graph
+    (self-loops dropped): ordered feed-forward tuples
+    ``u -> w -> v with u -> v`` (the FFL motif = hierarchy signal)
+    and ordered 3-cycle tuples ``u -> w -> v -> u`` (feedback) — the
+    transitivity-vs-feedback fingerprint of the link structure.
+    Engine computes both as int64 matrix products on the
+    |hosts|-bounded adjacency (``sum((A @ A) * A)`` and
+    ``trace(A @ A @ A)``); the oracle counts the identical ordered
+    tuples with two 3-way self-joins.  Output: one row
+    (n_ffl, n_cyc_tuples) — cycle TUPLES, i.e. 3x the cycle count,
+    kept raw so both sides avoid a division convention."""
+    edges = host_edges(sf_dir, rep).materialize()
+    small = edges.to_pandas()[["src_id", "dst_id"]].drop_duplicates()
+    small = small[small["src_id"] != small["dst_id"]]
+    hosts = np.unique(
+        np.concatenate([small["src_id"].values, small["dst_id"].values])
+    )
+    n = len(hosts)
+    u = np.searchsorted(hosts, small["src_id"].values)
+    v = np.searchsorted(hosts, small["dst_id"].values)
+    A = np.zeros((n, n), dtype=np.int64)
+    A[u, v] = 1
+    A2 = A @ A
+    ffl = int((A2 * A).sum())
+    cyc = int(np.trace(A2 @ A))
+    return pa.table(
+        {
+            "n_ffl": pa.array([ffl], pa.int64()),
+            "n_cyc_tuples": pa.array([cyc], pa.int64()),
+        }
+    )
+
+
+def host_triads_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with e as materialized ({_edges_sql(rep)}), "
+        "ed as materialized (select distinct src_id as a, dst_id as b from e "
+        "where src_id <> dst_id) "
+        "select "
+        "cast((select count(*) from ed e1 "
+        "join ed e2 on e2.a = e1.b "
+        "join ed e3 on e3.a = e1.a and e3.b = e2.b) as bigint) as n_ffl, "
+        "cast((select count(*) from ed e1 "
+        "join ed e2 on e2.a = e1.b "
+        "join ed e3 on e3.a = e2.b and e3.b = e1.a) as bigint) as n_cyc_tuples"
+    )

@@ -1154,3 +1154,29 @@ def test_lpa_modularity_matches_brute(sf_dir):
     assert set(got["community"]) == set(lbl.values())
     # modularity is bounded: Q in (-1, 1)
     assert -1_000_000 < q_sum < 1_000_000
+
+
+def test_host_triads_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+    )
+    e = e[e["src_id"] != e["dst_id"]]
+    E = set(zip(e["src_id"].astype(int), e["dst_id"].astype(int)))
+    out = {}
+    for a, b in E:
+        out.setdefault(a, set()).add(b)
+    ffl = cyc = 0
+    for u, w in E:
+        for v in out.get(w, ()):
+            if (u, v) in E:
+                ffl += 1
+            if (v, u) in E:
+                cyc += 1
+    got = linkgraph.host_triads(sf_dir).to_pandas()
+    assert got["n_ffl"].iloc[0] == ffl
+    assert got["n_cyc_tuples"].iloc[0] == cyc
+    assert cyc % 3 == 0
