@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # deterministic DeepWalk corpus: hash-indexed walks per page
         "random_walks": linkgraph.random_walks,
+        # weighted variant: transition probability ~ link count
+        "random_walks_weighted": linkgraph.random_walks_weighted,
         # Luby maximal independent set, deterministic priorities
         "host_mis": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_mis(sf)
@@ -729,6 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "host_closeness": linkgraph.host_closeness_sql(),
         "host_scc": linkgraph.host_scc_sql(),
         "random_walks": linkgraph.random_walks_sql(),
+        "random_walks_weighted": linkgraph.random_walks_weighted_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),

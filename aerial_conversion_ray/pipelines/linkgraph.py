@@ -2896,3 +2896,116 @@ def host_triads_sql(rep: int = LG_REP) -> str:
         "join ed e2 on e2.a = e1.b "
         "join ed e3 on e3.a = e2.b and e3.b = e1.a) as bigint) as n_cyc_tuples"
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted deterministic walks (transition probability ∝ link count)
+# --------------------------------------------------------------------------
+
+
+def random_walks_weighted(
+    sf_dir: str, rep: int = LG_REP, steps: int = WALK_LEN
+) -> ray.data.Dataset:
+    """:func:`random_walks` with WEIGHTED transitions: at host h the
+    walk picks the out-edge covering offset
+    ``r = H(page_id, h, t) % wdeg(h)`` inside the dst-sorted
+    cumulative link-count array — edge (h, v) is chosen with
+    probability cnt(h,v)/wdeg(h), so heavily-linked hosts attract
+    proportionally more of the walk corpus (the node2vec/DeepWalk
+    weighted regime).  Deterministic by the same hash discipline; the
+    oracle replays it with a running-sum window
+    (``r < rs and r >= rs - cnt``).  Same broadcast-CSR Ray shape as
+    the unweighted walks.  Output: (page_id, step, host)."""
+    import ray
+
+    small = host_edges(sf_dir, rep).to_pandas()
+    small = small.groupby(["src_id", "dst_id"], as_index=False)["cnt"].sum()
+    small = small.sort_values(["src_id", "dst_id"])
+    src = small["src_id"].to_numpy(np.int64)
+    dst = small["dst_id"].to_numpy(np.int64)
+    cnt = small["cnt"].to_numpy(np.int64)
+    deg = np.bincount(src, weights=cnt, minlength=NH).astype(np.int64)
+    off = np.zeros(NH + 1, dtype=np.int64)
+    np.add.at(off, src + 1, 1)
+    off = np.cumsum(off)
+    # per-src cumulative weight (running sum within the sorted group)
+    cum = np.zeros(len(cnt), dtype=np.int64)
+    for h in range(NH):
+        lo, hi_ = off[h], off[h + 1]
+        if hi_ > lo:
+            cum[lo:hi_] = np.cumsum(cnt[lo:hi_])
+    csr_ref = ray.put((off, deg, dst, cum))
+
+    def walk(t: pa.Table) -> pa.Table:
+        o, dg, fl, cm = ray.get(csr_ref)
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pid % NH
+        out_pid = [pid]
+        out_step = [np.zeros(len(pid), dtype=np.int64)]
+        out_h = [h]
+        alive = np.ones(len(pid), dtype=bool)
+        cur = h.copy()
+        for st in range(steps):
+            alive = alive & (dg[cur] > 0)
+            if not alive.any():
+                break
+            pa_, ha = pid[alive], cur[alive]
+            r = ((pa_ % _WALK_PMOD) * 31 + (ha + 1) * _WALK_A + st * _WALK_B) % dg[ha]
+            # searchsorted within each src segment: global position of
+            # the first cum value strictly greater than r
+            nxt = np.empty(len(ha), dtype=np.int64)
+            for i in range(len(ha)):  # small per batch; vectorize via
+                hh = ha[i]            # segment offsets at larger NH
+                lo, hi_ = o[hh], o[hh + 1]
+                j = lo + np.searchsorted(cm[lo:hi_], r[i], side="right")
+                nxt[i] = fl[j]
+            cur = cur.copy()
+            cur[alive] = nxt
+            out_pid.append(pa_)
+            out_step.append(np.full(len(pa_), st + 1, dtype=np.int64))
+            out_h.append(nxt)
+        hid = np.concatenate(out_h)
+        return pa.table(
+            {
+                "page_id": pa.array(np.concatenate(out_pid)),
+                "step": pa.array(np.concatenate(out_step)),
+                "host": pc.binary_join_element_wise(
+                    "h", pc.cast(pa.array(hid), pa.string()), ".example", ""
+                ),
+            }
+        )
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+    return ds.map_batches(walk, batch_format="pyarrow")
+
+
+def random_walks_weighted_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "ew as materialized (select src_id, dst_id, "
+        "cast(sum(cnt) as bigint) as cnt from e group by src_id, dst_id)",
+        "adj as materialized (select src_id, dst_id, cnt, "
+        "sum(cnt) over (partition by src_id order by dst_id "
+        "rows unbounded preceding) as rs, "
+        "sum(cnt) over (partition by src_id) as wdeg from ew)",
+        f"pg as (select distinct page_id from ({pages_cte(rep)}))",
+        f"w0 as (select page_id, cast(page_id % {NH} as bigint) as h from pg)",
+    ]
+    for t in range(steps):
+        ctes.append(
+            f"w{t + 1} as materialized (select w.page_id, a.dst_id as h "
+            f"from w{t} w join adj a on a.src_id = w.h and "
+            f"((w.page_id % {_WALK_PMOD}) * 31 + (w.h + 1) * {_WALK_A} "
+            f"+ {t} * {_WALK_B}) % a.wdeg < a.rs and "
+            f"((w.page_id % {_WALK_PMOD}) * 31 + (w.h + 1) * {_WALK_A} "
+            f"+ {t} * {_WALK_B}) % a.wdeg >= a.rs - a.cnt)"
+        )
+    sel = " union all ".join(
+        f"select page_id, cast({t} as bigint) as step, h from w{t}"
+        for t in range(steps + 1)
+    )
+    return (
+        "with " + ", ".join(ctes) + " "
+        f"select page_id, step, ('h' || cast(h as varchar) || '.example') as host "
+        f"from ({sel})"
+    )

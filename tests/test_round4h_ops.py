@@ -1180,3 +1180,49 @@ def test_host_triads_matches_brute(sf_dir):
     assert got["n_ffl"].iloc[0] == ffl
     assert got["n_cyc_tuples"].iloc[0] == cyc
     assert cyc % 3 == 0
+
+
+def test_random_walks_weighted_matches_brute(sf_dir):
+    import bisect
+    import random
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    ew = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()
+        .groupby(["src_id", "dst_id"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["src_id", "dst_id"])
+    )
+    adj = {}
+    for _, r in ew.iterrows():
+        adj.setdefault(int(r["src_id"]), []).append(
+            (int(r["dst_id"]), int(r["cnt"]))
+        )
+    got = linkgraph.random_walks_weighted(sf_dir).to_pandas()
+    walks = {
+        pid: dict(zip(g["step"], g["host"])) for pid, g in got.groupby("page_id")
+    }
+    pids = sorted(walks)
+    for pid in random.Random(11).sample(pids, min(200, len(pids))):
+        h = pid % linkgraph.NH
+        want = {0: f"h{h}.example"}
+        for t in range(linkgraph.WALK_LEN):
+            nbrs = adj.get(h)
+            if not nbrs:
+                break
+            wdeg = sum(c for _, c in nbrs)
+            r = (
+                (pid % linkgraph._WALK_PMOD) * 31
+                + (h + 1) * linkgraph._WALK_A
+                + t * linkgraph._WALK_B
+            ) % wdeg
+            cum = []
+            s = 0
+            for _, c in nbrs:
+                s += c
+                cum.append(s)
+            h = nbrs[bisect.bisect_right(cum, r)][0]
+            want[t + 1] = f"h{h}.example"
+        assert walks[pid] == want, pid
