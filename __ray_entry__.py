@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": linkgraph.random_walks,
         # weighted variant: transition probability ~ link count
         "random_walks_weighted": linkgraph.random_walks_weighted,
+        # skip-gram (center, context) pair counts from the walks
+        "walk_skipgrams": linkgraph.walk_skipgrams,
         # Luby maximal independent set, deterministic priorities
         "host_mis": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_mis(sf)
@@ -732,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "host_scc": linkgraph.host_scc_sql(),
         "random_walks": linkgraph.random_walks_sql(),
         "random_walks_weighted": linkgraph.random_walks_weighted_sql(),
+        "walk_skipgrams": linkgraph.walk_skipgrams_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),

@@ -3009,3 +3009,77 @@ def random_walks_weighted_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
         f"select page_id, step, ('h' || cast(h as varchar) || '.example') as host "
         f"from ({sel})"
     )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram pair counts from the walk corpus (word2vec prep)
+# --------------------------------------------------------------------------
+
+SG_WINDOW = 2
+
+
+def walk_skipgrams(
+    sf_dir: str, rep: int = LG_REP, window: int = SG_WINDOW
+) -> ray.data.Dataset:
+    """Skip-gram training-pair counts from the :func:`random_walks`
+    corpus: every (center, context) host pair within ``window`` steps
+    on the same walk, direction-sensitive, aggregated to
+    (center, context, n) — the input table a word2vec/node2vec
+    trainer consumes.  The pair explode happens INSIDE the walk batch
+    (each page's whole walk lives in one map task, so no self-join
+    shuffle); the |hosts|^2-bounded counts fold once.  The oracle
+    replays it as a step self-join over the unrolled walk CTEs."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        step = t["step"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = t["host"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((step, pid))
+        pid, step, host = pid[order], step[order], host[order]
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            # rows i and i+d share a walk iff same pid and step gap d
+            if len(pid) > d:
+                m = (pid[d:] == pid[:-d]) & (step[d:] == step[:-d] + d)
+                cs.append(host[:-d][m])   # center -> forward context
+                xs.append(host[d:][m])
+                cs.append(host[d:][m])    # and the reverse direction
+                xs.append(host[:-d][m])
+        if cs:
+            c = np.concatenate(cs)
+            x = np.concatenate(xs)
+        else:
+            c = x = np.array([], dtype=object)
+        df = pd.DataFrame({"center": c, "context": x})
+        g = df.groupby(["center", "context"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "center": pa.array(g["center"], pa.string()),
+                "context": pa.array(g["context"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["center", "context"], as_index=False)["n"].sum()
+
+    ds = random_walks(sf_dir, rep)
+    # per-batch partials are already |hosts|^2-bounded: ONE single-
+    # partition vectorized fold finishes the job (no per-key groupby)
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+def walk_skipgrams_sql(rep: int = LG_REP, window: int = SG_WINDOW) -> str:
+    base = random_walks_sql(rep)
+    return (
+        f"with walks as ({base}) "
+        "select w1.host as center, w2.host as context, "
+        "cast(count(*) as bigint) as n "
+        "from walks w1 join walks w2 on w2.page_id = w1.page_id "
+        f"and w2.step <> w1.step and abs(w2.step - w1.step) <= {window} "
+        "group by w1.host, w2.host"
+    )

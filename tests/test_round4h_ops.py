@@ -1226,3 +1226,26 @@ def test_random_walks_weighted_matches_brute(sf_dir):
             h = nbrs[bisect.bisect_right(cum, r)][0]
             want[t + 1] = f"h{h}.example"
         assert walks[pid] == want, pid
+
+
+def test_walk_skipgrams_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    walks = linkgraph.random_walks(sf_dir).to_pandas()
+    want = collections.Counter()
+    for _, g in walks.groupby("page_id"):
+        seq = g.sort_values("step")["host"].tolist()
+        for i, c in enumerate(seq):
+            for j in range(
+                max(0, i - linkgraph.SG_WINDOW),
+                min(len(seq), i + linkgraph.SG_WINDOW + 1),
+            ):
+                if j != i:
+                    want[(c, seq[j])] += 1
+    got = linkgraph.walk_skipgrams(sf_dir).to_pandas()
+    gm = {
+        (r["center"], r["context"]): r["n"] for _, r in got.iterrows()
+    }
+    assert gm == dict(want)
