@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_weighted": linkgraph.random_walks_weighted,
         # skip-gram (center, context) pair counts from the walks
         "walk_skipgrams": linkgraph.walk_skipgrams,
+        # bond-percolation robustness curve of the host graph
+        "host_percolation": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_percolation(sf)
+        ),
         # Luby maximal independent set, deterministic priorities
         "host_mis": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_mis(sf)
@@ -735,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": linkgraph.random_walks_sql(),
         "random_walks_weighted": linkgraph.random_walks_weighted_sql(),
         "walk_skipgrams": linkgraph.walk_skipgrams_sql(),
+        "host_percolation": linkgraph.host_percolation_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),

@@ -3083,3 +3083,98 @@ def walk_skipgrams_sql(rep: int = LG_REP, window: int = SG_WINDOW) -> str:
         f"and w2.step <> w1.step and abs(w2.step - w1.step) <= {window} "
         "group by w1.host, w2.host"
     )
+
+
+# --------------------------------------------------------------------------
+# Percolation sweep: component structure vs edge-weight threshold
+# --------------------------------------------------------------------------
+
+PERC_PCTS = (30, 60, 90, 120, 150)   # thresholds as % of mean edge weight
+
+
+def host_percolation(
+    sf_dir: str, rep: int = LG_REP, pcts: tuple = PERC_PCTS
+) -> "pa.Table":
+    """Bond-percolation profile of the undirected host graph: for
+    each weight floor (a % of the mean edge weight — the
+    scale-invariant knob of :func:`host_scc`), the number of weakly
+    connected components among hosts that keep at least one
+    surviving edge, and the giant component's size — the robustness
+    curve (how fast does the link graph shatter as weak edges
+    drop?).  Union-find per threshold on the |hosts|^2-bounded fold;
+    the oracle runs one recursive min-label CC per threshold.
+
+    Output: (thr_pct, thr, n_hosts, n_components, giant_size)."""
+    small = host_edges(sf_dir, rep).to_pandas()
+    total = int(small["cnt"].sum())
+    nedges = len(small)
+    rows = {"thr_pct": [], "thr": [], "n_hosts": [], "n_components": [],
+            "giant_size": []}
+    for pct in pcts:
+        thr = total * pct // (nedges * 100)
+        e = small[(small["cnt"] >= thr) & (small["src_id"] != small["dst_id"])]
+        hosts = np.unique(
+            np.concatenate([e["src_id"].values, e["dst_id"].values])
+        ).astype(np.int64)
+        idx = {int(h): i for i, h in enumerate(hosts)}
+        parent = list(range(len(hosts)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(e["src_id"].values, e["dst_id"].values):
+            ra, rb = find(idx[int(a)]), find(idx[int(b)])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        lbl = np.array([find(i) for i in range(len(hosts))], dtype=np.int64)
+        sizes = np.bincount(lbl, minlength=len(hosts))
+        rows["thr_pct"].append(pct)
+        rows["thr"].append(thr)
+        rows["n_hosts"].append(len(hosts))
+        rows["n_components"].append(int((sizes > 0).sum()))
+        rows["giant_size"].append(int(sizes.max()) if len(hosts) else 0)
+    return pa.table(
+        {k: pa.array(np.array(v, dtype=np.int64)) for k, v in rows.items()}
+    )
+
+
+def host_percolation_sql(rep: int = LG_REP, pcts: tuple = PERC_PCTS) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "thr0 as (select cast(sum(cnt) as bigint) as s, "
+        "cast(count(*) as bigint) as n from e)",
+    ]
+    sels = []
+    for pct in pcts:
+        ctes.append(
+            f"f{pct} as materialized (select src_id, dst_id from e, thr0 "
+            f"where cnt >= s * {pct} // (n * 100) and src_id <> dst_id)"
+        )
+        ctes.append(
+            f"u{pct} as materialized (select src_id as a, dst_id as b from f{pct} "
+            f"union select dst_id, src_id from f{pct})"
+        )
+        ctes.append(
+            f"h{pct} as materialized (select distinct a as hid from u{pct})"
+        )
+        ctes.append(
+            f"r{pct}(v, l) as (select hid, hid from h{pct} "
+            f"union select u.b, r.l from r{pct} r join u{pct} u on u.a = r.v)"
+        )
+        ctes.append(
+            f"c{pct} as materialized (select v, min(l) as l from r{pct} "
+            "group by v)"
+        )
+        sels.append(
+            f"select cast({pct} as bigint) as thr_pct, "
+            f"(select s * {pct} // (n * 100) from thr0) as thr, "
+            f"(select cast(count(*) as bigint) from h{pct}) as n_hosts, "
+            f"(select cast(count(distinct l) as bigint) from c{pct}) "
+            "as n_components, "
+            f"(select cast(max(cnt) as bigint) from (select count(*) as cnt "
+            f"from c{pct} group by l)) as giant_size"
+        )
+    return "with recursive " + ", ".join(ctes) + " " + " union all ".join(sels)

@@ -1249,3 +1249,40 @@ def test_walk_skipgrams_matches_brute(sf_dir):
         (r["center"], r["context"]): r["n"] for _, r in got.iterrows()
     }
     assert gm == dict(want)
+
+
+def test_host_percolation_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e0 = linkgraph.host_edges(sf_dir).to_pandas()
+    total, nedges = int(e0["cnt"].sum()), len(e0)
+    got = linkgraph.host_percolation(sf_dir).to_pandas().set_index("thr_pct")
+    for pct in linkgraph.PERC_PCTS:
+        thr = total * pct // (nedges * 100)
+        e = e0[(e0["cnt"] >= thr) & (e0["src_id"] != e0["dst_id"])]
+        adj = collections.defaultdict(set)
+        for _, r in e.iterrows():
+            adj[int(r["src_id"])].add(int(r["dst_id"]))
+            adj[int(r["dst_id"])].add(int(r["src_id"]))
+        hosts = sorted(adj)
+        seen, comps = set(), []
+        for h in hosts:
+            if h in seen:
+                continue
+            stk, c = [h], 0
+            seen.add(h)
+            while stk:
+                u = stk.pop()
+                c += 1
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stk.append(v)
+            comps.append(c)
+        row = got.loc[pct]
+        assert row["thr"] == thr
+        assert row["n_hosts"] == len(hosts)
+        assert row["n_components"] == len(comps)
+        assert row["giant_size"] == (max(comps) if comps else 0)
