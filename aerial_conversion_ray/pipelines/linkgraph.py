@@ -3178,3 +3178,173 @@ def host_percolation_sql(rep: int = LG_REP, pcts: tuple = PERC_PCTS) -> str:
             f"from c{pct} group by l)) as giant_size"
         )
     return "with recursive " + ", ".join(ctes) + " " + " union all ".join(sels)
+
+
+# --------------------------------------------------------------------------
+# node2vec biased walks (second-order transitions, integer bias)
+# --------------------------------------------------------------------------
+
+N2V_W_RETURN = 1      # alpha = 1/p with p = 4, scaled x4
+N2V_W_NEAR = 4        # alpha = 1 (next is a direct successor of prev)
+N2V_W_FAR = 1         # alpha = 1/q with q = 4
+
+
+def node2vec_walks(
+    sf_dir: str, rep: int = LG_REP, steps: int = WALK_LEN
+) -> ray.data.Dataset:
+    """node2vec walks (Grover & Leskovec 2016) over the distinct host
+    graph with the second-order bias made integer and deterministic:
+    from state (prev, cur), candidate next gets weight 1 if
+    ``next = prev`` (return, 1/p), 4 if the DIRECTED edge
+    ``prev -> next`` exists (stay near, alpha = 1), else 1 (explore,
+    1/q) — p = q = 4 scaled by 4.  Step 0 is the uniform hash pick of
+    :func:`random_walks`; later steps pick the edge covering
+    ``r = H(page_id, cur, prev, t) % total_weight`` inside the
+    dst-sorted biased cumulative.  A pure function of the graph; the
+    oracle replays every step with a windowed running sum over the
+    joined adjacency.
+
+    Engine vectorization: each batch expands its walk rows by the
+    out-degree of ``cur`` (segment repeat), evaluates the three-way
+    bias with one packed-key ``searchsorted`` membership test for
+    prev -> next, and segment-scans the cumulative — no per-row
+    Python in the transition.  Output: (page_id, step, host)."""
+    import ray
+
+    small = host_edges(sf_dir, rep).to_pandas()[["src_id", "dst_id"]]
+    small = small.drop_duplicates().sort_values(["src_id", "dst_id"])
+    src = small["src_id"].to_numpy(np.int64)
+    dst = small["dst_id"].to_numpy(np.int64)
+    deg = np.bincount(src, minlength=NH).astype(np.int64)
+    off = np.zeros(NH + 1, dtype=np.int64)
+    np.add.at(off, src + 1, 1)
+    off = np.cumsum(off)
+    pair_keys = np.sort(src * NH + dst)      # directed-edge membership
+    csr_ref = ray.put((off, deg, dst, pair_keys))
+
+    def walk(t: pa.Table) -> pa.Table:
+        o, dg, fl, pk = ray.get(csr_ref)
+        pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h0 = pid % NH
+        out_pid = [pid]
+        out_step = [np.zeros(len(pid), dtype=np.int64)]
+        out_h = [h0]
+        alive = np.ones(len(pid), dtype=bool)
+        cur = h0.copy()
+        prev = np.full(len(pid), -1, dtype=np.int64)
+        for st in range(steps):
+            alive = alive & (dg[cur] > 0)
+            if not alive.any():
+                break
+            pa_, ca, pv = pid[alive], cur[alive], prev[alive]
+            if st == 0:
+                r = ((pa_ % _WALK_PMOD) * 31 + (ca + 1) * _WALK_A) % dg[ca]
+                nxt = fl[o[ca] + r]
+            else:
+                # expand each row by out-degree of cur
+                reps = dg[ca]
+                row = np.repeat(np.arange(len(ca)), reps)
+                # candidate positions: o[cur] .. o[cur]+deg-1
+                base = np.repeat(o[ca], reps)
+                css = np.concatenate([np.arange(k) for k in reps])
+                cand = fl[base + css]
+                pvx = pv[row]
+                w = np.full(len(cand), N2V_W_FAR, dtype=np.int64)
+                near = np.searchsorted(pk, pvx * NH + cand)
+                near_ok = (near < len(pk)) & (
+                    pk[np.minimum(near, len(pk) - 1)] == pvx * NH + cand
+                )
+                w[near_ok] = N2V_W_NEAR
+                w[cand == pvx] = N2V_W_RETURN
+                # segment cumulative + totals
+                cw = np.cumsum(w)
+                seg_end = np.cumsum(reps)
+                seg_start = seg_end - reps
+                seg_base = np.concatenate([[0], cw[seg_end - 1]])[:-1]
+                cum = cw - np.repeat(seg_base, reps)
+                tot = cw[seg_end - 1] - seg_base
+                r = (
+                    (pa_ % _WALK_PMOD) * 31
+                    + (ca + 1) * _WALK_A
+                    + (pv + 2) * 97
+                    + st * _WALK_B
+                ) % tot
+                # first candidate whose cumulative exceeds r
+                hit = np.searchsorted(
+                    cum + np.repeat(np.arange(len(ca)) * (1 << 32), reps),
+                    np.repeat(r, 1) + np.arange(len(ca)) * (1 << 32),
+                    side="right",
+                )
+                nxt = cand[hit]
+            prev = prev.copy()
+            cur2 = cur.copy()
+            prev[alive] = ca
+            cur2[alive] = nxt
+            cur = cur2
+            out_pid.append(pa_)
+            out_step.append(np.full(len(pa_), st + 1, dtype=np.int64))
+            out_h.append(nxt)
+        hid = np.concatenate(out_h)
+        return pa.table(
+            {
+                "page_id": pa.array(np.concatenate(out_pid)),
+                "step": pa.array(np.concatenate(out_step)),
+                "host": pc.binary_join_element_wise(
+                    "h", pc.cast(pa.array(hid), pa.string()), ".example", ""
+                ),
+            }
+        )
+
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
+    return ds.map_batches(walk, batch_format="pyarrow")
+
+
+def node2vec_walks_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "ed as materialized (select distinct src_id, dst_id from e)",
+        "adj as materialized (select src_id, dst_id, "
+        "row_number() over (partition by src_id order by dst_id) - 1 as idx, "
+        "count(*) over (partition by src_id) as deg from ed)",
+        f"pg as (select distinct page_id from ({pages_cte(rep)}))",
+        f"w0 as (select page_id, cast(page_id % {NH} as bigint) as h, "
+        "cast(-1 as bigint) as prev from pg)",
+        # step 1: uniform (no prev state yet)
+        "w1 as materialized (select w.page_id, a.dst_id as h, w.h as prev "
+        "from w0 w join adj a on a.src_id = w.h and a.idx = "
+        f"((w.page_id % {_WALK_PMOD}) * 31 + (w.h + 1) * {_WALK_A}) % a.deg)",
+    ]
+    for t in range(1, steps):
+        ctes.append(
+            f"b{t + 1} as materialized (select w.page_id, w.h, w.prev, "
+            "a.dst_id as cand, "
+            f"case when a.dst_id = w.prev then {N2V_W_RETURN} "
+            f"when ep.src_id is not null then {N2V_W_NEAR} "
+            f"else {N2V_W_FAR} end as wgt "
+            f"from w{t} w join adj a on a.src_id = w.h "
+            "left join ed ep on ep.src_id = w.prev and ep.dst_id = a.dst_id)"
+        )
+        ctes.append(
+            f"c{t + 1} as materialized (select *, "
+            "sum(wgt) over (partition by page_id order by cand "
+            "rows unbounded preceding) as rs, "
+            "sum(wgt) over (partition by page_id) as tot "
+            f"from b{t + 1})"
+        )
+        ctes.append(
+            f"w{t + 1} as materialized (select page_id, cand as h, h as prev "
+            f"from c{t + 1} where "
+            f"((page_id % {_WALK_PMOD}) * 31 + (h + 1) * {_WALK_A} "
+            f"+ (prev + 2) * 97 + {t} * {_WALK_B}) % tot < rs and "
+            f"((page_id % {_WALK_PMOD}) * 31 + (h + 1) * {_WALK_A} "
+            f"+ (prev + 2) * 97 + {t} * {_WALK_B}) % tot >= rs - wgt)"
+        )
+    sel = " union all ".join(
+        f"select page_id, cast({t} as bigint) as step, h from w{t}"
+        for t in range(steps + 1)
+    )
+    return (
+        "with " + ", ".join(ctes) + " "
+        f"select page_id, step, ('h' || cast(h as varchar) || '.example') as host "
+        f"from ({sel})"
+    )

@@ -1286,3 +1286,68 @@ def test_host_percolation_matches_brute(sf_dir):
         assert row["n_hosts"] == len(hosts)
         assert row["n_components"] == len(comps)
         assert row["giant_size"] == (max(comps) if comps else 0)
+
+
+def test_node2vec_walks_matches_brute(sf_dir):
+    import random
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    ed = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+        .sort_values(["src_id", "dst_id"])
+    )
+    adj = {}
+    E = set()
+    for _, r in ed.iterrows():
+        a, b = int(r["src_id"]), int(r["dst_id"])
+        adj.setdefault(a, []).append(b)
+        E.add((a, b))
+    got = linkgraph.node2vec_walks(sf_dir).to_pandas()
+    walks = {
+        pid: dict(zip(g["step"], g["host"])) for pid, g in got.groupby("page_id")
+    }
+    pids = sorted(walks)
+    for pid in random.Random(13).sample(pids, min(150, len(pids))):
+        h = pid % linkgraph.NH
+        prev = -1
+        want = {0: f"h{h}.example"}
+        for t in range(linkgraph.WALK_LEN):
+            nbrs = adj.get(h)
+            if not nbrs:
+                break
+            if t == 0:
+                r = (
+                    (pid % linkgraph._WALK_PMOD) * 31
+                    + (h + 1) * linkgraph._WALK_A
+                ) % len(nbrs)
+                nxt = nbrs[r]
+            else:
+                ws = [
+                    linkgraph.N2V_W_RETURN
+                    if c == prev
+                    else (
+                        linkgraph.N2V_W_NEAR
+                        if (prev, c) in E
+                        else linkgraph.N2V_W_FAR
+                    )
+                    for c in nbrs
+                ]
+                tot = sum(ws)
+                r = (
+                    (pid % linkgraph._WALK_PMOD) * 31
+                    + (h + 1) * linkgraph._WALK_A
+                    + (prev + 2) * 97
+                    + t * linkgraph._WALK_B
+                ) % tot
+                acc = 0
+                for c, w in zip(nbrs, ws):
+                    acc += w
+                    if r < acc:
+                        nxt = c
+                        break
+            prev, h = h, nxt
+            want[t + 1] = f"h{h}.example"
+        assert walks[pid] == want, pid
