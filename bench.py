@@ -367,6 +367,42 @@ def run_benchmarks() -> dict:
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["random_walks"]
             ).random_walks(SF_DIR)
         ),
+        "random_walks_weighted": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["random_walks_weighted"],
+            ).random_walks_weighted(SF_DIR)
+        ),
+        "walk_skipgrams": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["walk_skipgrams"],
+            ).walk_skipgrams(SF_DIR)
+        ),
+        "node2vec_walks": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["node2vec_walks"],
+            ).node2vec_walks(SF_DIR)
+        ),
+        "host_percolation": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_percolation"],
+            ).host_percolation(SF_DIR)
+        ),
+        "lpa_modularity": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["lpa_modularity"],
+            ).lpa_modularity(SF_DIR)
+        ),
+        "host_triads": lambda: _consume(
+            __import__(
+                "aerial_conversion_ray.pipelines.linkgraph",
+                fromlist=["host_triads"],
+            ).host_triads(SF_DIR)
+        ),
         "host_katz": lambda: _consume(
             __import__(
                 "aerial_conversion_ray.pipelines.linkgraph", fromlist=["host_katz"]
