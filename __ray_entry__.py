@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # left outer join via tagged narrow union (completes joins)
         "left_outer_join": relational.left_outer_join,
         "events_hopping": relational.events_hopping_window,
+        # exact distinct users per hopping window (non-decomposable)
+        "events_sliding_distinct": relational.events_sliding_distinct,
         # watermark/late-data tumbling window (streaming semantics)
         "events_late_window": relational.events_late_window,
         # gaps-and-islands interval merge per user
@@ -687,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": relational.EVENT_TRANSITIONS_SQL,
         "left_outer_join": relational.LEFT_OUTER_JOIN_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
+        "events_sliding_distinct": relational.events_sliding_distinct_sql(),
         "events_late_window": relational.events_late_window_sql(),
         "user_activity_islands": relational.user_activity_islands_sql(),
         "events_sessionize": relational.EVENTS_SESSIONIZE_SQL,

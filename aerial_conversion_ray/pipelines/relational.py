@@ -3683,3 +3683,89 @@ select window_start_s, new_users,
        cast(sum(new_users) over (order by window_start_s) as bigint) as cum_users
 from w
 """
+
+
+# --------------------------------------------------------------------------
+# Exact distinct users per hopping window (non-decomposable aggregate)
+# --------------------------------------------------------------------------
+
+
+def events_sliding_distinct(
+    sf_dir: str, window_s: int = 3600, hop_s: int = 900
+) -> ray.data.Dataset:
+    """EXACT count-distinct users per hopping window — the
+    non-decomposable streaming aggregate (distinct does not merge
+    across panes the way sums do; HLL trades exactness, this keeps
+    it): expand each event to its window_s/hop_s covering windows,
+    dedup (window, user) INSIDE the batch first (the combiner — the
+    same user hitting a window many times in one batch costs one
+    row), then one coarse-bucket fold keyed by hash(window, user)
+    dedups globally and a window-keyed count finishes.  Nothing
+    per-user ever groups (the user domain is unbounded); the shuffle
+    rows are (window, user) int64 pairs only.
+
+    Output: (win_start, n_users)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    k = window_s // hop_s
+
+    def expand(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64()).to_numpy()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_s = epoch_us // 1_000_000
+        base = (ts_s // hop_s) * hop_s
+        n = len(ts_s)
+        w = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
+        u = np.repeat(uid, k)
+        # packed (window, user) key for the in-batch dedup: loud wall
+        # rather than silent collisions (the bm25 lesson)
+        if len(u) and (u.min() < 0 or u.max() >= (1 << 20)):
+            raise OverflowError("events_sliding_distinct: widen the user packing")
+        key = w * np.int64(1 << 20) + u
+        uniq = np.unique(key)
+        wv = uniq >> np.int64(20)
+        uv = uniq & np.int64((1 << 20) - 1)
+        return pa.table(
+            {
+                "w": pa.array(wv),
+                "u": pa.array(uv),
+                "bucket": pa.array(
+                    ((uniq * np.int64(2654435761)) % np.int64(64)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(subset=["w", "u"])
+        return (
+            g.groupby("w", as_index=False)
+            .size()
+            .rename(columns={"w": "win_start", "size": "n_users"})
+        )
+
+    parts = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("win_start", as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype("int64")
+        return g
+
+    return parts.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def events_sliding_distinct_sql(window_s: int = 3600, hop_s: int = 900) -> str:
+    k = window_s // hop_s
+    return f"""
+with ev as (select epoch_us(ts) // 1000000 as ts_s, user_id from events),
+ex as (select ((ts_s // {hop_s}) * {hop_s}) - j.v * {hop_s} as win_start,
+              user_id
+       from ev, unnest(range({k})) j(v))
+select cast(win_start as bigint) as win_start,
+       cast(count(distinct user_id) as bigint) as n_users
+from ex group by win_start
+"""

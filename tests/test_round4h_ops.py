@@ -1351,3 +1351,27 @@ def test_node2vec_walks_matches_brute(sf_dir):
             prev, h = h, nxt
             want[t + 1] = f"h{h}.example"
         assert walks[pid] == want, pid
+
+
+def test_events_sliding_distinct_matches_pandas(sf_dir):
+    from aerial_conversion_ray.pipelines import relational
+    from aerial_conversion_ray.sources.pages import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"]).to_pandas()
+    ts_s = ev["ts"].astype("int64") // 1_000_000
+    base = (ts_s // 900) * 900
+    rows = []
+    for j in range(4):
+        rows.append(
+            __import__("pandas").DataFrame(
+                {"w": base - j * 900, "u": ev["user_id"]}
+            )
+        )
+    import pandas as pd
+
+    ex = pd.concat(rows, ignore_index=True).drop_duplicates()
+    want = ex.groupby("w").size().to_dict()
+    # distinct per window, pandas nunique as the oracle
+    want = ex.groupby("w")["u"].nunique().to_dict()
+    got = relational.events_sliding_distinct(sf_dir).to_pandas()
+    assert dict(zip(got["win_start"], got["n_users"])) == want
