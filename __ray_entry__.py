@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": text.readability,
         # TextRank keyword scores: bucketed PageRank over the token graph
         "textrank": text.textrank,
+        # KMV bottom-k distinct sketch (mergeable, sample-bearing)
+        "kmv_distinct": text.kmv_distinct_tokens,
         # corpus hapax-legomena share per source (vocabulary-proof)
         "hapax": text.hapax,
         # lang x source chi-square independence audit (integer e2)

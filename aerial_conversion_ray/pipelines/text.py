@@ -7297,3 +7297,58 @@ def lang_unpivot_sql(sources: tuple = PIVOT_SOURCES) -> str:
         for s in sources
     )
     return f"with wide as ({wide}) {arms}"
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch over tokens
+# --------------------------------------------------------------------------
+
+KMV_K = 16   # synthetic corpus vocabulary is ~31 tokens; production k ~ 1024
+
+
+def kmv_distinct_tokens(sf_dir: str, k: int = KMV_K) -> ray.data.Dataset:
+    """KMV (k-minimum-values / bottom-k) sketch of the corpus token
+    set (Bar-Yossef et al. 2002): keep the k smallest 64-bit token
+    hashes; the distinct-count estimate is ``(k-1) * 2^64 / h_(k)``
+    and — unlike HLL — the kept hashes double as a UNIFORM SAMPLE of
+    the distinct tokens (the survey-sampling property HLL lacks).
+    Fully mergeable: union the bottom-k sets, keep the bottom k —
+    per-batch partials fold associatively, so the result is
+    order-independent (pytest-gated along with the error bound).
+
+    Output: one row (k, kth_hash, est_distinct) — rows-only entry
+    (the estimator is approximate by construction; exactness of the
+    BOTTOM-K SET itself is pytest-verified against a full hash
+    sort)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        h = np.unique(_hash_arrow_strings(flat))
+        return pa.table({"h": pa.array(h[:k].view(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(df["h"].to_numpy(np.int64).view(np.uint64))
+        h = np.sort(h)[:k]
+        if len(h) < k:
+            raise ValueError("kmv: corpus has fewer distinct tokens than k")
+        kth = h[-1]
+        est = (k - 1) * float(2**64) / float(kth)
+        return pd.DataFrame(
+            {
+                "k": np.array([k], dtype=np.int64),
+                "kth_hash": np.array([kth.astype(np.int64)], dtype=np.int64),
+                "est_distinct": np.array([int(est)], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )

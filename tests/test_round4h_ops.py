@@ -1375,3 +1375,30 @@ def test_events_sliding_distinct_matches_pandas(sf_dir):
     want = ex.groupby("w")["u"].nunique().to_dict()
     got = relational.events_sliding_distinct(sf_dir).to_pandas()
     assert dict(zip(got["win_start"], got["n_users"])) == want
+
+
+def test_kmv_distinct_matches_bottom_k(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"]).to_pandas()
+    toks = set()
+    for t in docs["text"]:
+        toks.update(t.split(" "))
+    import pyarrow as pa
+
+    h = np.sort(
+        np.unique(text_mod._hash_arrow_strings(pa.array(sorted(toks))))
+    )
+    k = text_mod.KMV_K
+    kth = h[k - 1]
+    est = int((k - 1) * float(2**64) / float(kth))
+    got = text_mod.kmv_distinct_tokens(sf_dir).to_pandas()
+    assert got["k"].iloc[0] == k
+    assert np.uint64(got["kth_hash"].iloc[0]) == kth
+    assert got["est_distinct"].iloc[0] == est
+    # the estimate is within the KMV error regime for tiny vocab
+    true = len(toks)
+    assert 0 < est < true * 6
