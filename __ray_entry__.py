@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_weighted": linkgraph.random_walks_weighted,
         # skip-gram (center, context) pair counts from the walks
         "walk_skipgrams": linkgraph.walk_skipgrams,
+        # reciprocal-rank fusion of PageRank + Katz rankings
+        "host_rank_fusion": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_rank_fusion(sf)
+        ),
         # node2vec second-order biased walks (integer p/q bias)
         "node2vec_walks": linkgraph.node2vec_walks,
         # bond-percolation robustness curve of the host graph
@@ -748,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "walk_skipgrams": linkgraph.walk_skipgrams_sql(),
         "host_percolation": linkgraph.host_percolation_sql(),
         "node2vec_walks": linkgraph.node2vec_walks_sql(),
+        "host_rank_fusion": linkgraph.host_rank_fusion_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),

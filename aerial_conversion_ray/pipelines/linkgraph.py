@@ -3348,3 +3348,77 @@ def node2vec_walks_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
         f"select page_id, step, ('h' || cast(h as varchar) || '.example') as host "
         f"from ({sel})"
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of the PageRank and Katz rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def host_rank_fusion(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two
+    independent host rankers — fixed-point PageRank and truncated
+    Katz: ``rrf_e6 = sum over rankers of 1e6 // (60 + rank)`` with
+    rank = dense position by (score desc, host id asc) — the
+    deterministic tie rule both sides share, so the fused table is
+    hash-exact.  The canonical ensemble step of a ranking pipeline
+    (fusing centrality signals for crawl prioritization).
+
+    Output: (host, pr_rank, katz_rank, rrf_e6)."""
+    pr = pagerank_hosts(sf_dir, rep).to_pandas()
+    kz = host_katz(sf_dir, rep).to_pandas()
+    pr["hid"] = pr["host"].str.extract(r"^h(\d+)\.")[0].astype("int64")
+    kz["hid"] = kz["host"].str.extract(r"^h(\d+)\.")[0].astype("int64")
+    pr = pr.sort_values(["pr_num", "hid"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    pr["pr_rank"] = np.arange(1, len(pr) + 1, dtype=np.int64)
+    kz = kz.sort_values(
+        ["katz_e6", "hid"], ascending=[False, True]
+    ).reset_index(drop=True)
+    kz["katz_rank"] = np.arange(1, len(kz) + 1, dtype=np.int64)
+    m = pr[["hid", "host", "pr_rank"]].merge(
+        kz[["hid", "katz_rank"]], on="hid", how="inner"
+    )
+    rrf = 1_000_000 // (RRF_K + m["pr_rank"].to_numpy(np.int64)) + (
+        1_000_000 // (RRF_K + m["katz_rank"].to_numpy(np.int64))
+    )
+    m = m.sort_values("hid")
+    return pa.table(
+        {
+            "host": pa.array(m["host"], pa.string()),
+            "pr_rank": pa.array(m["pr_rank"].to_numpy(np.int64)),
+            "katz_rank": pa.array(m["katz_rank"].to_numpy(np.int64)),
+            "rrf_e6": pa.array(
+                (
+                    1_000_000 // (RRF_K + m["pr_rank"].to_numpy(np.int64))
+                    + 1_000_000 // (RRF_K + m["katz_rank"].to_numpy(np.int64))
+                )
+            ),
+        }
+    )
+
+
+def host_rank_fusion_sql(rep: int = LG_REP) -> str:
+    pr = pagerank_hosts_sql(rep)
+    kz = host_katz_sql(rep)
+    return (
+        f"with prt as ({pr}), kzt as ({kz}), "
+        "pra as (select host, cast(regexp_extract(host, '^h(\\d+)\\.', 1) "
+        "as bigint) as hid, "
+        "row_number() over (order by pr_num desc, "
+        "cast(regexp_extract(host, '^h(\\d+)\\.', 1) as bigint) asc) "
+        "as pr_rank from prt), "
+        "kza as (select cast(regexp_extract(host, '^h(\\d+)\\.', 1) "
+        "as bigint) as hid, "
+        "row_number() over (order by katz_e6 desc, "
+        "cast(regexp_extract(host, '^h(\\d+)\\.', 1) as bigint) asc) "
+        "as katz_rank from kzt) "
+        "select pra.host, cast(pra.pr_rank as bigint) as pr_rank, "
+        "cast(kza.katz_rank as bigint) as katz_rank, "
+        f"cast(1000000 // ({RRF_K} + pra.pr_rank) + "
+        f"1000000 // ({RRF_K} + kza.katz_rank) as bigint) as rrf_e6 "
+        "from pra join kza on kza.hid = pra.hid"
+    )

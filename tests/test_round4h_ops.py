@@ -1402,3 +1402,29 @@ def test_kmv_distinct_matches_bottom_k(sf_dir):
     # the estimate is within the KMV error regime for tiny vocab
     true = len(toks)
     assert 0 < est < true * 6
+
+
+def test_host_rank_fusion_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    pr = linkgraph.pagerank_hosts(sf_dir).to_pandas()
+    kz = linkgraph.host_katz(sf_dir).to_pandas()
+
+    def ranks(df, col):
+        hid = df["host"].str.extract(r"^h(\d+)\.")[0].astype(int)
+        order = sorted(
+            zip(-df[col].to_numpy(), hid, df["host"]), key=lambda x: (x[0], x[1])
+        )
+        return {h: i + 1 for i, (_, _, h) in enumerate(order)}
+
+    rp = ranks(pr, "pr_num")
+    rk = ranks(kz, "katz_e6")
+    got = linkgraph.host_rank_fusion(sf_dir).to_pandas()
+    for _, r in got.iterrows():
+        h = r["host"]
+        assert r["pr_rank"] == rp[h]
+        assert r["katz_rank"] == rk[h]
+        assert r["rrf_e6"] == 1_000_000 // (linkgraph.RRF_K + rp[h]) + (
+            1_000_000 // (linkgraph.RRF_K + rk[h])
+        )
+    assert len(got) == len(set(rp) & set(rk))
