@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_hulls": spatial.source_hulls,
         # per-host trajectory legs (lag window x haversine)
         "crawl_path": spatial.crawl_path,
+        # partition-skew audit of the flagship join (Gini over tiles)
+        "tile_skew": lambda sf: spatial.tile_skew(sf, CFG),
         # Hausdorff similarity of consecutive host trajectories
         "trajectory_hausdorff": lambda sf: spatial.trajectory_hausdorff(sf, CFG),
         "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
@@ -764,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_modularity": linkgraph.lpa_modularity_sql(),
         "host_triads": linkgraph.host_triads_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
+        "tile_skew": spatial.tile_skew_sql(CFG),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,

@@ -4209,3 +4209,73 @@ def trajectory_hausdorff_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
         "greatest(dab.d, dba.d) as hausdorff "
         "from dab join dba on dba.h = dab.h"
     )
+
+
+# --------------------------------------------------------------------------
+# Tile-skew audit over the flagship join
+# --------------------------------------------------------------------------
+
+
+def tile_skew(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Partition-skew report of the flagship tile join — the
+    diagnostic that decides whether the salted-shuffle plan is needed
+    (the repo's own hot-cell lesson, quantified): per-tile row counts
+    folded to (n_tiles, n_rows, max_tile, gini_e6) where gini is the
+    exact integer sorted-rank Gini over the per-tile counts (the
+    :func:`~aerial_conversion_ray.pipelines.text.length_gini`
+    arithmetic).  One narrow (tile_id, count) fold — the join payload
+    never re-shuffles; the count table is tile-bounded."""
+    import pandas as pd
+
+    ds = tile_point_join(sf_dir, cfg, columns=["page_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"tile_id": t["tile_id"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("tile_id", sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "tile_id": pa.array(g["tile_id"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tile_id", as_index=False)["n"].sum()
+        x = np.sort(g["n"].to_numpy(np.int64))
+        nt = len(x)
+        s = int(x.sum())
+        i = np.arange(1, nt + 1, dtype=np.int64)
+        gini = (2 * int((i * x).sum()) - (nt + 1) * s) * 1_000_000 // (nt * s)
+        return pd.DataFrame(
+            {
+                "n_tiles": np.array([nt], dtype=np.int64),
+                "n_rows": np.array([s], dtype=np.int64),
+                "max_tile": np.array([int(x[-1])], dtype=np.int64),
+                "gini_e6": np.array([gini], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+def tile_skew_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from .sql_oracle import tile_point_join_sql
+
+    return (
+        f"with tpj as ({tile_point_join_sql(cfg)}), "
+        "per as (select tile_id, cast(count(*) as bigint) as n "
+        "from tpj group by tile_id), "
+        "r as (select n, row_number() over (order by n) as i from per), "
+        "agg as (select count(*) as nt, sum(n) as s, max(n) as mx, "
+        "sum(cast(i as bigint) * n) as ixn from r) "
+        "select cast(nt as bigint) as n_tiles, cast(s as bigint) as n_rows, "
+        "cast(mx as bigint) as max_tile, "
+        "cast((2 * ixn - (nt + 1) * s) * 1000000 // (nt * s) as bigint) "
+        "as gini_e6 from agg"
+    )

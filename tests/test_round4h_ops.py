@@ -1428,3 +1428,23 @@ def test_host_rank_fusion_matches_brute(sf_dir):
             1_000_000 // (linkgraph.RRF_K + rk[h])
         )
     assert len(got) == len(set(rp) & set(rk))
+
+
+def test_tile_skew_matches_brute(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.config import EngineConfig
+    from aerial_conversion_ray.pipelines import spatial
+
+    cfg = EngineConfig(pages_rep=4)
+    joined = spatial.tile_point_join(sf_dir, cfg, columns=["page_id"]).to_pandas()
+    counts = joined.groupby("tile_id").size().to_numpy(np.int64)
+    x = np.sort(counts)
+    nt, s = len(x), int(x.sum())
+    i = np.arange(1, nt + 1, dtype=np.int64)
+    gini = (2 * int((i * x).sum()) - (nt + 1) * s) * 1_000_000 // (nt * s)
+    got = spatial.tile_skew(sf_dir, cfg).to_pandas()
+    assert got["n_tiles"].iloc[0] == nt
+    assert got["n_rows"].iloc[0] == s
+    assert got["max_tile"].iloc[0] == int(x[-1])
+    assert got["gini_e6"].iloc[0] == gini
