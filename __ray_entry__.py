@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass distributed Gram matrix (PCA building block) +
         # driver-side power-iteration top component
         "embed_gram": embeddings.embed_gram,
+        # JL sign projection + integer distortion audit
+        "jl_projection_audit": embeddings.jl_projection_audit,
         "pca_top_component": embeddings.pca_power_iteration,
         # full outer join (tagged narrow union, coarse-bucket fold)
         "full_outer_join": relational.full_outer_join,
@@ -767,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "host_triads": linkgraph.host_triads_sql(),
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "tile_skew": spatial.tile_skew_sql(CFG),
+        "jl_projection_audit": embeddings.jl_projection_audit_sql(),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,

@@ -25,6 +25,8 @@ shard with its probers — no task ever holds more than one shard.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -1676,3 +1678,131 @@ def kmeans_resumable(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection + distortion audit
+# --------------------------------------------------------------------------
+
+JL_DIM = 16
+JL_Q = 1000            # e3 quantization so both sides stay integer-exact
+
+
+def jl_projection_audit(
+    sf_dir: str, dprime: int = JL_DIM, pair_mod: int = 10
+) -> ray.data.Dataset:
+    """Random-projection dimensionality reduction with its quality
+    audit in one pass: embeddings quantize to integers (floor(x*1e3)
+    — the float parquet values are identical on both sides, so the
+    floor is too), project through the DETERMINISTIC +-1 sign matrix
+    ``sign(j,k) = +1 iff (j*2654435761 + k*40503) % 2 = 0`` down to
+    ``dprime`` dims, and for every sampled consecutive pair
+    (vec_id % pair_mod = 0 vs vec_id+1) report the squared distances
+    in both spaces plus the integer distortion ratio
+    ``proj_d2 * 1e6 // (orig_d2 * dprime)`` (E[||Px||^2] =
+    dprime * ||x||^2 for +-1 projections, so 1e6 = no distortion).
+    All arithmetic int64 — the JL guarantee made auditable without a
+    single float in the comparison.
+
+    Ray shape: the +-1 matrix is a closed form (never shipped);
+    pairing joins vec_id against vec_id+1 by a coarse id-bucket fold;
+    everything else is per-batch matmul over zero-copy Arrow.
+
+    Output: (vec_id, orig_d2, proj_d2, ratio_e6)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (v % pair_mod == 0) | (v % pair_mod == 1)
+        t = t.filter(pa.array(keep))
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        d = len(emb[0]) if len(emb) else 0
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(
+            flat.astype(np.float64) * JL_Q
+        ).astype(np.int64).reshape(len(t), d)
+        # closed-form sign matrix, built per batch (never broadcast)
+        j = np.arange(d, dtype=np.int64)[:, None]
+        k = np.arange(dprime, dtype=np.int64)[None, :]
+        sgn = 1 - 2 * ((j * 2654435761 + k * 40503) % 2)
+        proj = q @ sgn
+        cols = {"pair": pa.array(v // pair_mod), "is_b": pa.array(v % pair_mod)}
+        for i in range(dprime):
+            cols[f"p{i}"] = pa.array(proj[:, i])
+        for i in range(q.shape[1]):
+            cols[f"q{i}"] = pa.array(q[:, i])
+        out = pa.table(cols)
+        return out.append_column(
+            "bucket", pa.array(((v // pair_mod) % 32).astype(np.int64))
+        )
+
+    d_cols = None
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if "pair" not in df.columns:      # schema-probe empty batch
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "orig_d2": np.array([], dtype=np.int64),
+                    "proj_d2": np.array([], dtype=np.int64),
+                    "ratio_e6": np.array([], dtype=np.int64),
+                }
+            )
+        a = df[df["is_b"] == 0].set_index("pair")
+        b = df[df["is_b"] == 1].set_index("pair")
+        common = a.index.intersection(b.index)
+        a, b = a.loc[common], b.loc[common]
+        qcols = [c for c in df.columns if re.fullmatch(r"q\d+", c)]
+        pcols = [c for c in df.columns if re.fullmatch(r"p\d+", c)]
+        dq = a[qcols].to_numpy(np.int64) - b[qcols].to_numpy(np.int64)
+        dp = a[pcols].to_numpy(np.int64) - b[pcols].to_numpy(np.int64)
+        orig = (dq * dq).sum(axis=1)
+        proj = (dp * dp).sum(axis=1)
+        keep = orig > 0          # degenerate identical pairs excluded
+        orig, proj = orig[keep], proj[keep]
+        ids = (common.to_numpy()[keep] * pair_mod).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "orig_d2": orig,
+                "proj_d2": proj,
+                "ratio_e6": proj * 1_000_000 // (orig * len(pcols)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def jl_projection_audit_sql(dprime: int = JL_DIM, pair_mod: int = 10) -> str:
+    return f"""
+with q as (select vec_id,
+           list_transform(embedding, x -> cast(floor(x * {JL_Q}) as bigint)) as qe
+           from embeddings
+           where vec_id % {pair_mod} in (0, 1)),
+ex as (select vec_id, qe[j.v + 1] as val, j.v as j
+       from q, unnest(range(len(qe))) j(v)),
+pr as (select vec_id, k.v as k,
+       sum(val * (1 - 2 * ((j * 2654435761 + k.v * 40503) % 2))) as p
+       from ex, unnest(range({dprime})) k(v) group by vec_id, k.v),
+pd as (select a.vec_id as vec_id, sum((a.p - b.p) * (a.p - b.p)) as proj_d2
+       from pr a join pr b on b.vec_id = a.vec_id + 1 and a.vec_id % {pair_mod} = 0
+       and b.k = a.k group by a.vec_id),
+od as (select a.vec_id as vec_id,
+       sum((ea.val - eb.val) * (ea.val - eb.val)) as orig_d2
+       from ex ea join ex eb on eb.vec_id = ea.vec_id + 1 and eb.j = ea.j
+       join q a on a.vec_id = ea.vec_id
+       where ea.vec_id % {pair_mod} = 0 group by a.vec_id)
+select od.vec_id, cast(od.orig_d2 as bigint) as orig_d2,
+       cast(pd.proj_d2 as bigint) as proj_d2,
+       cast(pd.proj_d2 * 1000000 // (od.orig_d2 * {dprime}) as bigint) as ratio_e6
+from od join pd on pd.vec_id = od.vec_id where od.orig_d2 > 0
+"""

@@ -1448,3 +1448,34 @@ def test_tile_skew_matches_brute(sf_dir):
     assert got["n_rows"].iloc[0] == s
     assert got["max_tile"].iloc[0] == int(x[-1])
     assert got["gini_e6"].iloc[0] == gini
+
+
+def test_jl_projection_audit_matches_numpy(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import embeddings as em
+    from aerial_conversion_ray.sources.pages import read_table
+
+    df = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    df = df.set_index("vec_id")
+    got = em.jl_projection_audit(sf_dir).to_pandas().set_index("vec_id")
+    d = len(df["embedding"].iloc[0])
+    j = np.arange(d, dtype=np.int64)[:, None]
+    k = np.arange(em.JL_DIM, dtype=np.int64)[None, :]
+    sgn = 1 - 2 * ((j * 2654435761 + k * 40503) % 2)
+    checked = 0
+    for vid in got.index:
+        qa = np.floor(np.array(df.loc[vid, "embedding"], dtype=np.float64) * em.JL_Q).astype(np.int64)
+        qb = np.floor(np.array(df.loc[vid + 1, "embedding"], dtype=np.float64) * em.JL_Q).astype(np.int64)
+        orig = int(((qa - qb) ** 2).sum())
+        proj = int((((qa - qb) @ sgn) ** 2).sum())
+        row = got.loc[vid]
+        assert row["orig_d2"] == orig
+        assert row["proj_d2"] == proj
+        assert row["ratio_e6"] == proj * 1_000_000 // (orig * em.JL_DIM)
+        checked += 1
+    assert checked > 0
+    # JL sanity: distortion concentrated around 1.0 (none beyond 5x)
+    assert got["ratio_e6"].between(1_000_000 // 5, 5_000_000).all()
