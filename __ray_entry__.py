@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_weighted": linkgraph.random_walks_weighted,
         # skip-gram (center, context) pair counts from the walks
         "walk_skipgrams": linkgraph.walk_skipgrams,
+        # Spearman agreement between the two centrality rankers
+        "rank_correlation": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.rank_correlation(sf)
+        ),
         # reciprocal-rank fusion of PageRank + Katz rankings
         "host_rank_fusion": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_rank_fusion(sf)
@@ -757,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "host_percolation": linkgraph.host_percolation_sql(),
         "node2vec_walks": linkgraph.node2vec_walks_sql(),
         "host_rank_fusion": linkgraph.host_rank_fusion_sql(),
+        "rank_correlation": linkgraph.rank_correlation_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),

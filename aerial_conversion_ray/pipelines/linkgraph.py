@@ -3422,3 +3422,46 @@ def host_rank_fusion_sql(rep: int = LG_REP) -> str:
         f"1000000 // ({RRF_K} + kza.katz_rank) as bigint) as rrf_e6 "
         "from pra join kza on kza.hid = pra.hid"
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between the two centrality rankers
+# --------------------------------------------------------------------------
+
+
+def rank_correlation(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Integer-exact Spearman rank correlation between the PageRank
+    and Katz orderings (ranker-agreement audit — is the cheap
+    truncated Katz a usable stand-in for the power iteration?):
+    both rankers use the (score desc, host asc) dense positions of
+    :func:`host_rank_fusion`, and
+    ``spearman_e6 = 1e6 - (6e6 * sum d^2) // (n (n^2 - 1))`` — one
+    floor on a nonnegative numerator, identical in the oracle.
+    Output: (n, sum_d2, spearman_e6)."""
+    fused = host_rank_fusion(sf_dir, rep).to_pandas()
+    d = fused["pr_rank"].to_numpy(np.int64) - fused["katz_rank"].to_numpy(
+        np.int64
+    )
+    n = len(fused)
+    sd2 = int((d * d).sum())
+    rho = 1_000_000 - (6_000_000 * sd2) // (n * (n * n - 1))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_d2": pa.array([sd2], pa.int64()),
+            "spearman_e6": pa.array([rho], pa.int64()),
+        }
+    )
+
+
+def rank_correlation_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with f as ({host_rank_fusion_sql(rep)}) "
+        "select cast(count(*) as bigint) as n, "
+        "cast(sum((pr_rank - katz_rank) * (pr_rank - katz_rank)) as bigint) "
+        "as sum_d2, "
+        "cast(1000000 - (6000000 * "
+        "sum((pr_rank - katz_rank) * (pr_rank - katz_rank))) "
+        "// (count(*) * (count(*) * count(*) - 1)) as bigint) as spearman_e6 "
+        "from f"
+    )

@@ -1481,3 +1481,19 @@ def test_jl_projection_audit_matches_numpy(sf_dir):
     # the MEDIAN distortion sits near 1.0
     med = got["ratio_e6"].median()
     assert 300_000 < med < 3_000_000
+
+
+def test_rank_correlation_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    fused = linkgraph.host_rank_fusion(sf_dir).to_pandas()
+    n = len(fused)
+    sd2 = int(((fused["pr_rank"] - fused["katz_rank"]) ** 2).sum())
+    got = linkgraph.rank_correlation(sf_dir).to_pandas()
+    assert got["n"].iloc[0] == n
+    assert got["sum_d2"].iloc[0] == sd2
+    assert got["spearman_e6"].iloc[0] == 1_000_000 - (6_000_000 * sd2) // (
+        n * (n * n - 1)
+    )
+    # the two centralities broadly agree on this graph
+    assert got["spearman_e6"].iloc[0] > 0
