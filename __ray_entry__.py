@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # node2vec second-order biased walks (integer p/q bias)
         "node2vec_walks": linkgraph.node2vec_walks,
+        # targeted-attack robustness: giant size vs removed hubs
+        "host_attack_curve": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_attack_curve(sf)
+        ),
         # bond-percolation robustness curve of the host graph
         "host_percolation": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_percolation(sf)
@@ -759,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_weighted": linkgraph.random_walks_weighted_sql(),
         "walk_skipgrams": linkgraph.walk_skipgrams_sql(),
         "host_percolation": linkgraph.host_percolation_sql(),
+        "host_attack_curve": linkgraph.host_attack_curve_sql(),
         "node2vec_walks": linkgraph.node2vec_walks_sql(),
         "host_rank_fusion": linkgraph.host_rank_fusion_sql(),
         "rank_correlation": linkgraph.rank_correlation_sql(),

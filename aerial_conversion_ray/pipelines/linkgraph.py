@@ -3465,3 +3465,107 @@ def rank_correlation_sql(rep: int = LG_REP) -> str:
         "// (count(*) * (count(*) * count(*) - 1)) as bigint) as spearman_e6 "
         "from f"
     )
+
+
+# --------------------------------------------------------------------------
+# Targeted-attack robustness: giant component vs removed top hubs
+# --------------------------------------------------------------------------
+
+ATTACK_KS = (0, 1, 2, 4, 8)
+
+
+def host_attack_curve(
+    sf_dir: str, rep: int = LG_REP, ks: tuple = ATTACK_KS
+) -> "pa.Table":
+    """Targeted-attack robustness curve (Albert/Jeong/Barabasi 2000):
+    remove the top-k hosts by total degree (in+out link weight, ties
+    to the smaller id) and measure what remains — the scale-free
+    fragility diagnostic next to :func:`host_percolation`'s random/
+    weight-floor bond percolation (hub attacks shatter power-law
+    graphs far faster).  Per k: surviving hosts, weakly connected
+    components, giant size.  Union-find per k on the |hosts|^2-
+    bounded fold; the oracle ranks hubs with one window and runs one
+    recursive min-label CC per k.
+
+    Output: (k_removed, n_hosts, n_components, giant_size)."""
+    small = host_edges(sf_dir, rep).to_pandas()
+    deg = {}
+    for col in ("src_id", "dst_id"):
+        for h, c in zip(small[col].values, small["cnt"].values):
+            deg[int(h)] = deg.get(int(h), 0) + int(c)
+    order = sorted(deg, key=lambda h: (-deg[h], h))
+    rows = {"k_removed": [], "n_hosts": [], "n_components": [], "giant_size": []}
+    for k in ks:
+        gone = set(order[:k])
+        e = small[
+            (~small["src_id"].isin(gone))
+            & (~small["dst_id"].isin(gone))
+            & (small["src_id"] != small["dst_id"])
+        ]
+        hosts = np.unique(
+            np.concatenate([e["src_id"].values, e["dst_id"].values])
+        ).astype(np.int64)
+        idx = {int(h): i for i, h in enumerate(hosts)}
+        parent = list(range(len(hosts)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(e["src_id"].values, e["dst_id"].values):
+            ra, rb = find(idx[int(a)]), find(idx[int(b)])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        lbl = np.array([find(i) for i in range(len(hosts))], dtype=np.int64)
+        sizes = np.bincount(lbl, minlength=len(hosts)) if len(hosts) else np.array([0])
+        rows["k_removed"].append(k)
+        rows["n_hosts"].append(len(hosts))
+        rows["n_components"].append(int((sizes > 0).sum()))
+        rows["giant_size"].append(int(sizes.max()) if len(hosts) else 0)
+    return pa.table(
+        {k: pa.array(np.array(v, dtype=np.int64)) for k, v in rows.items()}
+    )
+
+
+def host_attack_curve_sql(rep: int = LG_REP, ks: tuple = ATTACK_KS) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "dg as materialized (select hid, sum(c) as d from ("
+        "select src_id as hid, cnt as c from e "
+        "union all select dst_id, cnt from e) group by hid)",
+        "rk as materialized (select hid, "
+        "row_number() over (order by d desc, hid asc) as r from dg)",
+    ]
+    sels = []
+    for k in ks:
+        ctes.append(
+            f"f{k} as materialized (select src_id, dst_id from e "
+            f"where src_id <> dst_id "
+            f"and src_id not in (select hid from rk where r <= {k}) "
+            f"and dst_id not in (select hid from rk where r <= {k}))"
+        )
+        ctes.append(
+            f"u{k} as materialized (select src_id as a, dst_id as b from f{k} "
+            f"union select dst_id, src_id from f{k})"
+        )
+        ctes.append(
+            f"h{k} as materialized (select distinct a as hid from u{k})"
+        )
+        ctes.append(
+            f"r{k}(v, l) as (select hid, hid from h{k} "
+            f"union select u.b, r.l from r{k} r join u{k} u on u.a = r.v)"
+        )
+        ctes.append(
+            f"c{k} as materialized (select v, min(l) as l from r{k} group by v)"
+        )
+        sels.append(
+            f"select cast({k} as bigint) as k_removed, "
+            f"(select cast(count(*) as bigint) from h{k}) as n_hosts, "
+            f"(select cast(count(distinct l) as bigint) from c{k}) "
+            "as n_components, "
+            f"(select coalesce(cast(max(cnt) as bigint), 0) from "
+            f"(select count(*) as cnt from c{k} group by l)) as giant_size"
+        )
+    return "with recursive " + ", ".join(ctes) + " " + " union all ".join(sels)

@@ -1497,3 +1497,45 @@ def test_rank_correlation_matches_brute(sf_dir):
     )
     # the two centralities broadly agree on this graph
     assert got["spearman_e6"].iloc[0] > 0
+
+
+def test_host_attack_curve_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e0 = linkgraph.host_edges(sf_dir).to_pandas()
+    deg = collections.Counter()
+    for _, r in e0.iterrows():
+        deg[int(r["src_id"])] += int(r["cnt"])
+        deg[int(r["dst_id"])] += int(r["cnt"])
+    order = sorted(deg, key=lambda h: (-deg[h], h))
+    got = linkgraph.host_attack_curve(sf_dir).to_pandas().set_index("k_removed")
+    for k in linkgraph.ATTACK_KS:
+        gone = set(order[:k])
+        adj = collections.defaultdict(set)
+        for _, r in e0.iterrows():
+            a, b = int(r["src_id"]), int(r["dst_id"])
+            if a != b and a not in gone and b not in gone:
+                adj[a].add(b)
+                adj[b].add(a)
+        seen, comps = set(), []
+        for h in sorted(adj):
+            if h in seen:
+                continue
+            stk, c = [h], 0
+            seen.add(h)
+            while stk:
+                u = stk.pop()
+                c += 1
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stk.append(v)
+            comps.append(c)
+        row = got.loc[k]
+        assert row["n_hosts"] == len(adj)
+        assert row["n_components"] == len(comps)
+        assert row["giant_size"] == (max(comps) if comps else 0)
+    # hub attack must shatter faster than it trims: giant shrinks
+    assert got["giant_size"].iloc[-1] < got["giant_size"].iloc[0]
