@@ -357,6 +357,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_weighted": linkgraph.random_walks_weighted,
         # skip-gram (center, context) pair counts from the walks
         "walk_skipgrams": linkgraph.walk_skipgrams,
+        # Kendall tau between the two centrality rankers
+        "kendall_tau": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.kendall_tau(sf)
+        ),
+        # rich-club coefficient profile of the host graph
+        "rich_club": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.rich_club(sf)
+        ),
         # Spearman agreement between the two centrality rankers
         "rank_correlation": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.rank_correlation(sf)
@@ -767,6 +775,8 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks": linkgraph.node2vec_walks_sql(),
         "host_rank_fusion": linkgraph.host_rank_fusion_sql(),
         "rank_correlation": linkgraph.rank_correlation_sql(),
+        "kendall_tau": linkgraph.kendall_tau_sql(),
+        "rich_club": linkgraph.rich_club_sql(),
         "host_mis": linkgraph.host_mis_sql(),
         "host_backbone": linkgraph.host_backbone_sql(),
         "host_stress": linkgraph.host_stress_sql(),

@@ -3569,3 +3569,121 @@ def host_attack_curve_sql(rep: int = LG_REP, ks: tuple = ATTACK_KS) -> str:
             f"(select count(*) as cnt from c{k} group by l)) as giant_size"
         )
     return "with recursive " + ", ".join(ctes) + " " + " union all ".join(sels)
+
+
+def kendall_tau(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
+    """Kendall tau-a between the PageRank and Katz orderings — the
+    pairwise sibling of :func:`rank_correlation` (Spearman weights
+    big displacements quadratically; Kendall counts inversions):
+    ``tau_e6 = (concordant - discordant) * 1e6 // (n(n-1)/2)`` with
+    the sign extracted before the floor (numpy floors, DuckDB
+    truncates).  Ranks are dense and tie-free by construction, so
+    tau-a == tau-b.  O(n^2) pair comparison on the |hosts|-bounded
+    rank table, mirrored by a pair self-join.
+    Output: (n, concordant, discordant, tau_e6)."""
+    fused = host_rank_fusion(sf_dir, rep).to_pandas()
+    a = fused["pr_rank"].to_numpy(np.int64)
+    b = fused["katz_rank"].to_numpy(np.int64)
+    n = len(fused)
+    da = a[:, None] - a[None, :]
+    db = b[:, None] - b[None, :]
+    upper = np.triu(np.ones((n, n), dtype=bool), k=1)
+    conc = int(((da * db > 0) & upper).sum())
+    disc = int(((da * db < 0) & upper).sum())
+    denom = n * (n - 1) // 2
+    t = conc - disc
+    tau = (1 if t >= 0 else -1) * (abs(t) * 1_000_000 // denom)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "concordant": pa.array([conc], pa.int64()),
+            "discordant": pa.array([disc], pa.int64()),
+            "tau_e6": pa.array([tau], pa.int64()),
+        }
+    )
+
+
+def kendall_tau_sql(rep: int = LG_REP) -> str:
+    return (
+        f"with f as ({host_rank_fusion_sql(rep)}), "
+        "p as (select a.pr_rank as a1, a.katz_rank as b1, "
+        "b.pr_rank as a2, b.katz_rank as b2 "
+        "from f a join f b on a.host < b.host), "
+        "c as (select count(*) filter ((a1 - a2) * (b1 - b2) > 0) as conc, "
+        "count(*) filter ((a1 - a2) * (b1 - b2) < 0) as disc from p), "
+        "nn as (select count(*) as n from f) "
+        "select cast(nn.n as bigint) as n, cast(c.conc as bigint) as concordant, "
+        "cast(c.disc as bigint) as discordant, "
+        "cast(case when c.conc >= c.disc then "
+        "(c.conc - c.disc) * 1000000 // (nn.n * (nn.n - 1) // 2) "
+        "else -((c.disc - c.conc) * 1000000 // (nn.n * (nn.n - 1) // 2)) end "
+        "as bigint) as tau_e6 "
+        "from c, nn"
+    )
+
+
+RICH_KS = (1, 2, 4, 8, 16)
+
+
+def rich_club(sf_dir: str, rep: int = LG_REP, ks: tuple = RICH_KS) -> "pa.Table":
+    """Rich-club coefficient profile (Zhou & Mondragon 2004) of the
+    undirected distinct host graph: for each degree floor k, the
+    density among hosts of degree > k —
+    ``phi_e6 = 2 * E_k * 1e6 // (N_k (N_k - 1))`` — do the
+    best-connected hosts preferentially interlink?  Degrees and the
+    club subgraph come from the |hosts|^2-bounded fold; the oracle
+    recomputes per k with two grouped counts.
+    Output: (k, n_club, e_club, phi_e6) for ks with >= 2 members."""
+    small = (
+        host_edges(sf_dir, rep)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+    )
+    small = small[small["src_id"] != small["dst_id"]]
+    a = small[["src_id", "dst_id"]].min(axis=1).to_numpy(np.int64)
+    b = small[["src_id", "dst_id"]].max(axis=1).to_numpy(np.int64)
+    und = np.unique(a * NH + b)
+    ua, ub = und // NH, und % NH
+    deg = np.bincount(
+        np.concatenate([ua, ub]), minlength=NH
+    ).astype(np.int64)
+    rows = {"k": [], "n_club": [], "e_club": [], "phi_e6": []}
+    for k in ks:
+        club = deg > k
+        nk = int(club.sum())
+        if nk < 2:
+            continue
+        ek = int((club[ua] & club[ub]).sum())
+        rows["k"].append(k)
+        rows["n_club"].append(nk)
+        rows["e_club"].append(ek)
+        rows["phi_e6"].append(2 * ek * 1_000_000 // (nk * (nk - 1)))
+    return pa.table(
+        {c: pa.array(np.array(v, dtype=np.int64)) for c, v in rows.items()}
+    )
+
+
+def rich_club_sql(rep: int = LG_REP, ks: tuple = RICH_KS) -> str:
+    ctes = [
+        f"e as materialized ({_edges_sql(rep)})",
+        "und as materialized (select distinct least(src_id, dst_id) as a, "
+        "greatest(src_id, dst_id) as b from e where src_id <> dst_id)",
+        "dg as materialized (select hid, count(*) as d from ("
+        "select a as hid from und union all select b from und) group by hid)",
+    ]
+    sels = []
+    for k in ks:
+        ctes.append(
+            f"rc{k} as materialized (select "
+            f"(select count(*) from dg where d > {k}) as nk, "
+            f"(select count(*) from und "
+            f"join dg da on da.hid = und.a join dg db on db.hid = und.b "
+            f"where da.d > {k} and db.d > {k}) as ek)"
+        )
+        sels.append(
+            f"select cast({k} as bigint) as k, cast(nk as bigint) as n_club, "
+            f"cast(ek as bigint) as e_club, "
+            f"cast(2 * ek * 1000000 // (nk * (nk - 1)) as bigint) as phi_e6 "
+            f"from rc{k} where nk >= 2"
+        )
+    return "with " + ", ".join(ctes) + " " + " union all ".join(sels)

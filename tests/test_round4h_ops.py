@@ -1539,3 +1539,61 @@ def test_host_attack_curve_matches_brute(sf_dir):
         assert row["giant_size"] == (max(comps) if comps else 0)
     # hub attack must shatter faster than it trims: giant shrinks
     assert got["giant_size"].iloc[-1] < got["giant_size"].iloc[0]
+
+
+def test_kendall_tau_matches_brute(sf_dir):
+    import itertools
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    fused = linkgraph.host_rank_fusion(sf_dir).to_pandas()
+    pairs = list(zip(fused["pr_rank"], fused["katz_rank"]))
+    conc = disc = 0
+    for (a1, b1), (a2, b2) in itertools.combinations(pairs, 2):
+        s = (a1 - a2) * (b1 - b2)
+        conc += s > 0
+        disc += s < 0
+    n = len(pairs)
+    t = conc - disc
+    tau = (1 if t >= 0 else -1) * (abs(t) * 1_000_000 // (n * (n - 1) // 2))
+    got = linkgraph.kendall_tau(sf_dir).to_pandas()
+    assert (
+        got["n"].iloc[0],
+        got["concordant"].iloc[0],
+        got["discordant"].iloc[0],
+        got["tau_e6"].iloc[0],
+    ) == (n, conc, disc, tau)
+
+
+def test_rich_club_matches_brute(sf_dir):
+    import collections
+
+    from aerial_conversion_ray.pipelines import linkgraph
+
+    e = (
+        linkgraph.host_edges(sf_dir)
+        .to_pandas()[["src_id", "dst_id"]]
+        .drop_duplicates()
+    )
+    e = e[e["src_id"] != e["dst_id"]]
+    und = set()
+    for _, r in e.iterrows():
+        a, b = sorted((int(r["src_id"]), int(r["dst_id"])))
+        und.add((a, b))
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    got = linkgraph.rich_club(sf_dir).to_pandas().set_index("k")
+    for k in linkgraph.RICH_KS:
+        club = {h for h, d in deg.items() if d > k}
+        if len(club) < 2:
+            assert k not in got.index
+            continue
+        ek = sum(1 for a, b in und if a in club and b in club)
+        row = got.loc[k]
+        assert row["n_club"] == len(club)
+        assert row["e_club"] == ek
+        assert row["phi_e6"] == 2 * ek * 1_000_000 // (
+            len(club) * (len(club) - 1)
+        )
