@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass distributed Gram matrix (PCA building block) +
         # driver-side power-iteration top component
         "embed_gram": embeddings.embed_gram,
+        # per-label embedding drift between corpus halves
+        "embed_drift": embeddings.embed_drift,
         # JL sign projection + integer distortion audit
         "jl_projection_audit": embeddings.jl_projection_audit,
         "pca_top_component": embeddings.pca_power_iteration,
@@ -790,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_hausdorff": spatial.trajectory_hausdorff_sql(CFG),
         "tile_skew": spatial.tile_skew_sql(CFG),
         "jl_projection_audit": embeddings.jl_projection_audit_sql(),
+        "embed_drift": embeddings.embed_drift_sql(),
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,

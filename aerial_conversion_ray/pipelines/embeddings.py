@@ -1806,3 +1806,109 @@ select od.vec_id, cast(od.orig_d2 as bigint) as orig_d2,
        cast(pd.proj_d2 * 1000000 // (od.orig_d2 * {dprime}) as bigint) as ratio_e6
 from od join pd on pd.vec_id = od.vec_id where od.orig_d2 > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Embedding drift between corpus halves (integer-exact cos^2)
+# --------------------------------------------------------------------------
+
+
+def embed_drift(sf_dir: str) -> ray.data.Dataset:
+    """Distribution-drift audit for the embedding space: per label,
+    quantize vectors to int e3, sum them separately over the corpus
+    halves (vec_id even vs odd — the deterministic split), and report
+    the squared cosine between the two half-sums in e6 fixed point
+    (``cos2_e6 = dot^2 * 1e6 // (|a|^2 |b|^2)``, sign carried
+    separately) — a drifting label's halves point apart, a stable
+    label's align.  ``dot^2`` exceeds int64, so the FINAL fold runs in
+    Python big ints (exact, deterministic) matching DuckDB's HUGEINT
+    promotion; everything that moves between tasks stays int64
+    (per-label partial sum vectors, label-bounded rows).
+
+    Output: (label, n_a, n_b, dot_sign, cos2_e6)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        d = len(emb[0]) if len(emb) else 0
+        q = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64) * JL_Q
+        ).astype(np.int64).reshape(len(t), d)
+        half = v % 2
+        key = lab * 2 + half
+        uk = np.unique(key)
+        sums = np.zeros((len(uk), d), dtype=np.int64)
+        cnts = np.zeros(len(uk), dtype=np.int64)
+        pos = np.searchsorted(uk, key)
+        np.add.at(sums, pos, q)
+        np.add.at(cnts, pos, 1)
+        cols = {
+            "label": pa.array(uk // 2),
+            "half": pa.array(uk % 2),
+            "n": pa.array(cnts),
+        }
+        for i in range(d):
+            cols[f"s{i}"] = pa.array(sums[:, i])
+        return pa.table(cols)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        scols = [c for c in df.columns if re.fullmatch(r"s\d+", c)]
+        g = df.groupby(["label", "half"], as_index=False)[scols + ["n"]].sum()
+        out = {"label": [], "n_a": [], "n_b": [], "dot_sign": [], "cos2_e6": []}
+        for lab, gg in g.groupby("label"):
+            ga = gg[gg["half"] == 0]
+            gb = gg[gg["half"] == 1]
+            if len(ga) == 0 or len(gb) == 0:
+                continue
+            a = [int(x) for x in ga[scols].iloc[0]]
+            b = [int(x) for x in gb[scols].iloc[0]]
+            dot = sum(x * y for x, y in zip(a, b))
+            na2 = sum(x * x for x in a)
+            nb2 = sum(y * y for y in b)
+            out["label"].append(int(lab))
+            out["n_a"].append(int(ga["n"].iloc[0]))
+            out["n_b"].append(int(gb["n"].iloc[0]))
+            out["dot_sign"].append(1 if dot >= 0 else -1)
+            out["cos2_e6"].append(dot * dot * 1_000_000 // (na2 * nb2))
+        return pd.DataFrame(
+            {k: np.array(v, dtype=np.int64) for k, v in out.items()}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+def embed_drift_sql() -> str:
+    return f"""
+with q as (select vec_id % 2 as half, label,
+           list_transform(embedding, x -> cast(floor(x * {JL_Q}) as bigint)) as qe
+           from embeddings),
+ex as (select half, label, qe[j.v + 1] as val, j.v as j
+       from q, unnest(range(len(qe))) j(v)),
+s as (select label, half, j, sum(val) as sv from ex group by label, half, j),
+n as (select label, half, count(*) as n from q group by label, half),
+d as (select a.label,
+      sum(a.sv * b.sv) as dot,
+      (select sum(x.sv * x.sv) from s x where x.label = a.label and x.half = 0)
+        as na2,
+      (select sum(y.sv * y.sv) from s y where y.label = a.label and y.half = 1)
+        as nb2
+      from s a join s b on b.label = a.label and b.j = a.j
+      where a.half = 0 and b.half = 1 group by a.label)
+select cast(d.label as bigint) as label,
+       cast(na.n as bigint) as n_a, cast(nb.n as bigint) as n_b,
+       cast(case when d.dot >= 0 then 1 else -1 end as bigint) as dot_sign,
+       cast(d.dot * d.dot * 1000000 // (d.na2 * d.nb2) as bigint) as cos2_e6
+from d
+join n na on na.label = d.label and na.half = 0
+join n nb on nb.label = d.label and nb.half = 1
+"""

@@ -1597,3 +1597,33 @@ def test_rich_club_matches_brute(sf_dir):
         assert row["phi_e6"] == 2 * ek * 1_000_000 // (
             len(club) * (len(club) - 1)
         )
+
+
+def test_embed_drift_matches_brute(sf_dir):
+    import numpy as np
+
+    from aerial_conversion_ray.pipelines import embeddings as em
+    from aerial_conversion_ray.sources.pages import read_table
+
+    df = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    ).to_pandas()
+    got = em.embed_drift(sf_dir).to_pandas().set_index("label")
+    for lab, g in df.groupby("label"):
+        sums = {0: None, 1: None}
+        ns = {0: 0, 1: 0}
+        for _, r in g.iterrows():
+            q = [int(np.floor(float(x) * em.JL_Q)) for x in r["embedding"]]
+            h = int(r["vec_id"]) % 2
+            ns[h] += 1
+            sums[h] = q if sums[h] is None else [a + b for a, b in zip(sums[h], q)]
+        if sums[0] is None or sums[1] is None:
+            assert lab not in got.index
+            continue
+        dot = sum(a * b for a, b in zip(sums[0], sums[1]))
+        na2 = sum(a * a for a in sums[0])
+        nb2 = sum(b * b for b in sums[1])
+        row = got.loc[lab]
+        assert row["n_a"] == ns[0] and row["n_b"] == ns[1]
+        assert row["dot_sign"] == (1 if dot >= 0 else -1)
+        assert row["cos2_e6"] == dot * dot * 1_000_000 // (na2 * nb2)
