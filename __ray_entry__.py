@@ -438,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": text.readability,
         # TextRank keyword scores: bucketed PageRank over the token graph
         "textrank": text.textrank,
+        # KWIC concordance: query token with immediate context
+        "kwic": text.kwic,
         # KMV bottom-k distinct sketch (mergeable, sample-bearing)
         "kmv_distinct": text.kmv_distinct_tokens,
         # corpus hapax-legomena share per source (vocabulary-proof)
@@ -796,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "host_widest_path": linkgraph.host_widest_path_sql(),
         "regex_tokens": text.REGEX_TOKENS_SQL,
         "readability": text.READABILITY_SQL,
+        "kwic": text.kwic_sql(),
         "textrank": text.textrank_sql(),
         "hapax": text.HAPAX_SQL,
         "chi2_lang_source": text.CHI2_LANG_SOURCE_SQL,

@@ -7352,3 +7352,65 @@ def kmv_distinct_tokens(sf_dir: str, k: int = KMV_K) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
+
+
+# --------------------------------------------------------------------------
+# KWIC concordance (keyword in context)
+# --------------------------------------------------------------------------
+
+KWIC_TOKEN = "filter"
+
+
+def kwic(sf_dir: str, token: str = KWIC_TOKEN) -> ray.data.Dataset:
+    """Keyword-in-context concordance — the retrieval-side
+    complement of ``inverted_index``/``phrase_query``: every
+    occurrence of the query token with its immediate neighbours,
+    (doc_id, pos, left1, right1), '' at document edges.  One
+    zero-shuffle pass: token lists stay as Arrow list arrays, match
+    positions come from one vectorized equality over the flattened
+    tokens, and the neighbours are plain index gathers."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def find(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        n_tok = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = (
+            toks.combine_chunks().flatten()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks.flatten()
+        )
+        offs = np.concatenate([[0], np.cumsum(n_tok)])
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), n_tok)
+        hit = pc.equal(flat, token).to_numpy(zero_copy_only=False)
+        idx = np.nonzero(hit)[0]
+        d = doc_of[idx]
+        pos = idx - offs[d]
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        left = np.where(pos > 0, flat_np[np.maximum(idx - 1, 0)], "")
+        at_end = idx + 1 >= offs[d + 1]
+        right = np.where(
+            at_end, "", flat_np[np.minimum(idx + 1, len(flat_np) - 1)]
+        )
+        did = t["doc_id"].to_numpy(zero_copy_only=False)[d]
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "pos": pa.array(pos),
+                "left1": pa.array(left.astype(object), pa.string()),
+                "right1": pa.array(right.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow")
+
+
+def kwic_sql(token: str = KWIC_TOKEN) -> str:
+    return f"""
+with t as (select doc_id, string_split(text, ' ') as l from documents),
+m as (select doc_id, l, j.v as p from t, unnest(range(len(l))) j(v)
+      where l[j.v + 1] = '{token}')
+select doc_id, cast(p as bigint) as pos,
+       case when p >= 1 then l[p] else '' end as left1,
+       case when p + 2 <= len(l) then l[p + 2] else '' end as right1
+from m
+"""

@@ -1627,3 +1627,28 @@ def test_embed_drift_matches_brute(sf_dir):
         assert row["n_a"] == ns[0] and row["n_b"] == ns[1]
         assert row["dot_sign"] == (1 if dot >= 0 else -1)
         assert row["cos2_e6"] == dot * dot * 1_000_000 // (na2 * nb2)
+
+
+def test_kwic_matches_brute(sf_dir):
+    from aerial_conversion_ray.pipelines import text as text_mod
+    from aerial_conversion_ray.sources.pages import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    want = []
+    for _, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        for i, w in enumerate(ws):
+            if w == text_mod.KWIC_TOKEN:
+                want.append(
+                    (
+                        int(r["doc_id"]),
+                        i,
+                        ws[i - 1] if i > 0 else "",
+                        ws[i + 1] if i + 1 < len(ws) else "",
+                    )
+                )
+    got = text_mod.kwic(sf_dir).to_pandas()
+    gm = sorted(
+        zip(got["doc_id"], got["pos"], got["left1"], got["right1"])
+    )
+    assert gm == sorted(want)
