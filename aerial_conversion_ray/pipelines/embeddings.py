@@ -1695,8 +1695,12 @@ def jl_projection_audit(
     audit in one pass: embeddings quantize to integers (floor(x*1e3)
     — the float parquet values are identical on both sides, so the
     floor is too), project through the DETERMINISTIC +-1 sign matrix
-    ``sign(j,k) = +1 iff (j*2654435761 + k*40503) % 2 = 0`` down to
-    ``dprime`` dims, and for every sampled consecutive pair
+    ``sign(j,k) = +1 iff ((j*2654435761 + k*40503) >> 16) & 1 = 0``
+    down to ``dprime`` dims (the sign comes from a MIXED bit — bit 16
+    of the hash — not the parity bit, which would collapse to
+    (j+k)%2 since both multipliers are odd and make every projected
+    coordinate identical up to sign), and for every sampled
+    consecutive pair
     (vec_id % pair_mod = 0 vs vec_id+1) report the squared distances
     in both spaces plus the integer distortion ratio
     ``proj_d2 * 1e6 // (orig_d2 * dprime)`` (E[||Px||^2] =
@@ -1729,7 +1733,7 @@ def jl_projection_audit(
         # closed-form sign matrix, built per batch (never broadcast)
         j = np.arange(d, dtype=np.int64)[:, None]
         k = np.arange(dprime, dtype=np.int64)[None, :]
-        sgn = 1 - 2 * ((j * 2654435761 + k * 40503) % 2)
+        sgn = 1 - 2 * (((j * 2654435761 + k * 40503) >> 16) & 1)
         proj = q @ sgn
         cols = {"pair": pa.array(v // pair_mod), "is_b": pa.array(v % pair_mod)}
         for i in range(dprime):
@@ -1791,7 +1795,7 @@ with q as (select vec_id,
 ex as (select vec_id, qe[j.v + 1] as val, j.v as j
        from q, unnest(range(len(qe))) j(v)),
 pr as (select vec_id, k.v as k,
-       sum(val * (1 - 2 * ((j * 2654435761 + k.v * 40503) % 2))) as p
+       sum(val * (1 - 2 * (((j * 2654435761 + k.v * 40503) // 65536) % 2))) as p
        from ex, unnest(range({dprime})) k(v) group by vec_id, k.v),
 pd as (select a.vec_id as vec_id, sum((a.p - b.p) * (a.p - b.p)) as proj_d2
        from pr a join pr b on b.vec_id = a.vec_id + 1 and a.vec_id % {pair_mod} = 0

@@ -1548,38 +1548,20 @@ def random_walks(sf_dir: str, rep: int = LG_REP, steps: int = WALK_LEN) -> ray.d
     embedding trainer consumes."""
     import ray
 
-    small = host_edges(sf_dir, rep).to_pandas()  # |hosts|^2-bounded
-    ed = small[["src_id", "dst_id"]].drop_duplicates().sort_values(
-        ["src_id", "dst_id"]
-    )
-    src = ed["src_id"].to_numpy(np.int64)
-    dst = ed["dst_id"].to_numpy(np.int64)
-    deg = np.bincount(src, minlength=NH).astype(np.int64)
-    off = np.zeros(NH, dtype=np.int64)
-    off[1:] = np.cumsum(deg)[:-1]
-    csr_ref = ray.put((off, deg, dst))
+    csr_ref = _walk_csr(sf_dir, rep)
 
     def walk(t: pa.Table) -> pa.Table:
         o, dg, fl = ray.get(csr_ref)
         pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = pid % NH
-        out_pid = [pid]
-        out_step = [np.zeros(len(pid), dtype=np.int64)]
-        out_h = [h]
-        alive = np.ones(len(pid), dtype=bool)
-        cur = h.copy()
-        for st in range(steps):
-            alive = alive & (dg[cur] > 0)
-            if not alive.any():
+        hist = _walk_hist(pid, o, dg, fl, steps)
+        out_pid, out_step, out_h = [], [], []
+        for st in range(steps + 1):
+            m = hist[st] >= 0
+            if not m.any():
                 break
-            pa_, ha = pid[alive], cur[alive]
-            r = ((pa_ % _WALK_PMOD) * 31 + (ha + 1) * _WALK_A + st * _WALK_B) % dg[ha]
-            nxt = fl[o[ha] + r]
-            cur = cur.copy()
-            cur[alive] = nxt
-            out_pid.append(pa_)
-            out_step.append(np.full(len(pa_), st + 1, dtype=np.int64))
-            out_h.append(nxt)
+            out_pid.append(pid[m])
+            out_step.append(np.full(int(m.sum()), st, dtype=np.int64))
+            out_h.append(hist[st][m])
         hid = np.concatenate(out_h)
         return pa.table(
             {
@@ -1593,6 +1575,49 @@ def random_walks(sf_dir: str, rep: int = LG_REP, steps: int = WALK_LEN) -> ray.d
 
     ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
     return ds.map_batches(walk, batch_format="pyarrow")
+
+
+def _walk_csr(sf_dir: str, rep: int):
+    """dst-sorted CSR adjacency of the distinct host graph, broadcast
+    once via ``ray.put`` (|edges| ints — the same object the kNN index
+    already broadcasts)."""
+    import ray
+
+    small = host_edges(sf_dir, rep).to_pandas()  # |hosts|^2-bounded
+    ed = small[["src_id", "dst_id"]].drop_duplicates().sort_values(
+        ["src_id", "dst_id"]
+    )
+    src = ed["src_id"].to_numpy(np.int64)
+    dst = ed["dst_id"].to_numpy(np.int64)
+    deg = np.bincount(src, minlength=NH).astype(np.int64)
+    off = np.zeros(NH, dtype=np.int64)
+    off[1:] = np.cumsum(deg)[:-1]
+    return ray.put((off, deg, dst))
+
+
+def _walk_hist(pid: np.ndarray, o, dg, fl, steps: int) -> np.ndarray:
+    """Full walk history for one batch of pages: ``hist[s][i]`` is the
+    host page i's walk visits at step s, or -1 once the walk hit a
+    dead end (matching the SQL oracle's inner join simply stopping).
+    Each page's ENTIRE walk lives in this one (steps+1, n) array, so
+    consumers that pair steps (skip-grams) never depend on Ray block
+    boundaries."""
+    n = len(pid)
+    hist = np.full((steps + 1, n), -1, dtype=np.int64)
+    cur = (pid % NH).astype(np.int64)
+    hist[0] = cur
+    alive = np.ones(n, dtype=bool)
+    for st in range(steps):
+        alive = alive & (dg[cur] > 0)
+        if not alive.any():
+            break
+        pa_, ha = pid[alive], cur[alive]
+        r = ((pa_ % _WALK_PMOD) * 31 + (ha + 1) * _WALK_A + st * _WALK_B) % dg[ha]
+        nxt = fl[o[ha] + r]
+        cur = cur.copy()
+        cur[alive] = nxt
+        hist[st + 1][alive] = nxt
+    return hist
 
 
 def random_walks_sql(rep: int = LG_REP, steps: int = WALK_LEN) -> str:
@@ -1685,7 +1710,8 @@ def host_mis(
     hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
     n = len(hosts)
     pri = (hosts.astype(np.int64) * MIS_C) % MIS_M
-    assert len(np.unique(pri)) == n, "host_mis: priority collision"
+    if len(np.unique(pri)) != n:
+        raise ValueError("host_mis: priority collision")
     hosts_ref = ray.put(hosts)
 
     alive = np.ones(n, dtype=bool)
@@ -1968,7 +1994,8 @@ def host_backbone(
     small = und.to_pandas()
     hosts = np.unique(np.concatenate([small["a"].values, small["b"].values]))
     n = len(hosts)
-    assert small["w"].max() < (1 << 40), "host_backbone: widen the key packing"
+    if small["w"].max() >= (1 << 40):
+        raise OverflowError("host_backbone: widen the key packing")
     comp = hosts.astype(np.int64).copy()        # label = min member id
     hosts_ref = ray.put(hosts)
     chosen: set[int] = set()
@@ -2803,10 +2830,15 @@ def lpa_modularity(
     tot = np.zeros(len(comms), dtype=np.int64)
     np.add.at(tot, ai, c)
 
-    if two_m and int(max(w_in.max(), 1)) > (1 << 61) // (two_m * 1_000_000):
-        raise OverflowError("lpa_modularity: rescale the term arithmetic")
-    t = w_in * two_m - tot * tot
-    q = np.sign(t) * (np.abs(t) * 1_000_000 // (two_m * two_m))
+    # t = w_in*2m - tot^2 is dominated by tot^2 (tot can approach 2m), so
+    # an int64 guard on w_in*2m alone is insufficient; the fold is
+    # |communities|-bounded, so compute t/q in Python big ints (exact,
+    # matching DuckDB's HUGEINT promotion) like embed_drift does.
+    q = np.zeros(len(comms), dtype=np.int64)
+    m2sq = two_m * two_m
+    for i in range(len(comms) if m2sq else 0):
+        t = int(w_in[i]) * two_m - int(tot[i]) ** 2
+        q[i] = (abs(t) * 1_000_000 // m2sq) * (1 if t >= 0 else -1) if t else 0
     return pa.table(
         {
             "community": pa.array(comms),
@@ -3025,45 +3057,50 @@ def walk_skipgrams(
     corpus: every (center, context) host pair within ``window`` steps
     on the same walk, direction-sensitive, aggregated to
     (center, context, n) — the input table a word2vec/node2vec
-    trainer consumes.  The pair explode happens INSIDE the walk batch
-    (each page's whole walk lives in one map task, so no self-join
-    shuffle); the |hosts|^2-bounded counts fold once.  The oracle
+    trainer consumes.  The pair explode happens INSIDE the walk
+    kernel on the (steps+1, n) history matrix — each page's whole
+    walk is in local arrays, so no (center, context) pair can be
+    dropped by a Ray block split of the walk table (the r4 advisor
+    finding); the |hosts|^2-bounded counts fold once.  The oracle
     replays it as a step self-join over the unrolled walk CTEs."""
+    import ray
+
+    csr_ref = _walk_csr(sf_dir, rep)
+    steps = WALK_LEN
 
     def pairs(t: pa.Table) -> pa.Table:
+        o, dg, fl = ray.get(csr_ref)
         pid = t["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        step = t["step"].to_numpy(zero_copy_only=False).astype(np.int64)
-        host = t["host"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((step, pid))
-        pid, step, host = pid[order], step[order], host[order]
-        cs, xs = [], []
+        hist = _walk_hist(pid, o, dg, fl, steps)
+        keys = []
         for d in range(1, window + 1):
-            # rows i and i+d share a walk iff same pid and step gap d
-            if len(pid) > d:
-                m = (pid[d:] == pid[:-d]) & (step[d:] == step[:-d] + d)
-                cs.append(host[:-d][m])   # center -> forward context
-                xs.append(host[d:][m])
-                cs.append(host[d:][m])    # and the reverse direction
-                xs.append(host[:-d][m])
-        if cs:
-            c = np.concatenate(cs)
-            x = np.concatenate(xs)
+            for s in range(steps + 1 - d):
+                m = (hist[s] >= 0) & (hist[s + d] >= 0)
+                if not m.any():
+                    continue
+                a, b = hist[s][m], hist[s + d][m]
+                keys.append(a * NH + b)   # center -> forward context
+                keys.append(b * NH + a)   # and the reverse direction
+        if keys:
+            uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
         else:
-            c = x = np.array([], dtype=object)
-        df = pd.DataFrame({"center": c, "context": x})
-        g = df.groupby(["center", "context"], sort=False, as_index=False).size()
+            uk = cnt = np.array([], dtype=np.int64)
         return pa.table(
             {
-                "center": pa.array(g["center"], pa.string()),
-                "context": pa.array(g["context"], pa.string()),
-                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "center": pc.binary_join_element_wise(
+                    "h", pc.cast(pa.array(uk // NH), pa.string()), ".example", ""
+                ),
+                "context": pc.binary_join_element_wise(
+                    "h", pc.cast(pa.array(uk % NH), pa.string()), ".example", ""
+                ),
+                "n": pa.array(cnt.astype(np.int64)),
             }
         )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["center", "context"], as_index=False)["n"].sum()
 
-    ds = random_walks(sf_dir, rep)
+    ds = pages_dataset(sf_dir, rep=rep, columns=["page_id"])
     # per-batch partials are already |hosts|^2-bounded: ONE single-
     # partition vectorized fold finishes the job (no per-key groupby)
     return (

@@ -3633,7 +3633,8 @@ def zscore_outliers(sf_dir: str, t: int = ZSCORE_T) -> ray.data.Dataset:
         for _, r in mom.iterrows()
     }
     for n, sx, sxx in const.values():
-        assert n * 32768 < (1 << 31), "fold constants before squaring"
+        if n * 32768 >= (1 << 31):
+            raise OverflowError("fold constants before squaring")
     langs = sorted(const)
     n_v = np.array([const[L][0] for L in langs], np.int64)
     sx_v = np.array([const[L][1] for L in langs], np.int64)
@@ -6374,7 +6375,8 @@ def collocations(
         .to_pandas()["n"]
         .sum()
     )
-    assert n_total < 3_000_000, "collocations: shard the lift multiply (int64)"
+    if n_total >= 3_000_000:
+        raise OverflowError("collocations: shard the lift multiply (int64)")
 
     def join_a(df: pd.DataFrame) -> pd.DataFrame:
         big = df[df["tag"] == 0]
@@ -7172,7 +7174,10 @@ def chi2_lang_source(sf_dir: str) -> ray.data.Dataset:
         piv = g.pivot(index="lang", columns="source", values="obs").fillna(0)
         obs = piv.to_numpy(np.int64)
         n = int(obs.sum())
-        assert n < 30_000, "chi2_lang_source: shard the cell multiply (int64)"
+        if n >= 30_000:
+            raise OverflowError(
+                "chi2_lang_source: shard the cell multiply (int64)"
+            )
         rs = obs.sum(axis=1, keepdims=True)
         cs = obs.sum(axis=0, keepdims=True)
         d = n * obs - rs * cs
