@@ -526,9 +526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall@K audit of every approximate index vs brute (rows-only)
         "ann_recall_report": embeddings.ann_recall_report,
         "embed_dup": embeddings.embed_dup,
+        # exact all-pairs dup test as a distributed block-nested-loop
+        # join — no broadcast embedding index (same oracle as embed_dup)
+        "embed_dup_sharded": embeddings.embed_dup_sharded,
         # SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup,
         # keep-the-least-prototypical drop rule, fixed-point exact
         "semdedup": embeddings.semdedup,
+        # the 10^12-row SemDeDup plan: one groupby(cluster) shuffle
+        # co-locates each cluster, chunked per-group pair matmuls —
+        # no broadcast embedding index (same oracle as semdedup)
+        "semdedup_sharded": embeddings.semdedup_sharded,
         # perceptual image dedup: real PNG decode -> integer-exact
         # dHash; pairs via pigeonhole banding (no all-pairs)
         "image_phash": lambda sf: multimodal.image_phash(sf, CFG),
@@ -842,7 +849,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute": embeddings.ann_brute_sql(),
         "hard_negatives": embeddings.HARD_NEGATIVES_SQL,
         "embed_dup": embeddings.embed_dup_sql(),
+        "embed_dup_sharded": embeddings.embed_dup_sql(),
         "semdedup": embeddings.semdedup_sql(),
+        "semdedup_sharded": embeddings.semdedup_sql(),
         "image_phash": multimodal.image_phash_sql(CFG),
         "image_edges": multimodal.image_edges_sql(CFG),
         "phash_pairs": multimodal.phash_pairs_sql(CFG),

@@ -1595,6 +1595,166 @@ from a left join dropped d on d.vec_id = a.vec_id
 """
 
 
+SEMDEDUP_PAIR_CHUNK = 4096  # rows per pairwise-matmul chunk inside a cluster
+
+
+def semdedup_sharded(sf_dir: str, eps_e9: int = SEMDEDUP_EPS_E9) -> ray.data.Dataset:
+    """:func:`semdedup` with NO broadcast embedding index — the
+    10^12-row plan the broadcast variant's docstring promises.  Same
+    keep rule, same oracle (:func:`semdedup_sql`), different physical
+    plan:
+
+    1. cluster assignment is a per-batch matmul against the broadcast
+       k x DIM centroid LUT (k rows — the only thing shipped);
+    2. ONE ``groupby(cluster)`` shuffle co-locates each cluster's
+       vectors (the ``ann_ivf`` pattern: memory per task is one
+       CLUSTER, never the corpus);
+    3. per group, the pairwise dup test runs as chunked matmuls
+       (SEMDEDUP_PAIR_CHUNK x |cluster|), so even a skewed hot
+       cluster is processed in bounded memory.
+
+    The paper's regime (k ~ n / 1e5) keeps clusters ~1e5 rows, so a
+    group is a few hundred MB of float64 — one task's heap.  Parity
+    with the broadcast path is asserted in tests/test_embeddings.py.
+
+    Output: (vec_id, cluster, cent_e9, kept) — identical to
+    :func:`semdedup`."""
+    import ray
+
+    lut_ref = ray.put(_centroid_lut(sf_dir))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, nmat = _matrix(t)
+        lut = ray.get(lut_ref)
+        cl, cent = _assign_clusters(nmat, lut)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(cl),
+                "cent_e9": pa.array(cent),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "cent_e9": pa.array([], pa.int64()),
+                    "kept": pa.array([], pa.int64()),
+                }
+            )
+        ids, nmat = _matrix(t)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cent = t["cent_e9"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = np.ones(len(ids), dtype=bool)
+        for lo in range(0, len(ids), SEMDEDUP_PAIR_CHUNK):
+            hi = min(lo + SEMDEDUP_PAIR_CHUNK, len(ids))
+            sims = _sim_e9(nmat[lo:hi] @ nmat.T)  # (chunk, n_cluster)
+            dup = (sims >= eps_e9) & (ids[lo:hi, None] != ids[None, :])
+            outranked = (cent[None, :] < cent[lo:hi, None]) | (
+                (cent[None, :] == cent[lo:hi, None])
+                & (ids[None, :] < ids[lo:hi, None])
+            )
+            kept[lo:hi] = ~(dup & outranked).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(cl),
+                "cent_e9": pa.array(cent),
+                "kept": pa.array(kept.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
+
+
+EMBED_DUP_BLOCKS = 8  # block-nested-loop fan-out for the exact all-pairs test
+
+
+def embed_dup_sharded(
+    sf_dir: str,
+    threshold_e9: int = DUP_THRESHOLD_E9,
+    blocks: int = EMBED_DUP_BLOCKS,
+) -> ray.data.Dataset:
+    """:func:`embed_dup` with NO broadcast embedding index: the exact
+    all-pairs threshold test as a distributed block-nested-loop join.
+    Vectors hash into ``blocks`` blocks by vec_id; each unordered
+    block pair (i <= j) is one shuffle group holding only those two
+    blocks (each vector is replicated ``blocks`` times — the standard
+    O(B) replication that bounds per-task memory at 2n/B vectors
+    while the FLOPs stay the inherent O(n^2) of an exact all-pairs
+    scan).  Same output and oracle as :func:`embed_dup`; parity with
+    the broadcast path asserted in tests/test_embeddings.py.
+
+    Output: (a, b, sim_e9) pairs with a < b and sim >= threshold."""
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = v % blocks
+        pk, rows = [], []
+        for other in range(blocks):
+            lo = np.minimum(g, other)
+            hi = np.maximum(g, other)
+            pk.append(lo * blocks + hi)
+            rows.append(np.arange(len(v)))
+        # every `other` yields a distinct (lo, hi) key per row, so each
+        # row lands in exactly `blocks` groups — no dedupe needed
+        rep = t.take(pa.array(np.concatenate(rows)))
+        return rep.append_column("pk", pa.array(np.concatenate(pk)))
+
+    def pair_group(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "sim_e9": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            return empty
+        pk = int(t["pk"][0].as_py())
+        bi, bj = pk // blocks, pk % blocks
+        ids, nmat = _matrix(t)
+        g = ids % blocks
+        li, lj = ids[g == bi], ids[g == bj]
+        mi, mj = nmat[g == bi], nmat[g == bj]
+        if len(li) == 0 or len(lj) == 0:
+            return empty
+        sims = _sim_e9(mi @ mj.T)
+        if bi == bj:
+            hit = (sims >= threshold_e9) & (li[:, None] < lj[None, :])
+            r, c = np.nonzero(hit)
+            a, b = li[r], lj[c]
+        else:
+            # blocks are disjoint: emit every cross pair once, ordered
+            r, c = np.nonzero(sims >= threshold_e9)
+            a = np.minimum(li[r], lj[c])
+            b = np.maximum(li[r], lj[c])
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "sim_e9": pa.array(sims[r, c]),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(pair_group, batch_format="pyarrow")
+    )
+
+
 def ann_recall_report(sf_dir: str) -> ray.data.Dataset:
     """ANN evaluation harness: recall@K of every approximate index
     (LSH / IVF / PQ) against the exact brute-force top-k, one row per

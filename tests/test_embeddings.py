@@ -197,3 +197,29 @@ def test_kmeans_resumable_crash_equals_uninterrupted(sf_dir, tmp_path):
     # different hyperparameters -> stale rounds ignored, fresh run
     other = embeddings.kmeans_resumable(sf_dir, ck, k=4, iters=1).to_pandas()
     assert other["cluster"].max() <= 3
+
+
+def _canon(df, cols):
+    return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_semdedup_sharded_parity(sf_dir):
+    """The cluster-sharded plan (groupby shuffle, no broadcast index)
+    returns row-for-row the same keep/drop decisions as the broadcast
+    variant."""
+    broad = _canon(embeddings.semdedup(sf_dir).to_pandas(), ["vec_id"])
+    shard = _canon(embeddings.semdedup_sharded(sf_dir).to_pandas(), ["vec_id"])
+    assert broad.equals(shard[broad.columns.tolist()])
+
+
+def test_embed_dup_sharded_parity(sf_dir):
+    """The block-nested-loop plan (no broadcast index) finds exactly
+    the broadcast variant's pair set, including with a block count
+    that does not divide the corpus evenly."""
+    cols = ["a", "b"]
+    broad = _canon(embeddings.embed_dup(sf_dir).to_pandas(), cols)
+    for blocks in (3, 8):
+        shard = _canon(
+            embeddings.embed_dup_sharded(sf_dir, blocks=blocks).to_pandas(), cols
+        )
+        assert broad.equals(shard[broad.columns.tolist()]), blocks
