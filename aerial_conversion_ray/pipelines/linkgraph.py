@@ -41,6 +41,8 @@ DuckDB mirror uses the same ``//`` integer division.  Max magnitude
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -49,11 +51,57 @@ import ray.data
 
 from ..sources.pages import pages_cte, pages_dataset
 
-NH = 64                 # synthetic host count
+# Synthetic host count.  Env-overridable AT IMPORT so a fresh Ray
+# session (driver + workers import consistently) can exercise the
+# distributed branches at NH >> 64 — tests/test_nh_scale.py runs the
+# iterative battery at NH=10^4 in a subprocess this way.  Do NOT
+# monkeypatch at runtime: module-level helpers serialize by reference
+# and workers would re-import the default.
+NH = int(os.environ.get("AERIAL_LG_NH", "64"))
 LG_REP = 5              # pages per document for link-graph entries
 PR_SCALE = 10**12       # fixed-point PageRank scale
 PR_ITERS = 4
 _HOT_DST = 0            # 40% of links target this host (skew by design)
+
+
+# --- sparse partial-vector wire format for iterative host rounds ---------
+
+
+def _vec_partial(acc: np.ndarray, skip: int | None = 0) -> pa.Table:
+    """A |hosts|-length int64 partial vector as sparse (i, val) rows —
+    the per-block wire format for every iterative host-graph fold.
+    ``skip`` drops entries equal to it (0 for additive folds, the
+    INF/BIG sentinel for min-folds, -1 for max-folds); None keeps
+    every entry.  Sparse rows keep the partial O(touched hosts), so
+    the same rounds run unchanged at NH=64 and NH=10^4+."""
+    if skip is None:
+        nz = np.arange(len(acc), dtype=np.int64)
+    else:
+        nz = np.flatnonzero(acc != skip).astype(np.int64)
+    return pa.table(
+        {"i": pa.array(nz), "val": pa.array(acc[nz].astype(np.int64))}
+    )
+
+
+def _vec_fold(parts, n: int, op: str = "add", init: int = 0) -> np.ndarray:
+    """Fold sparse (i, val) partial rows into ONE |hosts| vector on
+    the driver (the pagerank_hosts law: #blocks small partials, the
+    corpus never folds here)."""
+    ufunc = {
+        "add": np.add,
+        "min": np.minimum,
+        "max": np.maximum,
+        "or": np.bitwise_or,
+    }[op]
+    out = np.full(n, init, dtype=np.int64)
+    for bt in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_rows and "i" in bt.schema.names:
+            ufunc.at(
+                out,
+                bt["i"].to_numpy(zero_copy_only=False).astype(np.int64),
+                bt["val"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+    return out
 
 
 # --- deterministic anchor-bearing html variant ---------------------------
@@ -377,7 +425,7 @@ def pagerank_hosts(
         per_edge = (rv[s] // od[s]) * c
         acc = np.zeros(len(hs), dtype=np.int64)
         np.add.at(acc, d, per_edge)
-        return pa.table({f"c{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+        return _vec_partial(acc)
 
     for _ in range(iters):
         r_ref = ray.put(r)
@@ -389,9 +437,7 @@ def pagerank_hosts(
         # per iteration.  Bound: #blocks x |hosts| ints — fine while
         # the rank vector broadcasts at all; past that (|hosts| >~1e7)
         # the iteration becomes a bucketed fold of the partials.
-        cvec = np.zeros(n, dtype=np.int64)
-        for row in parts.take_all():
-            cvec += np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
+        cvec = _vec_fold(parts, n)
         r = base + (85 * cvec) // 100
 
     host = pc.binary_join_element_wise(
@@ -684,18 +730,14 @@ def host_bfs(sf_dir: str, rep: int = LG_REP, seed: int = BFS_SEED) -> "pa.Table"
         d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
         cand = np.full(len(hs), BIG, dtype=np.int64)
         np.minimum.at(cand, d, np.minimum(dv[s] + 1, BIG))
-        return pa.table({f"c{i}": pa.array(cand[i : i + 1]) for i in range(len(hs))})
+        return _vec_partial(cand, skip=BIG)
 
     for _ in range(n):
         d_ref = ray.put(dist)
         parts = edges.map_batches(
             lambda t, dr=d_ref: relax(t, dr), batch_format="pyarrow"
         )
-        new = dist.copy()
-        for row in parts.take_all():
-            new = np.minimum(
-                new, np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
-            )
+        new = np.minimum(dist, _vec_fold(parts, n, "min", int(BIG)))
         if np.array_equal(new, dist):
             break
         dist = new
@@ -888,16 +930,14 @@ def pagerank_personalized(
         per_edge = (rv[s] // od[s]) * c
         acc = np.zeros(len(hs), dtype=np.int64)
         np.add.at(acc, d, per_edge)
-        return pa.table({f"c{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+        return _vec_partial(acc)
 
     for _ in range(iters):
         r_ref = ray.put(r)
         parts = edges.map_batches(
             lambda t, rr=r_ref: contrib(t, rr), batch_format="pyarrow"
         )
-        cvec = np.zeros(n, dtype=np.int64)
-        for row in parts.take_all():
-            cvec += np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
+        cvec = _vec_fold(parts, n)
         r = base + (85 * cvec) // 100
 
     host = pc.binary_join_element_wise(
@@ -994,15 +1034,10 @@ def hits_hosts(sf_dir: str, rep: int = LG_REP, iters: int = HITS_ITERS) -> "pa.T
             frm, to = (s, d) if src_to_dst else (d, s)
             acc = np.zeros(len(hs), dtype=np.int64)
             np.add.at(acc, to, c * v[frm])
-            return pa.table(
-                {f"c{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))}
-            )
+            return _vec_partial(acc)
 
         parts = edges.map_batches(contrib, batch_format="pyarrow")
-        out = np.zeros(n, dtype=np.int64)
-        for row in parts.take_all():
-            out += np.array([row[f"c{i}"] for i in range(n)], dtype=np.int64)
-        return out
+        return _vec_fold(parts, n)
 
     h = np.ones(n, dtype=np.int64)
     a = np.zeros(n, dtype=np.int64)
@@ -1244,18 +1279,14 @@ def host_shortest_path(
         ok = dv[s] < _SP_INF
         acc = np.full(NH, _SP_INF, dtype=np.int64)
         np.minimum.at(acc, d[ok], dv[s[ok]] + w[ok])
-        return pa.table({f"m{i}": pa.array(acc[i : i + 1]) for i in range(NH)})
+        return _vec_partial(acc, skip=int(_SP_INF))
 
     for _ in range(hops):
         d_ref = ray.put(dist)
         parts = edges.map_batches(
             lambda t, dr=d_ref: relax(t, dr), batch_format="pyarrow"
         )
-        cand = np.full(NH, _SP_INF, dtype=np.int64)
-        for row in parts.take_all():
-            cand = np.minimum(
-                cand, np.array([row[f"m{i}"] for i in range(NH)], dtype=np.int64)
-            )
+        cand = _vec_fold(parts, NH, "min", int(_SP_INF))
         new = np.minimum(dist, cand)
         if (new == dist).all():
             break
@@ -1310,19 +1341,23 @@ def _host_closure(
     small_gate: int = LG_SMALL_EDGES,
 ):
     """All-pairs directed hop distances + transitive closure over the
-    host graph by BIT-PARALLEL multi-source BFS: each host carries one
-    machine word whose bit ``s`` means "source ``s`` reaches me"; one
-    relaxation round ORs every edge's src word into its dst word, so
-    64 BFS frontiers advance per pass for the cost of one.
+    host graph by BIT-PARALLEL multi-source BFS: each host carries
+    ``W = ceil(n/64)`` machine words whose bit ``s`` (word ``s>>6``,
+    bit ``s&63``) means "source ``s`` reaches me"; one relaxation
+    round ORs every edge's src words into its dst words, so 64 BFS
+    frontiers advance per word per pass for the cost of one.
 
     Ray shape (the ``pagerank_hosts`` law): the weighted edge Dataset
-    stays distributed; each round broadcasts the |hosts| int64 mask
-    vector (``ray.put``) and every edge block returns ONE partial
-    OR-vector; the driver folds bitwise-OR over the few block rows and
-    stops at the closure fixpoint (<= diameter rounds).  At
-    |hosts| > 64 the same passes run per 64-source block
-    (ceil(H/64) words per node) or over a landmark sample — the
-    per-round cost is edges x words, never |hosts|^2 materialized.
+    stays distributed; each round broadcasts the (|hosts|, W) mask
+    matrix (``ray.put``) and every edge block returns ONE sparse
+    partial — only its nonzero (host, word, value) triples; the
+    driver folds bitwise-OR over the few block partials and stops at
+    the closure fixpoint (<= diameter rounds).  The per-round cost is
+    edges x words; the |hosts|^2 object this function does
+    materialize is ``dmat`` itself, which is the all-pairs ANSWER —
+    callers that only need per-source aggregates at very large n
+    should run the same rounds over a landmark sample of source
+    blocks.
 
     ``rel_thr_pct`` sparsifies first: keep only edges with
     ``cnt >= sum(cnt) * pct // (n_edges * 100)`` (a SCALE-INVARIANT
@@ -1332,7 +1367,8 @@ def _host_closure(
 
     Returns (hosts, dmat, reach) where ``dmat[s, v]`` is the min hop
     count s->v (INF when unreachable; diagonal 0 by seeding) and
-    ``reach[v]`` is the int64-viewed closure word of v."""
+    ``reach`` is the (n, W) uint64 closure matrix (row v = who
+    reaches v)."""
     import ray
 
     edges = host_edges(sf_dir, rep).materialize()
@@ -1346,14 +1382,27 @@ def _host_closure(
         small = small[small["cnt"] >= thr]
     hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
     n = len(hosts)
-    if n > 64:
-        raise NotImplementedError("blocked multi-word masks: run per 64-source block")
+    W = (n + 63) >> 6
     hosts_ref = ray.put(hosts)
 
-    mask = (np.uint64(1) << np.arange(n, dtype=np.uint64)).view(np.int64)
+    idx = np.arange(n)
+    mask = np.zeros((n, W), dtype=np.uint64)
+    mask[idx, idx >> 6] = np.uint64(1) << (idx & 63).astype(np.uint64)
     INF = np.int64(1) << np.int64(40)
     dmat = np.full((n, n), INF, dtype=np.int64)
     np.fill_diagonal(dmat, 0)
+
+    def _record_fresh(fresh: np.ndarray, k: int) -> None:
+        # bits newly reaching v this round are at distance k:
+        # fresh[v, w] bit b set  ->  dmat[w*64 + b, v] = k
+        v_i, w_i = np.nonzero(fresh)
+        if not len(v_i):
+            return
+        bits = (
+            fresh[v_i, w_i][:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        r, b = np.nonzero(bits)
+        dmat[w_i[r] * 64 + b, v_i[r]] = k
 
     if len(small) <= small_gate:
         # driver fast path (LG_SMALL_EDGES): identical round arithmetic
@@ -1361,18 +1410,13 @@ def _host_closure(
         s = np.searchsorted(hosts, small["src_id"].values)
         d = np.searchsorted(hosts, small["dst_id"].values)
         for k in range(1, n + 1):
-            acc = np.zeros(n, dtype=np.int64)
+            acc = np.zeros((n, W), dtype=np.uint64)
             np.bitwise_or.at(acc, d, mask[s])
             new = mask | acc
             fresh = new & ~mask
             if not fresh.any():
                 break
-            fb = (
-                fresh[:, None].view(np.uint64)
-                >> np.arange(n, dtype=np.uint64)
-            ) & np.uint64(1)
-            src_i, v_i = np.nonzero(fb.astype(bool).T)
-            dmat[src_i, v_i] = np.minimum(dmat[src_i, v_i], k)
+            _record_fresh(fresh, k)
             mask = new
         return hosts, dmat, mask
 
@@ -1381,26 +1425,36 @@ def _host_closure(
         mv = ray.get(m_ref)
         s = np.searchsorted(hs, t["src_id"].to_numpy(zero_copy_only=False))
         d = np.searchsorted(hs, t["dst_id"].to_numpy(zero_copy_only=False))
-        acc = np.zeros(len(hs), dtype=np.int64)
+        acc = np.zeros((len(hs), mv.shape[1]), dtype=np.uint64)
         np.bitwise_or.at(acc, d, mv[s])
-        return pa.table({f"m{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+        # sparse partial: only the nonzero (host, word) cells move
+        v_i, w_i = np.nonzero(acc)
+        return pa.table(
+            {
+                "v": pa.array(v_i.astype(np.int64)),
+                "w": pa.array(w_i.astype(np.int64)),
+                "bits": pa.array(acc[v_i, w_i].view(np.int64)),
+            }
+        )
 
     for k in range(1, n + 1):
         m_ref = ray.put(mask)
         parts = edges.map_batches(
             lambda t, mr=m_ref: orfold(t, mr), batch_format="pyarrow"
         )
-        acc = np.zeros(n, dtype=np.int64)
-        for row in parts.take_all():
-            acc |= np.array([row[f"m{i}"] for i in range(n)], dtype=np.int64)
+        acc = np.zeros((n, W), dtype=np.uint64)
+        for bt in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+            if bt.num_rows == 0:
+                continue
+            v_i = bt["v"].to_numpy(zero_copy_only=False)
+            w_i = bt["w"].to_numpy(zero_copy_only=False)
+            bits = bt["bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+            np.bitwise_or.at(acc, (v_i, w_i), bits)
         new = mask | acc
         fresh = new & ~mask
         if not fresh.any():
             break
-        # bits newly reaching v this round are at distance k
-        fb = (fresh[:, None].view(np.uint64) >> np.arange(n, dtype=np.uint64)) & np.uint64(1)
-        src_i, v_i = np.nonzero(fb.astype(bool).T)
-        dmat[src_i, v_i] = np.minimum(dmat[src_i, v_i], k)
+        _record_fresh(fresh, k)
         mask = new
 
     return hosts, dmat, mask
@@ -1476,11 +1530,12 @@ def host_scc(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
     the streamed edge table.  Output: (host, scc_id, scc_size)."""
     hosts, _, reach = _host_closure(sf_dir, rep, rel_thr_pct=SCC_THR_PCT)
     n = len(hosts)
-    # M[u, v] = source u reaches v (diagonal true by seeding)
+    # M[u, v] = source u reaches v (diagonal true by seeding):
+    # reach[v, u>>6] bit u&63, unpacked from the (n, W) word matrix
+    u = np.arange(n)
     M = (
-        (reach.view(np.uint64)[None, :] >> np.arange(n, dtype=np.uint64)[:, None])
-        & np.uint64(1)
-    ).astype(bool)
+        (reach[:, u >> 6] >> (u & 63).astype(np.uint64)[None, :]) & np.uint64(1)
+    ).astype(bool).T
     mut = M & M.T
     scc_idx = np.argmax(mut, axis=0)      # first (=min) mutual source index
     scc_id = hosts[scc_idx]
@@ -1752,7 +1807,7 @@ def host_mis(
         for x, y in ((s, d), (d, s)):
             ok = av[x] & av[y] & (x != y)
             np.minimum.at(acc, x[ok], p[y[ok]])
-        return pa.table({f"p{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+        return _vec_partial(acc, skip=int(BIG))
 
     for rnd in range(MIS_MAX_ROUNDS + 1):
         if not alive.any():
@@ -1763,11 +1818,7 @@ def host_mis(
         parts = edges.map_batches(
             lambda t, ar=a_ref: min_nbr_pri(t, ar), batch_format="pyarrow"
         )
-        mn = np.full(n, BIG, dtype=np.int64)
-        for row in parts.take_all():
-            mn = np.minimum(
-                mn, np.array([row[f"p{i}"] for i in range(n)], dtype=np.int64)
-            )
+        mn = _vec_fold(parts, n, "min", int(BIG))
         cand = alive & (pri < mn)
         mis_round[cand] = rnd
         # drop candidates and their alive neighbours
@@ -1877,18 +1928,14 @@ def host_widest_path(
         c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         acc = np.zeros(NH, dtype=np.int64)
         np.maximum.at(acc, d, np.minimum(wv[s], c))
-        return pa.table({f"w{i}": pa.array(acc[i : i + 1]) for i in range(NH)})
+        return _vec_partial(acc)
 
     for _ in range(hops):
         w_ref = ray.put(width)
         parts = edges.map_batches(
             lambda t, wr=w_ref: relax(t, wr), batch_format="pyarrow"
         )
-        cand = np.zeros(NH, dtype=np.int64)
-        for row in parts.take_all():
-            cand = np.maximum(
-                cand, np.array([row[f"w{i}"] for i in range(NH)], dtype=np.int64)
-            )
+        cand = _vec_fold(parts, NH, "max", 0)
         new = np.maximum(width, cand)
         if (new == width).all():
             break
@@ -2040,18 +2087,14 @@ def host_backbone(
         for x in (a, b):
             sel = bnd
             np.maximum.at(acc, x[sel], key[sel])
-        return pa.table({f"k{i}": pa.array(acc[i : i + 1]) for i in range(len(hs))})
+        return _vec_partial(acc, skip=-1)
 
     for _ in range(MST_ROUNDS):
         c_ref = ray.put(comp)
         parts = und.map_batches(
             lambda t, cr=c_ref: best_boundary(t, cr), batch_format="pyarrow"
         )
-        acc = np.full(n, -1, dtype=np.int64)
-        for row in parts.take_all():
-            acc = np.maximum(
-                acc, np.array([row[f"k{i}"] for i in range(n)], dtype=np.int64)
-            )
+        acc = _vec_fold(parts, n, "max", -1)
         # per-COMPONENT best = max over its members' per-node partials
         best: dict[int, int] = {}
         for i in range(n):
@@ -2317,18 +2360,14 @@ def host_temporal_reach(
         ok = ts >= av[src]
         acc = np.full(NH, BIG, dtype=np.int64)
         np.minimum.at(acc, dst[ok], ts[ok])
-        return pa.table({f"a{i}": pa.array(acc[i : i + 1]) for i in range(NH)})
+        return _vec_partial(acc, skip=int(BIG))
 
     for _ in range(rounds):
         a_ref = ray.put(arr)
         parts = links.map_batches(
             lambda t, ar=a_ref: relax(t, ar), batch_format="pyarrow"
         )
-        cand = np.full(NH, BIG, dtype=np.int64)
-        for row in parts.take_all():
-            cand = np.minimum(
-                cand, np.array([row[f"a{i}"] for i in range(NH)], dtype=np.int64)
-            )
+        cand = _vec_fold(parts, NH, "min", int(BIG))
         new = np.minimum(arr, cand)
         if (new == arr).all():
             break
@@ -2394,42 +2433,146 @@ def host_coreness(
     Rows-only driver entry (coreness has no bounded-unroll SQL form
     — the peel depth per level is data-dependent); exactness is
     pytest-gated against an independent brute peeling."""
-    edges = host_edges(sf_dir, rep).materialize()
-    small = edges.to_pandas()
-    thr = int(small["cnt"].sum()) * SCC_THR_PCT // (len(small) * 100)
-    small = small[
-        (small["cnt"] >= thr)
-        & (small["src_id"] != _HOT_DST)
-        & (small["dst_id"] != _HOT_DST)
-        & (small["src_id"] != small["dst_id"])
-    ]
-    if len(small) > small_gate:  # pragma: no cover - host graph is bounded
-        raise NotImplementedError("host_coreness: run the kcore peel per level")
-    a = small[["src_id", "dst_id"]].min(axis=1).to_numpy(np.int64)
-    b = small[["src_id", "dst_id"]].max(axis=1).to_numpy(np.int64)
-    und = np.unique(a * NH + b)
-    ua, ub = und // NH, und % NH
-    hosts = np.unique(np.concatenate([ua, ub]))
-    idx = {int(h): i for i, h in enumerate(hosts)}
-    n = len(hosts)
-    ai = np.array([idx[int(x)] for x in ua], dtype=np.int64)
-    bi = np.array([idx[int(x)] for x in ub], dtype=np.int64)
+    import ray
 
-    alive_e = np.ones(len(ai), dtype=bool)
+    edges = host_edges(sf_dir, rep).materialize()
+    n_edges = edges.count()
+
+    if n_edges <= small_gate:
+        small = edges.to_pandas()
+        thr = int(small["cnt"].sum()) * SCC_THR_PCT // (n_edges * 100)
+        small = small[
+            (small["cnt"] >= thr)
+            & (small["src_id"] != _HOT_DST)
+            & (small["dst_id"] != _HOT_DST)
+            & (small["src_id"] != small["dst_id"])
+        ]
+        a = small[["src_id", "dst_id"]].min(axis=1).to_numpy(np.int64)
+        b = small[["src_id", "dst_id"]].max(axis=1).to_numpy(np.int64)
+        und = np.unique(a * NH + b)
+        ua, ub = und // NH, und % NH
+        hosts = np.unique(np.concatenate([ua, ub]))
+        idx = {int(h): i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        ai = np.array([idx[int(x)] for x in ua], dtype=np.int64)
+        bi = np.array([idx[int(x)] for x in ub], dtype=np.int64)
+
+        alive_e = np.ones(len(ai), dtype=bool)
+        alive_n = np.ones(n, dtype=bool)
+        core = np.zeros(n, dtype=np.int64)
+        k = 1
+        while alive_n.any():
+            deg = np.bincount(ai[alive_e], minlength=n) + np.bincount(
+                bi[alive_e], minlength=n
+            )
+            peel = alive_n & (deg < k)
+            if not peel.any():
+                core[alive_n] = np.maximum(core[alive_n], k)
+                k += 1
+                continue
+            alive_n &= ~peel
+            alive_e &= alive_n[ai] & alive_n[bi]
+        return _coreness_table(hosts, core)
+
+    # distributed peel per level: the edge table never collects.  One
+    # bucketed fold dedupes the undirected strong edges; each peel
+    # round broadcasts the alive mask and folds sparse per-block
+    # degree partials (the pagerank_hosts law) — round count bounded
+    # by degeneracy + peel waves, per-round cost one streamed pass.
+    tot = _vec_fold(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "i": pa.array([0], pa.int64()),
+                    "val": pa.array(
+                        [
+                            int(
+                                np.sum(
+                                    t["cnt"].to_numpy(zero_copy_only=False),
+                                    dtype=np.int64,
+                                )
+                            )
+                        ]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        1,
+    )[0]
+    thr = int(tot) * SCC_THR_PCT // (n_edges * 100)
+
+    def und_tag(t: pa.Table, v=thr) -> pa.Table:
+        s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (c >= v) & (s != _HOT_DST) & (d != _HOT_DST) & (s != d)
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "bucket": pa.array((a * 31 + b) % 64),
+            }
+        )
+
+    def und_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["a", "b"]].drop_duplicates()
+
+    und = (
+        edges.map_batches(und_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(und_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    t["a"].to_numpy(zero_copy_only=False),
+                    t["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {"i": pa.array(nodes), "val": pa.array(np.ones(len(nodes), np.int64))}
+        )
+
+    seen = _vec_fold(und.map_batches(node_partial, batch_format="pyarrow"), NH)
+    hosts = np.flatnonzero(seen > 0).astype(np.int64)
+    n = len(hosts)
+    hosts_ref = ray.put(hosts)
+
     alive_n = np.ones(n, dtype=bool)
     core = np.zeros(n, dtype=np.int64)
     k = 1
     while alive_n.any():
-        deg = np.bincount(ai[alive_e], minlength=n) + np.bincount(
-            bi[alive_e], minlength=n
-        )
+        a_ref = ray.put(alive_n)
+
+        def deg_partial(t: pa.Table, ar=a_ref) -> pa.Table:
+            hs = ray.get(hosts_ref)
+            av = ray.get(ar)
+            ai = np.searchsorted(hs, t["a"].to_numpy(zero_copy_only=False))
+            bi = np.searchsorted(hs, t["b"].to_numpy(zero_copy_only=False))
+            ok = av[ai] & av[bi]
+            acc = np.zeros(len(hs), dtype=np.int64)
+            np.add.at(acc, ai[ok], 1)
+            np.add.at(acc, bi[ok], 1)
+            return _vec_partial(acc)
+
+        deg = _vec_fold(und.map_batches(deg_partial, batch_format="pyarrow"), n)
         peel = alive_n & (deg < k)
         if not peel.any():
             core[alive_n] = np.maximum(core[alive_n], k)
             k += 1
             continue
         alive_n &= ~peel
-        alive_e &= alive_n[ai] & alive_n[bi]
+    return _coreness_table(hosts, core)
+
+
+def _coreness_table(hosts: np.ndarray, core: np.ndarray) -> "pa.Table":
     host = pc.binary_join_element_wise(
         "h", pc.cast(pa.array(hosts), pa.string()), ".example", ""
     )
@@ -2568,23 +2711,47 @@ def host_katz(
     keyed by dst (the `textrank` iteration shape).
 
     Output: (host, katz_e6)."""
+    import ray
+
     edges = host_edges(sf_dir, rep).materialize()
     arrs = _edge_arrays_if_small(edges, max(small_gate, 1))
-    if arrs is None:  # pragma: no cover - host fold is bounded
-        raise NotImplementedError("host_katz: run the bucketed level folds")
-    s, d, _ = arrs
-    pairs = np.unique(s * NH + d)
-    u, v = pairs // NH, pairs % NH
 
     w = np.ones(NH, dtype=np.int64)          # W_0
     katz = np.zeros(NH, dtype=np.int64)
-    for k in range(1, depth + 1):
-        if int(w.max()) > (1 << 62) // max(NH, 1):
-            raise OverflowError("host_katz: walk counts exceed int64")
-        nxt = np.zeros(NH, dtype=np.int64)
-        np.add.at(nxt, v, w[u])
-        w = nxt
-        katz += w * KATZ_SCALE // (KATZ_ATT**k)
+    if arrs is not None:
+        s, d, _ = arrs
+        pairs = np.unique(s * NH + d)
+        u, v = pairs // NH, pairs % NH
+        for k in range(1, depth + 1):
+            if int(w.max()) > (1 << 62) // max(NH, 1):
+                raise OverflowError("host_katz: walk counts exceed int64")
+            nxt = np.zeros(NH, dtype=np.int64)
+            np.add.at(nxt, v, w[u])
+            w = nxt
+            katz += w * KATZ_SCALE // (KATZ_ATT**k)
+    else:
+        # distributed level folds (the pagerank_hosts law): the edge
+        # Dataset never collects; each level broadcasts the |hosts|
+        # walk-count vector and folds sparse per-block partials.
+        # host_edges emits ONE row per (src, dst), so per-batch adds
+        # never double-count a pair.
+        def level(t: pa.Table, wr) -> pa.Table:
+            wv = ray.get(wr)
+            s = t["src_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            acc = np.zeros(NH, dtype=np.int64)
+            np.add.at(acc, d, wv[s])
+            return _vec_partial(acc)
+
+        for k in range(1, depth + 1):
+            if int(w.max()) > (1 << 62) // max(NH, 1):
+                raise OverflowError("host_katz: walk counts exceed int64")
+            w_ref = ray.put(w)
+            parts = edges.map_batches(
+                lambda t, wr=w_ref: level(t, wr), batch_format="pyarrow"
+            )
+            w = _vec_fold(parts, NH)
+            katz += w * KATZ_SCALE // (KATZ_ATT**k)
 
     keep = katz > 0
     ids = np.nonzero(keep)[0].astype(np.int64)

@@ -860,6 +860,18 @@ def test_host_graph_distributed_branch_parity(sf_dir):
     h2, d2, m2 = linkgraph._host_closure(sf_dir, small_gate=0)
     assert (h1 == h2).all() and (d1 == d2).all() and (m1 == m2).all()
 
+    fast = linkgraph.host_coreness(sf_dir)
+    slow = linkgraph.host_coreness(sf_dir, small_gate=0)
+    assert (
+        fast.to_pandas().sort_values("host").reset_index(drop=True).equals(
+            slow.to_pandas().sort_values("host").reset_index(drop=True)
+        )
+    )
+
+    fast = linkgraph.host_katz(sf_dir)
+    slow = linkgraph.host_katz(sf_dir, small_gate=0)
+    assert fast.equals(slow)
+
     ft = text_mod.textrank(sf_dir).to_pandas()
     st = text_mod.textrank(sf_dir, small_gate=0).to_pandas()
     assert dict(zip(ft["token"], ft["rank_e9"])) == dict(
@@ -1464,7 +1476,7 @@ def test_jl_projection_audit_matches_numpy(sf_dir):
     d = len(df["embedding"].iloc[0])
     j = np.arange(d, dtype=np.int64)[:, None]
     k = np.arange(em.JL_DIM, dtype=np.int64)[None, :]
-    sgn = 1 - 2 * ((j * 2654435761 + k * 40503) % 2)
+    sgn = 1 - 2 * (((j * 2654435761 + k * 40503) >> 16) & 1)
     checked = 0
     for vid in got.index:
         qa = np.floor(np.array(df.loc[vid, "embedding"], dtype=np.float64) * em.JL_Q).astype(np.int64)
