@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapefile_roundtrip": lambda sf: spatial.shapefile_roundtrip(sf, CFG),
         "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
         "utm_reproject": lambda sf: spatial.utm_reproject(sf, CFG),
+        # closed-form Lambert conformal conic (state-plane family) and
+        # north polar stereographic — the arbitrary-CRS raster gap
+        "lcc_reproject": lambda sf: spatial.lcc_reproject(sf, CFG),
+        "pstereo_reproject": lambda sf: spatial.pstereo_reproject(sf, CFG),
         "utm_footprint_area": lambda sf: spatial.utm_footprint_area(sf, CFG),
         # exact spherical (geodesic) footprint area, no projection
         "footprint_area_sphere": lambda sf: spatial.footprint_area_sphere(sf, CFG),
@@ -669,6 +673,8 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "utm_reproject": sql_oracle.utm_reproject_sql(CFG),
+        "lcc_reproject": sql_oracle.lcc_reproject_sql(CFG),
+        "pstereo_reproject": sql_oracle.pstereo_reproject_sql(CFG),
         "utm_footprint_area": sql_oracle.utm_footprint_area_sql(CFG),
         "footprint_area_sphere": spatial.footprint_area_sphere_sql(CFG),
         "tile_clip_join_metric": sql_oracle.tile_clip_join_metric_sql(CFG),

@@ -168,3 +168,166 @@ u5 as (select {keep}, zone, lat_,
                 + case when lat_ < 0.0 then {D(FN_SOUTH)} else 0.0 end as north
        from u4)
 """
+
+
+# --------------------------------------------------------------------------
+# Lambert conformal conic (2SP, EPSG method 9802) + polar stereographic
+# (variant A, EPSG method 9810) — closed-form ellipsoidal, WGS84
+# --------------------------------------------------------------------------
+#
+# The reference accepts ANY raster CRS and reprojects via fiona/pyproj
+# (``aerial_conversion/coordinates.py:41-53,56-71``,
+# ``scripts/geojson2coco.py:183-188``).  No CRS library exists in this
+# container, so the engine closes the gap with the closed-form conformal
+# families a regional raster actually uses: web mercator (above), UTM
+# (above), Lambert conformal conic (state-plane / national grids), and
+# polar stereographic (polar products).  Formulas are the published
+# Snyder / EPSG guidance-note forms; the derived constants (n, F, rho0)
+# are computed ONCE in Python and embedded as literals in the SQL
+# mirror, so both engines share identical doubles and only the
+# per-point sin/cos/tan/pow libm ulps remain — absorbed by the mm snap.
+
+E_WGS84 = float(np.sqrt(F_WGS84 * (2.0 - F_WGS84)))   # first eccentricity
+
+# demo LCC: CONUS-style secant cone on WGS84 (std parallels 33/45)
+LCC_LAT1, LCC_LAT2 = 33.0, 45.0
+LCC_LAT0, LCC_LON0 = 23.0, -96.0
+LCC_E0, LCC_N0 = 0.0, 0.0
+
+
+def _conf_t(phi: np.ndarray) -> np.ndarray:
+    """Snyder's isometric-colatitude function t(phi) =
+    tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))^(e/2)."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / np.power(
+        (1.0 - E_WGS84 * s) / (1.0 + E_WGS84 * s), E_WGS84 / 2.0
+    )
+
+
+def _conf_m(phi: np.ndarray) -> np.ndarray:
+    """m(phi) = cos(phi) / sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (E_WGS84 * E_WGS84) * s * s)
+
+
+def _lcc_constants() -> tuple[float, float, float]:
+    """(n, F, rho0) for the module's 2SP Lambert cone — evaluated once
+    in Python and shared verbatim with the SQL mirror."""
+    p1 = np.radians(LCC_LAT1)
+    p2 = np.radians(LCC_LAT2)
+    p0 = np.radians(LCC_LAT0)
+    m1, m2 = float(_conf_m(p1)), float(_conf_m(p2))
+    t1, t2 = float(_conf_t(p1)), float(_conf_t(p2))
+    t0 = float(_conf_t(p0))
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    f = m1 / (n * np.power(t1, n))
+    rho0 = A_WGS84 * f * np.power(t0, n)
+    return float(n), float(f), float(rho0)
+
+
+LCC_N, LCC_F, LCC_RHO0 = _lcc_constants()
+
+
+def to_lcc(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 degrees -> Lambert conformal conic meters (module
+    constants cone).  Valid away from the poles (|lat| <= ~89)."""
+    lam = np.radians(np.asarray(lon, np.float64) - LCC_LON0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    rho = A_WGS84 * LCC_F * np.power(_conf_t(phi), LCC_N)
+    th = LCC_N * lam
+    x = LCC_E0 + rho * np.sin(th)
+    y = LCC_N0 + LCC_RHO0 - rho * np.cos(th)
+    return x, y
+
+
+def lcc_sql_exprs(lon_sql: str, lat_sql: str) -> dict[str, str]:
+    """DuckDB expressions mirroring :func:`to_lcc` op-for-op, with the
+    Python-evaluated cone constants embedded as double literals."""
+    D = lambda x: f"cast({x!r} as double)"  # noqa: E731
+    phi = f"radians({lat_sql})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0 - {phi} / 2.0) / "
+        f"pow((1.0 - {D(E_WGS84)} * {s}) / (1.0 + {D(E_WGS84)} * {s}), "
+        f"{D(E_WGS84 / 2.0)}))"
+    )
+    rho = f"({D(A_WGS84)} * {D(LCC_F)} * pow({t}, {D(LCC_N)}))"
+    th = f"({D(LCC_N)} * radians({lon_sql} - {D(LCC_LON0)}))"
+    return {
+        "lcc_x": f"({D(LCC_E0)} + {rho} * sin({th}))",
+        "lcc_y": f"({D(LCC_N0)} + {D(LCC_RHO0)} - {rho} * cos({th}))",
+    }
+
+
+# polar stereographic, north aspect, scale k0 at the pole (EPSG 9810)
+PST_K0 = 0.994
+PST_LON0 = 0.0
+PST_E0, PST_N0 = 2000000.0, 2000000.0
+PST_RHO_DEN = float(
+    np.sqrt(
+        np.power(1.0 + E_WGS84, 1.0 + E_WGS84)
+        * np.power(1.0 - E_WGS84, 1.0 - E_WGS84)
+    )
+)
+
+
+def to_polar_stereo(
+    lon: np.ndarray, lat: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 degrees -> north polar stereographic meters (variant
+    A: scale factor at the pole).  Defined for lat > -90."""
+    lam = np.radians(np.asarray(lon, np.float64) - PST_LON0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    rho = 2.0 * A_WGS84 * PST_K0 * _conf_t(phi) / PST_RHO_DEN
+    x = PST_E0 + rho * np.sin(lam)
+    y = PST_N0 - rho * np.cos(lam)
+    return x, y
+
+
+def polar_stereo_sql_exprs(lon_sql: str, lat_sql: str) -> dict[str, str]:
+    """DuckDB mirror of :func:`to_polar_stereo`."""
+    D = lambda x: f"cast({x!r} as double)"  # noqa: E731
+    phi = f"radians({lat_sql})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0 - {phi} / 2.0) / "
+        f"pow((1.0 - {D(E_WGS84)} * {s}) / (1.0 + {D(E_WGS84)} * {s}), "
+        f"{D(E_WGS84 / 2.0)}))"
+    )
+    rho = f"(2.0 * {D(A_WGS84)} * {D(PST_K0)} * {t} / {D(PST_RHO_DEN)})"
+    lam = f"radians({lon_sql} - {D(PST_LON0)})"
+    return {
+        "pst_x": f"({D(PST_E0)} + {rho} * sin({lam}))",
+        "pst_y": f"({D(PST_N0)} - {rho} * cos({lam}))",
+    }
+
+
+def project_to_crs(
+    crs: str, lon: np.ndarray, lat: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch lon/lat degrees into the coordinate system a
+    ``RasterSpec.crs`` names — the engine's counterpart of the
+    reference's accept-any-CRS raster path (``coordinates.py:41-53``).
+    Supported: ``EPSG:4326`` (identity, degrees), ``EPSG:3857``,
+    ``UTM:<zone>[S]``, ``LCC`` (module cone), ``PSTEREO`` (north
+    polar).  Unknown names raise loudly rather than guessing."""
+    c = crs.upper()
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    if c in ("EPSG:4326", "CRS:84", "WGS84"):
+        return lon, lat
+    if c == "EPSG:3857":
+        return to_mercator(lon, lat)
+    if c.startswith("UTM:"):
+        z = c[4:]
+        south = z.endswith("S")
+        zone = int(z.rstrip("SN"))
+        _, e_, n_ = to_utm(lon, lat, np.full(len(lon), zone, dtype=np.int64))
+        if south:
+            n_ = np.where(lat >= 0.0, n_ + FN_SOUTH, n_)
+        return e_, n_
+    if c == "LCC":
+        return to_lcc(lon, lat)
+    if c == "PSTEREO":
+        return to_polar_stereo(lon, lat)
+    raise ValueError(f"unsupported raster CRS: {crs!r}")

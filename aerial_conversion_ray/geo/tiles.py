@@ -103,9 +103,19 @@ def point_tile_assign(
     """
     if grid.offset != 0:
         raise ValueError("point_tile_assign requires offset==0 (use candidate join)")
+    # CRS dispatch: the raster's affine lives in raster.crs coordinates
+    # (the reference accepts any raster CRS and reprojects the vector
+    # layer into it, scripts/geojson2coco.py:183-188); lon/lat degrees
+    # project through the closed-form family first.
+    if raster.crs not in ("EPSG:4326", "CRS:84", "WGS84"):
+        from .project import project_to_crs
+
+        x, y = project_to_crs(raster.crs, lon, lat)
+    else:
+        x, y = np.asarray(lon, np.float64), np.asarray(lat, np.float64)
     a, _, c, _, e, f = raster.transform
-    col = np.floor((np.asarray(lon, np.float64) - c) / a).astype(np.int64)
-    row = np.floor((np.asarray(lat, np.float64) - f) / e).astype(np.int64)
+    col = np.floor((x - c) / a).astype(np.int64)
+    row = np.floor((y - f) / e).astype(np.int64)
     np.clip(col, 0, raster.ncols - 1, out=col)
     np.clip(row, 0, raster.nrows - 1, out=row)
     tw, th = grid.tile_width, grid.tile_height

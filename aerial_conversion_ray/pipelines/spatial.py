@@ -1005,6 +1005,53 @@ def utm_reproject(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Data
     return ds.map_batches(proj, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
+def lcc_reproject(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
+    """Arbitrary-CRS gap closure (round-5 verdict #4): geocoded points
+    -> Lambert conformal conic meters (2SP secant cone, the
+    state-plane/national-grid family the reference reaches through
+    pyproj, ``coordinates.py:41-53``).  Closed-form ellipsoidal
+    Snyder formulas; cone constants evaluated once and shared with
+    the SQL mirror; fixed-point mm keys for exact oracle parity."""
+    from ..geo.project import to_lcc
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(["page_id", "lon", "lat"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        x, y = to_lcc(t["lon"].to_numpy(), t["lat"].to_numpy())
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "lcc_x_mm": pa.array(np.floor(x * 1e3 + 0.5).astype(np.int64)),
+                "lcc_y_mm": pa.array(np.floor(y * 1e3 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+def pstereo_reproject(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    """North polar stereographic (EPSG method 9810 variant A) over the
+    geocoded points — the polar-product raster family; same mm-key
+    fixed-point parity scheme as :func:`lcc_reproject`."""
+    from ..geo.project import to_polar_stereo
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(["page_id", "lon", "lat"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        x, y = to_polar_stereo(t["lon"].to_numpy(), t["lat"].to_numpy())
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "pst_x_mm": pa.array(np.floor(x * 1e3 + 0.5).astype(np.int64)),
+                "pst_y_mm": pa.array(np.floor(y * 1e3 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
 def utm_footprint_area(
     sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
 ) -> ray.data.Dataset:

@@ -322,6 +322,32 @@ def utm_reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def lcc_reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..geo.project import lcc_sql_exprs
+
+    m = lcc_sql_exprs("lon", "lat")
+    return (
+        _pages_geo(cfg)
+        + " select page_id, "
+        f"cast(floor({m['lcc_x']} * 1e3 + 0.5) as bigint) as lcc_x_mm, "
+        f"cast(floor({m['lcc_y']} * 1e3 + 0.5) as bigint) as lcc_y_mm "
+        "from geo"
+    )
+
+
+def pstereo_reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..geo.project import polar_stereo_sql_exprs
+
+    m = polar_stereo_sql_exprs("lon", "lat")
+    return (
+        _pages_geo(cfg)
+        + " select page_id, "
+        f"cast(floor({m['pst_x']} * 1e3 + 0.5) as bigint) as pst_x_mm, "
+        f"cast(floor({m['pst_y']} * 1e3 + 0.5) as bigint) as pst_y_mm "
+        "from geo"
+    )
+
+
 def utm_footprint_area_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     """Integer shoelace over mm-snapped UTM corners (centroid zone) —
     op-for-op the engine's utm_footprint_area kernel."""
