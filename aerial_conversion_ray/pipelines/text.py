@@ -888,7 +888,15 @@ def _empty_pairs() -> ray.data.Dataset:
     )
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> ray.data.Dataset:
+MINHASH_PAIR_CEILING = 2_000_000   # max candidate-pair rows the driver holds
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+    pair_ceiling: int = MINHASH_PAIR_CEILING,
+) -> ray.data.Dataset:
     """Near-dup pairs via MinHash-LSH, verified by true shingle-set
     Jaccard >= threshold.  Output (a, b) with a < b.
 
@@ -899,7 +907,13 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> 
     doc's shingle grams to its pairs (flat_map fan-out), then ONE
     coarse bucket groupby computes exact Jaccard per pair vectorized.
     The driver only ever holds the candidate pairs (the LSH-bounded
-    small side) — never the corpus."""
+    small side) — never the corpus.
+
+    The LSH bound is ENFORCED, not assumed (round-5 verdict #5): when
+    the candidate list exceeds ``pair_ceiling`` rows the pairs stay a
+    Dataset and the whole dedupe/route/verify runs as bucketed folds
+    (:func:`_minhash_pairs_spill`) — nothing pair- or corpus-sized
+    ever lands on the driver.  Both plans are parity-tested."""
     import ray
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -938,11 +952,14 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> 
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    cand = (
+    cand_ds = (
         bands.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
+    if cand_ds.count() > pair_ceiling:
+        return _minhash_pairs_spill(ds, cand_ds, threshold, shingle)
+    cand = cand_ds.to_pandas()
     if len(cand) == 0:
         return _empty_pairs()
     # distinct on the driver: the candidate list IS the LSH-bounded
@@ -1043,6 +1060,190 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3) -> 
     return (
         routed.groupby("bucket")
         .map_groups(verify_bucket, batch_format="pandas")
+        .map_batches(
+            lambda df: _pin_schema(df, {"a": np.int64, "b": np.int64}),
+            batch_format="pandas",
+        )
+        .union(_empty_pairs())
+    )
+
+
+def _minhash_pairs_spill(
+    ds: ray.data.Dataset,
+    cand_ds: ray.data.Dataset,
+    threshold: float,
+    shingle: int,
+) -> ray.data.Dataset:
+    """Past-the-ceiling plan for :func:`minhash_lsh_pairs`: candidate
+    pairs NEVER touch the driver.
+
+    1. pairs dedupe in a bucketed fold keyed by the packed
+       ``key = a * 2^32 + b`` (loud OverflowError past 2^31 doc ids);
+    2. the dedup groups emit two routing rows per pair
+       (doc, key, side) — the routing table is bucket-folded, never
+       broadcast;
+    3. routing rows co-group with the document TEXT by a doc-hash
+       bucket; inside each group only routed docs shingle, and each
+       routing entry fans out that doc's grams keyed by pair;
+    4. the exact-Jaccard verify is the same coarse pair-bucket fold
+       as the broadcast plan, with (a, b) unpacked from the key.
+
+    Wall-clock is one extra corpus shuffle (the text co-group); that
+    is the honest cost of candidate lists too big to broadcast."""
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "kbucket": pa.array([], pa.int64()),
+                }
+            )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (int(a.max()) >= 1 << 31 or int(b.max()) >= 1 << 31):
+            raise OverflowError("minhash spill: widen the pair key packing")
+        key = a * (1 << 32) + b
+        return pa.table({"key": pa.array(key), "kbucket": pa.array(key % 64)})
+
+    def dedup_route(df: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in df.columns or len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "doc": pd.Series(dtype=np.int64),
+                    "key": pd.Series(dtype=np.int64),
+                    "side": pd.Series(dtype=np.int64),
+                }
+            )
+        key = np.unique(df["key"].to_numpy(np.int64))
+        a, b = key >> 32, key & ((1 << 32) - 1)
+        return pd.DataFrame(
+            {
+                "doc": np.concatenate([a, b]),
+                "key": np.tile(key, 2),
+                "side": np.repeat(np.array([0, 1], np.int64), len(key)),
+            }
+        )
+
+    route = (
+        cand_ds.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("kbucket")
+        .map_groups(dedup_route, batch_format="pandas")
+    )
+
+    def tag_route(df: pd.DataFrame) -> pa.Table:
+        # Arrow output so the union with the text side is one block
+        # type (Ray's sort/groupby refuses mixed Arrow/pandas blocks)
+        doc = (
+            df["doc"].to_numpy(np.int64) if len(df) else np.array([], np.int64)
+        )
+        key = (
+            df["key"].to_numpy(np.int64) if len(df) else np.array([], np.int64)
+        )
+        side = (
+            df["side"].to_numpy(np.int64) if len(df) else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                "dbucket": pa.array(doc % 64),
+                "doc": pa.array(doc),
+                "key": pa.array(key),
+                "side": pa.array(side),
+                "text": pa.array([""] * len(doc), pa.string()),
+            }
+        )
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "dbucket": pa.array(d % 64),
+                "doc": pa.array(d),
+                "key": pa.array(np.full(len(d), -1, np.int64)),
+                "side": pa.array(np.full(len(d), -1, np.int64)),
+                "text": t["text"],
+            }
+        )
+
+    both = route.map_batches(tag_route, batch_format="pandas").union(
+        ds.map_batches(tag_text, batch_format="pyarrow")
+    )
+
+    def fan_grams(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series(dtype=np.int64),
+                "side": pd.Series(dtype=np.int64),
+                "gram": pd.Series(dtype=np.int64),
+                "vbucket": pd.Series(dtype=np.int64),
+            }
+        )
+        if "side" not in df.columns or len(df) == 0:
+            return empty
+        r = df[df["side"] >= 0]
+        d = df[df["side"] < 0]
+        need = d[d["doc"].isin(r["doc"])].sort_values("doc")
+        if len(need) == 0 or len(r) == 0:
+            return empty
+        gh, goffs = _shingle_grams_flat(
+            pa.array(need["text"].astype(str)), shingle
+        )
+        gcnt = np.diff(goffs)
+        docs_u = need["doc"].to_numpy(np.int64)
+        pos = np.searchsorted(docs_u, r["doc"].to_numpy(np.int64))
+        ok = (pos < len(docs_u)) & (
+            docs_u[np.minimum(pos, len(docs_u) - 1)]
+            == r["doc"].to_numpy(np.int64)
+        )
+        r = r[ok]
+        pos = pos[ok]
+        counts = gcnt[pos]
+        total = int(counts.sum())
+        out_key = np.repeat(r["key"].to_numpy(np.int64), counts)
+        out_side = np.repeat(r["side"].to_numpy(np.int64), counts)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        out_gram = gh[np.repeat(goffs[pos], counts) + within]
+        return pd.DataFrame(
+            {
+                "key": out_key,
+                "side": out_side,
+                "gram": out_gram.astype(np.int64),
+                "vbucket": out_key % N_PAIR_BUCKETS,
+            }
+        )
+
+    routed = both.groupby("dbucket").map_groups(fan_grams, batch_format="pandas")
+
+    def verify_spill(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+        if "key" not in df.columns or len(df) == 0:
+            return empty
+        key = df["key"].to_numpy(np.int64)
+        gram = df["gram"].to_numpy(np.int64)
+        side = df["side"].to_numpy(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        na = np.bincount(inv[side == 0], minlength=len(u))
+        nb = np.bincount(inv[side == 1], minlength=len(u))
+        o = np.lexsort((gram, inv))
+        pi, gi = inv[o], gram[o]
+        dup = np.zeros(len(pi), dtype=bool)
+        if len(pi) > 1:
+            dup[1:] = (pi[1:] == pi[:-1]) & (gi[1:] == gi[:-1])
+        inter = np.bincount(pi[dup], minlength=len(u))
+        denom = na + nb - inter
+        jac = inter / np.maximum(denom, 1)
+        ok = (jac >= threshold) & (na > 0) & (nb > 0)
+        return pd.DataFrame(
+            {"a": u[ok] >> 32, "b": u[ok] & ((1 << 32) - 1)}
+        )
+
+    return (
+        routed.groupby("vbucket")
+        .map_groups(verify_spill, batch_format="pandas")
         .map_batches(
             lambda df: _pin_schema(df, {"a": np.int64, "b": np.int64}),
             batch_format="pandas",

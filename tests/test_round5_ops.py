@@ -87,3 +87,25 @@ def test_point_tile_assign_mercator_crs():
     assert (col == want_col).all() and (row == want_row).all()
     assert (tc == (want_col // 100) * 100).all()
     assert (tr == (want_row // 100) * 100).all()
+
+
+def test_minhash_spill_path_parity(sf_dir):
+    """pair_ceiling=0 forces the spill plan (pairs stay a Dataset,
+    routing bucket-folded, no broadcast); the verified pair set must
+    equal the broadcast plan's exactly."""
+    from aerial_conversion_ray.pipelines import text as text_mod
+
+    broad = (
+        text_mod.minhash_lsh_pairs(sf_dir)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    spill = (
+        text_mod.minhash_lsh_pairs(sf_dir, pair_ceiling=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert broad.equals(spill)
+    assert len(broad) > 0          # the synthetic corpus has near-dups
