@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wkt_roundtrip": lambda sf: spatial.wkt_roundtrip(sf, CFG),
         "geojson_roundtrip": lambda sf: spatial.geojson_roundtrip(sf, CFG),
         "shapefile_roundtrip": lambda sf: spatial.shapefile_roundtrip(sf, CFG),
+        # type-8 multipoint records + .prj CRS sidecar round trip
+        "multipoint_roundtrip": lambda sf: spatial.multipoint_roundtrip(sf, CFG),
         "tiles_intersecting": lambda sf: spatial.tiles_intersecting(sf, CFG),
         "utm_reproject": lambda sf: spatial.utm_reproject(sf, CFG),
         # closed-form Lambert conformal conic (state-plane family) and
@@ -671,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
         # shapefile write->read is the identity on the same columns
         "shapefile_roundtrip": sql_oracle.geojson_roundtrip_sql(CFG),
+        "multipoint_roundtrip": sql_oracle.multipoint_roundtrip_sql(CFG),
         "tiles_intersecting": spatial.tiles_intersecting_sql(CFG),
         "utm_reproject": sql_oracle.utm_reproject_sql(CFG),
         "lcc_reproject": sql_oracle.lcc_reproject_sql(CFG),

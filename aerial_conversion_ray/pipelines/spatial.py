@@ -958,6 +958,40 @@ def shapefile_roundtrip(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.dat
     return read_shapefile(out_dir)
 
 
+def multipoint_roundtrip(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    """Shapefile type-8 (multipoint) + .prj round trip: footprint
+    CORNERS write as 4-point multipoint records with a .prj CRS
+    sidecar per partition; the reader rebuilds the exact bounds from
+    the parsed points and surfaces the CRS into the row schema —
+    closing the reference reader's remaining record-type gap
+    (``gpd.read_file`` accepts multipoint .shp,
+    ``scripts/geojson2coco.py:180``)."""
+    import tempfile
+
+    from ..sources.shapefile import read_shapefile, write_shapefile
+
+    out_dir = tempfile.mkdtemp(prefix="aerial_mpt_")
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(
+        ["page_id", "lang", "fp_minx", "fp_miny", "fp_maxx", "fp_maxy"]
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        part = t["page_id"].to_numpy(zero_copy_only=False) // GEOJSON_PART_PAGES
+        return t.append_column("part_key", pa.array(part.astype(np.int64)))
+
+    manifest = write_shapefile(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        out_dir,
+        "part_key",
+        geom="multipoint",
+        crs="EPSG:4326",
+    )
+    manifest.materialize()  # barrier: all partitions committed
+    return read_shapefile(out_dir, with_crs=True)
+
+
 def reproject_pipeline(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """M3 reprojection analog: geocoded points -> EPSG:3857 web
     mercator (closed-form spherical formulas; the reference's pyproj

@@ -296,6 +296,16 @@ def geojson_roundtrip_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def multipoint_roundtrip_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    """Multipoint .shp + .prj write->read is the identity on bounds,
+    properties, and the CRS sidecar."""
+    return (
+        _pages_geo(cfg)
+        + " select page_id, lang, fp_minx, fp_miny, fp_maxx, fp_maxy, "
+        "'EPSG:4326' as crs from geo"
+    )
+
+
 def reproject_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     from ..geo.project import mercator_sql
 

@@ -9,9 +9,11 @@ Description (July 1998) and the dBASE III header layout:
 - ``.shp``  — 100-byte header (file code 9994 BE, length in 16-bit
   words BE, version 1000 LE, shape type LE, LE-double bbox), then
   records of (record# BE, content-words BE) + shape content.  Shape
-  types handled: 0 null, 1 point, 5 polygon (multi-ring / multipart —
-  outer rings clockwise, holes counter-clockwise, matching the WKB
-  ring conventions in ``geo/wkb.py``).
+  types handled: 0 null, 1 point, 3 polyline, 5 polygon (multi-ring /
+  multipart — outer rings clockwise, holes counter-clockwise, matching
+  the WKB ring conventions in ``geo/wkb.py``), 8 multipoint.
+- ``.prj``  — ESRI WKT CRS sidecar, written per partition and surfaced
+  into the decode path (``read_shapefile(with_crs=True)``).
 - ``.shx``  — same header; (offset-words BE, content-words BE) per
   record.
 - ``.dbf``  — dBASE III: version byte 0x03, record count LE, 32-byte
@@ -47,8 +49,50 @@ SHAPE_NULL = 0
 SHAPE_POINT = 1
 SHAPE_POLYLINE = 3
 SHAPE_POLYGON = 5
+SHAPE_MULTIPOINT = 8
 
 _HDR = 100
+
+# minimal ESRI-style WKT bodies for the .prj sidecar (the CRS the
+# reference reads through gpd.read_file; geo/project.py holds the
+# matching closed-form transforms)
+PRJ_WKT = {
+    "EPSG:4326": (
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+    ),
+    "EPSG:3857": (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],UNIT["Meter",1.0]]'
+    ),
+}
+_WKT_TO_CRS = {v: k for k, v in PRJ_WKT.items()}
+
+
+def write_prj(path: str, crs: str) -> None:
+    """Write the .prj CRS sidecar (ESRI WKT) atomically."""
+    wkt = PRJ_WKT.get(crs)
+    if wkt is None:
+        raise ValueError(f"no WKT template for CRS {crs!r}")
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "w") as f:
+        f.write(wkt)
+    os.replace(tmp, path + ".prj")
+
+
+def read_prj(path_no_suffix: str) -> str | None:
+    """CRS name from the .prj sidecar (None when absent; unknown WKT
+    returns the raw WKT string rather than guessing)."""
+    p = path_no_suffix + ".prj"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        wkt = f.read().strip()
+    return _WKT_TO_CRS.get(wkt, wkt)
 
 
 def _ring_cw(xs: np.ndarray, ys: np.ndarray) -> bool:
@@ -108,6 +152,52 @@ def polyline_content(parts: list[np.ndarray]) -> bytes:
     return bytes(buf)
 
 
+def multipoint_content(pts: np.ndarray) -> bytes:
+    """Shape content bytes for one multipoint record (type 8): bbox,
+    NumPoints, Points[] per the ESRI spec."""
+    p = np.asarray(pts, np.float64).reshape(-1, 2)
+    buf = bytearray()
+    buf += np.array([SHAPE_MULTIPOINT], "<i4").tobytes()
+    box = np.array(
+        [p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()], "<f8"
+    )
+    buf += box.tobytes()
+    buf += np.array([len(p)], "<i4").tobytes()
+    buf += p.astype("<f8").tobytes()
+    return bytes(buf)
+
+
+_MPOINT_DTYPE = np.dtype(
+    [
+        ("st", "<i4"),
+        ("box", "<f8", 4),
+        ("npts", "<i4"),
+        ("pts", "<f8", (4, 2)),
+    ]
+)
+
+
+def corner_multipoint_contents(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray
+) -> list[bytes]:
+    """Uniform fast path: n 4-corner multipoint records with ONE
+    structured-array fill (corner order (minx,miny) (minx,maxy)
+    (maxx,maxy) (maxx,miny))."""
+    n = len(minx)
+    rec = np.zeros(n, dtype=_MPOINT_DTYPE)
+    rec["st"] = SHAPE_MULTIPOINT
+    rec["box"][:, 0], rec["box"][:, 1] = minx, miny
+    rec["box"][:, 2], rec["box"][:, 3] = maxx, maxy
+    rec["npts"] = 4
+    rec["pts"][:, 0, 0], rec["pts"][:, 0, 1] = minx, miny
+    rec["pts"][:, 1, 0], rec["pts"][:, 1, 1] = minx, maxy
+    rec["pts"][:, 2, 0], rec["pts"][:, 2, 1] = maxx, maxy
+    rec["pts"][:, 3, 0], rec["pts"][:, 3, 1] = maxx, miny
+    raw = rec.tobytes()
+    w = _MPOINT_DTYPE.itemsize
+    return [raw[i * w : (i + 1) * w] for i in range(n)]
+
+
 _RECT_DTYPE = np.dtype(
     [
         ("st", "<i4"),
@@ -157,7 +247,7 @@ def write_shp(path: str, contents: list[bytes]) -> None:
     bboxes = []
     for c in contents:
         st = int(np.frombuffer(c[:4], "<i4")[0])
-        if st in (SHAPE_POLYGON, SHAPE_POLYLINE):
+        if st in (SHAPE_POLYGON, SHAPE_POLYLINE, SHAPE_MULTIPOINT):
             bboxes.append(np.frombuffer(c[4:36], "<f8"))
         elif st == SHAPE_POINT:
             x, y = np.frombuffer(c[4:20], "<f8")
@@ -250,6 +340,10 @@ def read_shp_bytes(data: bytes) -> list[dict]:
         if st == SHAPE_POINT:
             x, y = np.frombuffer(c[4:20], "<f8")
             out.append({"type": st, "x": float(x), "y": float(y)})
+        elif st == SHAPE_MULTIPOINT:
+            npts = int(np.frombuffer(c[36:40], "<i4")[0])
+            pts = np.frombuffer(c[40 : 40 + 16 * npts], "<f8").reshape(-1, 2)
+            out.append({"type": st, "parts": [pts]})
         elif st in (SHAPE_POLYGON, SHAPE_POLYLINE):
             nparts, npts = np.frombuffer(c[36:44], "<i4")
             offs = np.frombuffer(c[44 : 44 + 4 * nparts], "<i4")
@@ -309,9 +403,17 @@ class ShapefilePartitionWriter:
     Rows carry rect footprints (fp_minx..fp_maxy) + (page_id, lang)
     attributes — the geocode schema the GeoJSON sink shares."""
 
-    def __init__(self, out_dir: str, part_col: str):
+    def __init__(
+        self,
+        out_dir: str,
+        part_col: str,
+        geom: str = "rect",
+        crs: str = "EPSG:4326",
+    ):
         self.out_dir = out_dir
         self.part_col = part_col
+        self.geom = geom
+        self.crs = crs
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         key = df[self.part_col].iloc[0]
@@ -323,8 +425,12 @@ class ShapefilePartitionWriter:
         b = df["fp_miny"].to_numpy(np.float64)
         c = df["fp_maxx"].to_numpy(np.float64)
         d = df["fp_maxy"].to_numpy(np.float64)
-        contents = rect_polygon_contents(a, b, c, d)
+        if self.geom == "multipoint":
+            contents = corner_multipoint_contents(a, b, c, d)
+        else:
+            contents = rect_polygon_contents(a, b, c, d)
         write_shp(base, contents)
+        write_prj(base, self.crs)
         write_dbf(
             base,
             df,
@@ -336,12 +442,18 @@ class ShapefilePartitionWriter:
 
 
 def write_shapefile(
-    ds: ray.data.Dataset, out_dir: str, part_col: str
+    ds: ray.data.Dataset,
+    out_dir: str,
+    part_col: str,
+    geom: str = "rect",
+    crs: str = "EPSG:4326",
 ) -> ray.data.Dataset:
     """Partitioned shapefile write; returns the (part, n_features)
-    manifest dataset."""
+    manifest dataset.  ``geom``: "rect" (1-ring polygon footprints) or
+    "multipoint" (4-corner type-8 records); a .prj CRS sidecar is
+    written per partition."""
     os.makedirs(out_dir, exist_ok=True)
-    writer = ShapefilePartitionWriter(out_dir, part_col)
+    writer = ShapefilePartitionWriter(out_dir, part_col, geom=geom, crs=crs)
 
     def write_partition(df: pd.DataFrame) -> pd.DataFrame:
         return writer(df)
@@ -349,10 +461,13 @@ def write_shapefile(
     return ds.groupby(part_col).map_groups(write_partition, batch_format="pandas")
 
 
-def read_shapefile(out_dir: str) -> ray.data.Dataset:
+def read_shapefile(out_dir: str, with_crs: bool = False) -> ray.data.Dataset:
     """Read a partitioned shapefile dataset back to rows (page_id,
-    lang, fp_minx..fp_maxy) — bounds recomputed from the parsed ring
-    points, attributes from the .dbf."""
+    lang, fp_minx..fp_maxy) — bounds recomputed from the parsed
+    geometry points (polygon rings and type-8 multipoints alike),
+    attributes from the .dbf; ``with_crs`` adds the .prj sidecar's
+    CRS name as a column (decode-path surfacing of the projection the
+    reference gets from gpd.read_file)."""
     parts = sorted(
         os.path.join(out_dir, name)
         for name in os.listdir(out_dir)
@@ -365,11 +480,14 @@ def read_shapefile(out_dir: str) -> ray.data.Dataset:
         outs = {
             "page_id": [], "lang": [],
             "fp_minx": [], "fp_miny": [], "fp_maxx": [], "fp_maxy": [],
+            "crs": [],
         }
         for path, blob in zip(t["path"].to_pylist(), t["bytes"]):
             shapes = read_shp_bytes(blob.as_py())
-            with open(path[: -len(".shp")] + ".dbf", "rb") as f:
+            base = path[: -len(".shp")]
+            with open(base + ".dbf", "rb") as f:
                 attrs = read_dbf_bytes(f.read())
+            crs = read_prj(base) or "" if with_crs else ""
             assert len(shapes) == len(attrs)
             for i, sh in enumerate(shapes):
                 pts = np.vstack(sh["parts"])
@@ -379,15 +497,17 @@ def read_shapefile(out_dir: str) -> ray.data.Dataset:
                 outs["fp_miny"].append(pts[:, 1].min())
                 outs["fp_maxx"].append(pts[:, 0].max())
                 outs["fp_maxy"].append(pts[:, 1].max())
-        return pa.table(
-            {
-                "page_id": pa.array(outs["page_id"], pa.int64()),
-                "lang": pa.array(outs["lang"], pa.string()),
-                "fp_minx": pa.array(outs["fp_minx"], pa.float64()),
-                "fp_miny": pa.array(outs["fp_miny"], pa.float64()),
-                "fp_maxx": pa.array(outs["fp_maxx"], pa.float64()),
-                "fp_maxy": pa.array(outs["fp_maxy"], pa.float64()),
-            }
-        )
+                outs["crs"].append(crs)
+        cols = {
+            "page_id": pa.array(outs["page_id"], pa.int64()),
+            "lang": pa.array(outs["lang"], pa.string()),
+            "fp_minx": pa.array(outs["fp_minx"], pa.float64()),
+            "fp_miny": pa.array(outs["fp_miny"], pa.float64()),
+            "fp_maxx": pa.array(outs["fp_maxx"], pa.float64()),
+            "fp_maxy": pa.array(outs["fp_maxy"], pa.float64()),
+        }
+        if with_crs:
+            cols["crs"] = pa.array(outs["crs"], pa.string())
+        return pa.table(cols)
 
     return files.map_batches(parse, batch_format="pyarrow")

@@ -109,3 +109,28 @@ def test_minhash_spill_path_parity(sf_dir):
     )
     assert broad.equals(spill)
     assert len(broad) > 0          # the synthetic corpus has near-dups
+
+
+def test_multipoint_codec_roundtrip(tmp_path):
+    """Ragged multipoint records + .prj survive a write/read cycle."""
+    import os
+
+    from aerial_conversion_ray.sources import shapefile as shp
+
+    pts1 = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, -1.0]])
+    pts2 = np.array([[-10.0, 0.5]])
+    contents = [shp.multipoint_content(pts1), shp.multipoint_content(pts2)]
+    base = os.path.join(str(tmp_path), "data")
+    shp.write_shp(base, contents)
+    shp.write_prj(base, "EPSG:3857")
+    with open(base + ".shp", "rb") as f:
+        shapes = shp.read_shp_bytes(f.read())
+    assert [s["type"] for s in shapes] == [shp.SHAPE_MULTIPOINT] * 2
+    assert np.array_equal(shapes[0]["parts"][0], pts1)
+    assert np.array_equal(shapes[1]["parts"][0], pts2)
+    assert shp.read_prj(base) == "EPSG:3857"
+    # unknown WKT comes back verbatim, absent sidecar is None
+    with open(base + ".prj", "w") as f:
+        f.write('PROJCS["custom"]')
+    assert shp.read_prj(base) == 'PROJCS["custom"]'
+    assert shp.read_prj(base + "_missing") is None
