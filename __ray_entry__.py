@@ -590,6 +590,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # form): iterative/data-dependent -> rows-only; determinism +
         # balance-beats-hash asserted in tests/test_round3_ops.py
         "iter_stratified_split": lambda sf: coco.iter_stratified_split(sf, CFG),
+        # exact per-sample Sechidis greedy (the reference's
+        # skmultilearn algorithm); gated driver loop, rows-only
+        "iter_stratified_split_exact": lambda sf: coco.iter_stratified_split_exact(
+            sf, CFG
+        ),
         "singleton_drop": lambda sf: coco.drop_small_classes(sf, CFG),
         "class_stats": lambda sf: coco.class_stats(sf, CFG),
         "balance_removal": lambda sf: coco.balance_removal(sf, CFG),

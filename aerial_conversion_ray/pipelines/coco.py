@@ -949,3 +949,115 @@ def iter_stratified_split(
         )
 
     return pairs.groupby("sbucket").map_groups(assign, batch_format="pandas")
+
+
+ITER_STRAT_GATE = 2_000_000   # max images the exact greedy collects
+
+
+def iter_stratified_split_exact(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CFG,
+    test_den: int = STRAT_TEST_DEN,
+    gate: int = ITER_STRAT_GATE,
+) -> ray.data.Dataset:
+    """EXACT per-sample iterative stratification (Sechidis et al.
+    2011; the algorithm behind the reference's skmultilearn call,
+    ``scripts/coco_split.py:110-114``) — the last SURVEY gap after
+    :func:`iter_stratified_split`'s signature-block variant:
+
+    repeat until every image is assigned:
+      1. pick the label with the FEWEST remaining unassigned images
+         (ties -> smallest label id);
+      2. for each unassigned image carrying it (image_id order):
+         assign to the fold with the larger remaining demand for that
+         label; ties -> larger total remaining demand; ties -> test;
+         decrement the fold's demand for every label the image has.
+
+    The greedy is inherently sequential (each assignment changes the
+    demands the next one reads), so it runs on the driver over the
+    distinct (image, label-set) table — the GATED small side (one row
+    per annotated image; loud ValueError past ``gate``, where the
+    signature-block variant is the documented fallback).  All data
+    passes (pair dedupe, label-set fold) are distributed; only the
+    images-bounded assignment loop is driver-side.  Deterministic by
+    construction (no RNG; documented tie-breaks).
+
+    Output: (image_id, split).  Rows-only driver entry (iterative +
+    data-dependent, no bounded SQL unroll); determinism and
+    per-label balance asserted in tests/test_round5_ops.py."""
+    import ray as _ray
+
+    anns = coco_annotations(sf_dir, cfg).select_columns(["image_id", "category_id"])
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["image_id", "category_id"])
+        return g.assign(bucket=g["image_id"].to_numpy(np.int64) % 64)
+
+    def fold_dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["image_id", "category_id"])[
+            ["image_id", "category_id"]
+        ]
+
+    pairs_ds = (
+        anns.map_batches(dd, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_dd, batch_format="pandas")
+        .materialize()
+    )
+    pairs = pairs_ds.to_pandas()
+    n_images = pairs["image_id"].nunique()
+    if n_images > gate:
+        raise ValueError(
+            f"iter_stratified_split_exact: {n_images} images exceed the "
+            f"driver gate ({gate}); use iter_stratified_split"
+        )
+
+    pairs = pairs.sort_values(["image_id", "category_id"], kind="mergesort")
+    img_ids = pairs["image_id"].to_numpy(np.int64)
+    labs = pairs["category_id"].to_numpy(np.int64)
+    uimg, istart = np.unique(img_ids, return_index=True)
+    label_sets = np.split(labs, istart[1:])
+
+    c: dict[int, int] = {}
+    for ls in label_sets:
+        for j in ls:
+            c[int(j)] = c.get(int(j), 0) + 1
+    w_t = 1.0 / test_den
+    d = {
+        "test": {j: cj * w_t for j, cj in c.items()},
+        "train": {j: cj * (1.0 - w_t) for j, cj in c.items()},
+    }
+    remaining: dict[int, set] = {}
+    for i, ls in enumerate(label_sets):
+        for j in ls:
+            remaining.setdefault(int(j), set()).add(i)
+
+    split = np.empty(len(uimg), dtype=object)
+    assigned = np.zeros(len(uimg), dtype=bool)
+    while remaining:
+        l = min(remaining, key=lambda j: (len(remaining[j]), j))
+        for i in sorted(remaining[l]):
+            if assigned[i]:
+                continue
+            dt, dr = d["test"][l], d["train"][l]
+            if dt > dr:
+                f = "test"
+            elif dr > dt:
+                f = "train"
+            else:
+                tt = sum(d["test"].values())
+                tr = sum(d["train"].values())
+                f = "test" if tt >= tr else "train"
+            split[i] = f
+            assigned[i] = True
+            for j in label_sets[i]:
+                d[f][int(j)] -= 1
+                s = remaining.get(int(j))
+                if s is not None:
+                    s.discard(i)
+                    if not s:
+                        del remaining[int(j)]
+        remaining.pop(l, None)
+
+    out = pd.DataFrame({"image_id": uimg, "split": split.astype(str)})
+    return _ray.data.from_pandas(out)

@@ -688,6 +688,17 @@ def run_benchmarks() -> dict:
         ),
     }
 
+    # Every queries() entry not explicitly tuned above auto-registers
+    # from the driver contract, so BENCH_r{N} covers the FULL gated
+    # surface (round-5 verdict #7: regressions in the audit/graph
+    # batch become visible).  Explicit entries keep their tuned
+    # configs; auto entries run the driver's correctness config.
+    import __ray_entry__ as _entry
+
+    for _name, _fn in _entry.queries().items():
+        if _name not in queries:
+            queries[_name] = lambda f=_fn: _consume(f(SF_DIR))
+
     # optional entry filter for fast single-pipeline iteration:
     # GRAFT_BENCH_ONLY=tile_point_join,quantiles python bench.py
     only = os.environ.get("GRAFT_BENCH_ONLY", "")

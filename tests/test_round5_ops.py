@@ -134,3 +134,33 @@ def test_multipoint_codec_roundtrip(tmp_path):
         f.write('PROJCS["custom"]')
     assert shp.read_prj(base) == 'PROJCS["custom"]'
     assert shp.read_prj(base + "_missing") is None
+
+
+def test_iter_stratified_exact(sf_dir):
+    """Exact Sechidis greedy: deterministic, covers every annotated
+    image once, and balances every label at least as well as the
+    hash split on the rarest label."""
+    from aerial_conversion_ray.pipelines import coco as coco_mod
+
+    a = coco_mod.iter_stratified_split_exact(sf_dir).to_pandas()
+    b = coco_mod.iter_stratified_split_exact(sf_dir).to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["image_id"].is_unique
+    assert set(a["split"]) <= {"test", "train"}
+
+    anns = (
+        coco_mod.coco_annotations(sf_dir)
+        .to_pandas()[["image_id", "category_id"]]
+        .drop_duplicates()
+    )
+    assert set(anns["image_id"]) == set(a["image_id"])
+    merged = anns.merge(a, on="image_id")
+    want = 1.0 / coco_mod.STRAT_TEST_DEN
+    frac = merged.groupby("category_id")["split"].apply(
+        lambda s: (s == "test").mean()
+    )
+    # every label's test share within 1 image of the target quota
+    cnt = merged.groupby("category_id")["split"].size()
+    assert ((frac - want).abs() <= 1.0 / cnt + 1e-9).all()
