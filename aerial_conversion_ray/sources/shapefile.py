@@ -11,7 +11,8 @@ Description (July 1998) and the dBASE III header layout:
   records of (record# BE, content-words BE) + shape content.  Shape
   types handled: 0 null, 1 point, 3 polyline, 5 polygon (multi-ring /
   multipart — outer rings clockwise, holes counter-clockwise, matching
-  the WKB ring conventions in ``geo/wkb.py``), 8 multipoint.
+  the WKB ring conventions in ``geo/wkb.py``), 8 multipoint,
+  31 multipatch (2-D prefix; part-type array surfaced).
 - ``.prj``  — ESRI WKT CRS sidecar, written per partition and surfaced
   into the decode path (``read_shapefile(with_crs=True)``).
 - ``.shx``  — same header; (offset-words BE, content-words BE) per
@@ -50,6 +51,15 @@ SHAPE_POINT = 1
 SHAPE_POLYLINE = 3
 SHAPE_POLYGON = 5
 SHAPE_MULTIPOINT = 8
+SHAPE_MULTIPATCH = 31
+
+# multipatch part types (ESRI spec table): how each part's points knit
+MPATCH_TRIANGLE_STRIP = 0
+MPATCH_TRIANGLE_FAN = 1
+MPATCH_OUTER_RING = 2
+MPATCH_INNER_RING = 3
+MPATCH_FIRST_RING = 4
+MPATCH_RING = 5
 
 _HDR = 100
 
@@ -167,6 +177,28 @@ def multipoint_content(pts: np.ndarray) -> bytes:
     return bytes(buf)
 
 
+def multipatch_content(parts: list[np.ndarray], part_types: list[int]) -> bytes:
+    """Shape content bytes for one multipatch record (type 31): bbox,
+    NumParts, NumPoints, Parts[], PartTypes[], XY Points[] (the 2-D
+    prefix of the spec layout; Z/M arrays omitted — the engine's
+    vector model is 2-D like the reference's geometry use)."""
+    ps = [np.asarray(r, np.float64).reshape(-1, 2) for r in parts]
+    pts = np.vstack(ps)
+    offs = np.cumsum([0] + [len(r) for r in ps[:-1]]).astype("<i4")
+    buf = bytearray()
+    buf += np.array([SHAPE_MULTIPATCH], "<i4").tobytes()
+    box = np.array(
+        [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()],
+        "<f8",
+    )
+    buf += box.tobytes()
+    buf += np.array([len(ps), len(pts)], "<i4").tobytes()
+    buf += offs.tobytes()
+    buf += np.asarray(part_types, "<i4").tobytes()
+    buf += pts.astype("<f8").tobytes()
+    return bytes(buf)
+
+
 _MPOINT_DTYPE = np.dtype(
     [
         ("st", "<i4"),
@@ -247,7 +279,8 @@ def write_shp(path: str, contents: list[bytes]) -> None:
     bboxes = []
     for c in contents:
         st = int(np.frombuffer(c[:4], "<i4")[0])
-        if st in (SHAPE_POLYGON, SHAPE_POLYLINE, SHAPE_MULTIPOINT):
+        if st in (SHAPE_POLYGON, SHAPE_POLYLINE, SHAPE_MULTIPOINT,
+                  SHAPE_MULTIPATCH):
             bboxes.append(np.frombuffer(c[4:36], "<f8"))
         elif st == SHAPE_POINT:
             x, y = np.frombuffer(c[4:20], "<f8")
@@ -353,6 +386,24 @@ def read_shp_bytes(data: bytes) -> list[dict]:
             bounds = np.cumsum(np.diff(np.concatenate([offs, [npts]])))
             parts = np.split(pts, bounds[:-1]) if nparts > 1 else [pts]
             out.append({"type": st, "parts": parts})
+        elif st == SHAPE_MULTIPATCH:
+            # bbox, NumParts, NumPoints, Parts[], PartTypes[], XY
+            # Points[] (+ trailing Z/M ranges+arrays, ignored: the
+            # engine's vector model is 2-D like the reference's)
+            nparts, npts = np.frombuffer(c[36:44], "<i4")
+            offs = np.frombuffer(c[44 : 44 + 4 * nparts], "<i4")
+            ptypes = np.frombuffer(
+                c[44 + 4 * nparts : 44 + 8 * nparts], "<i4"
+            )
+            base = 44 + 8 * nparts
+            pts = np.frombuffer(
+                c[base : base + 16 * npts], "<f8"
+            ).reshape(-1, 2)
+            bounds = np.cumsum(np.diff(np.concatenate([offs, [npts]])))
+            parts = np.split(pts, bounds[:-1]) if nparts > 1 else [pts]
+            out.append(
+                {"type": st, "parts": parts, "part_types": ptypes.tolist()}
+            )
         else:
             out.append({"type": SHAPE_NULL})
         pos += 8 + clen

@@ -164,3 +164,27 @@ def test_iter_stratified_exact(sf_dir):
     # every label's test share within 1 image of the target quota
     cnt = merged.groupby("category_id")["split"].size()
     assert ((frac - want).abs() <= 1.0 / cnt + 1e-9).all()
+
+
+def test_multipatch_codec_roundtrip(tmp_path):
+    """Type-31 multipatch records (2-D prefix) parse back with parts
+    and part types intact."""
+    import os
+
+    from aerial_conversion_ray.sources import shapefile as shp
+
+    ring = np.array([[0.0, 0.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0], [0.0, 0.0]])
+    strip = np.array([[5.0, 0.0], [5.0, 1.0], [6.0, 0.0], [6.0, 1.0]])
+    c = shp.multipatch_content(
+        [ring, strip], [shp.MPATCH_OUTER_RING, shp.MPATCH_TRIANGLE_STRIP]
+    )
+    base = os.path.join(str(tmp_path), "data")
+    shp.write_shp(base, [c])
+    with open(base + ".shp", "rb") as f:
+        shapes = shp.read_shp_bytes(f.read())
+    assert len(shapes) == 1
+    sh = shapes[0]
+    assert sh["type"] == shp.SHAPE_MULTIPATCH
+    assert sh["part_types"] == [shp.MPATCH_OUTER_RING, shp.MPATCH_TRIANGLE_STRIP]
+    assert np.array_equal(sh["parts"][0], ring)
+    assert np.array_equal(sh["parts"][1], strip)
