@@ -355,6 +355,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_closeness": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_closeness(sf)
         ),
+        # landmark closeness: L x |hosts| memory instead of hosts^2 —
+        # the 10^8-host scale path, exact and SQL-checked on the
+        # restricted quantity (round-5 scale-proofing, not a new
+        # 64-host toy metric)
+        "host_closeness_landmarks": lambda sf: __import__("ray").data.from_arrow(
+            linkgraph.host_closeness_landmarks(sf)
+        ),
         # strongly connected components of the strong-edge subgraph
         "host_scc": lambda sf: __import__("ray").data.from_arrow(
             linkgraph.host_scc(sf)
@@ -791,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "host_jaccard": linkgraph.host_jaccard_sql(),
         "host_shortest_path": linkgraph.host_shortest_path_sql(),
         "host_closeness": linkgraph.host_closeness_sql(),
+        "host_closeness_landmarks": linkgraph.host_closeness_landmarks_sql(),
         "host_scc": linkgraph.host_scc_sql(),
         "random_walks": linkgraph.random_walks_sql(),
         "random_walks_weighted": linkgraph.random_walks_weighted_sql(),

@@ -1339,6 +1339,7 @@ def _host_closure(
     rep: int = LG_REP,
     rel_thr_pct: int | None = None,
     small_gate: int = LG_SMALL_EDGES,
+    sources: np.ndarray | None = None,
 ):
     """All-pairs directed hop distances + transitive closure over the
     host graph by BIT-PARALLEL multi-source BFS: each host carries
@@ -1382,15 +1383,27 @@ def _host_closure(
         small = small[small["cnt"] >= thr]
     hosts = np.unique(np.concatenate([small["src_id"].values, small["dst_id"].values]))
     n = len(hosts)
-    W = (n + 63) >> 6
     hosts_ref = ray.put(hosts)
 
-    idx = np.arange(n)
+    if sources is None:
+        # all-pairs: source j IS host j
+        src_idx = np.arange(n)
+    else:
+        # landmark mode: only the given source hosts carry bits, so
+        # the mask is (n, ceil(L/64)) and dmat is (L, n) — the memory
+        # that scales is landmarks x hosts, never hosts^2
+        sources = np.asarray(sources, np.int64)
+        src_idx = np.searchsorted(hosts, sources)
+        ok = (src_idx < n) & (hosts[np.minimum(src_idx, n - 1)] == sources)
+        src_idx = src_idx[ok]
+    L = len(src_idx)
+    W = (L + 63) >> 6
+    j = np.arange(L)
     mask = np.zeros((n, W), dtype=np.uint64)
-    mask[idx, idx >> 6] = np.uint64(1) << (idx & 63).astype(np.uint64)
+    mask[src_idx, j >> 6] = np.uint64(1) << (j & 63).astype(np.uint64)
     INF = np.int64(1) << np.int64(40)
-    dmat = np.full((n, n), INF, dtype=np.int64)
-    np.fill_diagonal(dmat, 0)
+    dmat = np.full((L, n), INF, dtype=np.int64)
+    dmat[j, src_idx] = 0
 
     def _record_fresh(fresh: np.ndarray, k: int) -> None:
         # bits newly reaching v this round are at distance k:
@@ -1511,6 +1524,68 @@ def host_closeness_sql(rep: int = LG_REP) -> str:
         "cast(sum(1000000 // d) as bigint) as harmonic_e6, "
         "cast(max(d) as bigint) as ecc "
         "from md where s <> v group by s"
+    )
+
+
+LM_MOD = 4   # landmark sample: every 4th host id (deterministic)
+
+
+def host_closeness_landmarks(
+    sf_dir: str, rep: int = LG_REP, lm_mod: int = LM_MOD
+) -> "pa.Table":
+    """Landmark closeness — the 10^8-host plan for
+    :func:`host_closeness`: BFS words carry only a DETERMINISTIC
+    landmark subset (``hid % lm_mod == 0``), so the mask is
+    (|hosts|, ceil(L/64)) and the distance matrix is L x |hosts| —
+    the memory that scales is landmarks x hosts, never hosts^2 (the
+    standard landmark/pivot estimator for closeness at graph scale;
+    here the *restricted* quantity is computed exactly and
+    SQL-checked, no estimation error is hidden).
+
+    Output per host reached by >= 1 landmark: (host, n_lm,
+    closeness_in = sum of landmark->host hop distances,
+    nearest_lm = min distance).  Self pairs excluded."""
+    cand = np.arange(0, NH, lm_mod, dtype=np.int64)
+    hosts, dmat, _ = _host_closure(sf_dir, rep, sources=cand)
+    INF = np.int64(1) << np.int64(40)
+    off = dmat.copy()
+    off[off == 0] = INF           # only a landmark's own column is 0
+    ok = off < INF
+    n_lm = ok.sum(axis=0).astype(np.int64)
+    keep = n_lm > 0
+    sum_d = np.where(ok, off, 0).sum(axis=0)
+    min_d = np.where(ok, off, INF).min(axis=0)
+    host = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(hosts[keep]), pa.string()), ".example", ""
+    )
+    return pa.table(
+        {
+            "host": host,
+            "n_lm": pa.array(n_lm[keep]),
+            "closeness_in": pa.array(sum_d[keep]),
+            "nearest_lm": pa.array(min_d[keep]),
+        }
+    )
+
+
+def host_closeness_landmarks_sql(rep: int = LG_REP, lm_mod: int = LM_MOD) -> str:
+    return (
+        f"with recursive e as ({_edges_sql(rep)}), "
+        "ed as (select distinct src_id, dst_id from e), "
+        "hosts as (select distinct hid from "
+        "(select src_id as hid from ed union all select dst_id from ed)), "
+        f"lm as (select hid from hosts where hid % {lm_mod} = 0), "
+        "ap(s, v, d) as ("
+        "select hid, hid, cast(0 as bigint) from lm "
+        "union "
+        f"select ap.s, ed.dst_id, ap.d + 1 from ap join ed on ed.src_id = ap.v "
+        f"where ap.d < {NH}), "
+        "md as (select s, v, min(d) as d from ap group by s, v) "
+        "select ('h' || cast(v as varchar) || '.example') as host, "
+        "cast(count(*) as bigint) as n_lm, "
+        "cast(sum(d) as bigint) as closeness_in, "
+        "cast(min(d) as bigint) as nearest_lm "
+        "from md where s <> v group by v"
     )
 
 

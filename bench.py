@@ -102,9 +102,11 @@ def _consume(ds) -> int:
     the row count.  (iter_batches would pull every block to the
     driver and measure driver bandwidth instead of pipeline
     throughput; count() leaves blocks in the object store.)"""
-    if hasattr(ds, "count"):
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
         return int(ds.count())
-    return len(ds)  # pandas results (driver-side small tables)
+    return len(ds)  # pandas/Arrow results (driver-side small tables)
 
 
 def run_benchmarks() -> dict:

@@ -80,6 +80,10 @@ h1, d1, m1 = lg._host_closure(sf, rel_thr_pct=lg.SCC_THR_PCT)
 h2, d2, m2 = lg._host_closure(sf, rel_thr_pct=lg.SCC_THR_PCT, small_gate=0)
 assert len(h1) > 64 and m1.shape[1] > 1       # genuinely multi-word
 assert (h1 == h2).all() and (d1 == d2).all() and (m1 == m2).all()
+
+# landmark closeness: L x n memory, landmark rows only
+lm = lg.host_closeness_landmarks(sf, lm_mod=64)
+assert len(lm) >= 1 and (lm["n_lm"].to_numpy() >= 1).all()
 t6 = time.time()
 
 print(
