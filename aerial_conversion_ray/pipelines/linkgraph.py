@@ -2694,9 +2694,13 @@ def host_neighborhood_agg(sf_dir: str, rep: int = LG_REP) -> "pa.Table":
     parts = ds.map_batches(feat_partial, batch_format="pyarrow")
     n_pages = np.zeros(NH, dtype=np.int64)
     sum_chars = np.zeros(NH, dtype=np.int64)
-    for row in parts.take_all():
-        n_pages[row["h"]] += row["n_pages"]
-        sum_chars[row["h"]] += row["sum_chars"]
+    for bt in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        if bt.num_rows:
+            hh = bt["h"].to_numpy(zero_copy_only=False)
+            np.add.at(n_pages, hh, bt["n_pages"].to_numpy(zero_copy_only=False))
+            np.add.at(
+                sum_chars, hh, bt["sum_chars"].to_numpy(zero_copy_only=False)
+            )
 
     small = host_edges(sf_dir, rep).to_pandas()
     s = small["src_id"].to_numpy(np.int64)
