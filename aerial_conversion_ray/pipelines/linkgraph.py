@@ -1013,16 +1013,21 @@ def hits_hosts(sf_dir: str, rep: int = LG_REP, iters: int = HITS_ITERS) -> "pa.T
     hosts_ref = ray.put(hosts)
 
     total_cnt = int(small["cnt"].sum())
-    if total_cnt and total_cnt ** (2 * iters) >= 2**62:
-        raise ValueError(
-            f"hits_hosts: unnormalized int64 headroom exceeded "
-            f"(sum cnt={total_cnt}, iters={iters}); reduce iters or "
-            "normalize per round"
-        )
 
     def half_step(vec: np.ndarray, src_to_dst: bool) -> np.ndarray:
         """One distributed half-iteration: fold cnt * vec[from] into
-        the other endpoint, one partial vector row per edge block."""
+        the other endpoint, one partial vector row per edge block.
+        Guarded on the ACTUAL incoming vector maximum (every output
+        value is <= sum(cnt) * max(vec), and so is every per-batch
+        partial), not the (sum cnt)^(2*iters) worst case — the loud
+        pre-wrap failure survives, but real graphs whose scores grow
+        far slower than the bound keep running."""
+        if total_cnt and int(vec.max()) > (1 << 62) // total_cnt:
+            raise ValueError(
+                f"hits_hosts: unnormalized int64 headroom exceeded "
+                f"(sum cnt={total_cnt}, max score={int(vec.max())}); "
+                "reduce iters or normalize per round"
+            )
         vec_ref = ray.put(vec)
 
         def contrib(t: pa.Table) -> pa.Table:
