@@ -16,7 +16,9 @@ def shoelace_area(coords: np.ndarray) -> float:
     by ``aerial_conversion/coco.py:258`` for annotation area)."""
     c = np.asarray(coords, dtype=np.float64)
     x, y = c[:, 0], c[:, 1]
-    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+    yr = np.concatenate([y[1:], y[:1]])
+    xr = np.concatenate([x[1:], x[:1]])
+    return 0.5 * abs(float(np.dot(x, yr) - np.dot(y, xr)))
 
 
 def shoelace_area_batch(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -229,7 +231,10 @@ def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
         if seglen == 0.0:
             d = np.hypot(pts[:, 0] - c[i][0], pts[:, 1] - c[i][1])
         else:
-            d = np.abs(np.cross(seg, pts - c[i])) / seglen
+            dp = pts - c[i]
+            # 2-D cross product spelled out: np.cross pays moveaxis/
+            # axis-normalization overhead per call on tiny arrays
+            d = np.abs(seg[0] * dp[:, 1] - seg[1] * dp[:, 0]) / seglen
         k = int(np.argmax(d))
         if d[k] > tol:
             keep[i + 1 + k] = True
@@ -274,7 +279,7 @@ def dominant_angle(coords: np.ndarray) -> float:
     public JOSM orthogonalise idea, NOT copied; the vendored original
     is GPLv3)."""
     c = np.asarray(coords, dtype=np.float64)
-    edges = np.roll(c, -1, axis=0) - c
+    edges = np.concatenate([c[1:], c[:1]]) - c
     lens = np.hypot(edges[:, 0], edges[:, 1])
     ang = np.arctan2(edges[:, 1], edges[:, 0])  # (-pi, pi]
     # fold into 90-degree symmetry class and take the weighted circular
@@ -308,7 +313,8 @@ def orthogonalise(
     theta = dominant_angle(c)
     ca, sa = np.cos(-theta), np.sin(-theta)
     rot = c @ np.array([[ca, sa], [-sa, ca]])
-    edges = np.roll(rot, -1, axis=0) - rot
+    rot_nxt = np.concatenate([rot[1:], rot[:1]])
+    edges = rot_nxt - rot
     lens = np.hypot(edges[:, 0], edges[:, 1])
     if np.any(lens == 0.0):
         return c
@@ -338,10 +344,12 @@ def orthogonalise(
     for horiz, idxs in runs:
         w = lens[idxs]
         if horiz:  # horizontal edge: constant y
-            vals = 0.5 * (rot[idxs, 1] + np.roll(rot, -1, axis=0)[idxs, 1])
+            vals = 0.5 * (rot[idxs, 1] + rot_nxt[idxs, 1])
         else:  # vertical: constant x
-            vals = 0.5 * (rot[idxs, 0] + np.roll(rot, -1, axis=0)[idxs, 0])
-        levels.append(float(np.average(vals, weights=w)))
+            vals = 0.5 * (rot[idxs, 0] + rot_nxt[idxs, 0])
+        # same expression np.average evaluates (sum(v*w)/sum(w)),
+        # without its per-call dispatch overhead
+        levels.append(float(np.multiply(vals, w).sum() / w.sum()))
     # vertices = intersections of consecutive run lines
     m = len(runs)
     out = np.empty((m, 2), dtype=np.float64)
@@ -371,6 +379,24 @@ def orthogonalise_rings(
     return [orthogonalise(r, max_angle_change_deg) for r in rings]
 
 
+_PAIR_IDX: dict[int, tuple] = {}
+
+
+def _pair_index_cache(n: int) -> tuple:
+    """(nxt, i, j) non-adjacent edge-pair indices for an n-ring,
+    memoized — rings in a batch overwhelmingly share a handful of
+    sizes, and triu_indices is the hot allocation otherwise."""
+    got = _PAIR_IDX.get(n)
+    if got is None:
+        nxt = np.roll(np.arange(n), -1)
+        i, j = np.triu_indices(n, k=2)
+        adj = (nxt[j] == i) | (nxt[i] == j)
+        got = (nxt, i[~adj], j[~adj])
+        if len(_PAIR_IDX) < 4096:
+            _PAIR_IDX[n] = got
+    return got
+
+
 def has_self_intersection(coords: np.ndarray) -> bool:
     """Vectorized proper-crossing test between all non-adjacent edge
     pairs of a ring (open or closed input).  The cheap gate before
@@ -382,10 +408,7 @@ def has_self_intersection(coords: np.ndarray) -> bool:
     n = len(c)
     if n < 4:
         return False
-    nxt = np.roll(np.arange(n), -1)
-    i, j = np.triu_indices(n, k=2)
-    adj = (nxt[j] == i) | (nxt[i] == j)
-    i, j = i[~adj], j[~adj]
+    nxt, i, j = _pair_index_cache(n)
     p, r = c[i], c[nxt[i]] - c[i]
     q, s = c[j], c[nxt[j]] - c[j]
     denom = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
