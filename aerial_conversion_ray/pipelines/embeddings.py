@@ -1596,9 +1596,16 @@ from a left join dropped d on d.vec_id = a.vec_id
 
 
 SEMDEDUP_PAIR_CHUNK = 4096  # rows per pairwise-matmul chunk inside a cluster
+SEMDEDUP_HOT_ROWS = 200_000  # clusters past this split into block pairs
+EMBED_DUP_BLOCKS = 8  # block-nested-loop fan-out for the exact all-pairs test
 
 
-def semdedup_sharded(sf_dir: str, eps_e9: int = SEMDEDUP_EPS_E9) -> ray.data.Dataset:
+def semdedup_sharded(
+    sf_dir: str,
+    eps_e9: int = SEMDEDUP_EPS_E9,
+    hot_cluster_rows: int = SEMDEDUP_HOT_ROWS,
+    blocks: int = EMBED_DUP_BLOCKS,
+) -> ray.data.Dataset:
     """:func:`semdedup` with NO broadcast embedding index — the
     10^12-row plan the broadcast variant's docstring promises.  Same
     keep rule, same oracle (:func:`semdedup_sql`), different physical
@@ -1606,18 +1613,21 @@ def semdedup_sharded(sf_dir: str, eps_e9: int = SEMDEDUP_EPS_E9) -> ray.data.Dat
 
     1. cluster assignment is a per-batch matmul against the broadcast
        k x DIM centroid LUT (k rows — the only thing shipped);
-    2. ONE ``groupby(cluster)`` shuffle co-locates each cluster's
-       vectors (the ``ann_ivf`` pattern: memory per task is one
-       CLUSTER, never the corpus);
-    3. per group, the pairwise dup test runs as chunked matmuls
-       (SEMDEDUP_PAIR_CHUNK x |cluster|), so even a skewed hot
-       cluster is processed in bounded memory.
+    2. a k-row size pre-pass finds HOT clusters (>
+       ``hot_cluster_rows``); cold-cluster rows shuffle once keyed by
+       cluster (the ``ann_ivf`` pattern), hot-cluster rows replicate
+       into ``blocks`` block-PAIR groups (the
+       :func:`embed_dup_sharded` law) so no task ever holds more
+       than 2/B of even the hottest cluster;
+    3. per group, the pairwise dup test runs as chunked matmuls;
+       cold groups decide ``kept`` outright, hot block-pair groups
+       emit partial ``dropped`` flags (the keep rule is a disjunction
+       over same-cluster outranking dups, so it folds with max);
+    4. one vec-bucket fold ORs the partials.
 
-    The paper's regime (k ~ n / 1e5) keeps clusters ~1e5 rows, so a
-    group is a few hundred MB of float64 — one task's heap.  Parity
-    with the broadcast path is asserted in tests/test_embeddings.py.
-
-    Output: (vec_id, cluster, cent_e9, kept) — identical to
+    Parity with the broadcast path is asserted in
+    tests/test_embeddings.py, including with every cluster forced
+    hot.  Output: (vec_id, cluster, cent_e9, kept) — identical to
     :func:`semdedup`."""
     import ray
 
@@ -1637,46 +1647,140 @@ def semdedup_sharded(sf_dir: str, eps_e9: int = SEMDEDUP_EPS_E9) -> ray.data.Dat
             }
         )
 
-    def dedup_group(t: pa.Table) -> pa.Table:
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    # k-row cluster-size pre-pass (partial bincounts fold on the
+    # driver — k is the centroid count, never the corpus)
+    def size_partial(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(cl, return_counts=True)
+        return pa.table({"cluster": pa.array(u), "m": pa.array(c.astype(np.int64))})
+
+    sizes: dict[int, int] = {}
+    for bt in assigned.map_batches(
+        size_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for c, m in zip(
+            bt["cluster"].to_numpy(zero_copy_only=False),
+            bt["m"].to_numpy(zero_copy_only=False),
+        ):
+            sizes[int(c)] = sizes.get(int(c), 0) + int(m)
+    hot = np.array(
+        sorted(c for c, m in sizes.items() if m > hot_cluster_rows), np.int64
+    )
+    hot_ref = ray.put(hot)
+
+    NPAIR = blocks * blocks + 1  # group-key stride: 0 = cold, 1+ = pair id
+
+    def tag(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "vec_id" not in t.schema.names:
             return pa.table(
                 {
+                    "gkey": pa.array([], pa.int64()),
                     "vec_id": pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
                     "cent_e9": pa.array([], pa.int64()),
-                    "kept": pa.array([], pa.int64()),
+                    "embedding": t["embedding"]
+                    if "embedding" in t.schema.names
+                    else pa.array([], pa.list_(pa.float32())),
                 }
             )
+        hv = ray.get(hot_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot = np.isin(cl, hv)
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cold_idx = np.flatnonzero(~is_hot)
+        rows = [cold_idx]
+        keys = [cl[cold_idx] * NPAIR]
+        hot_idx = np.flatnonzero(is_hot)
+        if len(hot_idx):
+            g = v[hot_idx] % blocks
+            for other in range(blocks):
+                lo = np.minimum(g, other)
+                hi = np.maximum(g, other)
+                rows.append(hot_idx)
+                keys.append(cl[hot_idx] * NPAIR + 1 + lo * blocks + hi)
+        rep = t.take(pa.array(np.concatenate(rows)))
+        return rep.append_column("gkey", pa.array(np.concatenate(keys)))
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "cent_e9": pa.array([], pa.int64()),
+                "dropped": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            return empty
         ids, nmat = _matrix(t)
         cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
         cent = t["cent_e9"].to_numpy(zero_copy_only=False).astype(np.int64)
-        kept = np.ones(len(ids), dtype=bool)
+        # test every group row against every group row (a pair group's
+        # within-block pairs are redundantly also covered by its
+        # diagonal group — harmless, flags fold by max)
+        dropped = np.zeros(len(ids), dtype=bool)
         for lo in range(0, len(ids), SEMDEDUP_PAIR_CHUNK):
             hi = min(lo + SEMDEDUP_PAIR_CHUNK, len(ids))
-            sims = _sim_e9(nmat[lo:hi] @ nmat.T)  # (chunk, n_cluster)
+            sims = _sim_e9(nmat[lo:hi] @ nmat.T)
             dup = (sims >= eps_e9) & (ids[lo:hi, None] != ids[None, :])
             outranked = (cent[None, :] < cent[lo:hi, None]) | (
                 (cent[None, :] == cent[lo:hi, None])
                 & (ids[None, :] < ids[lo:hi, None])
             )
-            kept[lo:hi] = ~(dup & outranked).any(axis=1)
+            dropped[lo:hi] = (dup & outranked).any(axis=1)
         return pa.table(
             {
                 "vec_id": pa.array(ids),
                 "cluster": pa.array(cl),
                 "cent_e9": pa.array(cent),
-                "kept": pa.array(kept.astype(np.int64)),
+                "dropped": pa.array(dropped.astype(np.int64)),
             }
         )
 
-    return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
+    def finish(t: pa.Table) -> pa.Table:
+        dropped = t["dropped"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": t["cluster"],
+                "cent_e9": t["cent_e9"],
+                "kept": pa.array(1 - dropped),
+            }
+        )
+
+    if len(hot) == 0:
+        # cold-only fast path: one cluster shuffle, kept decided in
+        # the group, no partial-flag fold
+        return (
+            assigned.groupby("cluster")
+            .map_groups(dedup_group, batch_format="pyarrow")
+            .map_batches(finish, batch_format="pyarrow")
+        )
+
+    partials = (
+        assigned.map_batches(tag, batch_format="pyarrow")
+        .groupby("gkey")
         .map_groups(dedup_group, batch_format="pyarrow")
     )
 
+    def vb(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("vb", pa.array((v % 64).astype(np.int64)))
 
-EMBED_DUP_BLOCKS = 8  # block-nested-loop fan-out for the exact all-pairs test
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["vec_id", "cluster", "cent_e9"], as_index=False)[
+            "dropped"
+        ].max()
+        g["kept"] = (1 - g["dropped"]).astype(np.int64)
+        return g[["vec_id", "cluster", "cent_e9", "kept"]]
+
+    return (
+        partials.map_batches(vb, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(fold, batch_format="pandas")
+    )
 
 
 def embed_dup_sharded(

@@ -206,10 +206,20 @@ def _canon(df, cols):
 def test_semdedup_sharded_parity(sf_dir):
     """The cluster-sharded plan (groupby shuffle, no broadcast index)
     returns row-for-row the same keep/drop decisions as the broadcast
-    variant."""
+    variant — on the cold-only fast path AND with every cluster
+    forced hot (block-pair decomposition + partial-flag fold),
+    including a block count that does not divide the corpus."""
     broad = _canon(embeddings.semdedup(sf_dir).to_pandas(), ["vec_id"])
     shard = _canon(embeddings.semdedup_sharded(sf_dir).to_pandas(), ["vec_id"])
     assert broad.equals(shard[broad.columns.tolist()])
+    for blocks in (3, 8):
+        hot = _canon(
+            embeddings.semdedup_sharded(
+                sf_dir, hot_cluster_rows=0, blocks=blocks
+            ).to_pandas(),
+            ["vec_id"],
+        )
+        assert broad.equals(hot[broad.columns.tolist()]), blocks
 
 
 def test_embed_dup_sharded_parity(sf_dir):
