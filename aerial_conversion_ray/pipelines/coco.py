@@ -187,6 +187,96 @@ def _bucket_offsets(
     )
 
 
+def _coco_smallsides(
+    cfg: EngineConfig, clip
+) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """(images, categories, offsets) from ONE clip-scan: the three
+    small sides are all aggregates of the same (tile_id, lang,
+    page-bucket) grouped table, so one combined partial pass +
+    coarse-shard fold replaces the three separate full scans
+    coco_annotations used to pay (round-5 measurement: the lazy
+    re-executed plan cost ~4x one scan at sf0.1 where the aggregate
+    output is a few thousand rows).  The fold table is bounded by
+    tiles x langs x page-buckets — never the corpus.  Results are
+    byte-identical to _images_df / coco_categories / _bucket_offsets
+    (parity-asserted in tests/test_coco.py)."""
+    ds = clip.select_columns(["tile_id", "lang", "page_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bucket=df["page_id"] // RANK_BUCKET)
+        return df.groupby(["tile_id", "lang", "bucket"], as_index=False).agg(
+            n=("page_id", "size"), first_page=("page_id", "min")
+        )
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        from .text import _hash_arrow_strings
+
+        th = _hash_arrow_strings(pa.array(df["tile_id"].tolist()))
+        return df.assign(
+            shard=(
+                (df["bucket"].to_numpy(np.uint64) * np.uint64(131) + th)
+                % np.uint64(64)
+            ).astype(np.int64)
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["tile_id", "lang", "bucket"], as_index=False).agg(
+            n=("n", "sum"), first_page=("first_page", "min")
+        )
+
+    A = (
+        ds.map_batches(part, batch_format="pandas")
+        .map_batches(shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # images: per-tile counts, dense ids in (col_off, row_off) order
+    counts = (
+        A.groupby("tile_id", as_index=False)["n"].sum().rename(columns={"n": "n_ann"})
+    )
+    coff, roff = _parse_tile_ids(counts["tile_id"].to_numpy())
+    counts["col_off"] = coff
+    counts["row_off"] = roff
+    counts = counts.sort_values(
+        ["col_off", "row_off"], kind="mergesort"
+    ).reset_index(drop=True)
+    counts["image_id"] = np.arange(len(counts), dtype=np.int64)
+    r, g = cfg.raster, cfg.grid
+    counts["width"] = (
+        np.minimum(counts["col_off"] + g.tile_width, r.ncols) - counts["col_off"]
+    )
+    counts["height"] = (
+        np.minimum(counts["row_off"] + g.tile_height, r.nrows) - counts["row_off"]
+    )
+    images = counts[
+        ["tile_id", "col_off", "row_off", "width", "height", "n_ann", "image_id"]
+    ]
+
+    # categories: lang -> dense id by min(page_id) first appearance
+    firsts = (
+        A.groupby("lang", as_index=False)["first_page"]
+        .min()
+        .sort_values("first_page", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    firsts["category_id"] = np.arange(len(firsts), dtype=np.int64)
+    cats = firsts[["lang", "first_page", "category_id"]]
+
+    # offsets: global annot-id offset per (image_id, bucket)
+    oc = A.groupby(["tile_id", "bucket"], as_index=False)["n"].sum()
+    oc = oc.merge(images[["tile_id", "image_id"]], on="tile_id")
+    oc = oc.sort_values(["image_id", "bucket"], kind="mergesort").reset_index(
+        drop=True
+    )
+    offs = np.concatenate([[0], np.cumsum(oc["n"].to_numpy())[:-1]]).astype(np.int64)
+    offsets = dict(
+        zip(zip(oc["image_id"].tolist(), oc["bucket"].tolist()), offs.tolist())
+    )
+    return images, cats, offsets
+
+
 def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """Annotation table with dense IDs: image_id / category_id via
     broadcast maps (built once, read per task), annot_id via
@@ -197,19 +287,16 @@ def coco_annotations(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.D
     skew-proof paint)."""
     import ray
 
-    # one shared LAZY clip-join plan for the four passes (images,
-    # categories, offsets, main).  Deliberately NOT materialized:
+    # TWO clip-scan passes total (small sides fused into one,
+    # round-5; main pass below).  Deliberately NOT materialized:
     # at corpus scale the clip join is corpus-sized and a mid-pipeline
     # materialize() is a barrier + object-store residency cost, while
-    # re-executing the streamed scan per pass costs only CPU
-    # (measured equal at test scale).
+    # re-executing the streamed scan costs only CPU.
     clip = spatial.tile_clip_join(sf_dir, cfg).select_columns(
         ["page_id", "tile_id", "lang", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
     )
-    images = _images_df(sf_dir, cfg, clip=clip)
-    cats = coco_categories(sf_dir, cfg, clip=clip)
+    images, cats, offsets = _coco_smallsides(cfg, clip)
     img_map = dict(zip(images["tile_id"], images["image_id"]))
-    offsets = _bucket_offsets(sf_dir, cfg, images, clip=clip)
     cat_map = dict(zip(cats["lang"], cats["category_id"]))
     img_ref = ray.put(img_map)
     off_ref = ray.put(offsets)

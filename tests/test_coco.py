@@ -78,3 +78,24 @@ def test_drop_small_classes_threshold(sf_dir):
     from aerial_conversion_ray.pipelines import spatial
     full = spatial.tile_clip_join(sf_dir, CFG).count()
     assert coco.drop_small_classes(sf_dir, CFG, min_count=1).count() == full
+
+
+def test_coco_smallsides_fused_parity(sf_dir):
+    """The fused one-scan small-side pass returns byte-identical
+    images / categories / offsets to the three standalone passes."""
+    from aerial_conversion_ray.pipelines import coco as c
+    from aerial_conversion_ray.pipelines import spatial
+    from aerial_conversion_ray.config import EngineConfig
+
+    cfg = EngineConfig()
+    clip = spatial.tile_clip_join(sf_dir, cfg).select_columns(
+        ["page_id", "tile_id", "lang", "bbox_x", "bbox_y", "bbox_w", "bbox_h"]
+    )
+    images, cats, offsets = c._coco_smallsides(cfg, clip)
+    assert images.reset_index(drop=True).equals(
+        c._images_df(sf_dir, cfg).reset_index(drop=True)
+    )
+    assert cats.reset_index(drop=True).equals(
+        c.coco_categories(sf_dir, cfg).reset_index(drop=True)
+    )
+    assert offsets == c._bucket_offsets(sf_dir, cfg, images)
