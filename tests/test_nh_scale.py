@@ -84,6 +84,17 @@ assert (h1 == h2).all() and (d1 == d2).all() and (m1 == m2).all()
 # landmark closeness: L x n memory, landmark rows only
 lm = lg.host_closeness_landmarks(sf, lm_mod=64)
 assert len(lm) >= 1 and (lm["n_lm"].to_numpy() >= 1).all()
+
+# three more refactored sparse-partial branches, forced distributed
+fast = lg.host_mis(sf)
+slow = lg.host_mis(sf, small_gate=0)
+assert fast.equals(slow)
+fast = lg.host_widest_path(sf)
+slow = lg.host_widest_path(sf, small_gate=0)
+assert fast.equals(slow)
+fast = lg.host_backbone(sf)
+slow = lg.host_backbone(sf, small_gate=0)
+assert fast.equals(slow)
 t6 = time.time()
 
 print(
