@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_hausdorff": lambda sf: spatial.trajectory_hausdorff(sf, CFG),
         "reproject": lambda sf: spatial.reproject_pipeline(sf, CFG),
         "tile_point_join": lambda sf: spatial.tile_point_join(sf, CFG),
+        # CRS-dispatch join: points project to EPSG:3857 and assign to
+        # a mercator-extent raster's tiles (integer-mm floor on both
+        # sides so libm ulps can't flip a boundary pixel)
+        "tile_point_join_mercator": lambda sf: spatial.tile_point_join_mercator(
+            sf, CFG
+        ),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
         "tile_clip_join": lambda sf: spatial.tile_clip_join(sf, CFG),
         "tile_clip_join_overlap": lambda sf: spatial.tile_clip_join_overlap(
@@ -671,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_path": spatial.crawl_path_sql(),
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
+        "tile_point_join_mercator": sql_oracle.tile_point_join_mercator_sql(CFG),
         # salted-shuffle plan: same semantics, same oracle
         "tile_point_join_shuffle": sql_oracle.tile_point_join_sql(CFG),
         "tile_clip_join": sql_oracle.tile_clip_join_sql(CFG),

@@ -407,6 +407,48 @@ def tile_point_join(
     )
 
 
+# projected-CRS demo raster: 10 km web-mercator pixels over the world
+MERC_X0_MM = -20_000_000_000
+MERC_YMAX_MM = 20_000_000_000
+MERC_CELL_MM = 10_000_000
+MERC_NCOLS = 4000
+MERC_NROWS = 4000
+
+
+def tile_point_join_mercator(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    """CRS-dispatch tile join, oracle-gated end-to-end: points project
+    to EPSG:3857 and assign to a mercator-extent raster's tiles — the
+    path a reference user with a projected raster exercises
+    (``scripts/geojson2coco.py:183-188`` reprojects the vector layer
+    into the raster CRS before tiling).  The inverse affine runs on
+    mm-snapped INTEGER coordinates on both sides (x_mm // cell_mm),
+    so a 1-ulp libm difference in the mercator y can never flip a
+    pixel at a tile boundary (the reproject mm-key discipline applied
+    to the floor itself; both floor quotients are non-negative, where
+    numpy floor division and DuckDB ``//`` agree).
+
+    Output: (page_id, tile_id, pix_col, pix_row)."""
+    from ..geo.project import to_mercator
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(["page_id", "lon", "lat"])
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+
+    def assign(t: pa.Table) -> pa.Table:
+        x, y = to_mercator(t["lon"].to_numpy(), t["lat"].to_numpy())
+        x_mm = np.floor(x * 1e3 + 0.5).astype(np.int64)
+        y_mm = np.floor(y * 1e3 + 0.5).astype(np.int64)
+        col = np.clip((x_mm - MERC_X0_MM) // MERC_CELL_MM, 0, MERC_NCOLS - 1)
+        row = np.clip((MERC_YMAX_MM - y_mm) // MERC_CELL_MM, 0, MERC_NROWS - 1)
+        t = t.append_column("tile_id", _tile_id_arrow((col // tw) * tw, (row // th) * th))
+        t = t.append_column("pix_col", pa.array(col))
+        t = t.append_column("pix_row", pa.array(row))
+        return t.select(["page_id", "tile_id", "pix_col", "pix_row"])
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
 def tile_clip_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """Footprint-vs-tile clip join (J1 analog): 1->N expansion to all
     intersecting tiles with clipped geometry + pixel bbox."""

@@ -55,6 +55,35 @@ def tile_point_join_sql(cfg: EngineConfig = DEFAULT_CFG, resolutions=(7, 9, 11))
     )
 
 
+def tile_point_join_mercator_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..geo.project import mercator_sql
+    from .spatial import (
+        MERC_CELL_MM,
+        MERC_NCOLS,
+        MERC_NROWS,
+        MERC_X0_MM,
+        MERC_YMAX_MM,
+    )
+
+    m = mercator_sql("lon", "lat")
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    col = (
+        f"least(greatest((cast(floor({m['merc_x']} * 1e3 + 0.5) as bigint) "
+        f"- {MERC_X0_MM}) // {MERC_CELL_MM}, 0), {MERC_NCOLS - 1})"
+    )
+    row = (
+        f"least(greatest(({MERC_YMAX_MM} - "
+        f"cast(floor({m['merc_y']} * 1e3 + 0.5) as bigint)) "
+        f"// {MERC_CELL_MM}, 0), {MERC_NROWS - 1})"
+    )
+    return (
+        _pages_geo(cfg)
+        + f" select page_id, ('tile_' || cast(({col} // {tw}) * {tw} as varchar)"
+        f" || '-' || cast(({row} // {th}) * {th} as varchar)) as tile_id, "
+        f"{col} as pix_col, {row} as pix_row from geo"
+    )
+
+
 def tile_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     """Footprint-rect x tile clip join via <=2x2 candidate expansion —
     mirrors ``FootprintTileClip`` arithmetic op-for-op."""
