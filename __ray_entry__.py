@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_point_join_mercator": lambda sf: spatial.tile_point_join_mercator(
             sf, CFG
         ),
+        # the conic sibling: same mm-floor discipline through pow()
+        "tile_point_join_lcc": lambda sf: spatial.tile_point_join_lcc(sf, CFG),
         "tile_point_join_shuffle": lambda sf: spatial.tile_point_join_shuffle(sf, CFG),
         "tile_clip_join": lambda sf: spatial.tile_clip_join(sf, CFG),
         "tile_clip_join_overlap": lambda sf: spatial.tile_clip_join_overlap(
@@ -678,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "reproject": sql_oracle.reproject_sql(CFG),
         "tile_point_join": sql_oracle.tile_point_join_sql(CFG),
         "tile_point_join_mercator": sql_oracle.tile_point_join_mercator_sql(CFG),
+        "tile_point_join_lcc": sql_oracle.tile_point_join_lcc_sql(CFG),
         # salted-shuffle plan: same semantics, same oracle
         "tile_point_join_shuffle": sql_oracle.tile_point_join_sql(CFG),
         "tile_clip_join": sql_oracle.tile_clip_join_sql(CFG),

@@ -449,6 +449,45 @@ def tile_point_join_mercator(
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=cfg.batch_size)
 
 
+# Lambert-cone demo raster: 20 km pixels on a CONUS-style LCC plane
+LCC_X0_MM = -8_000_000_000
+LCC_YMAX_MM = 12_000_000_000
+LCC_CELL_MM = 20_000_000
+LCC_NCOLS = 800
+LCC_NROWS = 800
+
+
+def tile_point_join_lcc(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CFG
+) -> ray.data.Dataset:
+    """CRS-dispatch tile join over the Lambert conformal conic plane —
+    the conic sibling of :func:`tile_point_join_mercator`, proving the
+    mm-floor discipline holds through ``pow()`` (the cone's t^n) as
+    well as tan/ln.  Out-of-plane points clamp to edge pixels, the
+    rasterio behavior for off-raster coordinates.
+
+    Output: (page_id, tile_id, pix_col, pix_row)."""
+    from ..geo.project import to_lcc
+
+    ds = geocode_pipeline(sf_dir, cfg).select_columns(["page_id", "lon", "lat"])
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+
+    def assign(t: pa.Table) -> pa.Table:
+        x, y = to_lcc(t["lon"].to_numpy(), t["lat"].to_numpy())
+        x_mm = np.floor(x * 1e3 + 0.5).astype(np.int64)
+        y_mm = np.floor(y * 1e3 + 0.5).astype(np.int64)
+        col = np.clip((x_mm - LCC_X0_MM) // LCC_CELL_MM, 0, LCC_NCOLS - 1)
+        row = np.clip((LCC_YMAX_MM - y_mm) // LCC_CELL_MM, 0, LCC_NROWS - 1)
+        t = t.append_column(
+            "tile_id", _tile_id_arrow((col // tw) * tw, (row // th) * th)
+        )
+        t = t.append_column("pix_col", pa.array(col))
+        t = t.append_column("pix_row", pa.array(row))
+        return t.select(["page_id", "tile_id", "pix_col", "pix_row"])
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
 def tile_clip_join(sf_dir: str, cfg: EngineConfig = DEFAULT_CFG) -> ray.data.Dataset:
     """Footprint-vs-tile clip join (J1 analog): 1->N expansion to all
     intersecting tiles with clipped geometry + pixel bbox."""

@@ -84,6 +84,35 @@ def tile_point_join_mercator_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     )
 
 
+def tile_point_join_lcc_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
+    from ..geo.project import lcc_sql_exprs
+    from .spatial import (
+        LCC_CELL_MM,
+        LCC_NCOLS,
+        LCC_NROWS,
+        LCC_X0_MM,
+        LCC_YMAX_MM,
+    )
+
+    m = lcc_sql_exprs("lon", "lat")
+    tw, th = cfg.grid.tile_width, cfg.grid.tile_height
+    col = (
+        f"least(greatest((cast(floor({m['lcc_x']} * 1e3 + 0.5) as bigint) "
+        f"- {LCC_X0_MM}) // {LCC_CELL_MM}, 0), {LCC_NCOLS - 1})"
+    )
+    row = (
+        f"least(greatest(({LCC_YMAX_MM} - "
+        f"cast(floor({m['lcc_y']} * 1e3 + 0.5) as bigint)) "
+        f"// {LCC_CELL_MM}, 0), {LCC_NROWS - 1})"
+    )
+    return (
+        _pages_geo(cfg)
+        + f" select page_id, ('tile_' || cast(({col} // {tw}) * {tw} as varchar)"
+        f" || '-' || cast(({row} // {th}) * {th} as varchar)) as tile_id, "
+        f"{col} as pix_col, {row} as pix_row from geo"
+    )
+
+
 def tile_clip_join_sql(cfg: EngineConfig = DEFAULT_CFG) -> str:
     """Footprint-rect x tile clip join via <=2x2 candidate expansion —
     mirrors ``FootprintTileClip`` arithmetic op-for-op."""
